@@ -1,0 +1,167 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregation method for a measure column (reference AggMethod,
+  * populate_from_json.py:10-26).
+  */
+sealed trait AggMethod
+object AggMethod {
+  /** Plain additive sum. */
+  case object Sum extends AggMethod
+  /** Duration-weighted mean: sum(v·seconds)/sum(seconds)
+    * (populate_from_json.py:406-423).
+    */
+  case object WeightedMean extends AggMethod
+  /** Booleans are summed then written 0/1 — effectively OR
+    * (populate_from_json.py:41-43, 438-442).
+    */
+  case object BoolOr extends AggMethod
+}
+
+/** One declarative column spec, mirroring the reference's map entries
+  * `{json key, db col, type, factor, default, AggMethod, Mapper}`
+  * (populate_from_json.py:10-26) — but compiled to Catalyst Column
+  * expressions instead of interpolated SQL strings.
+  *
+  * @param jsonKey key in the input record (one key can fan out to many
+  *                columns with different unit factors, e.g. km→km,miles)
+  * @param col     output column name
+  * @param dt      storage type (DoubleType / LongType / BooleanType)
+  * @param factor  unit-conversion multiplier (populate_from_json.py:28-47)
+  * @param default fill value for gap-filled rows (populate_from_json.py:50)
+  * @param agg     how same-day workouts combine (O14)
+  * @param mapper  derived-column expression computed AFTER aggregation
+  *                (O15 mapper-after-aggregate, SURVEY.md Q4); receives the
+  *                map of aggregated base columns
+  */
+final case class ColSpec(
+    jsonKey: String,
+    col: String,
+    dt: DataType,
+    factor: Double = 1.0,
+    default: Any = 0,
+    agg: AggMethod = AggMethod.Sum,
+    mapper: Option[Map[String, Column] => Column] = None) {
+
+  /** Projection of the raw json value into this column (reference
+    * `value_string_for_sql`, populate_from_json.py:428-446): value ×
+    * factor, REAL rounded to 2dp, INTEGER rounded to 0dp, BOOLEAN 0/1.
+    * Reference Python round() is banker's → `bround` (SURVEY.md Q7).
+    */
+  def project(raw: Column): Column = dt match {
+    case DoubleType  => bround(raw.cast(DoubleType) * lit(factor), 2)
+    case LongType    => bround(raw.cast(DoubleType) * lit(factor), 0).cast(LongType)
+    case BooleanType => (raw.cast(DoubleType) =!= 0.0)
+    case _           => raw.cast(dt)
+  }
+
+  /** Aggregation expression over the projected column, weighted by
+    * `weight` (the seconds column) for WeightedMean specs. MEAN+INTEGER
+    * is truncated via int() in the reference (populate_from_json.py:417).
+    */
+  def aggregate(weight: Column): Column = {
+    val c = column(col)
+    agg match {
+      case AggMethod.Sum => dt match {
+        case LongType => sum(c).as(col)
+        case _        => Exact.dsum(c).as(col)
+      }
+      case AggMethod.WeightedMean =>
+        val m = Exact.weightedMean(c.cast(DoubleType), weight)
+        (dt match {
+          case LongType => m.cast(LongType) // int() truncation
+          case _        => m
+        }).as(col)
+      case AggMethod.BoolOr =>
+        (max(c.cast(IntegerType)) > 0).as(col)
+    }
+  }
+
+  private def column(name: String) = org.apache.spark.sql.functions.col(name)
+}
+
+/** The reference's four column maps, transcribed with their factors,
+  * defaults and agg methods (populate_from_json.py:28-86).
+  */
+object DiarySpecs {
+  import AggMethod._
+
+  val Mi    = 0.621371   // km → miles       (populate_from_json.py:29)
+  val Ft    = 3.28084    // metres → feet    (populate_from_json.py:38)
+  val Lbs   = 2.20462    // kg → pounds      (populate_from_json.py:79)
+
+  /** mph = km·0.621371·3600/seconds, 0 when seconds<=0
+    * (populate_from_json.py:552-559). Computed AFTER aggregation from
+    * the aggregated km/seconds (O15).
+    */
+  private def mph(a: Map[String, Column]): Column =
+    when(a("seconds") > 0, bround(a("km") * Mi * 3600.0 / a("seconds"), 1))
+      .otherwise(0.0)
+
+  /** kph (populate_from_json.py:562-569). */
+  private def kph(a: Map[String, Column]): Column =
+    when(a("seconds") > 0, bround(a("km") * 3600.0 / a("seconds"), 1))
+      .otherwise(0.0)
+
+  /** rpe_tss = rpe²·seconds/(49·36) — RPE 7 for one hour ≡ 100 TSS
+    * (populate_from_json.py:572-582). Uses the aggregated (weighted
+    * mean) rpe and total seconds.
+    */
+  private def rpeTss(a: Map[String, Column]): Column =
+    when(a("seconds") > 0,
+      bround(a("rpe") * a("rpe") * a("seconds") / (49.0 * 36.0), 1))
+      .otherwise(0.0)
+
+  /** Workout measures (populate_from_json.py:28-47). */
+  val workoutMap: Seq[ColSpec] = Seq(
+    ColSpec("km", "km", DoubleType, agg = Sum),
+    ColSpec("km", "miles", DoubleType, factor = Mi, agg = Sum),
+    ColSpec("tss", "tss", LongType, agg = Sum),
+    ColSpec("rpe", "rpe", DoubleType, agg = WeightedMean),
+    ColSpec("hr", "hr", LongType, agg = WeightedMean),
+    ColSpec("watts", "watts", LongType, agg = WeightedMean),
+    ColSpec("seconds", "seconds", LongType, agg = Sum),
+    ColSpec("seconds", "minutes", LongType, factor = 1.0 / 60, agg = Sum),
+    ColSpec("seconds", "hours", DoubleType, factor = 1.0 / 3600, agg = Sum),
+    ColSpec("ascentMetres", "ascent_metres", LongType, agg = Sum),
+    ColSpec("ascentMetres", "ascent_feet", LongType, factor = Ft, agg = Sum),
+    ColSpec("kj", "kj", LongType, agg = Sum),
+    ColSpec("reps", "reps", LongType, agg = Sum),
+    ColSpec("isRace", "is_race", BooleanType, default = false, agg = BoolOr),
+    ColSpec("brick", "brick", BooleanType, default = false, agg = BoolOr),
+    ColSpec("wattsEstimated", "watts_estimated", BooleanType, default = false, agg = BoolOr),
+    ColSpec("cadence", "cadence", LongType, agg = WeightedMean),
+    ColSpec("rpe_tss", "rpe_tss", DoubleType, agg = Sum, mapper = Some(rpeTss)),
+    ColSpec("mph", "mph", DoubleType, agg = Sum, mapper = Some(mph)),
+    ColSpec("kph", "kph", DoubleType, agg = Sum, mapper = Some(kph)),
+  )
+
+  /** Day-level subjective metrics (populate_from_json.py:53-59). */
+  val dayMap: Seq[ColSpec] = Seq(
+    ColSpec("fatigue", "fatigue", DoubleType),
+    ColSpec("motivation", "motivation", DoubleType),
+    ColSpec("sleep", "sleep_seconds", LongType, factor = 3600),
+    ColSpec("sleep", "sleep_minutes", LongType, factor = 60),
+    ColSpec("sleep", "sleep_hours", DoubleType),
+    ColSpec("type", "day_type", StringType, default = "Normal"),
+    ColSpec("sleepQuality", "sleep_quality", StringType, default = "Average"),
+  )
+
+  /** Physiological series (populate_from_json.py:78-86). */
+  val physioMap: Seq[ColSpec] = Seq(
+    ColSpec("kg", "kg", DoubleType),
+    ColSpec("kg", "lbs", DoubleType, factor = Lbs),
+    ColSpec("fatPercent", "fat_percentage", DoubleType),
+    ColSpec("restingHR", "resting_hr", LongType),
+    ColSpec("restingSDNN", "sdnn", DoubleType),
+    ColSpec("restingRMSSD", "rmssd", DoubleType),
+  )
+
+  /** Post-pass outputs (populate_from_json.py:64-74), REAL DEFAULT 0. */
+  val calculatedCols: Seq[String] = Seq(
+    "ctl", "atl", "tsb", "rpe_ctl", "rpe_atl", "rpe_tsb",
+    "monotony", "strain", "rpe_monotony", "rpe_strain")
+}
