@@ -11,10 +11,14 @@ sealed trait AggMethod
 object AggMethod {
   /** Plain additive sum. */
   case object Sum extends AggMethod
-  /** Duration-weighted mean: sum(v·seconds)/sum(seconds)
-    * (populate_from_json.py:406-423).
+  /** Duration-weighted mean: sum(v·seconds)/sum(seconds) — how MEAN
+    * columns combine same-day workouts (populate_from_json.py:406-423).
     */
   case object WeightedMean extends AggMethod
+  /** Plain unweighted mean — how MEAN columns roll up across days in
+    * the week/month tables (populate_from_json.py:545-547 uses AVG).
+    */
+  case object Mean extends AggMethod
   /** Booleans are summed then written 0/1 — effectively OR
     * (populate_from_json.py:41-43, 438-442).
     */
@@ -25,6 +29,14 @@ object AggMethod {
   * `{json key, db col, type, factor, default, AggMethod, Mapper}`
   * (populate_from_json.py:10-26) — but compiled to Catalyst Column
   * expressions instead of interpolated SQL strings.
+  *
+  * Lifecycle (matches the reference exactly):
+  *  1. [[project]] — raw value × factor, UNROUNDED (the reference
+  *     aggregates raw values and rounds once at write,
+  *     populate_from_json.py:406-423 then 428-446);
+  *  2. [[aggregate]] — combine same-key rows per [[AggMethod]];
+  *  3. [[finalize]] — write-stage rounding/casting
+  *     (`value_string_for_sql`, populate_from_json.py:428-446).
   *
   * @param jsonKey key in the input record (one key can fan out to many
   *                columns with different unit factors, e.g. km→km,miles)
@@ -46,38 +58,46 @@ final case class ColSpec(
     agg: AggMethod = AggMethod.Sum,
     mapper: Option[Map[String, Column] => Column] = None) {
 
-  /** Projection of the raw json value into this column (reference
-    * `value_string_for_sql`, populate_from_json.py:428-446): value ×
-    * factor, REAL rounded to 2dp, INTEGER rounded to 0dp, BOOLEAN 0/1.
-    * Reference Python round() is banker's → `bround` (SURVEY.md Q7).
+  /** Unit-conversion projection, UNROUNDED (rounding happens once, in
+    * [[finalize]] — rounding per input row before aggregation would
+    * drift from the reference, e.g. two 90 s workouts must give
+    * minutes=3, not round(1.5)+round(1.5)=4).
     */
   def project(raw: Column): Column = dt match {
-    case DoubleType  => bround(raw.cast(DoubleType) * lit(factor), 2)
-    case LongType    => bround(raw.cast(DoubleType) * lit(factor), 0).cast(LongType)
-    case BooleanType => (raw.cast(DoubleType) =!= 0.0)
-    case _           => raw.cast(dt)
+    case DoubleType | LongType => raw.cast(DoubleType) * lit(factor)
+    case BooleanType           => raw.cast(DoubleType) =!= 0.0
+    case _                     => raw.cast(dt)
   }
 
-  /** Aggregation expression over the projected column, weighted by
+  /** Aggregation over the projected (unrounded) column, weighted by
     * `weight` (the seconds column) for WeightedMean specs. MEAN+INTEGER
     * is truncated via int() in the reference (populate_from_json.py:417).
     */
   def aggregate(weight: Column): Column = {
     val c = column(col)
     agg match {
-      case AggMethod.Sum => dt match {
-        case LongType => sum(c).as(col)
-        case _        => Exact.dsum(c).as(col)
-      }
+      case AggMethod.Sum  => Exact.dsum(c).as(col)
+      case AggMethod.Mean => Exact.davg(c).as(col)
       case AggMethod.WeightedMean =>
         val m = Exact.weightedMean(c.cast(DoubleType), weight)
         (dt match {
-          case LongType => m.cast(LongType) // int() truncation
+          case LongType => m.cast(LongType).cast(DoubleType) // int() truncation
           case _        => m
         }).as(col)
       case AggMethod.BoolOr =>
-        (max(c.cast(IntegerType)) > 0).as(col)
+        coalesce(max(c.cast(IntegerType)) > 0, lit(false)).as(col)
     }
+  }
+
+  /** Write-stage rounding and casting (reference `value_string_for_sql`,
+    * populate_from_json.py:428-446): REAL → round 2dp, INTEGER →
+    * round 0dp then int, BOOLEAN → as-is (0/1 at the sink). Reference
+    * Python round() is banker's → `bround` (SURVEY.md Q7).
+    */
+  def finalize(c: Column): Column = dt match {
+    case DoubleType  => bround(c, 2)
+    case LongType    => bround(c, 0).cast(LongType)
+    case _           => c
   }
 
   private def column(name: String) = org.apache.spark.sql.functions.col(name)
@@ -89,9 +109,9 @@ final case class ColSpec(
 object DiarySpecs {
   import AggMethod._
 
-  val Mi    = 0.621371   // km → miles       (populate_from_json.py:29)
-  val Ft    = 3.28084    // metres → feet    (populate_from_json.py:38)
-  val Lbs   = 2.20462    // kg → pounds      (populate_from_json.py:79)
+  val Mi    = 0.621371   // km → miles       (populate_from_json.py:26)
+  val Ft    = 3.28084    // metres → feet    (populate_from_json.py:39)
+  val Lbs   = 2.20462    // kg → pounds      (populate_from_json.py:177)
 
   /** mph = km·0.621371·3600/seconds, 0 when seconds<=0
     * (populate_from_json.py:552-559). Computed AFTER aggregation from
@@ -115,7 +135,11 @@ object DiarySpecs {
       bround(a("rpe") * a("rpe") * a("seconds") / (49.0 * 36.0), 1))
       .otherwise(0.0)
 
-  /** Workout measures (populate_from_json.py:28-47). */
+  /** Workout measures (populate_from_json.py:28-50). AggMethods
+    * transcribed exactly: mph/kph are MEAN (they matter only in the
+    * week/month rollup — at day level the mapper recomputes them from
+    * aggregates); rpe_tss is SUM.
+    */
   val workoutMap: Seq[ColSpec] = Seq(
     ColSpec("km", "km", DoubleType, agg = Sum),
     ColSpec("km", "miles", DoubleType, factor = Mi, agg = Sum),
@@ -135,14 +159,18 @@ object DiarySpecs {
     ColSpec("wattsEstimated", "watts_estimated", BooleanType, default = false, agg = BoolOr),
     ColSpec("cadence", "cadence", LongType, agg = WeightedMean),
     ColSpec("rpe_tss", "rpe_tss", DoubleType, agg = Sum, mapper = Some(rpeTss)),
-    ColSpec("mph", "mph", DoubleType, agg = Sum, mapper = Some(mph)),
-    ColSpec("kph", "kph", DoubleType, agg = Sum, mapper = Some(kph)),
+    ColSpec("mph", "mph", DoubleType, agg = Mean, mapper = Some(mph)),
+    ColSpec("kph", "kph", DoubleType, agg = Mean, mapper = Some(kph)),
   )
 
-  /** Day-level subjective metrics (populate_from_json.py:53-59). */
+  /** Day-level subjective metrics (populate_from_json.py:53-59).
+    * fatigue/motivation are MEAN in the reference — they only aggregate
+    * in the week/month rollup (plain AVG there); strings carry no
+    * AggMethod and are excluded from rollups.
+    */
   val dayMap: Seq[ColSpec] = Seq(
-    ColSpec("fatigue", "fatigue", DoubleType),
-    ColSpec("motivation", "motivation", DoubleType),
+    ColSpec("fatigue", "fatigue", DoubleType, agg = Mean),
+    ColSpec("motivation", "motivation", DoubleType, agg = Mean),
     ColSpec("sleep", "sleep_seconds", LongType, factor = 3600),
     ColSpec("sleep", "sleep_minutes", LongType, factor = 60),
     ColSpec("sleep", "sleep_hours", DoubleType),
@@ -150,17 +178,22 @@ object DiarySpecs {
     ColSpec("sleepQuality", "sleep_quality", StringType, default = "Average"),
   )
 
-  /** Physiological series (populate_from_json.py:78-86). */
+  /** Physiological series (populate_from_json.py:78-86) — populated by
+    * the interpolation pass (O20/O21), no AggMethod (excluded from
+    * rollups, populate_from_json.py:537-549).
+    */
   val physioMap: Seq[ColSpec] = Seq(
     ColSpec("kg", "kg", DoubleType),
     ColSpec("kg", "lbs", DoubleType, factor = Lbs),
     ColSpec("fatPercent", "fat_percentage", DoubleType),
-    ColSpec("restingHR", "resting_hr", LongType),
+    ColSpec("restingHR", "resting_hr", DoubleType),
     ColSpec("restingSDNN", "sdnn", DoubleType),
     ColSpec("restingRMSSD", "rmssd", DoubleType),
   )
 
-  /** Post-pass outputs (populate_from_json.py:64-74), REAL DEFAULT 0. */
+  /** Post-pass outputs (populate_from_json.py:64-74), REAL DEFAULT 0,
+    * all MEAN for rollup purposes.
+    */
   val calculatedCols: Seq[String] = Seq(
     "ctl", "atl", "tsb", "rpe_ctl", "rpe_atl", "rpe_tsb",
     "monotony", "strain", "rpe_monotony", "rpe_strain")

@@ -13,28 +13,37 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * any engine and any degree of parallelism — this is both a
   * correctness-parity tool (DuckDB oracle) and a determinism guarantee
   * at scale (same answer at 32 threads or 1000 executors).
+  *
+  * Domain assumption: inputs are quantized at <= `scale` decimal places
+  * (true of every measure in the reference and the test corpus, which
+  * carry 2dp values). Inputs with more precision are rounded to `scale`
+  * dp at the cast — the exactness claim is about summation order, not
+  * about representing arbitrary doubles.
   */
 object Exact {
 
   /** Exact sum of a double column: decimal-cast, sum, back to double.
-    * Matches DuckDB `CAST(SUM(CAST(c AS DECIMAL(18,s))) AS DOUBLE)`.
+    * Matches DuckDB `CAST(SUM(CAST(c AS DECIMAL(38,s))) AS DOUBLE)`.
+    * DECIMAL(38,6) holds ±10^32 — no overflow headroom issue at 100 TB
+    * (a 10^14-row sum of 10^6-scale values is 10^20).
     */
-  def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+  def dsum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
 
   /** Exact mean: exact sum / count of non-nulls (double division is a
     * single IEEE op — deterministic given identical inputs).
     */
-  def davg(c: Column, scale: Int = 4): Column =
+  def davg(c: Column, scale: Int = 6): Column =
     dsum(c, scale) / count(c)
 
   /** Duration-weighted mean (reference `aggregate_workouts`,
-    * populate_from_json.py:385-425): sum(v*w)/sum(w), null when the
-    * weight sum is 0 (the reference crashes there — Q5 in SURVEY.md).
+    * populate_from_json.py:385-425): sum(v*w)/sum(w). The reference
+    * crashes on a zero weight sum (populate_from_json.py:420); per
+    * SURVEY.md Q5 we emit 0.0 instead (also covers the all-null group).
     * The v*w product is one IEEE multiply, then exact-summed.
     */
   def weightedMean(v: Column, w: Column, scale: Int = 6): Column = {
     val den = dsum(w, scale)
-    when(den =!= 0.0, dsum(v * w, scale) / den)
+    coalesce(when(den =!= 0.0, dsum(v * w, scale) / den), lit(0.0))
   }
 }

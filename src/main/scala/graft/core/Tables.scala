@@ -20,7 +20,23 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "events")
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark does not
+    * model (PARQUET_TYPE_ILLEGAL). Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as
+    * epoch-nanos LongType; normalize to a microsecond TimestampType
+    * here via integer division (`div` — a double roundtrip would lose
+    * precision above 2^53).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    // settable at runtime — the driver's own session may not carry it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = apply(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

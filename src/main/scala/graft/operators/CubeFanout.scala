@@ -10,10 +10,16 @@ import org.apache.spark.sql.functions._
   *
   * The reference hand-rolls all 2³ subsets of
   * {activity, activity_type, equipment} and stores each in its own
-  * SQLite table. Spark-native this is exactly one `cube()` — the
-  * Expand physical node emits the 2^|dims| grouping-set rows per input
+  * SQLite table. Spark-native this is one GROUPING SETS aggregate —
+  * the Expand physical node emits one row per grouping set per input
   * row, then ONE shuffle aggregates all of them together. Absent dims
   * are pinned to 'All' (populate_from_json.py:363-372).
+  *
+  * `date` is a real grouping key in EVERY set, so we use explicit
+  * grouping sets (2^|dims| of them, date pinned) rather than
+  * `cube(date, dims…)` + post-filter — the latter expands 2^(|dims|+1)
+  * rows per input and discards half AFTER the partial aggregate, a 2×
+  * shuffle tax on the hottest operator at scale.
   *
   * Scale notes: Expand multiplies rows 2^|dims| before the exchange,
   * but partial (map-side) aggregation collapses them before the
@@ -25,9 +31,17 @@ object CubeFanout {
   /** The 'All' marker the reference uses for aggregated dims. */
   val All = "All"
 
-  /** groupBy date × cube(dims), aggregating per ColSpec, then computing
-    * mapper columns from the aggregated values (SURVEY.md Q4: mappers
-    * run on aggregate inputs, NOT summed per-row).
+  /** All subsets of `dims`, largest first (matches the reference's
+    * aggregation_keys order, populate_from_json.py:346-354 — order is
+    * irrelevant to semantics, the 8 sets are disjoint outputs).
+    */
+  private def subsets[A](xs: Seq[A]): Seq[Seq[A]] =
+    xs.foldRight(Seq(Seq.empty[A]))((x, acc) => acc.map(x +: _) ++ acc)
+
+  /** groupBy GROUPING SETS {(date) × subsets(dims)}, aggregating per
+    * ColSpec, then computing mapper columns from the aggregated values
+    * (SURVEY.md Q4: mappers run on aggregate inputs, NOT summed
+    * per-row).
     *
     * @param weightCol the weighting column for WeightedMean specs
     *                  (the reference weights by `seconds`)
@@ -35,7 +49,10 @@ object CubeFanout {
     *                  NOT aggregated (reference O10a: equipment
     *                  'Not Set'/'' rows are excluded from
     *                  equipment-bearing groupings only,
-    *                  populate_from_json.py:391-392)
+    *                  populate_from_json.py:391-392). Applied
+    *                  post-aggregation — exact, because a grouping-set
+    *                  output row only aggregates inputs sharing its
+    *                  non-aggregated dim values.
     */
   def dailyCube(
       df: DataFrame,
@@ -49,18 +66,16 @@ object CubeFanout {
     val (mapped, plain) = specs.partition(_.mapper.isDefined)
     // grouping() is only legal inside the aggregate list — materialize
     // the per-dim flags there, filter on them afterwards, then drop.
-    val gFlags = (dateCol +: dims).map(d => grouping(col(d)).as(s"_g_$d"))
+    val gFlags = dims.map(d => grouping(col(d)).as(s"_g_$d"))
     val aggs = gFlags ++ plain.map(_.aggregate(weight))
 
+    val sets: Seq[Seq[Column]] =
+      subsets(dims).map(s => col(dateCol) +: s.map(col))
     val cubed = df
-      .cube(col(dateCol) +: dims.map(col): _*)
+      .groupingSets(sets, col(dateCol) +: dims.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      // date is a real grouping key, never 'All': keep only grouping
-      // sets where date is concrete.
-      .filter(col(s"_g_$dateCol") === 0)
 
-    // Post-cube Not-Set filter (O10a). Exact because a cube output row
-    // only aggregates inputs sharing its non-aggregated dim values.
+    // Post-cube Not-Set filter (O10a).
     val filtered = notSetFilter.foldLeft(cubed) { case (acc, (dim, bad)) =>
       acc.filter(!(col(s"_g_$dim") === 0 && col(dim).isin(bad: _*)))
     }
@@ -77,6 +92,12 @@ object CubeFanout {
     val withMappers = mapped.foldLeft(withAll) { (acc, s) =>
       acc.withColumn(s.col, s.mapper.get(baseCols))
     }
-    withMappers.drop((dateCol +: dims).map(d => s"_g_$d"): _*)
+    withMappers.drop(dims.map(d => s"_g_$d"): _*)
   }
+
+  /** Write-stage rounding for a cubed frame (reference
+    * `value_string_for_sql` applied at INSERT, populate_from_json.py:428-446).
+    */
+  def finalizeAll(df: DataFrame, specs: Seq[ColSpec]): DataFrame =
+    specs.foldLeft(df)((acc, s) => acc.withColumn(s.col, s.finalize(col(s.col))))
 }

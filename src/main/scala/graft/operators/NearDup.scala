@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora (LLM-pipeline
+  * extension, SURVEY.md §2.5): word-shingle Jaccard as ground truth,
+  * MinHash+LSH banding as the scale path, SimHash as the compact
+  * fingerprint variant.
+  *
+  * Scale shape: the naive all-pairs Jaccard is O(N²) and impossible at
+  * 100 TB. MinHash+LSH replaces it with (1) a linear signature pass,
+  * (2) an equi-join on (band, band-hash) — one shuffle keyed by band
+  * hash, candidate volume ∝ collision rate, and (3) exact verification
+  * only on candidates. Skewed buckets (boilerplate shingles) are the
+  * classic hazard — verification joins run under AQE skew handling,
+  * and the band hash includes the band index so bands don't collide
+  * with each other.
+  */
+object NearDup {
+
+  /** Word n-gram shingles (distinct), from single-space tokens. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = Text.tokens(c)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Exact Jaccard similarity of two shingle arrays (assumed distinct). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  /** MinHash signature: `numHashes` independent permutations simulated
+    * by seeding xxhash64 with the permutation index; signature element
+    * j = min over shingles of xxhash64(j, shingle).
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array(Seq.tabulate(numHashes) { j =>
+      array_min(transform(shingleCol, s => xxhash64(lit(j), s)))
+    }: _*)
+
+  /** Explode a signature into `bands` band rows keyed by
+    * (band index, hash of the band's rows) — the LSH bucketing step.
+    * Input needs (`idCol`, `sigCol`).
+    */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+    val sig = col(sigCol)
+    val rowsPerBand = size(sig) / bands
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(lit("band"), b,
+            concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))))
+      .as(Seq("band", "band_hash")))
+  }
+
+  /** Candidate near-dup pairs: documents sharing any LSH band bucket.
+    * Returns distinct (id_a < id_b) pairs. One self-equi-join on the
+    * band key — shuffle ∝ band rows, not N².
+    */
+  def candidatePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val sigs = df.select(col(idCol), minhashSignature(shingles(col(textCol), n), numHashes).as("_sig"))
+    val b = lshBands(sigs, idCol, "_sig", bands)
+    val l = b.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val r = b.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Near-dup pairs with exact Jaccard ≥ threshold, verified only on
+    * LSH candidates (the 100 TB shape). For oracle-checked exactness on
+    * small data use an all-pairs Jaccard query instead.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val cands = candidatePairs(df, idCol, textCol, n, numHashes, bands)
+    val sh = df.select(col(idCol), shingles(col(textCol), n).as("_sh"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sha")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("_sh").as("_shb")), "id_b")
+      .withColumn("jaccard", jaccard(col("_sha"), col("_shb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over tokens: bit b of the fingerprint is the sign
+    * of Σ_tokens (±1 per token's hash bit b).
+    */
+  def simhash64(c: Column): Column = {
+    val toks = Text.tokens(c)
+    val bitSums = transform(sequence(lit(0), lit(63)), b =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(
+          (call_function("shiftrightunsigned", xxhash64(t), b) % 2) =!= 0, 1L
+        ).otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+}

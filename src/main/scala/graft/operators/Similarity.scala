@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`), LLM-pipeline extension (SURVEY.md §2.5).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k via crossJoin + window.
+  *    O(|Q|·|C|) similarity evaluations; the baseline and the oracle.
+  *  - [[lshTopK]] — random-hyperplane LSH: vectors are bucketed by the
+  *    sign pattern of `p` fixed hyperplane projections, candidates are
+  *    only pairs sharing a bucket, re-ranked exactly. At 100 TB the
+  *    brute-force crossJoin is impossible (10¹⁰ × 10³ pairs); LSH makes
+  *    candidate generation a hash-partitioned equi-join on the bucket
+  *    key — one shuffle each side, candidates ∝ bucket occupancy, and
+  *    recall tunable via multi-probe/band count.
+  *
+  * All vector math is higher-order-function `Column` expressions
+  * (zip_with/aggregate) — codegen-friendly, no UDFs.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a single fused expression. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(0.0)
+  }
+
+  /** Order-independent dot product: each float·float product (exact in
+    * double) is quantized to DECIMAL(38,12) and decimal-summed, so the
+    * result is identical at any parallelism and on any engine — the
+    * oracle-parity twin of [[dot]] (same rationale as
+    * [[graft.core.Exact]]).
+    */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      // precision must stay far below Spark's 38 cap: DECIMAL(28,12) +
+      // DECIMAL(18,12) adds at (29,12) — if the result hit precision 38
+      // Spark would silently drop scale and round every step
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") * y.cast("double")).cast(DecimalType(18, 12))),
+      lit(BigDecimal(0)).cast(DecimalType(28, 12)),
+      (s, v) => (s + v).cast(DecimalType(28, 12))).cast("double")
+
+  /** Deterministic cosine built on [[dotExact]]. */
+  def cosineExact(a: Column, b: Column): Column = {
+    val den = sqrt(dotExact(a, a)) * sqrt(dotExact(b, b))
+    when(den > 0, dotExact(a, b) / den).otherwise(0.0)
+  }
+
+  /** Exact top-k neighbors for each query vector against the corpus.
+    * Both frames need (`idCol`, `vecCol`). Ties broken by corpus id —
+    * deterministic at any parallelism. The similarity is rounded to
+    * `roundDp` BEFORE ranking so rank order is reproducible across
+    * engines (float dot products agree to ~1e-12; ranking on raw
+    * doubles would let a 1-ulp difference swap neighbors).
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      roundDp: Int = 6,
+      exact: Boolean = false): DataFrame = {
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val cos = if (exact) cosineExact(col("_qv"), col("_cv")) else cosine(col("_qv"), col("_cv"))
+    // roundDp < 0 skips rounding — right when the similarity is already
+    // engine-deterministic (exact=true), where rounding only adds
+    // shortest-repr-tie risk against an oracle
+    val sim = if (roundDp < 0) cos else round(cos, roundDp)
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", sim)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes (fixed seed — the
+    * plan must be identical across runs and executors).
+    */
+  private def hyperplanes(dim: Int, p: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(p)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-pattern LSH bucket id for a vector: bit i = sign(v·hᵢ). */
+  def lshBucket(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    val hp = hyperplanes(dim, planes, seed)
+    hp.zipWithIndex.map { case (h, i) =>
+      val proj = aggregate(
+        zip_with(vec, lit(h), (x, w) => x.cast("double") * w),
+        lit(0.0), (s, v) => s + v)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k: bucket both sides by [[lshBucket]], equi-join on the
+    * bucket, re-rank candidates exactly. Recall < 1 by construction;
+    * raise `planes` for precision (smaller buckets) or join on several
+    * independent seeds (multi-probe union) for recall.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      planes: Int = 8): DataFrame = {
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      lshBucket(col(vecCol), dim, planes).as("_b"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      lshBucket(col(vecCol), dim, planes).as("_b"))
+    val scored = q.join(c, Seq("_b")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+}

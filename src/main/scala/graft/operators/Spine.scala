@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Date-spine gap fill (reference O17/O19,
@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * The reference probes every existing fact table per day and inserts a
   * defaults-only row when missing. Spark-native: build the min..max day
   * spine once, cross-join it with the distinct dimension combos, and
-  * left-join the facts. Per SURVEY.md Q2 we backfill the FULL spine for
+  * outer-join the facts. Per SURVEY.md Q2 we backfill the FULL spine for
   * every combo (the reference misses days before a combo first appears).
   *
   * Scale: the spine is tiny (years × 365 rows) and the dim-combo set is
-  * small relative to facts, so the spine side broadcasts; the only
-  * shuffle is the one the left join would need anyway, and with a
-  * broadcast spine there is none.
+  * small relative to facts, so spine × combos broadcasts. The join is
+  * written `facts RIGHT OUTER broadcast(spine×combos)` — a right outer
+  * join builds its LEFT side, so the broadcast is legal and the big
+  * facts side streams with NO shuffle at all.
   */
 object Spine {
 
@@ -24,18 +25,34 @@ object Spine {
     df.agg(min(col(dateCol)).as("d0"), max(col(dateCol)).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as(dateCol))
 
-  /** Full spine × dim-combos, left-joined with facts; missing measure
+  /** Full spine × dim-combos, outer-joined with facts; missing measure
     * rows get `fillDefaults` (reference inserts workout zeroes,
-    * populate_from_json.py:50).
+    * populate_from_json.py:50, 132-135).
+    *
+    * @param dayValues day-level attributes keyed by `dateCol` (fatigue,
+    *                  sleep, day_type…). The reference writes the day's
+    *                  ACTUAL values onto gap rows (populate_from_json.py:
+    *                  133-135 inserts d_values), not defaults — pass the
+    *                  per-date day frame and its columns are (re)joined
+    *                  onto every row by date. Day attrs are constant per
+    *                  date across all cube cells, so this is exact.
     */
   def gapFill(
       facts: DataFrame,
       dateCol: String,
       dims: Seq[String],
-      fillDefaults: Map[String, Any]): DataFrame = {
+      fillDefaults: Map[String, Any],
+      dayValues: Option[DataFrame] = None): DataFrame = {
     val spine = fromData(facts, dateCol)
     val combos = facts.select(dims.map(col): _*).distinct()
-    val full = broadcast(spine).crossJoin(broadcast(combos))
-    full.join(facts, Seq(dateCol) ++ dims, "left").na.fill(fillDefaults)
+    val full = spine.crossJoin(combos)
+    val joined = facts.join(broadcast(full), Seq(dateCol) ++ dims, "right")
+    val filled = dayValues match {
+      case None => joined
+      case Some(day) =>
+        val dayCols = day.columns.filterNot(_ == dateCol)
+        joined.drop(dayCols: _*).join(broadcast(day), Seq(dateCol), "left")
+    }
+    filled.na.fill(fillDefaults)
   }
 }

@@ -1,0 +1,349 @@
+package graft.queries
+
+import graft.operators.Ewma
+
+/** DuckDB oracle SQL twins for [[Queries]] (driver contract: run on the
+  * same parquet tables, hash-compared column-by-column).
+  *
+  * Parity strategy (SURVEY.md §5.1 + Q7):
+  *  - float SUMs are decimal-exact on both sides (DECIMAL(38,6) /
+  *    DECIMAL(38,12)) → bit-identical doubles at any parallelism;
+  *  - EWMA uses a recursive CTE replicating the fold's IEEE arithmetic
+  *    op-for-op (constants embedded as Scala-printed shortest-repr
+  *    literals, which parse to the identical double);
+  *  - `ROUND` everywhere matches Spark `round` (HALF_UP); int-rounding
+  *    uses FLOOR(x+0.5) (pure binary IEEE on both engines);
+  *  - every query ends in the same total ORDER BY.
+  *
+  * Queries with engine-side-only hashing (xxhash64 minhash signatures,
+  * random-hyperplane LSH buckets) get rows-only checks — EXCEPT
+  * q16_minhash_lsh, whose planted near-dups are recalled by LSH with
+  * probability 1−O(10⁻¹¹), so the exact-Jaccard pair set is a valid
+  * oracle (pre-verified at both test scale factors).
+  */
+object Oracles {
+
+  private val CI = Ewma.CtlImpact.toString
+  private val CD = Ewma.CtlDecay.toString
+  private val AI = Ewma.AtlImpact.toString
+  private val AD = Ewma.AtlDecay.toString
+
+  /** Exact double sum via decimal. */
+  private def dsum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(38,6))) AS DOUBLE)"
+
+  private val dailyCte =
+    s"daily AS (SELECT CAST(ts AS DATE) AS d, event_type, ${dsum("value")} AS tss FROM events GROUP BY 1, 2)"
+
+  /** spine of all days between min/max of `src`.`dcol`. */
+  private def spineCte(src: String) =
+    s"""b AS (SELECT min(d) AS d0, max(d) AS d1 FROM $src),
+       |spine AS (SELECT CAST(u AS DATE) AS d FROM (SELECT unnest(generate_series((SELECT d0 FROM b), (SELECT d1 FROM b), INTERVAL 1 DAY)) AS u))""".stripMargin
+
+  private val filledCte =
+    s"""$dailyCte,
+       |${spineCte("daily")},
+       |combos AS (SELECT DISTINCT event_type FROM daily),
+       |filled AS (
+       |  SELECT c.event_type, s.d, COALESCE(dl.tss, 0.0) AS tss
+       |  FROM spine s CROSS JOIN combos c
+       |  LEFT JOIN daily dl ON dl.d = s.d AND dl.event_type = c.event_type
+       |)""".stripMargin
+
+  private val toksExpr = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  /** 3-gram shingle CTE over `src` (needs doc_id, text). */
+  private def shingleCte(src: String) =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+       |  FROM (SELECT doc_id, $toksExpr AS toks FROM $src)
+       |)""".stripMargin
+
+  private def jaccardExpr(a: String, b: String) =
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / CAST(GREATEST(len($a) + len($b) - len(list_intersect($a, $b)), 1) AS DOUBLE)"
+
+  private val kExpr = "CAST(props->>'$.k' AS BIGINT)"
+
+  val all: Map[String, String] = Map(
+
+    "q01_catalog" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "q02_minmax" ->
+      "SELECT min(CAST(ts AS DATE)) AS d_min, max(CAST(ts AS DATE)) AS d_max, count(*) AS n FROM events",
+
+    "q03_projection" ->
+      s"""SELECT event_id, value AS km,
+         |  ROUND(value * 0.621371, 8) AS miles,
+         |  $kExpr * 60 AS seconds,
+         |  CAST(FLOOR(value * 3.28084 + 0.5) AS BIGINT) AS ascent_feet,
+         |  CASE WHEN $kExpr * 60 > 0 THEN value * 0.621371 * 3600.0 / ($kExpr * 60) ELSE 0.0 END AS mph,
+         |  CASE WHEN $kExpr * 60 > 0 THEN value * 3600.0 / ($kExpr * 60) ELSE 0.0 END AS kph
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q04_filters" ->
+      s"""SELECT event_id, user_id, value, $kExpr AS k FROM events
+         |WHERE value > 0 AND COALESCE($kExpr, 0) > 20 AND event_type <> 'purchase'
+         |ORDER BY event_id""".stripMargin,
+
+    "q05_calendar" ->
+      s"""SELECT d,
+         |  CAST(isoyear(d) AS VARCHAR) || '-' || CAST(weekofyear(d) AS VARCHAR) AS year_week,
+         |  strftime(d, '%Y-%b') AS year_month,
+         |  strftime(d, '%a') AS day_of_week,
+         |  strftime(d, '%b') AS month
+         |FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events) ORDER BY d""".stripMargin,
+
+    "q06_cube" ->
+      s"""WITH base AS (
+         |  SELECT CAST(ts AS DATE) AS d, event_type,
+         |    'u' || CAST(user_id % 4 AS VARCHAR) AS ubucket,
+         |    value AS v,
+         |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS is_high,
+         |    CAST($kExpr AS DOUBLE) AS k
+         |  FROM events
+         |), g AS (
+         |  SELECT d, event_type, ubucket,
+         |    GROUPING(event_type) AS g_et, GROUPING(ubucket) AS g_ub,
+         |    ${dsum("v")} AS v_sum,
+         |    ${dsum("k")} AS k_sum,
+         |    ${dsum("v * k")} AS vk_sum,
+         |    COALESCE(MAX(is_high) > 0, FALSE) AS is_high
+         |  FROM base
+         |  GROUP BY GROUPING SETS ((d, event_type, ubucket), (d, event_type), (d, ubucket), (d))
+         |)
+         |SELECT d,
+         |  CASE WHEN g_et = 1 THEN 'All' ELSE event_type END AS event_type,
+         |  CASE WHEN g_ub = 1 THEN 'All' ELSE ubucket END AS ubucket,
+         |  ROUND(v_sum, 6) AS v_sum,
+         |  CASE WHEN k_sum <> 0 THEN vk_sum / k_sum ELSE 0.0 END AS v_wavg,
+         |  CAST(TRUNC(CASE WHEN k_sum <> 0 THEN vk_sum / k_sum ELSE 0.0 END) AS BIGINT) AS v_wavg_int,
+         |  is_high,
+         |  CASE WHEN k_sum > 0 THEN v_sum * 100.0 / k_sum ELSE 0.0 END AS per_k
+         |FROM g
+         |WHERE NOT (g_et = 0 AND event_type = 'purchase')
+         |ORDER BY d, event_type, ubucket""".stripMargin,
+
+    "q07_spine" ->
+      s"""WITH $dailyCte,
+         |sparse AS (SELECT * FROM daily WHERE day(d) % 3 <> 0),
+         |${spineCte("sparse")},
+         |combos AS (SELECT DISTINCT event_type FROM sparse)
+         |SELECT c.event_type, s.d, ROUND(COALESCE(sp.tss, 0.0), 6) AS tss
+         |FROM spine s CROSS JOIN combos c
+         |LEFT JOIN sparse sp ON sp.d = s.d AND sp.event_type = c.event_type
+         |ORDER BY c.event_type, s.d""".stripMargin,
+
+    "q08_dedup" ->
+      s"""SELECT user_id, CAST(ts AS DATE) AS d, event_id, value FROM events
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY event_id) = 1
+         |ORDER BY user_id, d""".stripMargin,
+
+    "q09_ewma" ->
+      s"""WITH RECURSIVE $filledCte,
+         |numbered AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn FROM filled
+         |),
+         |rec AS (
+         |  SELECT event_type, d, tss, rn,
+         |    tss * $CI + 0.0 * $CD AS ctl,
+         |    tss * $AI + 0.0 * $AD AS atl
+         |  FROM numbered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT f.event_type, f.d, f.tss, f.rn,
+         |    f.tss * $CI + r.ctl * $CD,
+         |    f.tss * $AI + r.atl * $AD
+         |  FROM numbered f JOIN rec r ON f.event_type = r.event_type AND f.rn = r.rn + 1
+         |)
+         |SELECT event_type, d, tss, ROUND(ctl, 6) AS ctl, ROUND(atl, 6) AS atl,
+         |  ROUND(ctl - atl, 6) AS tsb
+         |FROM rec ORDER BY event_type, d""".stripMargin,
+
+    "q10_rolling" ->
+      s"""WITH $filledCte,
+         |w AS (
+         |  SELECT event_type, d, tss,
+         |    count(tss) OVER win AS cnt,
+         |    stddev_samp(tss) OVER win AS sd_raw,
+         |    avg(tss) OVER win AS mean7,
+         |    sum(tss) OVER win AS sum7
+         |  FROM filled
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT event_type, d, ROUND(tss, 6) AS tss,
+         |  ROUND(COALESCE(mean7 / (CASE WHEN cnt > 1 THEN GREATEST(0.01, sd_raw) END), 0.0), 4) AS monotony,
+         |  ROUND(sum7 * COALESCE(mean7 / (CASE WHEN cnt > 1 THEN GREATEST(0.01, sd_raw) END), 0.0), 4) AS strain
+         |FROM w ORDER BY event_type, d""".stripMargin,
+
+    "q11_rollup" ->
+      s"""WITH $dailyCte,
+         |day2 AS (SELECT *, CAST(isoyear(d) AS VARCHAR) || '-' || CAST(weekofyear(d) AS VARCHAR) AS year_week FROM daily)
+         |SELECT 'Week' AS period, event_type, year_week, max(d) AS week_end,
+         |  ROUND(${dsum("tss")}, 6) AS tss,
+         |  ${dsum("tss")} / COUNT(tss) AS tss_avg
+         |FROM day2 GROUP BY event_type, year_week
+         |ORDER BY event_type, year_week""".stripMargin,
+
+    "q12_join_agg" ->
+      s"""SELECT n_name,
+         |  ROUND(${dsum("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q13_topk" ->
+      s"""SELECT o_custkey,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS "rank",
+         |  o_orderkey, o_totalprice
+         |FROM orders
+         |QUALIFY "rank" <= 3
+         |ORDER BY o_custkey, "rank"""".stripMargin,
+
+    "q14_dedup_exact" ->
+      s"""SELECT min(doc_id) AS keeper, count(*) AS n_copies FROM documents
+         |GROUP BY sha256(text) ORDER BY keeper""".stripMargin,
+
+    "q15_jaccard" ->
+      s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 200)")}
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |) WHERE jaccard >= 0.02 ORDER BY id_a, id_b""".stripMargin,
+
+    "q16_minhash_lsh" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
+         |),
+         |${shingleCte("corpus")}
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |) WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q17_cosine_topk" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
+         |  FROM embeddings
+         |),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(list_sum([CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(q.embedding) + 1)]) AS DOUBLE) AS dt,
+         |    q.nrm * c.nrm AS den
+         |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 50
+         |),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    CASE WHEN den > 0 THEN dt / den ELSE 0.0 END AS sim
+         |  FROM p
+         |)
+         |SELECT query_id, neighbor_id, sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank"
+         |FROM scored
+         |QUALIFY "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin,
+
+    "q18_text" -> {
+      val toks = "toks"
+      def swCount(words: Seq[String]) =
+        s"CAST(len(list_filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+      val en = swCount(Seq("the", "and", "of", "is", "to"))
+      val de = swCount(Seq("der", "und", "die", "ist", "das"))
+      val fr = swCount(Seq("le", "la", "et", "est", "les"))
+      val es = swCount(Seq("el", "los", "y", "es", "las"))
+      val stop = swCount(graft.functions.Text.Stopwords)
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, text, toks,
+         |    CAST(len(toks) AS BIGINT) AS token_count,
+         |    CAST(list_sum([CAST(ceil(len(x) / 4.0) AS BIGINT) FOR x IN regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')]) AS BIGINT) AS bpeish_tokens,
+         |    CAST($stop AS DOUBLE) / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS sr,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE) AS pr,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS mwl,
+         |    $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es
+         |  FROM t
+         |)
+         |SELECT doc_id, token_count, bpeish_tokens,
+         |  ROUND(sr, 6) AS stopword_ratio,
+         |  ROUND(pr, 6) AS punct_ratio,
+         |  ROUND(mwl, 6) AS mean_word_len,
+         |  ROUND(LEAST(1.0, GREATEST(0.0, 0.2 + 2.0 * sr - 3.0 * pr + 0.05 * LEAST(mwl, 8.0) + CASE WHEN length(text) >= 200 THEN 0.1 ELSE 0.0 END)), 6) AS quality,
+         |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q19_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CAST(list_sum([CAST(ord(substr(text, i, 1)) AS BIGINT) * CAST((i % 31) + 1 AS BIGINT) FOR i IN range(1, length(text) + 1)]) AS BIGINT) % 2147483647 AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q21_interp" ->
+      s"""WITH clickd AS (
+         |  SELECT CAST(ts AS DATE) AS d, ${dsum("value")} / COUNT(value) AS v
+         |  FROM events WHERE event_type = 'click' GROUP BY 1
+         |),
+         |obs AS (SELECT * FROM clickd WHERE day(d) % 7 = 3),
+         |be AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+         |spine AS (SELECT CAST(u AS DATE) AS d FROM (SELECT unnest(generate_series((SELECT d0 FROM be), (SELECT d1 FROM be), INTERVAL 1 DAY)) AS u)),
+         |j AS (SELECT s.d, o.v FROM spine s LEFT JOIN obs o ON o.d = s.d),
+         |w AS (
+         |  SELECT d, v,
+         |    last_value(v IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         |    first_value(v IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+         |  FROM j
+         |)
+         |SELECT d, COALESCE(
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) * CAST(datediff('day', pd, d) AS DOUBLE) / CAST(datediff('day', pd, nd) AS DOUBLE)
+         |       WHEN pv IS NOT NULL THEN pv
+         |       ELSE NULL END, 0.0) AS v
+         |FROM w ORDER BY d""".stripMargin,
+
+    "q22_physio_join" ->
+      s"""WITH $filledCte,
+         |clickd AS (
+         |  SELECT CAST(ts AS DATE) AS d, ${dsum("value")} / COUNT(value) AS v
+         |  FROM events WHERE event_type = 'click' GROUP BY 1
+         |),
+         |obs AS (SELECT * FROM clickd WHERE day(d) % 7 = 3),
+         |j AS (SELECT s.d, o.v FROM spine s LEFT JOIN obs o ON o.d = s.d),
+         |w AS (
+         |  SELECT d, v,
+         |    last_value(v IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         |    first_value(v IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+         |  FROM j
+         |),
+         |series AS (
+         |  SELECT d, COALESCE(
+         |    CASE WHEN v IS NOT NULL THEN v
+         |         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) * CAST(datediff('day', pd, d) AS DOUBLE) / CAST(datediff('day', pd, nd) AS DOUBLE)
+         |         WHEN pv IS NOT NULL THEN pv
+         |         ELSE NULL END, 0.0) AS physio
+         |  FROM w
+         |)
+         |SELECT f.event_type, f.d, ROUND(f.tss, 6) AS tss, se.physio
+         |FROM filled f LEFT JOIN series se ON se.d = f.d
+         |ORDER BY f.event_type, f.d""".stripMargin,
+
+    "q24_multimodal" ->
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |  CAST(ord(substr(text, 1, 1)) AS BIGINT) AS first_byte
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

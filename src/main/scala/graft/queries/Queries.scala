@@ -1,0 +1,358 @@
+package graft.queries
+
+import graft.core.{AggMethod, ColSpec, Exact, Tables}
+import graft.functions.Text
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The registered query surface: one named query per implemented
+  * operator (SURVEY.md §2 + §2.5), each with a DuckDB oracle twin in
+  * [[Oracles]]. Queries run the library operators against the driver's
+  * TPC-H-ish parquet corpus; `events` plays the training-diary role
+  * (date = CAST(ts AS DATE), activity dim = event_type, measure =
+  * value, duration-weight = props.k — SURVEY.md §7.1).
+  *
+  * Determinism rules (SURVEY.md §5.1): every query ends in a total
+  * ORDER BY; float aggregates are decimal-exact (graft.core.Exact) so
+  * Spark-at-any-parallelism and single-threaded DuckDB produce
+  * bit-identical doubles; rounding uses `round` (HALF_UP, matches
+  * DuckDB) never `bround` in oracle-facing queries; int-rounding uses
+  * floor(x+0.5) which is pure binary IEEE arithmetic on both engines.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Mi = graft.core.DiarySpecs.Mi
+  private val Ft = graft.core.DiarySpecs.Ft
+
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** events with the diary-adapter columns: d (date), k (json weight). */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("d", to_date(col("ts")))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+
+  /** Daily per-type load: the diary's "tss by activity" series. */
+  private def dailyTss(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).groupBy("d", "event_type")
+      .agg(Exact.dsum(col("value")).as("tss"))
+
+  // ───────────────────────── core operators ─────────────────────────
+
+  /** O6 catalog scan: the reference's Tables metadata becomes a
+    * distinct over dim columns.
+    */
+  val q01Catalog: Q = (s, dir) =>
+    events(s, dir).select("event_type").distinct().orderBy("event_type")
+
+  /** O19 min/max date scan + total count. */
+  val q02MinMax: Q = (s, dir) =>
+    ev(s, dir).agg(
+      min(col("d")).as("d_min"), max(col("d")).as("d_max"),
+      count(lit(1)).as("n"))
+
+  /** O8/O9 unit-conversion projection + derived scalar mappers
+    * (mph/kph shape: distance·factor·3600/seconds, 0 when seconds≤0).
+    */
+  val q03Projection: Q = (s, dir) => {
+    val seconds = col("k") * 60
+    ev(s, dir).select(
+      col("event_id"),
+      col("value").as("km"),
+      round(col("value") * Mi, 8).as("miles"),
+      seconds.as("seconds"),
+      floor(col("value") * Ft + 0.5).cast("long").as("ascent_feet"),
+      // raw quotients: bit-identical on both engines, so rounding would
+      // only ADD shortest-repr-tie risk (seconds divides into a
+      // terminating decimal for 2^a·5^b factors)
+      when(seconds > 0, col("value") * Mi * 3600.0 / seconds)
+        .otherwise(0.0).as("mph"),
+      when(seconds > 0, col("value") * 3600.0 / seconds)
+        .otherwise(0.0).as("kph")
+    ).orderBy("event_id")
+  }
+
+  /** O10 filters: positive-measure + null-safe weight + dim exclusion. */
+  val q04Filters: Q = (s, dir) =>
+    ev(s, dir)
+      .filter(col("value") > 0 && coalesce(col("k"), lit(0L)) > 20 &&
+        col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "value", "k")
+      .orderBy("event_id")
+
+  /** O11 calendar attrs (ISO year+week per SURVEY.md Q1). */
+  val q05Calendar: Q = (s, dir) =>
+    Calendar.withCalendarAttrs(
+        ev(s, dir).select("d").distinct(), "d")
+      .orderBy("d")
+
+  /** O14/O15/O16/O10a: the daily grouping-sets cube with sum /
+    * duration-weighted mean / int-truncated mean / bool-or aggregation,
+    * mapper-after-aggregate, and the post-cube Not-Set-style filter.
+    */
+  val q06Cube: Q = (s, dir) => {
+    val base = ev(s, dir).select(
+      col("d"), col("event_type"),
+      concat(lit("u"), col("user_id") % 4).as("ubucket"),
+      col("value").as("v"),
+      (col("value") > 100).as("is_high"),
+      col("k").cast("double").as("k"))
+    val perK = (a: Map[String, Column]) =>
+      when(a("k_sum") > 0, a("v_sum") * 100.0 / a("k_sum")).otherwise(0.0)
+    val specs = Seq(
+      ColSpec("v", "v_sum", DoubleType, agg = AggMethod.Sum),
+      ColSpec("v", "v_wavg", DoubleType, agg = AggMethod.WeightedMean),
+      ColSpec("v", "v_wavg_int", LongType, agg = AggMethod.WeightedMean),
+      ColSpec("k", "k_sum", DoubleType, agg = AggMethod.Sum),
+      ColSpec("is_high", "is_high", BooleanType, agg = AggMethod.BoolOr),
+      ColSpec("per_k", "per_k", DoubleType, agg = AggMethod.Sum, mapper = Some(perK)),
+    )
+    val projected = base.select(
+      col("d") +: col("event_type") +: col("ubucket") +: col("k").as("k_w") +:
+        specs.filter(_.mapper.isEmpty).map(sp => sp.project(col(sp.jsonKey)).as(sp.col)): _*)
+    val cubed = CubeFanout.dailyCube(projected, "d", Seq("event_type", "ubucket"),
+      specs, "k_w", notSetFilter = Map("event_type" -> Seq("purchase")))
+    cubed.select(
+      col("d"), col("event_type"), col("ubucket"),
+      round(col("v_sum"), 6).as("v_sum"),
+      col("v_wavg"),
+      col("v_wavg_int").cast("long").as("v_wavg_int"),
+      col("is_high"), col("per_k")
+    ).orderBy("d", "event_type", "ubucket")
+  }
+
+  /** O17 date-spine gap fill over a sparsified daily series. */
+  val q07Spine: Q = (s, dir) => {
+    val sparse = dailyTss(s, dir).filter(dayofmonth(col("d")) % 3 =!= 0)
+    Spine.gapFill(sparse, "d", Seq("event_type"), Map("tss" -> 0.0))
+      .select(col("event_type"), col("d"), round(col("tss"), 6).as("tss"))
+      .orderBy("event_type", "d")
+  }
+
+  /** O18 deterministic first-wins dedup per (user, day). */
+  val q08Dedup: Q = (s, dir) =>
+    Dedup.firstWins(ev(s, dir), Seq("user_id", "d"), Seq(col("event_id")))
+      .select("user_id", "d", "event_id", "value")
+      .orderBy("user_id", "d")
+
+  /** O12 EWMA ctl/atl/tsb over the gap-filled daily series. */
+  val q09Ewma: Q = (s, dir) => {
+    val filled = Spine.gapFill(dailyTss(s, dir), "d", Seq("event_type"), Map("tss" -> 0.0))
+    // ctl/atl/tsb are rounded to 6dp: the DuckDB recursive-CTE oracle
+    // carries an internal accumulator that differs from the fold by
+    // ~1e-12 (FP contraction inside its recursion), so exact equality
+    // is unattainable; 6dp leaves a ~5e-7 boundary window vs ~2.5e-12
+    // drift.
+    Ewma.withTrainingLoad(filled, "d", Seq("event_type"), Seq("tss" -> ""))
+      .select(col("event_type"), col("d"), col("tss"),
+        round(col("ctl"), 6).as("ctl"), round(col("atl"), 6).as("atl"),
+        round(col("tsb"), 6).as("tsb"))
+      .orderBy("event_type", "d")
+  }
+
+  /** O13 rolling 7-row monotony/strain with the Q6 null discipline. */
+  val q10Rolling: Q = (s, dir) => {
+    val filled = Spine.gapFill(dailyTss(s, dir), "d", Seq("event_type"), Map("tss" -> 0.0))
+    Rolling.withMonotonyStrain(filled, "d", Seq("event_type"), Seq("tss" -> ""))
+      .select(col("event_type"), col("d"), round(col("tss"), 6).as("tss"),
+        round(col("monotony"), 4).as("monotony"),
+        round(col("strain"), 4).as("strain"))
+      .orderBy("event_type", "d")
+  }
+
+  /** O22 weekly rollup: SUM + plain AVG per AggMethod. */
+  val q11Rollup: Q = (s, dir) => {
+    val day = Calendar.withCalendarAttrs(dailyTss(s, dir), "d")
+      .withColumn("tss_avg", col("tss"))
+    val specs = Seq(
+      ColSpec("tss", "tss", DoubleType, agg = AggMethod.Sum),
+      ColSpec("tss_avg", "tss_avg", DoubleType, agg = AggMethod.Mean))
+    Rollup.periodic(day, "year_week", "Week", Seq("event_type"), "d", specs)
+      .select(col("period"), col("event_type"), col("year_week"), col("d").as("week_end"),
+        round(col("tss"), 6).as("tss"), col("tss_avg"))
+      .orderBy("event_type", "year_week")
+  }
+
+  /** Join + aggregation over the TPC-H-ish star schema (broadcast dim,
+    * shuffle facts): revenue per nation.
+    */
+  val q12JoinAgg: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("n_name"), round(col("revenue"), 6).as("revenue"), col("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Ranking window: top-3 orders per customer. */
+  val q13TopK: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rank")
+  }
+
+  /** O20 linear interpolation of a sparse series (0 before first obs,
+    * ffill after last, exact at observations).
+    */
+  val q21Interp: Q = (s, dir) => {
+    val daily = ev(s, dir).filter(col("event_type") === "click")
+      .groupBy("d").agg(Exact.davg(col("value")).as("v"))
+    val obs = daily.filter(dayofmonth(col("d")) % 7 === 3)
+    val spine = Spine.fromData(ev(s, dir).select("d"), "d")
+    Interpolate.onto(spine, obs, "d", Seq("v"))
+      .select(col("d"), coalesce(col("v"), lit(0.0)).as("v"))
+      .orderBy("d")
+  }
+
+  /** O21 broadcast of the interpolated series onto every cube row. */
+  val q22PhysioJoin: Q = (s, dir) => {
+    val filled = Spine.gapFill(dailyTss(s, dir), "d", Seq("event_type"), Map("tss" -> 0.0))
+    val daily = ev(s, dir).filter(col("event_type") === "click")
+      .groupBy("d").agg(Exact.davg(col("value")).as("v"))
+    val obs = daily.filter(dayofmonth(col("d")) % 7 === 3)
+    val spine = Spine.fromData(ev(s, dir).select("d"), "d")
+    val series = Interpolate.onto(spine, obs, "d", Seq("v"))
+      .select(col("d"), coalesce(col("v"), lit(0.0)).as("physio"))
+    Interpolate.joinByDate(filled, series, "d")
+      .select(col("event_type"), col("d"), round(col("tss"), 6).as("tss"), col("physio"))
+      .orderBy("event_type", "d")
+  }
+
+  // ─────────────────── LLM-pipeline extensions ───────────────────
+
+  /** Exact content dedup: first-wins per sha2(text) group. */
+  val q14DedupExact: Q = (s, dir) =>
+    docs(s, dir).groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+      .orderBy("keeper")
+
+  /** Exact all-pairs word-3-gram Jaccard (the ground truth the LSH
+    * path approximates) on a doc subset.
+    */
+  val q15Jaccard: Q = (s, dir) => {
+    val sh = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), NearDup.shingles(col("text"), 3).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sha"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("shb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard", NearDup.jaccard(col("sha"), col("shb")))
+      .filter(col("jaccard") >= 0.02)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash+LSH near-dup pairs on a corpus with planted near-dups
+    * (each doc unioned with a first-token-dropped mutation, Jaccard
+    * ≈0.95). The oracle is the exact-Jaccard pair set — LSH recall at
+    * 32 hashes × 8 bands on j≈0.95 pairs is 1−(1−j⁴)⁸ ≈ 1-2e-6, so the
+    * sets coincide (verified at both test scale factors).
+    */
+  val q16MinhashLsh: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id", "text")
+    val mutated = d0.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
+    val corpus = d0.unionByName(mutated)
+    NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Brute-force exact cosine top-5 (decimal-exact dot products). */
+  val q17CosineTopK: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding",
+      k = 5, roundDp = -1, exact = true)
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN top-5 — the 100 TB path (rows-only check: the
+    * random-hyperplane bucketing is engine-side only).
+    */
+  val q20LshAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(
+      emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding",
+      dim = 64, k = 5, planes = 6)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Text analysis: token counts, ratios, quality score, language-ID. */
+  val q18Text: Q = (s, dir) => {
+    val t = col("text")
+    docs(s, dir).select(
+      col("doc_id"),
+      Text.tokenCount(t).as("token_count"),
+      Text.bpeishTokenCount(t).as("bpeish_tokens"),
+      round(Text.stopwordRatio(t), 6).as("stopword_ratio"),
+      round(Text.punctRatio(t), 6).as("punct_ratio"),
+      round(Text.meanWordLen(t), 6).as("mean_word_len"),
+      round(Text.qualityScore(t), 6).as("quality"),
+      Text.langId(t).as("lang_pred")
+    ).orderBy("doc_id")
+  }
+
+  /** Document fingerprint (position-weighted rolling checksum). */
+  val q19Fingerprint: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** SimHash-64 fingerprints (rows-only: xxhash64 has no DuckDB twin). */
+  val q23Simhash: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"), NearDup.simhash64(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Multimodal plumbing: opaque binary column + typed metadata. */
+  val q24Multimodal: Q = (s, dir) =>
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text").cast(BinaryType)).as("byte_len"),
+      ascii(substring(col("text"), 1, 1)).as("first_byte")
+    ).orderBy("doc_id")
+
+  val all: Map[String, Q] = Map(
+    "q01_catalog" -> q01Catalog,
+    "q02_minmax" -> q02MinMax,
+    "q03_projection" -> q03Projection,
+    "q04_filters" -> q04Filters,
+    "q05_calendar" -> q05Calendar,
+    "q06_cube" -> q06Cube,
+    "q07_spine" -> q07Spine,
+    "q08_dedup" -> q08Dedup,
+    "q09_ewma" -> q09Ewma,
+    "q10_rolling" -> q10Rolling,
+    "q11_rollup" -> q11Rollup,
+    "q12_join_agg" -> q12JoinAgg,
+    "q13_topk" -> q13TopK,
+    "q14_dedup_exact" -> q14DedupExact,
+    "q15_jaccard" -> q15Jaccard,
+    "q16_minhash_lsh" -> q16MinhashLsh,
+    "q17_cosine_topk" -> q17CosineTopK,
+    "q18_text" -> q18Text,
+    "q19_fingerprint" -> q19Fingerprint,
+    "q20_lsh_ann" -> q20LshAnn,
+    "q21_interp" -> q21Interp,
+    "q22_physio_join" -> q22PhysioJoin,
+    "q23_simhash" -> q23Simhash,
+    "q24_multimodal" -> q24Multimodal,
+  )
+}
