@@ -37,11 +37,21 @@ object NearDup {
   /** MinHash signature: `numHashes` independent permutations simulated
     * by seeding xxhash64 with the permutation index; signature element
     * j = min over shingles of xxhash64(j, shingle).
+    *
+    * Built as ONE fold over the shingle array (element-wise `least`
+    * against a running minimum vector) — the naive
+    * `array(min(transform(shingles, h_j)) for j)` shape references the
+    * shingle-construction expression numHashes times and was 30×
+    * slower at bench scale.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array(Seq.tabulate(numHashes) { j =>
-      array_min(transform(shingleCol, s => xxhash64(lit(j), s)))
-    }: _*)
+    aggregate(
+      shingleCol,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), j => xxhash64(j, s)),
+        (m, h) => least(m, h)))
 
   /** Explode a signature into `bands` band rows keyed by
     * (band index, hash of the band's rows) — the LSH bucketing step.
@@ -93,11 +103,17 @@ object NearDup {
     */
   def simhash64(c: Column): Column = {
     val toks = Text.tokens(c)
-    val bitSums = transform(sequence(lit(0), lit(63)), b =>
-      aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(
-          (call_function("shiftrightunsigned", xxhash64(t), b) % 2) =!= 0, 1L
-        ).otherwise(-1L)))
+    // one fold over tokens carrying the 64 bit-sums (same
+    // single-pass rationale as minhashSignature)
+    val bitSums = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)), b =>
+          when((call_function("shiftrightunsigned", xxhash64(t), b) % 2) =!= 0, 1L)
+            .otherwise(-1L)),
+        (a, x) => a + x))
     aggregate(
       zip_with(bitSums, sequence(lit(0), lit(63)),
         (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)),

@@ -75,9 +75,15 @@ object Similarity {
       roundDp: Int = 6,
       exact: Boolean = false): DataFrame = {
 
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-    val cos = if (exact) cosineExact(col("_qv"), col("_cv")) else cosine(col("_qv"), col("_cv"))
+    // norms are precomputed per vector (|Q|+|C| sqrt's), not per pair
+    // (|Q|·|C|) — 3× less vector math on the crossJoin hot path
+    def d(a: Column, b: Column) = if (exact) dotExact(a, b) else dot(a, b)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      sqrt(d(col(vecCol), col(vecCol))).as("_qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      sqrt(d(col(vecCol), col(vecCol))).as("_cn"))
+    val den = col("_qn") * col("_cn")
+    val cos = when(den > 0, d(col("_qv"), col("_cv")) / den).otherwise(0.0)
     // roundDp < 0 skips rounding — right when the similarity is already
     // engine-deterministic (exact=true), where rounding only adds
     // shortest-repr-tie risk against an oracle
