@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NearDupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again"
+  private val docB = "quick brown fox jumps over the lazy dog again and again" // first token dropped
+  private val docC = "completely different content with no overlap whatsoever here now"
+
+  test("shingles: n-grams of tokens, distinct") {
+    val sh = Seq("a b c d").toDF("text")
+      .select(NearDup.shingles($"text", 3).as("s")).as[Seq[String]].head()
+    assert(sh.toSet === Set("a b c", "b c d"))
+  }
+
+  test("jaccard: 1 for identical, 0 for disjoint, high for near-dup") {
+    val df = Seq((docA, docA, docC, docB)).toDF("a", "a2", "c", "b")
+    val (same, disjoint, near) = df.select(
+      NearDup.jaccard(NearDup.shingles($"a", 3), NearDup.shingles($"a2", 3)),
+      NearDup.jaccard(NearDup.shingles($"a", 3), NearDup.shingles($"c", 3)),
+      NearDup.jaccard(NearDup.shingles($"a", 3), NearDup.shingles($"b", 3)),
+    ).as[(Double, Double, Double)].head()
+    assert(same === 1.0)
+    assert(disjoint === 0.0)
+    assert(near > 0.7 && near < 1.0)
+  }
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val pairs = NearDup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs share fingerprint; near-dups are close in hamming") {
+    val df = Seq((docA, docA, docB, docC)).toDF("a", "a2", "b", "c")
+    val (ha, ha2, hb, hc) = df.select(
+      NearDup.simhash64($"a"), NearDup.simhash64($"a2"),
+      NearDup.simhash64($"b"), NearDup.simhash64($"c"),
+    ).as[(Long, Long, Long, Long)].head()
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ha === ha2)
+    assert(hamming(ha, hb) < hamming(ha, hc))
+  }
+
+  test("cosine: identical=1, orthogonal=0; exact and fast paths agree closely") {
+    val df = Seq((Array(1f, 0f, 2f), Array(1f, 0f, 2f), Array(0f, 3f, 0f)))
+      .toDF("a", "a2", "o")
+    val r = df.select(
+      Similarity.cosine($"a", $"a2"), Similarity.cosine($"a", $"o"),
+      Similarity.cosineExact($"a", $"a2")).as[(Double, Double, Double)].head()
+    assert(math.abs(r._1 - 1.0) < 1e-12)
+    assert(r._2 === 0.0)
+    assert(math.abs(r._3 - 1.0) < 1e-9)
+  }
+
+  test("bruteForceTopK: correct neighbors, deterministic rank ties") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0.01f)), (2L, Array(0f, 1f)), (3L, Array(1f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+        vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(out === Seq((3L, 1), (1L, 2))) // exact match first (id tiebreak), then near
+  }
+
+  test("lshTopK buckets agree for identical vectors (recall on exact dups)") {
+    val vecs = Seq((0L, Array(1f, 2f, 3f, 4f)), (1L, Array(1f, 2f, 3f, 4f)),
+      (2L, Array(-1f, -2f, -3f, -4f))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(
+        vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", dim = 4, k = 1, planes = 4)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(out === Seq(1L))
+  }
+}

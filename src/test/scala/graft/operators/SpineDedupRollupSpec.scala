@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.{AggMethod, ColSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SpineDedupRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gapFill: full spine × combos, measures default-filled, day values joined") {
+    val facts = Seq(
+      (sqlDate("2024-01-01"), "Run", 10.0),
+      (sqlDate("2024-01-03"), "Run", 30.0),
+      (sqlDate("2024-01-03"), "Bike", 5.0),
+    ).toDF("d", "activity", "tss")
+    val day = Seq(
+      (sqlDate("2024-01-01"), 7.0), (sqlDate("2024-01-02"), 8.0), (sqlDate("2024-01-03"), 9.0),
+    ).toDF("d", "fatigue")
+    val out = Spine.gapFill(facts, "d", Seq("activity"), Map("tss" -> 0.0), Some(day))
+    assert(out.count() === 6) // 3 days × 2 combos (SURVEY Q2: FULL backfill)
+    val gap = out.filter($"d" === sqlDate("2024-01-02") && $"activity" === "Run")
+      .select("tss", "fatigue").as[(Double, Double)].head()
+    assert(gap === ((0.0, 8.0))) // measure default, day's REAL fatigue
+  }
+
+  test("firstWins dedup is deterministic by explicit order") {
+    val df = Seq((1, "b", 20.0), (1, "a", 10.0), (2, "c", 30.0)).toDF("k", "tag", "v")
+    val out = Dedup.firstWins(df, Seq("k"), Seq(col("tag")))
+      .orderBy("k").select("tag").as[String].collect().toSeq
+    assert(out === Seq("a", "c"))
+  }
+
+  test("exactByHash keeps one row per distinct content") {
+    val df = Seq((1, "same text"), (2, "same text"), (3, "other")).toDF("id", "text")
+    val out = Dedup.exactByHash(df, "text", Seq(col("id")))
+      .orderBy("id").select("id").as[Int].collect().toSeq
+    assert(out === Seq(1, 3))
+  }
+
+  test("periodic rollup: SUM cols sum, MEAN cols plain-average, BoolOr counts") {
+    val day = Seq(
+      ("Run", "2024-1", sqlDate("2024-01-01"), 10.0, 10.0, true),
+      ("Run", "2024-1", sqlDate("2024-01-02"), 30.0, 30.0, false),
+      ("Run", "2024-2", sqlDate("2024-01-08"), 50.0, 50.0, true),
+    ).toDF("activity", "year_week", "d", "tss", "rpe", "is_race")
+    val specs = Seq(
+      ColSpec("tss", "tss", DoubleType, agg = AggMethod.Sum),
+      ColSpec("rpe", "rpe", DoubleType, agg = AggMethod.WeightedMean), // rolls up as plain AVG
+      ColSpec("is_race", "is_race", BooleanType, agg = AggMethod.BoolOr),
+    )
+    val out = Rollup.periodic(day, "year_week", "Week", Seq("activity"), "d", specs)
+      .orderBy("year_week")
+      .select("year_week", "d", "tss", "rpe", "is_race")
+      .as[(String, java.sql.Date, Double, Double, Long)].collect().toSeq
+    assert(out === Seq(
+      ("2024-1", sqlDate("2024-01-02"), 40.0, 20.0, 1L),
+      ("2024-2", sqlDate("2024-01-08"), 50.0, 50.0, 1L)))
+  }
+
+  test("calendar attrs: ISO year-week at year boundary (SURVEY Q1)") {
+    val out = Calendar.withCalendarAttrs(Seq(sqlDate("2021-01-01")).toDF("d"), "d")
+      .select("year_week", "year_month", "day_of_week", "month")
+      .as[(String, String, String, String)].head()
+    // reference would render '2021-53' (calendar year + ISO week); we
+    // lock consistent ISO year + ISO week = '2020-53'
+    assert(out === (("2020-53", "2021-Jan", "Fri", "Jan")))
+  }
+}
