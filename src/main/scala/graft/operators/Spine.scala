@@ -37,14 +37,24 @@ object Spine {
     *                  onto every row by date. Day attrs are constant per
     *                  date across all cube cells, so this is exact.
     */
+  /** @param spineFrom  frame whose `dateCol` min/max bounds the spine
+    *                    (defaults to `facts`; pass the day frame when
+    *                    workout-less days extend the range)
+    * @param extraCombos dim combinations that must exist even with no
+    *                    facts (e.g. the all-'All' cell when a diary has
+    *                    days but no workouts at all)
+    */
   def gapFill(
       facts: DataFrame,
       dateCol: String,
       dims: Seq[String],
       fillDefaults: Map[String, Any],
-      dayValues: Option[DataFrame] = None): DataFrame = {
-    val spine = fromData(facts, dateCol)
-    val combos = facts.select(dims.map(col): _*).distinct()
+      dayValues: Option[DataFrame] = None,
+      spineFrom: Option[DataFrame] = None,
+      extraCombos: Option[DataFrame] = None): DataFrame = {
+    val spine = fromData(spineFrom.getOrElse(facts).select(col(dateCol)), dateCol)
+    val own = facts.select(dims.map(col): _*)
+    val combos = extraCombos.fold(own)(own.unionByName(_)).distinct()
     val full = spine.crossJoin(combos)
     val joined = facts.join(broadcast(full), Seq(dateCol) ++ dims, "right")
     val filled = dayValues match {

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 1, 2, 3, 4, 5, 6, 7, 8)
+  private def df = Seq(
+    (1L, jpeg),
+    (2L, "RIFF....WAVE".getBytes("ISO-8859-1")),
+    (3L, null.asInstanceOf[Array[Byte]]),
+  ).toDF("id", "payload")
+
+  test("withMetadata sniffs format and sizes without decoding") {
+    val out = Multimodal.withMetadata(df, "payload", "image")
+      .select($"id", $"meta.format", $"meta.byte_len")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0) === ((1L, "jpeg", 10L)))
+    assert(out(1) === ((2L, "wav", 12L)))
+    assert(out(2)._3 === 0L) // null payload → empty, not a crash
+  }
+
+  test("withFeatures: deterministic fixed-width vectors, null-safe") {
+    val out = Multimodal.withFeatures(df, "payload")
+      .select("id", "features").as[(Long, Option[Seq[Float]])].collect().sortBy(_._1)
+    assert(out(0)._2.get.length === 8)
+    assert(out(2)._2.isEmpty)
+    val again = Multimodal.withFeatures(df, "payload")
+      .select("id", "features").as[(Long, Option[Seq[Float]])].collect().sortBy(_._1)
+    assert(out.toSeq === again.toSeq) // stable across runs
+  }
+
+  test("resize bounds payload size; frame sampling explodes rows") {
+    val big = (1L, Array.fill[Byte](10000)(7)) :: Nil
+    val resized = Multimodal.withResized(big.toDF("id", "payload"), "payload", 128)
+      .select("resized").as[Array[Byte]].head()
+    assert(resized.length === 128)
+    val frames = Multimodal.sampleFrames(big.toDF("id", "payload"), "id", "payload", 4)
+    assert(frames.count() === 4)
+    assert(frames.select(max("frame_idx")).as[Int].head() === 3)
+  }
+}
