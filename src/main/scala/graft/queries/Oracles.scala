@@ -345,5 +345,28 @@ object Oracles {
          |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          |  CAST(ord(substr(text, 1, 1)) AS BIGINT) AS first_byte
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_asof" ->
+      s"""SELECT c.event_id, c.user_id, e.err_value
+         |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+         |      FROM events WHERE event_type = 'click') c
+         |ASOF LEFT JOIN (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value AS err_value
+         |      FROM events WHERE event_type = 'error') e
+         |ON c.user_id = e.user_id AND c.t >= e.t
+         |ORDER BY c.event_id""".stripMargin,
+
+    "q26_embed_dedup" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
+         |  FROM embeddings WHERE vec_id < 300
+         |)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CASE WHEN a.nrm * b.nrm > 0 THEN
+         |      CAST(list_sum([CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(a.embedding) + 1)]) AS DOUBLE) / (a.nrm * b.nrm)
+         |    ELSE 0.0 END AS sim
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |) WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
   )
 }

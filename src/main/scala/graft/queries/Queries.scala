@@ -321,6 +321,37 @@ object Queries {
     docs(s, dir).select(col("doc_id"), NearDup.simhash64(col("text")).as("simhash"))
       .orderBy("doc_id")
 
+  /** As-of backward join: each click aligned to the user's most recent
+    * preceding error (union-and-sweep, one shuffle — see AsOfJoin).
+    * Times compared at µs (both engines truncate the ns source).
+    */
+  val q25AsOf: Q = (s, dir) => {
+    val e = ev(s, dir).withColumn("t", unix_micros(col("ts")))
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "t")
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("t"), col("value").as("err_value"))
+    AsOfJoin.backward(clicks, errors, Seq("user_id"), "t", "t", Seq("err_value"))
+      .select("event_id", "user_id", "err_value")
+      .orderBy("event_id")
+  }
+
+  /** Embedding-cosine near-dup pairs (exact decimal dot products). */
+  val q26EmbedDedup: Q = (s, dir) => {
+    val n = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(Similarity.dotExact(col("embedding"), col("embedding"))).as("nrm"))
+    val a = n.select(col("vec_id").as("id_a"), col("embedding").as("_va"), col("nrm").as("_na"))
+    val b = n.select(col("vec_id").as("id_b"), col("embedding").as("_vb"), col("nrm").as("_nb"))
+    val den = col("_na") * col("_nb")
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", when(den > 0,
+        Similarity.dotExact(col("_va"), col("_vb")) / den).otherwise(0.0))
+      .filter(col("sim") >= 0.4)
+      .select("id_a", "id_b", "sim")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Multimodal plumbing: opaque binary column + typed metadata. */
   val q24Multimodal: Q = (s, dir) =>
     docs(s, dir).select(
@@ -354,5 +385,7 @@ object Queries {
     "q22_physio_join" -> q22PhysioJoin,
     "q23_simhash" -> q23Simhash,
     "q24_multimodal" -> q24Multimodal,
+    "q25_asof" -> q25AsOf,
+    "q26_embed_dedup" -> q26EmbedDedup,
   )
 }
