@@ -88,8 +88,19 @@ object NearDup {
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val cands = candidatePairs(df, idCol, textCol, n, numHashes, bands)
+    // shingling is the expensive projection and feeds FOUR subtrees
+    // (both sides of the band self-join via the signature, both sides
+    // of the verification join) — materialize it once; Spark's plan
+    // reuse does not cover differently-aliased self-join inputs
     val sh = df.select(col(idCol), shingles(col(textCol), n).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sh.select(col(idCol), minhashSignature(col("_sh"), numHashes).as("_sig"))
+    val b = lshBands(sigs, idCol, "_sig", bands)
+    val l = b.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val r = b.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    val cands = l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     cands
       .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sha")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("_sh").as("_shb")), "id_b")
