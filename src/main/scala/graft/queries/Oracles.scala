@@ -368,5 +368,9 @@ object Oracles {
          |    ELSE 0.0 END AS sim
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id
          |) WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q27_distinct" ->
+      s"""SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

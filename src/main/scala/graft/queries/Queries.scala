@@ -203,7 +203,7 @@ object Queries {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, dir)
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
       .orderBy("o_custkey", "rank")
@@ -282,6 +282,7 @@ object Queries {
     Similarity.bruteForceTopK(
       emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding",
       k = 5, roundDp = -1, exact = true)
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
 
@@ -301,7 +302,7 @@ object Queries {
     val t = col("text")
     docs(s, dir).select(
       col("doc_id"),
-      Text.tokenCount(t).as("token_count"),
+      Text.tokenCount(t).cast("long").as("token_count"),
       Text.bpeishTokenCount(t).as("bpeish_tokens"),
       round(Text.stopwordRatio(t), 6).as("stopword_ratio"),
       round(Text.punctRatio(t), 6).as("punct_ratio"),
@@ -352,12 +353,22 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Distinct aggregation (SURVEY §2.4): exact COUNT(DISTINCT) per
+    * group — Expand-based two-phase distinct under the hood; the
+    * approximate path (`approx_count_distinct`) is available but has
+    * no cross-engine oracle.
+    */
+  val q27Distinct: Q = (s, dir) =>
+    ev(s, dir).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   /** Multimodal plumbing: opaque binary column + typed metadata. */
   val q24Multimodal: Q = (s, dir) =>
     docs(s, dir).select(
       col("doc_id"),
-      length(col("text").cast(BinaryType)).as("byte_len"),
-      ascii(substring(col("text"), 1, 1)).as("first_byte")
+      length(col("text").cast(BinaryType)).cast("long").as("byte_len"),
+      ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte")
     ).orderBy("doc_id")
 
   val all: Map[String, Q] = Map(
@@ -387,5 +398,6 @@ object Queries {
     "q24_multimodal" -> q24Multimodal,
     "q25_asof" -> q25AsOf,
     "q26_embed_dedup" -> q26EmbedDedup,
+    "q27_distinct" -> q27Distinct,
   )
 }
