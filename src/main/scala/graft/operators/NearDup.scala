@@ -38,20 +38,16 @@ object NearDup {
     * by seeding xxhash64 with the permutation index; signature element
     * j = min over shingles of xxhash64(j, shingle).
     *
-    * Built as ONE fold over the shingle array (element-wise `least`
-    * against a running minimum vector) — the naive
-    * `array(min(transform(shingles, h_j)) for j)` shape references the
-    * shingle-construction expression numHashes times and was 30×
-    * slower at bench scale.
+    * IMPORTANT: pass a MATERIALIZED column (not the shingle-construction
+    * expression) — the per-permutation `array_min(transform(...))`
+    * references its input numHashes times, which re-evaluates a raw
+    * expression that many times (30× slowdown observed) but is free on
+    * a column reference.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    aggregate(
-      shingleCol,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), j => xxhash64(j, s)),
-        (m, h) => least(m, h)))
+    array(Seq.tabulate(numHashes) { j =>
+      array_min(transform(shingleCol, s => xxhash64(lit(j), s)))
+    }: _*)
 
   /** Explode a signature into `bands` band rows keyed by
     * (band index, hash of the band's rows) — the LSH bucketing step.
@@ -73,7 +69,9 @@ object NearDup {
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val sigs = df.select(col(idCol), minhashSignature(shingles(col(textCol), n), numHashes).as("_sig"))
+    val sigs = df
+      .select(col(idCol), shingles(col(textCol), n).as("_sh"))
+      .select(col(idCol), minhashSignature(col("_sh"), numHashes).as("_sig"))
     val b = lshBands(sigs, idCol, "_sig", bands)
     val l = b.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
     val r = b.select(col(idCol).as("id_b"), col("band"), col("band_hash"))

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers for hot aggregation keys.
+  *
+  * At 100 TB a handful of keys (the 'All' cube cells, a viral
+  * document's hash, an empty-string equipment) can dwarf every other
+  * group and pin one reducer. AQE's skew-join split handles JOIN skew;
+  * for AGGREGATION skew the standard fix is salting: spray each key
+  * across `factor` sub-keys, partially aggregate, then merge.
+  *
+  * Only ALGEBRAIC aggregates (sum / count / min / max / bool-or — all
+  * of the engine's AggMethods after the weighted-mean num/den
+  * decomposition) can two-phase like this.
+  */
+object Salt {
+
+  /** Two-phase salted aggregation: `aggs` must be mergeable by the
+    * SAME expression (true for sum/count-as-sum/min/max). Each agg is
+    * (inputExpr → partial alias, mergeExpr over that alias).
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      factor: Int,
+      partial: Seq[(Column, String)],
+      merge: Seq[(String, Column)]): DataFrame = {
+
+    // deterministic spray: hash of the whole row modulo factor (a
+    // rand() salt would break retry/replay determinism)
+    val salted = df.withColumn("_salt",
+      pmod(hash(df.columns.map(col): _*), lit(factor)))
+    val phase1 = salted
+      .groupBy((keys :+ "_salt").map(col): _*)
+      .agg(partial.head._1.as(partial.head._2),
+        partial.tail.map { case (c, n) => c.as(n) }: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(merge.head._2.as(merge.head._1),
+        merge.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Salted exact sum — the common case. */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      factor: Int = 16): DataFrame =
+    saltedAgg(df, keys, factor,
+      partial = Seq(graft.core.Exact.dsum(col(valueCol)) -> "_p"),
+      merge = Seq(valueCol -> graft.core.Exact.dsum(col("_p"))))
+}

@@ -116,6 +116,56 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF-style ANN: assign every corpus vector to its nearest of
+    * `nCentroids` fixed centroids (deterministic pseudo-random, unit
+    * Gaussian — a k-means refinement would sharpen cells but needs a
+    * training pass); queries probe their `nProbe` closest cells and
+    * re-rank those candidates exactly.
+    *
+    * Scale shape vs [[lshTopK]]: candidate count is tunable directly
+    * (nProbe/nCentroids · |C| on average) and cells can be written as
+    * partitioned parquet (`partitionBy(cell)`) so a probe reads only
+    * nProbe partitions — the classic IVF index layout, expressed as
+    * ordinary columns.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 7L): DataFrame = {
+
+    val cents = hyperplanes(dim, nCentroids, seed)
+    def centSim(vec: Column, c: Array[Double]): Column =
+      aggregate(zip_with(vec, lit(c), (x, w) => x.cast("double") * w),
+        lit(0.0), (s, v) => s + v)
+    // rank cells per vector: array of (sim, cellId) structs sorted desc
+    def cellsRanked(vec: Column): Column =
+      reverse(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(centSim(vec, c).as("sim"), lit(i).as("cell"))
+      }: _*)))
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      cellsRanked(col(vecCol)).getItem(0).getField("cell").as("_cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      explode(slice(transform(cellsRanked(col(vecCol)), e => e.getField("cell")),
+        1, nProbe)).as("_cell"))
+
+    // each corpus vector lives in exactly ONE cell (argmax assignment),
+    // so (query, neighbor) pairs are already unique — no dedup shuffle
+    val scored = q.join(c, Seq("_cell")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("_qv"), col("_cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** ANN top-k: bucket both sides by [[lshBucket]], equi-join on the
     * bucket, re-rank candidates exactly. Recall < 1 by construction;
     * raise `planes` for precision (smaller buckets) or join on several
