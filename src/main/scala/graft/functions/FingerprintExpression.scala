@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared scalar kernel for [[Fingerprint]] — called from both the
+  * interpreted and the generated code path so the two cannot drift.
+  */
+object FingerprintKernel {
+  /** Σ_i codepoint(c_i)·((i mod 31)+1) mod (2³¹−1), i 1-based over
+    * CODEPOINTS — exactly the semantics of [[Text.fingerprint]]'s
+    * higher-order-function formulation (`length`/`substr`/`ascii` are
+    * all codepoint-based).
+    */
+  def compute(s: UTF8String): Long = {
+    val str = s.toString
+    var sum = 0L
+    var i = 0      // char (UTF-16) offset
+    var cp = 1     // codepoint index, 1-BASED (matches sequence(1, length))
+    while (i < str.length) {
+      val c = str.codePointAt(i)
+      sum += c.toLong * ((cp % 31) + 1)
+      i += Character.charCount(c)
+      cp += 1
+    }
+    sum % 2147483647L
+  }
+}
+
+/** Native Catalyst expression for the document fingerprint
+  * (LLM-pipeline text analysis, SURVEY.md §2.5).
+  *
+  * The composable formulation ([[Text.fingerprint]]) builds a
+  * per-character array through `sequence`/`transform`/`aggregate` —
+  * correct, but it allocates O(len) array elements per row and
+  * evaluates lambdas interpretively. This expression is a single
+  * tight loop, participates in whole-stage codegen via
+  * [[doGenCode]], and shares one kernel with the interpreted path.
+  * This is the (b)-tier extension point of the engine: a custom
+  * `Expression` only where the built-in operators genuinely can't
+  * express the computation efficiently.
+  */
+case class Fingerprint(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_fingerprint requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FingerprintKernel.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.FingerprintKernel.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint =
+    copy(child = newChild)
+}
+
+/** Registration: either inject at session build time via
+  * `.withExtensions(new GraftExtensions)` /
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, or call
+  * [[GraftFunctions.register]] on a live session (the driver owns the
+  * session in this harness).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.fingerprintDescriptor)
+}
+
+object GraftFunctions {
+  val fingerprintDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_fingerprint"),
+    new ExpressionInfo(classOf[Fingerprint].getName, "graft_fingerprint"),
+    (children: Seq[Expression]) => Fingerprint(children.head))
+
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = fingerprintDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
