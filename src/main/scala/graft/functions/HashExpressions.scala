@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native hash-sketch expressions (tier-(b) extensions like
+  * [[Fingerprint]]): the HOF formulations of MinHash and SimHash are
+  * correct but pay one interpreted lambda dispatch per (element ×
+  * permutation/bit); these kernels are single tight loops sharing the
+  * SAME xxhash64 chain as the built-in `xxhash64(...)` expression, so
+  * they are drop-in bit-identical replacements (equivalence is
+  * unit-tested against the HOF forms).
+  */
+object HashKernels {
+
+  /** Matches `xxhash64(lit(j), s)`: seed 42, fold int j then string s. */
+  @inline private def seededHash(j: Int, s: Any): Long =
+    XxHash64Function.hash(s, StringType,
+      XxHash64Function.hash(j, IntegerType, 42L))
+
+  /** sig[j] = min over shingles of xxhash64(j, shingle). */
+  def minhash(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = shingles.numElements()
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = seededHash(j, s)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Bit b of the result = sign of Σ_tokens (±1 per bit b of
+    * xxhash64(token)) — ONE hash per token (the HOF form recomputes
+    * the token hash per bit).
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val sums = new Array[Long](64)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        sums(b) += (if (((h >>> b) & 1L) != 0) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+abstract class StringArrayUnary extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.sql}")
+  }
+}
+
+case class MinhashSig(child: Expression, numHashes: Int) extends StringArrayUnary {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhash(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhash($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression) extends StringArrayUnary {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinhashSig(ColumnBridge.expression(shingles), numHashes))
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}

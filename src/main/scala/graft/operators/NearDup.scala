@@ -45,6 +45,12 @@ object NearDup {
     * a column reference.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    graft.functions.HashExpressions.minhashSig(shingleCol, numHashes)
+
+  /** HOF formulation of [[minhashSignature]] — kept as the executable
+    * spec the native kernel is tested against.
+    */
+  def minhashSignatureHof(shingleCol: Column, numHashes: Int): Column =
     array(Seq.tabulate(numHashes) { j =>
       array_min(transform(shingleCol, s => xxhash64(lit(j), s)))
     }: _*)
@@ -110,10 +116,15 @@ object NearDup {
   /** 64-bit SimHash over tokens: bit b of the fingerprint is the sign
     * of Σ_tokens (±1 per token's hash bit b).
     */
-  def simhash64(c: Column): Column = {
+  def simhash64(c: Column): Column =
+    graft.functions.HashExpressions.simhash64(Text.tokens(c))
+
+  /** HOF formulation of [[simhash64]] — the executable spec the native
+    * kernel is tested against (recomputes each token hash per bit, so
+    * it is 64× the hash work; never use on the hot path).
+    */
+  def simhash64Hof(c: Column): Column = {
     val toks = Text.tokens(c)
-    // one fold over tokens carrying the 64 bit-sums (same
-    // single-pass rationale as minhashSignature)
     val bitSums = aggregate(
       toks,
       array_repeat(lit(0L), 64),
