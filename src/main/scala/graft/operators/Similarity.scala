@@ -38,12 +38,18 @@ object Similarity {
   }
 
   /** Order-independent dot product: each float·float product (exact in
-    * double) is quantized to DECIMAL(38,12) and decimal-summed, so the
-    * result is identical at any parallelism and on any engine — the
+    * double) is quantized to scale 12 and exact-summed, so the result
+    * is identical at any parallelism and on any engine — the
     * oracle-parity twin of [[dot]] (same rationale as
-    * [[graft.core.Exact]]).
+    * [[graft.core.Exact]]). Runs as a native kernel
+    * ([[graft.functions.DotExact]]); [[dotExactHof]] is the
+    * formulation it is tested bit-identical against.
     */
   def dotExact(a: Column, b: Column): Column =
+    graft.functions.DotExactExpression.dotExact(a, b)
+
+  /** Composable-expression formulation of [[dotExact]]. */
+  def dotExactHof(a: Column, b: Column): Column =
     aggregate(
       // precision must stay far below Spark's 38 cap: DECIMAL(28,12) +
       // DECIMAL(18,12) adds at (29,12) — if the result hit precision 38

@@ -23,6 +23,18 @@ class HashExpressionsSpec extends SparkSpec {
     both.foreach { case (n, h) => assert(n === h) }
   }
 
+  test("native dotExact ≡ HOF decimal formulation (bit-identical)") {
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(20)((Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+    val both = df.select(
+      graft.operators.Similarity.dotExact($"a", $"b").as("native"),
+      graft.operators.Similarity.dotExactHof($"a", $"b").as("hof")
+    ).as[(Double, Double)].collect()
+    both.foreach { case (n, h) => assert(n === h) }
+  }
+
   test("native simhash64 ≡ HOF formulation (bit-identical)") {
     val df = samples.toDF("t")
     val both = df.select(
