@@ -51,6 +51,15 @@ class ColSpecSpec extends SparkSpec {
     assert(a === 100.0) // double fold would give 100.00000000000007…
   }
 
+  test("property: weighted mean bounded by min/max of inputs (seeded)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(50)((rnd.nextDouble() * 200, rnd.nextInt(5000) + 1.0))
+      val wm = rows.toDF("v", "w").agg(Exact.weightedMean($"v", $"w")).as[Double].head()
+      assert(wm >= rows.map(_._1).min - 1e-9 && wm <= rows.map(_._1).max + 1e-9)
+    }
+  }
+
   test("finalize rounds REAL to 2dp banker's and INTEGER via round+cast") {
     val spec = ColSpec("km", "km", DoubleType)
     val r = Seq(1.005, 1.015).toDF("v").select(spec.finalize($"v").as("r"))

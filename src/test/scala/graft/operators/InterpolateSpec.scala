@@ -29,6 +29,26 @@ class InterpolateSpec extends SparkSpec {
     assert(out.drop(4).forall(_.contains(42.0)))
   }
 
+  test("property: exact at observations, monotone between two observations (seeded)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val obsDays = Seq(1, 4, 7).map(d => (sqlDate(f"2024-01-$d%02d"), rnd.nextDouble() * 100))
+      val out = Interpolate.onto(spine, obsDays.toDF("d", "v"), "d", Seq("v"))
+        .orderBy("d").select("v").as[Option[Double]].collect().toSeq
+      // exact at obs (days 1,4,7 are indices 0,3,6)
+      assert(out(0).get === obsDays(0)._2)
+      assert(out(3).get === obsDays(1)._2)
+      assert(out(6).get === obsDays(2)._2)
+      // monotone between each pair of observations
+      for (Seq((i0, v0), (i1, v1)) <- Seq((0, obsDays(0)._2), (3, obsDays(1)._2), (6, obsDays(2)._2)).sliding(2)) {
+        val seg = (i0 to i1).map(out(_).get)
+        val monotone = if (v1 >= v0) seg.sliding(2).forall(p => p(1) >= p(0) - 1e-12)
+                       else seg.sliding(2).forall(p => p(1) <= p(0) + 1e-12)
+        assert(monotone, s"segment $seg not monotone between $v0 and $v1")
+      }
+    }
+  }
+
   test("partitioned by key: series interpolate independently") {
     val spine2 = Seq("a", "b").toDF("k").crossJoin(spine)
     val obs = Seq(
