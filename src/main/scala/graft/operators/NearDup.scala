@@ -20,8 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Word n-gram shingles (distinct), from single-space tokens. */
-  def shingles(c: Column, n: Int): Column = {
+  /** Word n-gram shingles (distinct), from single-space tokens —
+    * native kernel; [[shinglesHof]] is its executable spec.
+    */
+  def shingles(c: Column, n: Int): Column =
+    graft.functions.ShingleExpressions.shingles(Text.tokens(c), n)
+
+  /** Composable formulation of [[shingles]]. */
+  def shinglesHof(c: Column, n: Int): Column = {
     val toks = Text.tokens(c)
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
@@ -29,8 +35,14 @@ object NearDup {
           i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
-  /** Exact Jaccard similarity of two shingle arrays (assumed distinct). */
+  /** Exact Jaccard similarity of two shingle arrays (assumed distinct)
+    * — native kernel; [[jaccardHof]] is its executable spec.
+    */
   def jaccard(a: Column, b: Column): Column =
+    graft.functions.ShingleExpressions.jaccard(a, b)
+
+  /** Composable formulation of [[jaccard]]. */
+  def jaccardHof(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
 

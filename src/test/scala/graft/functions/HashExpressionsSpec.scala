@@ -43,4 +43,22 @@ class HashExpressionsSpec extends SparkSpec {
     ).as[(Long, Long)].collect()
     both.foreach { case (n, h) => assert(n === h) }
   }
+
+  test("native shingles ≡ HOF formulation (same set, incl. short docs)") {
+    val df = (samples :+ "two words" :+ "one").toDF("t")
+    val both = df.select(
+      NearDup.shingles($"t", 3).as("native"),
+      NearDup.shinglesHof($"t", 3).as("hof")
+    ).as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (n, h) => assert(n.toSet === h.toSet) }
+  }
+
+  test("native jaccard ≡ HOF formulation") {
+    val df = samples.combinations(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val both = df.select(
+      NearDup.jaccard(NearDup.shingles($"a", 2), NearDup.shingles($"b", 2)).as("native"),
+      NearDup.jaccardHof(NearDup.shinglesHof($"a", 2), NearDup.shinglesHof($"b", 2)).as("hof")
+    ).as[(Double, Double)].collect()
+    both.foreach { case (n, h) => assert(n === h) }
+  }
 }
