@@ -344,7 +344,12 @@ object Queries {
       .orderBy("event_id")
   }
 
-  /** Embedding-cosine near-dup pairs (exact decimal dot products). */
+  /** Embedding-cosine near-dup pairs (exact decimal dot products).
+    * Two-stage: the cheap double cosine prefilters at threshold−1e-6
+    * (double vs exact differ by ≤ ~1e-11, so no qualifying pair can be
+    * lost), then the exact similarity is computed and thresholded only
+    * on the handful of survivors.
+    */
   val q26EmbedDedup: Q = (s, dir) => {
     val n = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
       .select(col("vec_id"), col("embedding"),
@@ -353,6 +358,9 @@ object Queries {
     val b = n.select(col("vec_id").as("id_b"), col("embedding").as("_vb"), col("nrm").as("_nb"))
     val den = col("_na") * col("_nb")
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("_fast", when(den > 0,
+        Similarity.dot(col("_va"), col("_vb")) / den).otherwise(0.0))
+      .filter(col("_fast") >= 0.4 - 1e-6)
       .withColumn("sim", when(den > 0,
         Similarity.dotExact(col("_va"), col("_vb")) / den).otherwise(0.0))
       .filter(col("sim") >= 0.4)
