@@ -27,8 +27,8 @@ object SparkEntry {
       .agg(Exact.dsum(col("value")).as("tss"))
       .withColumn("event_type", coalesce(col("event_type"), lit("All")))
     val filled = Spine.gapFill(daily, "d", Seq("event_type"), Map("tss" -> 0.0))
-    val ew = Ewma.withTrainingLoad(filled, "d", Seq("event_type"), Seq("tss" -> ""))
-    val roll = Rolling.withMonotonyStrain(ew, "d", Seq("event_type"), Seq("tss" -> ""))
+    val ew = Rolling.withMonotonyStrain(filled, "d", Seq("event_type"), Seq("tss" -> ""))
+    val roll = Ewma.withTrainingLoadSorted(ew, "d", Seq("event_type"), Seq("tss" -> ""))
     val obs = ev.filter(col("event_type") === "click")
       .groupBy("d").agg(Exact.davg(col("value")).as("load_index"))
       .filter(dayofmonth(col("d")) % 7 === 3)

@@ -51,8 +51,14 @@ object DiaryPipeline {
       .withColumn("equipment", regexp_replace(col("equipment"), " ", ""))
 
     // write-stage rounding (value_string_for_sql) BEFORE the time-series
-    // passes: the reference computes EWMA/rolling on STORED values
+    // passes: the reference computes EWMA/rolling on STORED values.
+    // Persisted: the spine stage reads this frame TWICE (facts side +
+    // dim-combo enumeration) — without the persist the whole
+    // scan→project→cube subtree would execute twice, a full second
+    // aggregation of the fact table at 100 TB. The cube output is
+    // bounded by days × combos, far smaller than its input.
     val finalized = CubeFanout.finalizeAll(cubed, specs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // day-level values rendered once per date (rounded at write)
     val dayVals = days.select(
@@ -78,10 +84,13 @@ object DiaryPipeline {
     val filled = Spine.gapFill(finalized, "date", Dims, workoutDefaults,
       dayValues = Some(dayVals), spineFrom = Some(days), extraCombos = Some(allCombo))
 
-    // EWMA + rolling passes over every cell's date series
-    val ewma = Ewma.withTrainingLoad(filled, "date", Dims,
+    // time-series passes over every cell's date series: the rolling
+    // WINDOW runs first (one exchange + sort on (dims, date)), then
+    // the EWMA fold streams over the layout the window left behind —
+    // zero additional shuffles (Ewma.withTrainingLoadSorted)
+    val rolled = Rolling.withMonotonyStrain(filled, "date", Dims,
       Seq("tss" -> "", "rpe_tss" -> "rpe_"))
-    val rolled = Rolling.withMonotonyStrain(ewma, "date", Dims,
+    val ewma = Ewma.withTrainingLoadSorted(rolled, "date", Dims,
       Seq("tss" -> "", "rpe_tss" -> "rpe_"))
 
     // interpolated physio series, broadcast onto every cell by date
@@ -111,7 +120,7 @@ object DiaryPipeline {
         bround(coalesce(col("sdnn"), lit(0.0)), 1).as("sdnn"),
         bround(coalesce(col("rmssd"), lit(0.0)), 1).as("rmssd"))
 
-    val withPhysio = Interpolate.joinByDate(rolled, physio, "date")
+    val withPhysio = Interpolate.joinByDate(ewma, physio, "date")
     Calendar.withCalendarAttrs(withPhysio, "date")
       .withColumn("period", lit("Day"))
   }

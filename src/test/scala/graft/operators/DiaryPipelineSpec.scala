@@ -106,6 +106,22 @@ class DiaryPipelineSpec extends SparkSpec {
     assert(cal === (("2020-1", "2020-Jan", "Wed", "Jan")))
   }
 
+  test("pipeline plan shape: cube cached for its three consumers, no wide-row SMJ") {
+    val path = getClass.getResource("/TrainingDiary.json").getPath
+    val plan = DiaryPipeline.build(spark, path)
+      .queryExecution.executedPlan.toString()
+    // the aggregated cube feeds facts, the combo enumeration AND the
+    // gap-key anti-join — it must come from cache, not three
+    // re-executions of the scan→project→cube subtree
+    val cachedReads = plan.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cachedReads >= 3, s"expected >=3 cached cube reads, got $cachedReads")
+    // gap fill is union-of-missing (key-only anti-join + union), never
+    // a sort-merge join that would exchange+sort every wide fact row
+    assert(!plan.contains("SortMergeJoin"),
+      "gap fill must not degrade to a sort-merge join")
+    assert(plan.contains("Union"), "gap fill should union missing rows")
+  }
+
   test("weekly rollup: SUM sums, MEAN plain-averages, booleans count") {
     val wk = DiaryPipeline.rollup(wh, "Week")
     val r = wk.filter($"activity" === "All" && $"activity_type" === "All" &&

@@ -61,6 +61,22 @@ class EwmaSpec extends SparkSpec {
     assert(out(2)._2 === 7.0 * Ewma.CtlImpact)
   }
 
+  test("withTrainingLoadSorted ≡ withTrainingLoad after a window pass (bit-identical)") {
+    for (seed <- 1L to 3L) {
+      val df = series(Seq("x", "y", "z"), 40, seed).toDF("k", "d", "tss")
+      // the production layout: a rolling-window pass leaves the frame
+      // hash-partitioned by key and sorted by (key, date)
+      val windowed = Rolling.withMonotonyStrain(df, "d", Seq("k"), Seq("tss" -> ""))
+      val sorted = Ewma.withTrainingLoadSorted(windowed, "d", Seq("k"), Seq("tss" -> ""))
+        .select("k", "d", "ctl", "atl", "tsb")
+        .orderBy("k", "d").collect().toSeq
+      val grouped = Ewma.withTrainingLoad(windowed, "d", Seq("k"), Seq("tss" -> ""))
+        .select("k", "d", "ctl", "atl", "tsb")
+        .orderBy("k", "d").collect().toSeq
+      assert(sorted === grouped)
+    }
+  }
+
   test("null inputs contribute 0 (gap rows)") {
     val df = Seq(
       ("a", sqlDate("2024-01-01"), Some(100.0)),
