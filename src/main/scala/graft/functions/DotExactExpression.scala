@@ -36,6 +36,42 @@ object DotExactKernel {
   }
 }
 
+/** Plain double dot product as a native loop — same left-to-right
+  * fold order as the HOF `aggregate(zip_with(...), 0.0, _+_)`
+  * formulation, so results are bit-identical (unit-tested), minus the
+  * per-element lambda dispatch.
+  */
+object DotFastKernel {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+}
+
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires ARRAY<FLOAT> args, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotFastKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotFastKernel.dot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
 case class DotExact(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -57,4 +93,6 @@ case class DotExact(left: Expression, right: Expression) extends BinaryExpressio
 object DotExactExpression {
   def dotExact(a: Column, b: Column): Column =
     ColumnBridge.column(DotExact(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def dotFast(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -24,8 +24,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a single fused expression. */
+  /** Σ aᵢ·bᵢ over float vectors — native loop kernel
+    * (graft.functions.DotProduct); [[dotHof]] is the bit-identical
+    * composable formulation it is tested against.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotExactExpression.dotFast(a, b)
+
+  /** Composable formulation of [[dot]] (works on any numeric arrays). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (s, v) => s + v)
 

@@ -23,6 +23,18 @@ class HashExpressionsSpec extends SparkSpec {
     both.foreach { case (n, h) => assert(n === h) }
   }
 
+  test("native double dot ≡ HOF formulation (bit-identical)") {
+    val rnd = new scala.util.Random(13)
+    val vecs = Seq.fill(20)((Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+    val both = df.select(
+      graft.operators.Similarity.dot($"a", $"b").as("native"),
+      graft.operators.Similarity.dotHof($"a", $"b").as("hof")
+    ).as[(Double, Double)].collect()
+    both.foreach { case (n, h) => assert(n === h) }
+  }
+
   test("native dotExact ≡ HOF decimal formulation (bit-identical)") {
     val rnd = new scala.util.Random(11)
     val vecs = Seq.fill(20)((Array.fill(64)(rnd.nextFloat() * 2 - 1),
