@@ -75,17 +75,29 @@ case class Fingerprint(child: Expression) extends UnaryExpression {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.fingerprintDescriptor)
+    GraftFunctions.all.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
-  val fingerprintDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_fingerprint"),
-    new ExpressionInfo(classOf[Fingerprint].getName, "graft_fingerprint"),
-    (children: Seq[Expression]) => Fingerprint(children.head))
+  private def descriptor(name: String, clazz: Class[_],
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
 
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = fingerprintDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  /** Every native graft expression, SQL-callable. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    descriptor("graft_fingerprint", classOf[Fingerprint], c => Fingerprint(c.head)),
+    descriptor("graft_minhash", classOf[MinhashSig], c =>
+      MinhashSig(c.head, c(1).eval().asInstanceOf[Int])),
+    descriptor("graft_simhash64", classOf[SimHash64], c => SimHash64(c.head)),
+    descriptor("graft_shingles", classOf[WordShingles], c =>
+      WordShingles(c.head, c(1).eval().asInstanceOf[Int])),
+    descriptor("graft_jaccard", classOf[JaccardSim], c => JaccardSim(c.head, c(1))),
+    descriptor("graft_dot", classOf[DotProduct], c => DotProduct(c.head, c(1))),
+    descriptor("graft_dot_exact", classOf[DotExact], c => DotExact(c.head, c(1))),
+  )
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

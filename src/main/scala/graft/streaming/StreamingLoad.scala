@@ -43,6 +43,50 @@ object StreamingLoad {
   case class EwmaState(lastEpochDay: Long, ctl: Double, atl: Double)
   case class EwmaRow(key: String, epochDay: Long, tss: Double,
       ctl: Double, atl: Double, tsb: Double)
+  case class RollState(lastEpochDay: Long, window: Seq[Double])
+  case class RollRow(key: String, epochDay: Long, tss: Double,
+      monotony: Double, strain: Double)
+
+  /** Incremental rolling monotony/strain (reference O13) over
+    * day-grain rows: state is the trailing ≤7-day value window (gap
+    * days enter as 0, like the batch pipeline's zero-filled spine).
+    * Emits the same Q6 null discipline as `Rolling`: 1-row frame →
+    * monotony = strain = 0; stddev clipped at 0.01.
+    */
+  def rollingStrain(daily: Dataset[DailyRow]): Dataset[RollRow] = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[DailyRow], state: GroupState[RollState]) => {
+          var st = state.getOption.getOrElse(RollState(Long.MinValue, Vector.empty))
+          val out = rows.toSeq.sortBy(_.epochDay).iterator.flatMap { r =>
+            if (r.epochDay <= st.lastEpochDay) Iterator.empty
+            else {
+              var w = st.window
+              if (st.lastEpochDay != Long.MinValue) {
+                var d = st.lastEpochDay + 1
+                while (d < r.epochDay) { w = (w :+ 0.0).takeRight(7); d += 1 }
+              }
+              w = (w :+ r.tss).takeRight(7)
+              st = RollState(r.epochDay, w)
+              val n = w.length
+              val mean = w.sum / n
+              val (monotony, strain) =
+                if (n < 2) (0.0, 0.0)
+                else {
+                  val variance = w.map(v => (v - mean) * (v - mean)).sum / (n - 1)
+                  val sd = math.max(0.01, math.sqrt(variance))
+                  val m = mean / sd
+                  (m, w.sum * m)
+                }
+              Iterator.single(RollRow(key, r.epochDay, r.tss, monotony, strain))
+            }
+          }.toVector
+          state.update(st)
+          out.iterator
+        })
+  }
 
   /** Incremental EWMA over day-grain rows. Within a trigger batch a
     * key's rows fold in date order; gap days between the stored state

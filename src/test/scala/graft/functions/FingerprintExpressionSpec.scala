@@ -29,4 +29,23 @@ class FingerprintExpressionSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("SELECT graft_fingerprint(42)").collect())
     assert(e.getMessage.toLowerCase.contains("string"))
   }
+
+  test("all native functions are SQL-callable") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_fingerprint('abc') AS fp,
+        |  graft_minhash(graft_shingles(split('a b c d', ' '), 2), 4) AS mh,
+        |  graft_simhash64(split('a b c', ' ')) AS sh,
+        |  graft_jaccard(array('x','y'), array('y','z')) AS j,
+        |  graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |  graft_dot_exact(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS de
+        |""".stripMargin).head()
+    assert(r.getAs[Seq[Long]]("mh").length === 4)
+    assert(r.getAs[Double]("j") === 1.0 / 3)
+    assert(r.getAs[Double]("d") === 11.0)
+    assert(r.getAs[Double]("de") === 11.0)
+  }
 }

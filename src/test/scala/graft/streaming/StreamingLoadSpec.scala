@@ -34,6 +34,33 @@ class StreamingLoadSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling monotony/strain matches the batch window op") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DailyRow]
+    val q = rollingStrain(input.toDS())
+      .writeStream.format("memory").queryName("roll_out")
+      .outputMode("append").start()
+    try {
+      val vals = Seq(90.0, 0.0, 45.0, 125.0, 50.0, 50.0, 50.0, 80.0, 10.0)
+      input.addData(vals.take(4).zipWithIndex.map { case (v, i) => DailyRow("a", i + 1, v) }: _*)
+      q.processAllAvailable()
+      input.addData(vals.drop(4).zipWithIndex.map { case (v, i) => DailyRow("a", i + 5, v) }: _*)
+      q.processAllAvailable()
+      val stream = spark.table("roll_out").orderBy("epochDay")
+        .select("monotony", "strain").as[(Double, Double)].collect().toSeq
+      // batch twin over the same series
+      val df = vals.zipWithIndex.map { case (v, i) =>
+        ("a", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), v)
+      }.toDF("k", "d", "tss")
+      val batch = graft.operators.Rolling
+        .withMonotonyStrain(df, "d", Seq("k"), Seq("tss" -> ""))
+        .orderBy("d").select("monotony", "strain").as[(Double, Double)].collect().toSeq
+      stream.zip(batch).foreach { case ((sm, ss), (bm, bs)) =>
+        assert(math.abs(sm - bm) < 1e-9 && math.abs(ss - bs) < 1e-6)
+      }
+    } finally q.stop()
+  }
+
   test("late/duplicate day rows are dropped, state is unaffected") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DailyRow]
