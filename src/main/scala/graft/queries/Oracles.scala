@@ -372,5 +372,21 @@ object Oracles {
     "q27_distinct" ->
       s"""SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q28_tfidf" ->
+      s"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |terms AS (
+         |  SELECT doc_id, unnest($toksExpr) AS term FROM sub
+         |),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM terms GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM terms GROUP BY doc_id),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n_docs FROM sub)
+         |SELECT tf.doc_id, tf.term, tf.cnt, dfreq.df,
+         |  CAST(tf.cnt AS DOUBLE) / CAST(dl.doc_len AS DOUBLE) AS tf,
+         |  ROUND(CAST(tf.cnt AS DOUBLE) / CAST(dl.doc_len AS DOUBLE) *
+         |    (ln(CAST((SELECT n_docs FROM n) + 1 AS DOUBLE) / (CAST(dfreq.df AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf
+         |FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+         |ORDER BY doc_id, term""".stripMargin,
   )
 }

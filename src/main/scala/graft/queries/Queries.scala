@@ -378,6 +378,28 @@ object Queries {
       .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Tokenize → term frequencies → document frequencies → tf-idf
+    * (two groupBys + a broadcast-sized join back). tf and idf's
+    * argument are exact integer ratios (bit-identical across engines);
+    * only the final log differs by ≤1 ulp → rounded at 6dp.
+    */
+  val q28Tfidf: Q = (s, dir) => {
+    val sub = docs(s, dir).filter(col("doc_id") < 200)
+    val terms = sub.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = sub.count() // deterministic scalar: corpus size
+    tf.join(docLen, "doc_id").join(broadcast(dfreq), "term")
+      .select(
+        col("doc_id"), col("term"), col("cnt"), col("df"),
+        (col("cnt").cast("double") / col("doc_len").cast("double")).as("tf"),
+        round((col("cnt").cast("double") / col("doc_len").cast("double")) *
+          (log(lit((n + 1).toDouble) / (col("df").cast("double") + 1.0)) + 1.0), 6
+        ).as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
   /** Multimodal plumbing: opaque binary column + typed metadata. */
   val q24Multimodal: Q = (s, dir) =>
     docs(s, dir).select(
@@ -414,5 +436,6 @@ object Queries {
     "q25_asof" -> q25AsOf,
     "q26_embed_dedup" -> q26EmbedDedup,
     "q27_distinct" -> q27Distinct,
+    "q28_tfidf" -> q28Tfidf,
   )
 }
