@@ -48,13 +48,24 @@ object AsOfJoin {
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(col): _*)
 
+    // `_tb` freezes the right row's values as a struct BEFORE the sweep
+    // rewrites the columns: when two right rows share (key, _t), the
+    // window order alone would let `last` pick a partition-order-
+    // dependent winner. Ordering additionally on the value struct makes
+    // the winner (the max by field order) deterministic at any
+    // parallelism, and every value column is swept from the SAME
+    // winning row. Left rows carry an all-null struct — they only tie
+    // with each other and read identical window states, so their
+    // mutual order is irrelevant.
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t"), col("_side"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val swept = valueCols.foldLeft(l.unionByName(r)) { (acc, c) =>
+    val unioned = l.unionByName(r)
+      .withColumn("_tb", struct(valueCols.map(col): _*))
+    val swept = valueCols.foldLeft(unioned) { (acc, c) =>
       acc.withColumn(c, last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w))
     }
-    swept.filter(col("_side") === 1).drop("_t", "_side")
+    swept.filter(col("_side") === 1).drop("_t", "_side", "_tb")
   }
 }

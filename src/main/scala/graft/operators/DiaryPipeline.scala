@@ -31,7 +31,12 @@ object DiaryPipeline {
 
   def build(spark: SparkSession, path: String): DataFrame = {
     val diary = DiarySource.read(spark, path).cache()
-    val days = DiarySource.days(diary)
+    // first day per date wins (reference O18: `date UNIQUE` + swallowed
+    // insert errors); the source-array ordinal is the deterministic
+    // tiebreak, so duplicate-date entries never reach the cube or the
+    // dayVals broadcast join
+    val days = Dedup.firstWins(DiarySource.daysWithOrd(diary),
+      Seq("date"), Seq(col("_ord"))).drop("_ord")
     val workouts = DiarySource.workouts(days)
 
     // per-workout projection: dims + ColSpec factor projections

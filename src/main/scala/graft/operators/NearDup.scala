@@ -70,6 +70,12 @@ object NearDup {
   /** Explode a signature into `bands` band rows keyed by
     * (band index, hash of the band's rows) — the LSH bucketing step.
     * Input needs (`idCol`, `sigCol`).
+    *
+    * PRECONDITION: the signature length must be a multiple of `bands`
+    * (`size(sig)/bands` uses integer division, so trailing elements of
+    * an indivisible signature would be silently excluded from every
+    * band). Callers that know `numHashes` statically enforce this with
+    * `require`; [[candidatePairs]]/[[nearDupPairs]] do.
     */
   def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
     val sig = col(sigCol)
@@ -87,6 +93,9 @@ object NearDup {
     */
   def candidatePairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands); " +
+        "otherwise trailing signature elements are excluded from every band")
     val sigs = df
       .select(col(idCol), shingles(col(textCol), n).as("_sh"))
       .select(col(idCol), minhashSignature(col("_sh"), numHashes).as("_sig"))
@@ -104,6 +113,9 @@ object NearDup {
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands); " +
+        "otherwise trailing signature elements are excluded from every band")
     // shingling is the expensive projection and feeds FOUR subtrees
     // (both sides of the band self-join via the signature, both sides
     // of the verification join) — materialize it once; Spark's plan

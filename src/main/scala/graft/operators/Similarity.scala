@@ -103,20 +103,41 @@ object Similarity {
         val cos = when(den > 0, dot(col("_qv"), col("_cv")) / den).otherwise(0.0)
         pairs.withColumn("sim", if (roundDp < 0) cos else round(cos, roundDp))
       } else {
-        // two-stage refine: rank every pair with the cheap double
-        // cosine, keep k + margin, then compute the decimal-exact
-        // similarity only on survivors. |double−exact| ≤ ~1e-11 (64
-        // bounded terms) while the margin spans 4·k ranks, so the
-        // final exact top-k is identical to scoring every pair exactly
-        // — at 1/40th the decimal work.
+        // Staged epsilon-band refine: rank with the cheap double cosine,
+        // keep everything within a band of the kth fast sim, score only
+        // survivors decimal-exactly. Soundness: |double−exact| ≤ ε₀ ≈
+        // 1e-11 per cosine (64 bounded terms), so any pair in the exact
+        // top-k has fast ≥ kth_fast − 2ε₀ > kth_fast − 1e-9 — even mass
+        // ties at the cutoff (duplicate embeddings) ALL survive; output
+        // is identical to scoring every pair exactly.
+        //
+        // The staging is engineered to keep Spark's WindowGroupLimit
+        // pushdown: a pure `rank === k` filter lets every map task keep
+        // only k rows per query BEFORE the window shuffle, while OR-ing
+        // the band predicate into the rank filter would disable the
+        // rewrite and shuffle+sort every pair (~2× whole-query cost,
+        // measured). So: (A) a slim vector-free pass persists
+        // (query, neighbor, fast); (B) the kth fast sim per query comes
+        // from the group-limited rank; (C) the band filter is a
+        // broadcast join + filter, no window; (D) vectors re-attach to
+        // the tiny survivor set for the decimal-exact score.
         val fast = when(den > 0, dot(col("_qv"), col("_cv")) / den).otherwise(0.0)
+        val slim = pairs.withColumn("_sim_fast", fast)
+          .select("query_id", "neighbor_id", "_sim_fast")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val wFast = Window.partitionBy("query_id")
           .orderBy(col("_sim_fast").desc, col("neighbor_id"))
+        val kth = slim.withColumn("_rn", row_number().over(wFast))
+          .filter(col("_rn") === k)
+          .select(col("query_id"), col("_sim_fast").as("_kth_fast"))
+        // left join: a query with < k candidates has no kth row — keep
+        // all its candidates
+        val surv = slim.join(broadcast(kth), Seq("query_id"), "left")
+          .filter(col("_kth_fast").isNull ||
+            col("_sim_fast") >= col("_kth_fast") - 1e-9)
+          .select("query_id", "neighbor_id")
         val cosE = when(den > 0, dotExact(col("_qv"), col("_cv")) / den).otherwise(0.0)
-        pairs
-          .withColumn("_sim_fast", fast)
-          .withColumn("_rank_fast", row_number().over(wFast))
-          .filter(col("_rank_fast") <= k + math.max(3 * k, 16))
+        c.join(broadcast(surv.join(q, "query_id")), "neighbor_id")
           .withColumn("sim", if (roundDp < 0) cosE else round(cosE, roundDp))
       }
     scored

@@ -63,9 +63,17 @@ object DiarySource {
     spark.read.schema(schema).option("multiLine", "true").json(path)
 
   /** One row per day: date + day-level attributes + workouts array. */
-  def days(diary: DataFrame): DataFrame =
-    diary.select(explode(col("days")).as("day"))
+  def days(diary: DataFrame): DataFrame = daysWithOrd(diary).drop("_ord")
+
+  /** [[days]] plus `_ord`, the day's position in the source array —
+    * the tiebreak for first-wins dedup (reference O18: `date UNIQUE` +
+    * swallowed insert errors keep the FIRST day per date,
+    * populate_from_json.py:465, 531-535).
+    */
+  def daysWithOrd(diary: DataFrame): DataFrame =
+    diary.select(posexplode(col("days")).as(Seq("_ord", "day")))
       .select(
+        col("_ord"),
         to_date(to_timestamp(col("day.iso8061DateString"))).as("date"),
         col("day.type").as("day_type_raw"),
         col("day.fatigue").as("fatigue_raw"),
