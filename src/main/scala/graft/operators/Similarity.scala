@@ -89,58 +89,83 @@ object Similarity {
       exact: Boolean = false): DataFrame = {
 
     // norms are precomputed per vector (|Q|+|C| sqrt's), not per pair
-    // (|Q|·|C|) — 3× less vector math on the crossJoin hot path
+    // (|Q|·|C|) — 3× less vector math on the crossJoin hot path; in
+    // exact mode they're persisted too, since the pair pass and the
+    // survivor re-attach would otherwise each run the decimal-exact
+    // norm scan
     def d(a: Column, b: Column) = if (exact) dotExact(a, b) else dot(a, b)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      sqrt(d(col(vecCol), col(vecCol))).as("_qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      sqrt(d(col(vecCol), col(vecCol))).as("_cn"))
+    def persistIfExact(df: DataFrame) =
+      if (exact) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
+    val q = persistIfExact(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      sqrt(d(col(vecCol), col(vecCol))).as("_qn")))
+    val c = persistIfExact(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      sqrt(d(col(vecCol), col(vecCol))).as("_cn")))
     val den = col("_qn") * col("_cn")
     val pairs = q.join(c, col("query_id") =!= col("neighbor_id"))
+    if (exact) exactTopKRefine(q, c, pairs, k, roundDp)
+    else {
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      val cos = when(den > 0, dot(col("_qv"), col("_cv")) / den).otherwise(0.0)
+      pairs.withColumn("sim", if (roundDp < 0) cos else round(cos, roundDp))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    }
+  }
+
+  /** Decimal-exact top-k over a candidate-pair frame — the staged
+    * epsilon-band refine shared by [[bruteForceTopK]] exact mode and
+    * [[ivfTopKSeeded]]. Rank with the cheap double cosine, keep
+    * everything within a band of the kth fast sim, score only the
+    * survivors decimal-exactly. Soundness: |double−exact| ≤ ε₀ ≈ 1e-11
+    * per cosine (bounded term count), so any pair in the exact top-k
+    * has fast ≥ kth_fast − 2ε₀ > kth_fast − 1e-9 — even mass ties at
+    * the cutoff (duplicate embeddings) ALL survive; output is identical
+    * to scoring every pair exactly, at a small fraction of the decimal
+    * work.
+    *
+    * The staging is engineered to keep Spark's WindowGroupLimit
+    * pushdown: a pure `rank === k` filter lets every map task keep only
+    * k rows per query BEFORE the window shuffle, while OR-ing the band
+    * predicate into the rank filter would disable the rewrite and
+    * shuffle+sort every pair (~2× whole-query cost, measured). So:
+    * (A) a slim vector-free pass persists (query, neighbor, fast);
+    * (B) the kth fast sim per query comes from the group-limited rank;
+    * (C) the band filter is a broadcast join + filter, no window;
+    * (D) vectors re-attach to the tiny survivor set for the
+    * decimal-exact score.
+    *
+    * @param q     unique query rows (query_id, _qv, _qn)
+    * @param c     unique corpus rows (neighbor_id, _cv, _cn)
+    * @param pairs candidate pairs carrying all six columns
+    */
+  private def exactTopKRefine(
+      q: DataFrame,
+      c: DataFrame,
+      pairs: DataFrame,
+      k: Int,
+      roundDp: Int): DataFrame = {
+
+    val den = col("_qn") * col("_cn")
+    val fast = when(den > 0, dot(col("_qv"), col("_cv")) / den).otherwise(0.0)
+    val slim = pairs.withColumn("_sim_fast", fast)
+      .select("query_id", "neighbor_id", "_sim_fast")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wFast = Window.partitionBy("query_id")
+      .orderBy(col("_sim_fast").desc, col("neighbor_id"))
+    val kth = slim.withColumn("_rn", row_number().over(wFast))
+      .filter(col("_rn") === k)
+      .select(col("query_id"), col("_sim_fast").as("_kth_fast"))
+    // left join: a query with < k candidates has no kth row — keep all
+    // its candidates
+    val surv = slim.join(broadcast(kth), Seq("query_id"), "left")
+      .filter(col("_kth_fast").isNull ||
+        col("_sim_fast") >= col("_kth_fast") - 1e-9)
+      .select("query_id", "neighbor_id")
+    val cosE = when(den > 0, dotExact(col("_qv"), col("_cv")) / den).otherwise(0.0)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    val scored =
-      if (!exact) {
-        val cos = when(den > 0, dot(col("_qv"), col("_cv")) / den).otherwise(0.0)
-        pairs.withColumn("sim", if (roundDp < 0) cos else round(cos, roundDp))
-      } else {
-        // Staged epsilon-band refine: rank with the cheap double cosine,
-        // keep everything within a band of the kth fast sim, score only
-        // survivors decimal-exactly. Soundness: |double−exact| ≤ ε₀ ≈
-        // 1e-11 per cosine (64 bounded terms), so any pair in the exact
-        // top-k has fast ≥ kth_fast − 2ε₀ > kth_fast − 1e-9 — even mass
-        // ties at the cutoff (duplicate embeddings) ALL survive; output
-        // is identical to scoring every pair exactly.
-        //
-        // The staging is engineered to keep Spark's WindowGroupLimit
-        // pushdown: a pure `rank === k` filter lets every map task keep
-        // only k rows per query BEFORE the window shuffle, while OR-ing
-        // the band predicate into the rank filter would disable the
-        // rewrite and shuffle+sort every pair (~2× whole-query cost,
-        // measured). So: (A) a slim vector-free pass persists
-        // (query, neighbor, fast); (B) the kth fast sim per query comes
-        // from the group-limited rank; (C) the band filter is a
-        // broadcast join + filter, no window; (D) vectors re-attach to
-        // the tiny survivor set for the decimal-exact score.
-        val fast = when(den > 0, dot(col("_qv"), col("_cv")) / den).otherwise(0.0)
-        val slim = pairs.withColumn("_sim_fast", fast)
-          .select("query_id", "neighbor_id", "_sim_fast")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val wFast = Window.partitionBy("query_id")
-          .orderBy(col("_sim_fast").desc, col("neighbor_id"))
-        val kth = slim.withColumn("_rn", row_number().over(wFast))
-          .filter(col("_rn") === k)
-          .select(col("query_id"), col("_sim_fast").as("_kth_fast"))
-        // left join: a query with < k candidates has no kth row — keep
-        // all its candidates
-        val surv = slim.join(broadcast(kth), Seq("query_id"), "left")
-          .filter(col("_kth_fast").isNull ||
-            col("_sim_fast") >= col("_kth_fast") - 1e-9)
-          .select("query_id", "neighbor_id")
-        val cosE = when(den > 0, dotExact(col("_qv"), col("_cv")) / den).otherwise(0.0)
-        c.join(broadcast(surv.join(q, "query_id")), "neighbor_id")
-          .withColumn("sim", if (roundDp < 0) cosE else round(cosE, roundDp))
-      }
-    scored
+    c.join(broadcast(surv.join(q, "query_id")), "neighbor_id")
+      .withColumn("sim", if (roundDp < 0) cosE else round(cosE, roundDp))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
@@ -186,23 +211,38 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L,
+      trained: Option[Array[Array[Double]]] = None): DataFrame = {
 
-    val cents = hyperplanes(dim, nCentroids, seed)
+    // `trained` plugs in kmeansCentroids output (sharper cells, better
+    // recall at the same nProbe); default is the training-free
+    // deterministic Gaussian layout
+    val cents = trained.getOrElse(hyperplanes(dim, nCentroids, seed))
     def centSim(vec: Column, c: Array[Double]): Column =
       aggregate(zip_with(vec, lit(c), (x, w) => x.cast("double") * w),
         lit(0.0), (s, v) => s + v)
-    // rank cells per vector: array of (sim, cellId) structs sorted desc
-    def cellsRanked(vec: Column): Column =
-      reverse(array_sort(array(cents.zipWithIndex.map { case (c, i) =>
-        struct(centSim(vec, c).as("sim"), lit(i).as("cell"))
-      }: _*)))
+    // argmax cell per corpus vector: pairwise when()-reduce over the
+    // fixed centroid list — a flat codegen'd expression, no shuffle, no
+    // constructed-struct field extraction (Spark 4 loses field names of
+    // structs built inside array()); ties → lowest cell via >=
+    def argmaxCell(vec: Column): Column =
+      cents.zipWithIndex.map { case (cv, i) => (centSim(vec, cv), lit(i)) }
+        .reduce[(Column, Column)] { case ((s1, i1), (s2, i2)) =>
+          (when(s1 >= s2, s1).otherwise(s2), when(s1 >= s2, i1).otherwise(i2))
+        }._2
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      cellsRanked(col(vecCol)).getItem(0).getField("cell").as("_cell"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      explode(slice(transform(cellsRanked(col(vecCol)), e => e.getField("cell")),
-        1, nProbe)).as("_cell"))
+      argmaxCell(col(vecCol)).as("_cell"))
+    // queries rank all cells (|Q|×nCentroids rows) and probe the top
+    // nProbe — posexplode + row_number, deterministic (desc sim, asc cell)
+    val wProbe = Window.partitionBy("query_id").orderBy(col("_csim").desc, col("_cell"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        posexplode(array(cents.map(cv => centSim(col(vecCol), cv)): _*))
+          .as(Seq("_cell", "_csim")))
+      .withColumn("_rn", row_number().over(wProbe))
+      .filter(col("_rn") <= nProbe)
+      .select("query_id", "_qv", "_cell")
 
     // each corpus vector lives in exactly ONE cell (argmax assignment),
     // so (query, neighbor) pairs are already unique — no dedup shuffle
@@ -214,6 +254,131 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
   }
+
+  /** IVF ANN with DATA-DERIVED coarse centroids: cells are actual
+    * corpus vectors (`seeds`), assignment is argmax cosine over seeds,
+    * and both assignment and re-ranking use the decimal-exact dot —
+    * so unlike [[ivfTopK]] (engine-seeded random centroids) the whole
+    * plan is pure relational algebra over data and has a DuckDB oracle
+    * twin. At 100 TB the seeds come from [[kmeansCentroids]] or a
+    * deterministic sample; the assignment/probe/rerank machinery is
+    * identical. Scale shape: seeds broadcast (k×dim is model-sized);
+    * corpus assignment is a partial-aggregated groupBy (no window
+    * sort); the probe join shuffles by cell — candidate volume ∝
+    * nProbe/|seeds|, with hot cells handled by AQE skew splitting.
+    */
+  def ivfTopKSeeded(
+      queries: DataFrame,
+      corpus: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+
+    val s = seeds.select(col(idCol).as("_cell"), col(vecCol).as("_sv"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_sn"))
+    def exactSim(vec: Column, nrm: Column) =
+      when(nrm * col("_sn") > 0, dotExact(vec, col("_sv")) / (nrm * col("_sn")))
+        .otherwise(0.0)
+
+    // the decimal-exact self-dot norms feed three consumers each
+    // (assignment, probe join, survivor re-attach) — persist so the
+    // exact norm pass runs once per vector, not once per consumer
+    val cN = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qN = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Corpus assignment, epsilon-banded like [[exactTopKRefine]]: the
+    // fast double cosine ranks all |C|×|seeds| (vector, seed) rows, the
+    // decimal-exact sim is computed ONLY for seeds within 1e-9 of each
+    // vector's fast max (≫ 2ε₀, so the true exact-argmax seed always
+    // survives — usually exactly one row). Winner via max(struct(sim,
+    // -cell)): map-side combinable, ties → LOWEST cell id, matching
+    // the oracle's ORDER BY csim DESC, cell. The window max and the
+    // groupBy share the neighbor_id clustering — one exchange total.
+    val fastSeedSim = when(col("_cn") * col("_sn") > 0,
+      dot(col("_cv"), col("_sv")) / (col("_cn") * col("_sn"))).otherwise(0.0)
+    val cAssign = cN.join(broadcast(s), lit(true))
+      .withColumn("_fsim", fastSeedSim)
+      .withColumn("_fmax", max(col("_fsim")).over(Window.partitionBy("neighbor_id")))
+      .filter(col("_fsim") >= col("_fmax") - 1e-9)
+      .withColumn("_csim", exactSim(col("_cv"), col("_cn")))
+      .groupBy("neighbor_id")
+      .agg(max(struct(col("_csim").as("_s"), (-col("_cell")).as("_negc"))).as("_m"))
+      .select(col("neighbor_id"), (-col("_m._negc")).as("_cell"))
+    val withCell = cN.join(cAssign, "neighbor_id")
+
+    // queries probe their nProbe closest cells — |Q|×|seeds| rows,
+    // decimal-exact outright (the query side is the small side)
+    val wProbe = Window.partitionBy("query_id").orderBy(col("_csim").desc, col("_cell"))
+    val probes = qN.join(broadcast(s), lit(true))
+      .withColumn("_csim", exactSim(col("_qv"), col("_qn")))
+      .withColumn("_rn", row_number().over(wProbe))
+      .filter(col("_rn") <= nProbe)
+      .select("query_id", "_qv", "_qn", "_cell")
+
+    // candidates = probed cells' members; exact top-k via the shared
+    // banded refine (decimal work only on the handful of survivors)
+    val pairs = probes.join(withCell, Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "_qv", "_qn", "neighbor_id", "_cv", "_cn")
+    exactTopKRefine(qN, cN, pairs, k, roundDp = -1)
+  }
+
+  /** Lloyd's k-means over an embedding column, returning k×dim centroid
+    * arrays — the training pass that sharpens [[ivfTopK]]/
+    * [[ivfTopKSeeded]] cells. Each iteration: assign every vector to
+    * its nearest current centroid (centroids are broadcast literals —
+    * zero shuffle), then recompute cell means with ONE partial-
+    * aggregated shuffle (posexplode to (cell, pos, x), groupBy avg).
+    * Only the k×dim centroid state (model metadata, not data) is
+    * collected to the driver per iteration. Deterministic: init = the
+    * k lowest-id vectors; assignment ties resolve to the lowest cell.
+    * Empty cells keep their previous centroid.
+    */
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): Array[Array[Double]] = {
+
+    var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = corpus.select(
+        nearestCell(col(vecCol), cents).as("_cell"),
+        posexplode(col(vecCol)).as(Seq("_p", "_x")))
+      val means = assigned.groupBy("_cell", "_p")
+        .agg(avg(col("_x").cast("double")).as("_m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("_cell"))(r.getAs[Int]("_p")) = r.getAs[Double]("_m")
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Index of the nearest centroid by squared euclidean distance, ties
+    * to the lowest index — a pairwise when()-reduce over the fixed
+    * centroid list, one flat codegen'd expression.
+    */
+  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
+    cents.zipWithIndex.map { case (c, i) =>
+      val d = aggregate(
+        zip_with(vec, lit(c), (x, w) => { val t = x.cast("double") - w; t * t }),
+        lit(0.0), (s, v) => s + v)
+      (d, lit(i): Column)
+    }.reduce[(Column, Column)] { case ((d1, i1), (d2, i2)) =>
+      (when(d1 <= d2, d1).otherwise(d2), when(d1 <= d2, i1).otherwise(i2))
+    }._2
 
   /** ANN top-k: bucket both sides by [[lshBucket]], equi-join on the
     * bucket, re-rank candidates exactly. Recall < 1 by construction;

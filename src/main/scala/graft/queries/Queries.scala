@@ -408,6 +408,20 @@ object Queries {
       ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte")
     ).orderBy("doc_id")
 
+  /** IVF ANN with data-derived seed centroids (vec_id < 16), nProbe=4,
+    * exact top-5 re-rank — decimal-exact assignment and scoring, so
+    * unlike the engine-seeded q20 the whole plan has a DuckDB oracle
+    * twin.
+    */
+  val q29Ivf: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopKSeeded(
+      emb.filter(col("vec_id") < 50), emb, emb.filter(col("vec_id") < 16),
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -437,5 +451,6 @@ object Queries {
     "q26_embed_dedup" -> q26EmbedDedup,
     "q27_distinct" -> q27Distinct,
     "q28_tfidf" -> q28Tfidf,
+    "q29_ivf" -> q29Ivf,
   )
 }

@@ -75,4 +75,44 @@ class NearDupSimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSeq
     assert(out === Seq(1L))
   }
+
+  test("kmeansCentroids: recovers separated cluster means") {
+    val pts = Seq(
+      (0L, Array(10f, 0f)), (2L, Array(11f, 0f)), (3L, Array(9f, 0f)),
+      (1L, Array(0f, 10f)), (4L, Array(0f, 11f)), (5L, Array(0f, 9f)),
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(pts, "vec_id", "embedding", k = 2, iters = 3)
+    // init = ids 0 / 1, one per cluster; Lloyd's converges to the means
+    assert(math.abs(cents(0)(0) - 10.0) < 1e-9 && math.abs(cents(0)(1)) < 1e-9)
+    assert(math.abs(cents(1)(1) - 10.0) < 1e-9 && math.abs(cents(1)(0)) < 1e-9)
+  }
+
+  test("ivfTopKSeeded: probed-cell candidates, exact rank, id tiebreak") {
+    val emb = Seq(
+      (0L, Array(10f, 0f, 0f)), (1L, Array(0f, 10f, 0f)), // seeds = cells
+      (10L, Array(10f, 1f, 0f)), (11L, Array(10f, -1f, 0f)),
+      (20L, Array(1f, 10f, 0f)), (21L, Array(-1f, 10f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopKSeeded(
+        emb.filter($"vec_id" === 10), emb, emb.filter($"vec_id" < 2),
+        "vec_id", "embedding", k = 2, nProbe = 1)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    // query 10 probes cell 0 only → candidates {0, 11}; cos to the seed
+    // (~0.995) beats the opposite cluster-mate (~0.980)
+    assert(res === Set((0L, 1), (11L, 2)))
+  }
+
+  test("ivfTopK accepts kmeans-trained centroids") {
+    val emb = Seq(
+      (0L, Array(10f, 0f)), (1L, Array(0f, 10f)),
+      (10L, Array(10f, 1f)), (11L, Array(10f, -1f)),
+      (20L, Array(1f, 10f)), (21L, Array(-1f, 10f)),
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 2, iters = 2)
+    val res = Similarity.ivfTopK(
+        emb.filter($"vec_id" === 10), emb, "vec_id", "embedding",
+        dim = 2, k = 2, nCentroids = 2, nProbe = 1, trained = Some(cents))
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(res === Set(0L, 11L)) // same-cell cluster X members
+  }
 }
