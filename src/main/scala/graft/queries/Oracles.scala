@@ -434,5 +434,11 @@ object Oracles {
          |FROM scored
          |QUALIFY "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    // the salted two-phase sum is exactly associative (decimal
+    // partials), so the oracle is the plain single-phase decimal sum
+    "q30_salted" ->
+      s"""SELECT event_type, ${dsum("value")} AS total
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -408,6 +408,19 @@ object Queries {
       ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte")
     ).orderBy("doc_id")
 
+  /** Skew-safe two-phase salted aggregation (`Salt.saltedAgg`): hot
+    * keys spray across 16 deterministic sub-keys, partially aggregate,
+    * then merge. Partials stay DECIMAL(38,6) end-to-end, so the
+    * two-phase sum is exactly associative — bit-identical to the
+    * single-phase sum the oracle runs, at any parallelism and any
+    * spray factor.
+    */
+  val q30Salted: Q = (s, dir) =>
+    Salt.saltedAgg(events(s, dir), Seq("event_type"), factor = 16,
+      partial = Seq(sum(col("value").cast(DecimalType(38, 6))) -> "_p"),
+      merge = Seq("total" -> sum(col("_p")).cast("double")))
+      .orderBy("event_type")
+
   /** IVF ANN with data-derived seed centroids (vec_id < 16), nProbe=4,
     * exact top-5 re-rank — decimal-exact assignment and scoring, so
     * unlike the engine-seeded q20 the whole plan has a DuckDB oracle
@@ -452,5 +465,6 @@ object Queries {
     "q27_distinct" -> q27Distinct,
     "q28_tfidf" -> q28Tfidf,
     "q29_ivf" -> q29Ivf,
+    "q30_salted" -> q30Salted,
   )
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan hygiene asserts — the properties that decide whether
+  * a plan survives a 100× scale-up: predicates and projections must
+  * reach the parquet scan, small dimension joins must broadcast, and
+  * the rolling→EWMA pipeline must reuse one clustering instead of
+  * shuffling twice.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeParquet(df: org.apache.spark.sql.DataFrame, name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(name).toString + "/t"
+    df.write.mode("overwrite").parquet(p)
+    p
+  }
+
+  test("filter and projection push down to the parquet scan") {
+    val p = writeParquet((1 to 1000).map(i => (i.toLong, i * 2.0, s"s$i", i % 7))
+      .toDF("id", "v", "s", "grp"), "pushdown")
+    val q = spark.read.parquet(p).filter($"id" > 500).select("id", "v")
+    val scans = q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // the predicate reaches the reader as a data filter…
+    assert(scans.head.dataFilters.nonEmpty,
+      s"no pushed data filters in ${scans.head}")
+    // …and the scan schema is pruned to the projected columns
+    assert(scans.head.requiredSchema.fieldNames.toSet === Set("id", "v"))
+  }
+
+  test("small dimension side broadcasts (no shuffle of the fact side)") {
+    val facts = writeParquet((1 to 5000).map(i => (i.toLong % 50, i.toDouble))
+      .toDF("dim_id", "v"), "facts")
+    val dims = writeParquet((0L until 50L).map(i => (i, s"d$i")).toDF("dim_id", "name"), "dims")
+    val joined = spark.read.parquet(facts)
+      .join(broadcast(spark.read.parquet(dims)), "dim_id")
+      .groupBy("name").agg(sum("v"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("rolling window + EWMA fold share ONE clustering exchange") {
+    val df = (0 until 200).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i / 4)),
+        s"k${i % 4}", (i % 10).toDouble, (i % 5).toDouble)
+    }.toDF("date", "activity", "tss", "rpe_tss")
+    val rolled = Rolling.withMonotonyStrain(df, "date", Seq("activity"),
+      Seq("tss" -> "", "rpe_tss" -> "rpe_"))
+    val out = Ewma.withTrainingLoadSorted(rolled, "date", Seq("activity"),
+      Seq("tss" -> "", "rpe_tss" -> "rpe_"))
+    out.collect()
+    // exactly one hash-partitioning exchange: the window's. The EWMA
+    // fold streams over the layout the window leaves behind. (AQE's
+    // plan string prints the final AND initial plans, so count distinct
+    // exchange node ids, not lines.)
+    val shuffles = raw"Exchange hashpartitioning.*?\[plan_id=(\d+)\]".r
+      .findAllMatchIn(out.queryExecution.executedPlan.toString())
+      .map(_.group(1)).toSet.size
+    assert(shuffles === 1, s"expected 1 clustering exchange, got $shuffles")
+  }
+}
