@@ -94,6 +94,9 @@ object GraftFunctions {
     descriptor("graft_jaccard", classOf[JaccardSim], c => JaccardSim(c.head, c(1))),
     descriptor("graft_dot", classOf[DotProduct], c => DotProduct(c.head, c(1))),
     descriptor("graft_dot_exact", classOf[DotExact], c => DotExact(c.head, c(1))),
+    descriptor("graft_tokens", classOf[WordTokens], c => WordTokens(c.head)),
+    descriptor("graft_count_in", classOf[CountInSet], c =>
+      CountInSet(c.head, c.drop(1).map(_.eval().toString))),
   )
 
   def register(spark: SparkSession): Unit =

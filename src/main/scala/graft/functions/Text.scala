@@ -17,9 +17,16 @@ object Text {
 
   /** Whitespace tokens, empties dropped (split on single spaces — the
     * corpus is single-space separated; for arbitrary text compose with
-    * a whitespace-normalizing `regexp_replace` first).
+    * a whitespace-normalizing `regexp_replace` first). Native kernel:
+    * lambda-free, so whole-stage codegen's subexpression elimination
+    * evaluates ONE shared token array per row however many metrics
+    * reference it (HOF lambdas are CSE-excluded). [[tokensHof]] is the
+    * executable spec it is tested bit-identical against.
     */
-  def tokens(c: Column): Column =
+  def tokens(c: Column): Column = TextExpressions.tokens(c)
+
+  /** Composable formulation of [[tokens]]. */
+  def tokensHof(c: Column): Column =
     filter(split(c, " "), t => length(t) > 0)
 
   def tokenCount(c: Column): Column = size(tokens(c))
@@ -39,7 +46,7 @@ object Text {
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on")
 
   def stopwordCount(c: Column): Column =
-    size(filter(tokens(c), t => t.isInCollection(Stopwords)))
+    TextExpressions.countIn(tokens(c), Stopwords)
 
   def stopwordRatio(c: Column): Column =
     stopwordCount(c).cast("double") / greatest(tokenCount(c), lit(1)).cast("double")
@@ -76,7 +83,7 @@ object Text {
   )
 
   def langScore(c: Column, markers: Seq[String]): Column =
-    size(filter(tokens(c), t => t.isInCollection(markers)))
+    TextExpressions.countIn(tokens(c), markers)
 
   /** Language-ID: argmax of marker-word hits with a fixed priority
     * order (en > de > fr > es) on ties; 'und' (undetermined) when no

@@ -73,4 +73,22 @@ class HashExpressionsSpec extends SparkSpec {
     ).as[(Double, Double)].collect()
     both.foreach { case (n, h) => assert(n === h) }
   }
+
+  test("native tokens ≡ HOF formulation (empties, multi-space, unicode)") {
+    val tricky = samples ++ Seq("", " ", "  double  space  ", " lead", "trail ",
+      "ünïcødé tökens éé", "tab\tis one token")
+    val both = tricky.toDF("t").select(
+      Text.tokens($"t").as("native"),
+      Text.tokensHof($"t").as("hof")
+    ).as[(Seq[String], Seq[String])].collect()
+    both.foreach { case (n, h) => assert(n === h) }
+  }
+
+  test("native countIn ≡ HOF filter-size (stopwords and lang markers)") {
+    val both = samples.toDF("t").select(
+      TextExpressions.countIn(Text.tokens($"t"), Text.Stopwords).as("native"),
+      size(filter(Text.tokensHof($"t"), x => x.isInCollection(Text.Stopwords))).as("hof")
+    ).as[(Int, Int)].collect()
+    both.foreach { case (n, h) => assert(n === h) }
+  }
 }
