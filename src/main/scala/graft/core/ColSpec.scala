@@ -89,6 +89,48 @@ final case class ColSpec(
     }
   }
 
+  /** Finest-grain partial aggregates for two-level grouping sets
+    * (CubeFanout rolls the coarser sets up from the finest): decimal
+    * accumulators STAY decimal between the levels, so the merge is
+    * exactly associative and the merged result is bit-identical to the
+    * single-phase [[aggregate]] — same values at any grouping, any
+    * parallelism, any engine.
+    */
+  def partials(weight: Column): Seq[Column] = {
+    val c = column(col)
+    val dec = DecimalType(38, 6)
+    agg match {
+      case AggMethod.Sum =>
+        Seq(sum(c.cast(dec)).as(s"_p_$col"))
+      case AggMethod.Mean =>
+        Seq(sum(c.cast(dec)).as(s"_p_$col"), count(c).as(s"_pc_$col"))
+      case AggMethod.WeightedMean =>
+        Seq(sum((c.cast(DoubleType) * weight).cast(dec)).as(s"_p_$col"),
+          sum(weight.cast(dec)).as(s"_pw_$col"))
+      case AggMethod.BoolOr =>
+        Seq(max(c.cast(IntegerType)).as(s"_p_$col"))
+    }
+  }
+
+  /** Merge of [[partials]] across fine-grain groups — the second-level
+    * aggregate expression, producing exactly [[aggregate]]'s value.
+    */
+  def merge: Column = {
+    val p = column(s"_p_$col")
+    (agg match {
+      case AggMethod.Sum  => sum(p).cast(DoubleType)
+      case AggMethod.Mean => sum(p).cast(DoubleType) / sum(column(s"_pc_$col"))
+      case AggMethod.WeightedMean =>
+        val den = sum(column(s"_pw_$col")).cast(DoubleType)
+        val m = coalesce(when(den =!= 0.0, sum(p).cast(DoubleType) / den), lit(0.0))
+        dt match {
+          case LongType => m.cast(LongType).cast(DoubleType) // int() truncation
+          case _        => m
+        }
+      case AggMethod.BoolOr => coalesce(max(p) > 0, lit(false))
+    }).as(col)
+  }
+
   /** Write-stage rounding and casting (reference `value_string_for_sql`,
     * populate_from_json.py:428-446): REAL → round 2dp, INTEGER →
     * round 0dp then int, BOOLEAN → as-is (0/1 at the sink). Reference

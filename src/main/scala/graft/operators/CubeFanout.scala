@@ -64,14 +64,27 @@ object CubeFanout {
 
     val weight = col(weightCol)
     val (mapped, plain) = specs.partition(_.mapper.isDefined)
+
+    // Two-level rollup-from-finest: the finest grouping set
+    // (date, d1…dn) IS a plain groupBy, and every coarser set derives
+    // from its partials (decimal accumulators stay decimal between the
+    // levels — exactly associative, so values are bit-identical to a
+    // single-phase GROUPING SETS). The Expand node therefore multiplies
+    // |finest groups| rows by 2^|dims|, not |input| rows — at 100 TB
+    // that's the difference between expanding a bounded aggregate
+    // (days × dim-combos) and expanding the whole fact table 8×.
+    val partialAggs = plain.flatMap(_.partials(weight))
+    val fine = df.groupBy((dateCol +: dims).map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+
     // grouping() is only legal inside the aggregate list — materialize
     // the per-dim flags there, filter on them afterwards, then drop.
     val gFlags = dims.map(d => grouping(col(d)).as(s"_g_$d"))
-    val aggs = gFlags ++ plain.map(_.aggregate(weight))
+    val aggs = gFlags ++ plain.map(_.merge)
 
     val sets: Seq[Seq[Column]] =
       subsets(dims).map(s => col(dateCol) +: s.map(col))
-    val cubed = df
+    val cubed = fine
       .groupingSets(sets, col(dateCol) +: dims.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
 

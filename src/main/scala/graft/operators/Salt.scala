@@ -21,17 +21,26 @@ object Salt {
     * SAME expression (true for sum/count-as-sum/min/max). Each agg is
     * (inputExpr → partial alias, mergeExpr over that alias).
     */
+  /** @param sprayCols columns the deterministic salt hashes. Default
+    *                   (empty) = every column — correct but it defeats
+    *                   column pruning: the scan then reads the WHOLE
+    *                   table for an aggregate that needs two columns.
+    *                   Callers should pass a unique id or the key+value
+    *                   columns so the scan stays pruned.
+    */
   def saltedAgg(
       df: DataFrame,
       keys: Seq[String],
       factor: Int,
       partial: Seq[(Column, String)],
-      merge: Seq[(String, Column)]): DataFrame = {
+      merge: Seq[(String, Column)],
+      sprayCols: Seq[String] = Nil): DataFrame = {
 
-    // deterministic spray: hash of the whole row modulo factor (a
-    // rand() salt would break retry/replay determinism)
+    // deterministic spray: hash modulo factor (a rand() salt would
+    // break retry/replay determinism)
+    val sc = if (sprayCols.nonEmpty) sprayCols else df.columns.toSeq
     val salted = df.withColumn("_salt",
-      pmod(hash(df.columns.map(col): _*), lit(factor)))
+      pmod(hash(sc.map(col): _*), lit(factor)))
     val phase1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(partial.head._1.as(partial.head._2),

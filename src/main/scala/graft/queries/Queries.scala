@@ -418,7 +418,10 @@ object Queries {
   val q30Salted: Q = (s, dir) =>
     Salt.saltedAgg(events(s, dir), Seq("event_type"), factor = 16,
       partial = Seq(sum(col("value").cast(DecimalType(38, 6))) -> "_p"),
-      merge = Seq("total" -> sum(col("_p")).cast("double")))
+      merge = Seq("total" -> sum(col("_p")).cast("double")),
+      // spray on the unique id: perfect spread AND the scan stays
+      // pruned to (event_id, event_type, value)
+      sprayCols = Seq("event_id"))
       .orderBy("event_type")
 
   /** IVF ANN with data-derived seed centroids (vec_id < 16), nProbe=4,
