@@ -435,6 +435,17 @@ object Oracles {
          |QUALIFY "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
 
+    // the binned range join is semantically the naive theta join — the
+    // oracle states it directly
+    "q31_range" ->
+      s"""SELECT e.event_id AS error_id, c.event_id AS click_id, c.user_id
+         |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+         |      FROM events WHERE event_type = 'error') e
+         |JOIN (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+         |      FROM events WHERE event_type = 'click') c
+         |  ON c.user_id = e.user_id AND c.t BETWEEN e.t - 600000000 AND e.t
+         |ORDER BY error_id, click_id""".stripMargin,
+
     // the salted two-phase sum is exactly associative (decimal
     // partials), so the oracle is the plain single-phase decimal sum
     "q30_salted" ->

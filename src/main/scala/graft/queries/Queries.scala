@@ -424,6 +424,24 @@ object Queries {
       sprayCols = Seq("event_id"))
       .orderBy("event_type")
 
+  /** Range join (`RangeJoin.pointInInterval`): clicks within the 10
+    * minutes preceding each error, same user — binned equi-join, exact
+    * BETWEEN on the collision set; oracle is the naive theta join.
+    */
+  val q31Range: Q = (s, dir) => {
+    val e = ev(s, dir).withColumn("t", unix_micros(col("ts")))
+    val tenMinUs = 600000000L
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("t"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        (col("t") - tenMinUs).as("lo"), col("t").as("hi"))
+    RangeJoin.pointInInterval(clicks, errors, Seq("user_id"),
+        "t", "lo", "hi", binWidth = tenMinUs)
+      .select("error_id", "click_id", "user_id")
+      .orderBy("error_id", "click_id")
+  }
+
   /** IVF ANN with data-derived seed centroids (vec_id < 16), nProbe=4,
     * exact top-5 re-rank — decimal-exact assignment and scoring, so
     * unlike the engine-seeded q20 the whole plan has a DuckDB oracle
@@ -469,5 +487,6 @@ object Queries {
     "q28_tfidf" -> q28Tfidf,
     "q29_ivf" -> q29Ivf,
     "q30_salted" -> q30Salted,
+    "q31_range" -> q31Range,
   )
 }
