@@ -69,4 +69,42 @@ class CubeFanoutSpec extends SparkSpec {
     }
     assert(expands === Seq(4)) // 2^2, date pinned in every set
   }
+
+  test("two-level rollup-from-finest ≡ single-phase per-set aggregation (seeded random)") {
+    val rnd = new scala.util.Random(99)
+    val dates = (0 until 5).map(i => sqlDate(f"2024-02-${i + 1}%02d"))
+    val rows = Seq.fill(400)((
+      dates(rnd.nextInt(5)), s"a${rnd.nextInt(3)}", s"e${rnd.nextInt(3)}",
+      math.floor(rnd.nextDouble() * 10000) / 100, // 2dp values (Exact domain)
+      (rnd.nextInt(4) * 900).toDouble,            // weights incl. 0
+      rnd.nextInt(3) match { case 0 => 0.0; case 1 => 1.0; case _ => 0.0 },
+    ))
+    val df = rows.toDF("d", "activity", "equipment", "v", "w", "b")
+      .select($"d", $"activity", $"equipment", $"w",
+        $"v", $"v".as("v_wm"), $"v".as("v_wm_int"), $"b".as("b"))
+    val rSpecs = Seq(
+      ColSpec("v", "v", DoubleType, agg = AggMethod.Sum),
+      ColSpec("v", "v_wm", DoubleType, agg = AggMethod.WeightedMean),
+      ColSpec("v", "v_wm_int", LongType, agg = AggMethod.WeightedMean),
+      ColSpec("b", "b", BooleanType, agg = AggMethod.BoolOr),
+    )
+    val dims = Seq("activity", "equipment")
+    val actual = CubeFanout.dailyCube(df, "d", dims, rSpecs, "w")
+      .select("d", "activity", "equipment", "v", "v_wm", "v_wm_int", "b")
+
+    // brute force: one single-phase groupBy per subset, 'All' pinned
+    val expected = Seq(Seq("activity", "equipment"), Seq("activity"), Seq("equipment"), Seq.empty)
+      .map { s =>
+        val g = df.groupBy(($"d" +: s.map(col)): _*)
+          .agg(rSpecs.head.aggregate($"w"), rSpecs.tail.map(_.aggregate($"w")): _*)
+        dims.foldLeft(g)((acc, dim) =>
+          if (s.contains(dim)) acc else acc.withColumn(dim, lit(CubeFanout.All)))
+          .select("d", "activity", "equipment", "v", "v_wm", "v_wm_int", "b")
+      }.reduce(_ unionByName _)
+
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.map(String.valueOf).mkString("|")
+    val a = actual.collect().map(key).sorted
+    val e = expected.collect().map(key).sorted
+    assert(a === e) // bit-identical, including the weighted-mean doubles
+  }
 }
