@@ -24,6 +24,56 @@ object Dedup {
       .drop("_rn")
   }
 
+  /** Connected components over an undirected edge list — the
+    * cluster step of corpus-level near-dup dedup ("keep one document
+    * per near-dup cluster"): returns (`v`, `comp`) where `comp` is the
+    * MINIMUM vertex id reachable from `v`, so the canonical document
+    * of every cluster is its lowest id — deterministic at any
+    * parallelism, integer-only (no FP parity concerns).
+    *
+    * Iterative min-label propagation: each round is one equi-join
+    * (labels across edges) + one partial-aggregated groupBy min, and
+    * rounds needed = graph diameter. Near-dup graphs are shallow
+    * (duplicate clusters are near-cliques), so a handful of rounds
+    * converges; the per-round convergence check ships a single COUNT
+    * scalar to the driver, never data. For adversarially deep graphs
+    * switch to large-star/small-star (same join primitive, O(log n)
+    * rounds) — not needed for dedup workloads.
+    */
+  def components(
+      vertices: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("_src"), col(bCol).as("_dst"))
+      .union(pairs.select(col(bCol).as("_src"), col(aCol).as("_dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col(idCol).as("v"), col(idCol).as("comp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("v").as("_src"), col("comp")), "_src")
+        .groupBy(col("_dst").as("v"))
+        .agg(min(col("comp")).as("_nmin"))
+      val next = labels
+        .join(neighborMin, Seq("v"), "left")
+        .select(col("v"), least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"),
+          col("comp").as("_old"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("comp") =!= col("_old")).count()
+      val prev = labels
+      labels = next.drop("_old")
+      prev.unpersist()
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact content dedup by hash (LLM-pipeline): one row per distinct
     * `sha2(contentCol)`, first by `order`. The hash groupBy shuffles on
     * the 64-hex digest — uniformly distributed, so no skew at 100 TB;

@@ -424,6 +424,24 @@ object Queries {
       sprayCols = Seq("event_id"))
       .orderBy("event_type")
 
+  /** Corpus-level near-dup clustering: LSH candidate pairs verified at
+    * exact Jaccard ≥ 0.5 (q16's pair set), then connected components
+    * with min-id canonical assignment (`Dedup.components`) — "keep one
+    * document per near-dup cluster". Integer-only output; the oracle
+    * recomputes reachability with a recursive CTE.
+    */
+  val q32Components: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id", "text")
+    val mutated = d0.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
+    val corpus = d0.unionByName(mutated)
+    val pairs = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+    Dedup.components(corpus.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
+      .select(col("v").as("doc_id"), col("comp").as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   /** Range join (`RangeJoin.pointInInterval`): clicks within the 10
     * minutes preceding each error, same user — binned equi-join, exact
     * BETWEEN on the collision set; oracle is the naive theta join.
@@ -488,5 +506,6 @@ object Queries {
     "q29_ivf" -> q29Ivf,
     "q30_salted" -> q30Salted,
     "q31_range" -> q31Range,
+    "q32_components" -> q32Components,
   )
 }

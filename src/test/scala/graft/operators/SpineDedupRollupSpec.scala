@@ -38,6 +38,16 @@ class SpineDedupRollupSpec extends SparkSpec {
     assert(out === Seq(1, 3))
   }
 
+  test("components: min-id canonical per cluster, chain needs >1 round, singleton maps to self") {
+    // chain 1-2-3 (diameter 2 forces label propagation through rounds),
+    // pair 10-11, singleton 20
+    val vertices = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.components(vertices, "id", pairs, "a", "b")
+      .orderBy("v").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L)))
+  }
+
   test("periodic rollup: SUM cols sum, MEAN cols plain-average, BoolOr counts") {
     val day = Seq(
       ("Run", "2024-1", sqlDate("2024-01-01"), 10.0, 10.0, true),
