@@ -435,6 +435,15 @@ object Oracles {
          |QUALIFY "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
 
+    "q33_setops" ->
+      s"""WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         |e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+         |SELECT user_id, 'click_and_purchase' AS tag FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
+         |UNION ALL
+         |SELECT user_id, 'click_not_error' AS tag FROM (SELECT * FROM c EXCEPT SELECT * FROM e)
+         |ORDER BY tag, user_id""".stripMargin,
+
     // q16's exact-Jaccard pair set (LSH recall argument documented
     // there), clustered by a recursive-CTE reachability: every vertex's
     // canonical id is the MIN reachable doc_id — integer-only, no FP

@@ -424,6 +424,21 @@ object Queries {
       sprayCols = Seq("event_id"))
       .orderBy("event_type")
 
+  /** Set operations (SURVEY §2.4): INTERSECT (users who clicked AND
+    * purchased) and EXCEPT (clicked but never errored) — both
+    * shuffle-on-key distinct set ops, tagged and unioned.
+    */
+  val q33SetOps: Q = (s, dir) => {
+    val e = events(s, dir)
+    def users(t: String) =
+      e.filter(col("event_type") === t).select("user_id").distinct()
+    users("click").intersect(users("purchase"))
+      .withColumn("tag", lit("click_and_purchase"))
+      .unionByName(users("click").except(users("error"))
+        .withColumn("tag", lit("click_not_error")))
+      .orderBy("tag", "user_id")
+  }
+
   /** Corpus-level near-dup clustering: LSH candidate pairs verified at
     * exact Jaccard ≥ 0.5 (q16's pair set), then connected components
     * with min-id canonical assignment (`Dedup.components`) — "keep one
@@ -507,5 +522,6 @@ object Queries {
     "q30_salted" -> q30Salted,
     "q31_range" -> q31Range,
     "q32_components" -> q32Components,
+    "q33_setops" -> q33SetOps,
   )
 }
