@@ -435,6 +435,29 @@ object Oracles {
          |QUALIFY "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
 
+    "q34_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+         |  FROM events
+         |),
+         |flagged AS (
+         |  SELECT event_id, user_id, t,
+         |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+         |      THEN 1 ELSE 0 END AS nw
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+         |),
+         |sessioned AS (
+         |  SELECT user_id, t,
+         |    SUM(nw) OVER (PARTITION BY user_id ORDER BY t, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged
+         |)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  COUNT(*) AS n_events, MIN(t) AS session_start,
+         |  MAX(t) - MIN(t) AS duration_us
+         |FROM sessioned GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
     "q33_setops" ->
       s"""WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
          |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),

@@ -424,6 +424,29 @@ object Queries {
       sprayCols = Seq("event_id"))
       .orderBy("event_type")
 
+  /** Gap-based sessionization (30-min inactivity closes a session):
+    * lag-flag + running sum assigns session ids per user, then one
+    * aggregate per session. Same (user, time-order) clustering serves
+    * both windows and the groupBy — one exchange. Integer-µs
+    * arithmetic, deterministic tiebreak by event_id.
+    */
+  val q34Sessionize: Q = (s, dir) => {
+    val gapUs = 1800000000L // 30 min
+    val e = events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    e.withColumn("_new",
+        when(lag(col("t"), 1).over(w).isNull ||
+          col("t") - lag(col("t"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("t")).as("session_start"),
+        (max(col("t")) - min(col("t"))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Set operations (SURVEY §2.4): INTERSECT (users who clicked AND
     * purchased) and EXCEPT (clicked but never errored) — both
     * shuffle-on-key distinct set ops, tagged and unioned.
@@ -523,5 +546,6 @@ object Queries {
     "q31_range" -> q31Range,
     "q32_components" -> q32Components,
     "q33_setops" -> q33SetOps,
+    "q34_sessionize" -> q34Sessionize,
   )
 }
