@@ -17,4 +17,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("t2") === Some(11.0))  // tie (t=7) matches — inclusive
     assert(out("t3") === None)        // B has no quote ≤ 5
   }
+
+  test("right rows tied on (key, time) resolve deterministically at any partitioning") {
+    // two quotes share (A, 5): the value-struct tiebreak must pick the
+    // max (99.0) regardless of input order or parallelism
+    val trades = Seq(("A", 6L, "t1")).toDF("sym", "t", "trade")
+    for (quotes <- Seq(
+        Seq(("A", 5L, 99.0), ("A", 5L, 11.0)),
+        Seq(("A", 5L, 11.0), ("A", 5L, 99.0)))) {
+      val q = quotes.toDF("sym", "t", "px").repartition(4)
+      val out = AsOfJoin.backward(trades, q, Seq("sym"), "t", "t", Seq("px"))
+        .select("px").as[Double].head()
+      assert(out === 99.0)
+    }
+  }
 }

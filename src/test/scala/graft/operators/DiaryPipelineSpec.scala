@@ -134,6 +134,36 @@ class DiaryPipelineSpec extends SparkSpec {
     assert(r._4 === sqlDate("2020-01-04")) // MAX(date)
   }
 
+  test("duplicate-date day entries: FIRST day wins (reference date UNIQUE + swallowed insert)") {
+    val json =
+      """{"days": [
+        |  {"iso8061DateString": "2021-03-01T00:00:00Z", "type": "Normal",
+        |   "fatigue": 2.0, "motivation": 4.0, "sleep": 8.0, "sleepQuality": "Good",
+        |   "workouts": [{"activityString": "Run", "activityTypeString": "Road",
+        |     "equipmentName": "S", "km": 5.0, "tss": 30.0, "rpe": 5.0, "hr": 130.0,
+        |     "watts": 0.0, "seconds": 1800.0, "ascentMetres": 0.0, "kj": 0.0,
+        |     "reps": 0.0, "isRace": 0.0, "brick": 0.0, "wattsEstimated": 0.0,
+        |     "cadence": 0.0}]},
+        |  {"iso8061DateString": "2021-03-01T00:00:00Z", "type": "Rest",
+        |   "fatigue": 9.0, "motivation": 1.0, "sleep": 4.0, "sleepQuality": "Poor",
+        |   "workouts": [{"activityString": "Run", "activityTypeString": "Road",
+        |     "equipmentName": "S", "km": 99.0, "tss": 500.0, "rpe": 9.0, "hr": 180.0,
+        |     "watts": 0.0, "seconds": 3600.0, "ascentMetres": 0.0, "kj": 0.0,
+        |     "reps": 0.0, "isRace": 0.0, "brick": 0.0, "wattsEstimated": 0.0,
+        |     "cadence": 0.0}]}
+        |], "weights": [], "physiologicals": []}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("dupday")
+    val p = dir.resolve("diary.json")
+    java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    val w = DiaryPipeline.build(spark, p.toString)
+    val r = w.filter($"activity" === "Run" && $"activity_type" === "Road" && $"equipment" === "S")
+      .select("km", "fatigue", "day_type").as[(Double, Double, String)].head()
+    // first entry's workout AND day values; the duplicate's 99 km /
+    // fatigue 9 'Rest' day never reaches the cube or the dayVals join
+    assert(r === ((5.0, 2.0, "Normal")))
+    assert(w.select("date").distinct().count() === 1)
+  }
+
   private def bd(x: Double, s: Int): Double =
     BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_EVEN).toDouble
   private def bd1(x: Double): Double = bd(x, 1)

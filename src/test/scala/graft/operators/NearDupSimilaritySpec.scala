@@ -76,6 +76,19 @@ class NearDupSimilaritySpec extends SparkSpec {
     assert(out === Seq(1L))
   }
 
+  test("exact top-k under mass ties at the cutoff: id order, none dropped") {
+    // 30 identical corpus vectors — every candidate has the SAME
+    // similarity, far more ties than the rank margin; the epsilon band
+    // must keep them all so the exact pass ranks by neighbor_id
+    val corpus = (10L to 39L).map(i => (i, Array(1f, 1f, 0f))) :+ (0L, Array(1f, 0f, 0f))
+    val out = Similarity.bruteForceTopK(
+        corpus.toDF("vec_id", "embedding").filter($"vec_id" === 0),
+        corpus.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 5, roundDp = -1, exact = true)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(out === Seq((10L, 1), (11L, 2), (12L, 3), (13L, 4), (14L, 5)))
+  }
+
   test("kmeansCentroids: recovers separated cluster means") {
     val pts = Seq(
       (0L, Array(10f, 0f)), (2L, Array(11f, 0f)), (3L, Array(9f, 0f)),
