@@ -50,8 +50,14 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("_src"), col(bCol).as("_dst"))
       .union(pairs.select(col(bCol).as("_src"), col(aCol).as("_dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): each round references the label
+    // frame twice, so a lineage-preserving cache would DOUBLE the plan
+    // tree per round — exponential plan growth that OOMs the driver on
+    // high-diameter graphs. Checkpointing truncates the plan to a scan
+    // of the materialized blocks; on a cluster with lost-executor
+    // tolerance requirements use reliable checkpoint() instead.
     var labels = vertices.select(col(idCol).as("v"), col(idCol).as("comp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -63,11 +69,9 @@ object Dedup {
         .join(neighborMin, Seq("v"), "left")
         .select(col("v"), least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"),
           col("comp").as("_old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.filter(col("comp") =!= col("_old")).count()
-      val prev = labels
       labels = next.drop("_old")
-      prev.unpersist()
       iter += 1
     }
     edges.unpersist()

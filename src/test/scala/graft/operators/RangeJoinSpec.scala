@@ -30,4 +30,23 @@ class RangeJoinSpec extends SparkSpec {
       .select("k").as[String].collect().toSeq
     assert(out === Seq("a"))
   }
+
+  test("seeded random ≡ naive theta join, several bin widths") {
+    val rnd = new scala.util.Random(7)
+    val points = Seq.fill(300)((s"k${rnd.nextInt(5)}", rnd.nextInt(1000).toLong, rnd.nextInt(100000)))
+      .toDF("k", "t", "pid")
+    val intervals = Seq.fill(60) {
+      val lo = rnd.nextInt(1000).toLong
+      (s"k${rnd.nextInt(5)}", lo, lo + rnd.nextInt(120) - 10, rnd.nextInt(100000)) // some hi < lo
+    }.toDF("k", "lo", "hi", "iid")
+    val naive = points.join(intervals, Seq("k"))
+      .filter($"t".between($"lo", $"hi"))
+      .select("iid", "pid").as[(Int, Int)].collect().toSeq.sorted
+    for (width <- Seq(7L, 64L, 1024L)) {
+      val binned = RangeJoin.pointInInterval(points, intervals,
+          Seq("k"), "t", "lo", "hi", binWidth = width)
+        .select("iid", "pid").as[(Int, Int)].collect().toSeq.sorted
+      assert(binned === naive, s"binWidth=$width")
+    }
+  }
 }

@@ -48,6 +48,31 @@ class SpineDedupRollupSpec extends SparkSpec {
     assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L)))
   }
 
+  test("components: seeded random graph ≡ driver union-find") {
+    val rnd = new scala.util.Random(41)
+    val n = 120
+    val edges = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val vertices = (0L until n.toLong).toDF("id")
+    val out = Dedup.components(vertices, "id",
+        edges.toDF("a", "b"), "a", "b", maxIter = 50)
+      .as[(Long, Long)].collect().toMap
+    // reference union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map { v =>
+      // canonical = min vertex in the component
+      val root = find(v)
+      val members = (0 until n).filter(find(_) == root)
+      v.toLong -> members.min.toLong
+    }.toMap
+    assert(out === expected)
+  }
+
   test("periodic rollup: SUM cols sum, MEAN cols plain-average, BoolOr counts") {
     val day = Seq(
       ("Run", "2024-1", sqlDate("2024-01-01"), 10.0, 10.0, true),
