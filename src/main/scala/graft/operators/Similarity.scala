@@ -380,6 +380,43 @@ object Similarity {
       (when(d1 <= d2, d1).otherwise(d2), when(d1 <= d2, i1).otherwise(i2))
     }._2
 
+  /** Sign-pattern LSH with DATA-DERIVED hyperplanes: bit i of the
+    * bucket = [v·seedᵢ ≥ 0] with the decimal-exact dot, so the
+    * bucketing (and hence the whole ANN query) is reproducible on any
+    * engine — the oracle-checkable twin of [[lshTopK]]'s random
+    * hyperplanes. Same scale shape: one equi-join on the bucket key,
+    * candidates ∝ bucket occupancy.
+    */
+  def lshTopKSeeded(
+      queries: DataFrame,
+      corpus: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+
+    val s = seeds.select(col(idCol).as("_sid"), col(vecCol).as("_sv"))
+    val seedRows = s.orderBy("_sid").collect() // seed set is model-sized
+    def bucket(vec: Column): Column =
+      seedRows.zipWithIndex.map { case (r, i) =>
+        val sv = lit(r.getSeq[Float](1).toArray)
+        when(dotExact(vec, sv) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"),
+      bucket(col(vecCol)).as("_b"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_cn"),
+      bucket(col(vecCol)).as("_b"))
+    val pairs = q.join(c, Seq("_b")).filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "_qv", "_qn", "neighbor_id", "_cv", "_cn")
+    exactTopKRefine(
+      q.select("query_id", "_qv", "_qn"),
+      c.select("neighbor_id", "_cv", "_cn"),
+      pairs, k, roundDp = -1)
+  }
+
   /** ANN top-k: bucket both sides by [[lshBucket]], equi-join on the
     * bucket, re-rank candidates exactly. Recall < 1 by construction;
     * raise `planes` for precision (smaller buckets) or join on several

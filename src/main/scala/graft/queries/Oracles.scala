@@ -435,6 +435,41 @@ object Oracles {
          |QUALIFY "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
 
+    // sign-pattern LSH with data-derived hyperplanes: bit i of the
+    // bucket = [v·seed_i >= 0] with the decimal-exact dot — engine-
+    // reproducible, so candidates and the exact re-rank both oracle
+    "q20_lsh_ann" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
+         |  FROM embeddings
+         |),
+         |s AS (
+         |  SELECT embedding AS sv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS bit
+         |  FROM embeddings WHERE vec_id < 6
+         |),
+         |b AS (
+         |  SELECT v.vec_id,
+         |    SUM(CASE WHEN CAST(list_sum([CAST(CAST(v.embedding[i] AS DOUBLE) * CAST(s.sv[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(v.embedding) + 1)]) AS DOUBLE) >= 0
+         |      THEN (CAST(1 AS BIGINT) << s.bit) ELSE 0 END) AS bkt
+         |  FROM n v CROSS JOIN s GROUP BY v.vec_id
+         |),
+         |scored AS (
+         |  SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+         |    CASE WHEN qn.nrm * cn.nrm > 0 THEN
+         |      CAST(list_sum([CAST(CAST(qn.embedding[i] AS DOUBLE) * CAST(cn.embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(qn.embedding) + 1)]) AS DOUBLE) / (qn.nrm * cn.nrm)
+         |    ELSE 0.0 END AS sim
+         |  FROM b qb JOIN b cb ON qb.bkt = cb.bkt AND qb.vec_id <> cb.vec_id
+         |  JOIN n qn ON qn.vec_id = qb.vec_id
+         |  JOIN n cn ON cn.vec_id = cb.vec_id
+         |  WHERE qb.vec_id < 50
+         |)
+         |SELECT query_id, neighbor_id, sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank"
+         |FROM scored
+         |QUALIFY "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin,
+
     "q34_sessionize" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t

@@ -286,14 +286,18 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed ANN top-5 — the 100 TB path (rows-only check: the
-    * random-hyperplane bucketing is engine-side only).
+  /** LSH-bucketed ANN top-5 — the 100 TB path. Hyperplanes are
+    * data-derived (vec_id < 6) with decimal-exact sign tests, so the
+    * bucketing reproduces in DuckDB and the query is fully
+    * oracle-checked (the engine-random variant `lshTopK` stays
+    * spec-tested).
     */
   val q20LshAnn: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    Similarity.lshTopK(
-      emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding",
-      dim = 64, k = 5, planes = 6)
+    Similarity.lshTopKSeeded(
+      emb.filter(col("vec_id") < 50), emb, emb.filter(col("vec_id") < 6),
+      "vec_id", "embedding", k = 5)
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
 
