@@ -89,6 +89,7 @@ object GraftFunctions {
     descriptor("graft_minhash", classOf[MinhashSig], c =>
       MinhashSig(c.head, c(1).eval().asInstanceOf[Int])),
     descriptor("graft_simhash64", classOf[SimHash64], c => SimHash64(c.head)),
+    descriptor("graft_simhash_poly", classOf[SimHashPoly], c => SimHashPoly(c.head)),
     descriptor("graft_shingles", classOf[WordShingles], c =>
       WordShingles(c.head, c(1).eval().asInstanceOf[Int])),
     descriptor("graft_jaccard", classOf[JaccardSim], c => JaccardSim(c.head, c(1))),

@@ -66,6 +66,34 @@ object HashKernels {
     }
     out
   }
+
+  /** 31-bit simhash whose token hash is the polynomial fingerprint
+    * recurrence ([[FingerprintKernel.compute]]) — weaker mixing than
+    * xxhash64 but expressible in ANSI SQL (bounded integer arithmetic,
+    * no 64-bit wraparound), so the whole simhash oracles in DuckDB.
+    * [[simhash64]] remains the production fingerprint.
+    */
+  def simhashPoly(tokens: ArrayData): Long = {
+    val sums = new Array[Long](31)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val h = FingerprintKernel.compute(tokens.getUTF8String(i))
+      var b = 0
+      while (b < 31) {
+        sums(b) += (if (((h >>> b) & 1L) != 0) 1L else -1L)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 31) {
+      if (sums(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
 }
 
 abstract class StringArrayUnary extends UnaryExpression {
@@ -98,9 +126,22 @@ case class SimHash64(child: Expression) extends StringArrayUnary {
     copy(child = newChild)
 }
 
+case class SimHashPoly(child: Expression) extends StringArrayUnary {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_poly"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.simhashPoly(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.simhashPoly($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashPoly =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   def minhashSig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinhashSig(ColumnBridge.expression(shingles), numHashes))
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+  def simhashPoly(tokens: Column): Column =
+    ColumnBridge.column(SimHashPoly(ColumnBridge.expression(tokens)))
 }

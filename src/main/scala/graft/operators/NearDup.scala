@@ -143,6 +143,14 @@ object NearDup {
   def simhash64(c: Column): Column =
     graft.functions.HashExpressions.simhash64(Text.tokens(c))
 
+  /** 31-bit simhash whose token hash is the polynomial fingerprint
+    * recurrence — bounded integer arithmetic, so the WHOLE fingerprint
+    * is ANSI-SQL-expressible and oracle-checkable cross-engine.
+    * Weaker bit mixing than [[simhash64]]; use that in production.
+    */
+  def simhashPoly(c: Column): Column =
+    graft.functions.HashExpressions.simhashPoly(Text.tokens(c))
+
   /** HOF formulation of [[simhash64]] — the executable spec the native
     * kernel is tested against (recomputes each token hash per bit, so
     * it is 64× the hash work; never use on the hot path).

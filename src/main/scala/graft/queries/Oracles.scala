@@ -15,11 +15,14 @@ import graft.operators.Ewma
   *    uses FLOOR(x+0.5) (pure binary IEEE on both engines);
   *  - every query ends in the same total ORDER BY.
   *
-  * Queries with engine-side-only hashing (xxhash64 minhash signatures,
-  * random-hyperplane LSH buckets) get rows-only checks — EXCEPT
-  * q16_minhash_lsh, whose planted near-dups are recalled by LSH with
-  * probability 1−O(10⁻¹¹), so the exact-Jaccard pair set is a valid
-  * oracle (pre-verified at both test scale factors).
+  * EVERY registered query has a full oracle — the formerly
+  * engine-side-only hashes were restated in SQL-expressible form:
+  * q16_minhash_lsh oracles against the exact-Jaccard pair set (planted
+  * near-dups are recalled with probability 1−O(10⁻¹¹)); q20/q29 derive
+  * their LSH hyperplanes / IVF centroids from data with decimal-exact
+  * sign tests; q23 uses the polynomial-hash simhash (bounded integer
+  * arithmetic — the xxhash64 variant stays the production fingerprint,
+  * spec-tested).
   */
 object Oracles {
 
@@ -282,6 +285,22 @@ object Oracles {
          |       ELSE 'es' END AS lang_pred
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    // 31-bit polynomial-hash simhash: per-token fingerprint recurrence
+    // (the q19 expression applied per token), then sign-of-bit-sums
+    "q23_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    [list_sum([CAST(ord(substr(tok, i, 1)) AS BIGINT) * CAST((i % 31) + 1 AS BIGINT) FOR i IN range(1, length(tok) + 1)]) % 2147483647 FOR tok IN toks] AS hs
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CAST(coalesce(list_sum([
+         |    CASE WHEN list_sum([CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END FOR hh IN hs]) > 0
+         |      THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END
+         |    FOR b IN range(0, 31)]), 0) AS BIGINT) AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "q19_fingerprint" ->
       s"""SELECT doc_id,

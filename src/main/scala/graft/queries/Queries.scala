@@ -329,8 +329,13 @@ object Queries {
   }
 
   /** SimHash-64 fingerprints (rows-only: xxhash64 has no DuckDB twin). */
+  /** SimHash fingerprints with the SQL-expressible polynomial token
+    * hash (`NearDup.simhashPoly`) — fully oracle-checked; the
+    * xxhash64-based `simhash64` stays the production variant
+    * (spec-tested bit-identical to its HOF formulation).
+    */
   val q23Simhash: Q = (s, dir) =>
-    docs(s, dir).select(col("doc_id"), NearDup.simhash64(col("text")).as("simhash"))
+    docs(s, dir).select(col("doc_id"), NearDup.simhashPoly(col("text")).as("simhash"))
       .orderBy("doc_id")
 
   /** As-of backward join: each click aligned to the user's most recent

@@ -46,6 +46,18 @@ class NearDupSimilaritySpec extends SparkSpec {
     assert(hamming(ha, hb) < hamming(ha, hc))
   }
 
+  test("simhashPoly: identical docs share fingerprint; near-dups closer than unrelated; 31-bit") {
+    val df = Seq((docA, docA, docB, docC)).toDF("a", "a2", "b", "c")
+    val (ha, ha2, hb, hc) = df.select(
+      NearDup.simhashPoly($"a"), NearDup.simhashPoly($"a2"),
+      NearDup.simhashPoly($"b"), NearDup.simhashPoly($"c"),
+    ).as[(Long, Long, Long, Long)].head()
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ha === ha2)
+    assert(hamming(ha, hb) < hamming(ha, hc))
+    assert(ha >= 0 && ha < (1L << 31))
+  }
+
   test("cosine: identical=1, orthogonal=0; exact and fast paths agree closely") {
     val df = Seq((Array(1f, 0f, 2f), Array(1f, 0f, 2f), Array(0f, 3f, 0f)))
       .toDF("a", "a2", "o")
