@@ -397,18 +397,29 @@ object Similarity {
 
     val s = seeds.select(col(idCol).as("_sid"), col(vecCol).as("_sv"))
     val seedRows = s.orderBy("_sid").collect() // seed set is model-sized
-    def bucket(vec: Column): Column =
+    // Banded sign test: sign(exact dot) decides the bit, but the
+    // decimal-exact dot only runs when the cheap double dot lies
+    // within 1e-9·‖v‖·‖seed‖ of zero (≫ the ~1e-11 double-vs-exact
+    // error, so outside the band sign(fast) == sign(exact)) — in
+    // practice ~zero exact evaluations per vector instead of |seeds|.
+    def bucket(vec: Column, nrm: Column): Column =
       seedRows.zipWithIndex.map { case (r, i) =>
-        val sv = lit(r.getSeq[Float](1).toArray)
-        when(dotExact(vec, sv) >= 0, lit(1L << i)).otherwise(lit(0L))
+        val arr = r.getSeq[Float](1).toArray
+        val sv = lit(arr)
+        val snD = math.sqrt(arr.map(x => x.toDouble * x.toDouble).sum)
+        val fastD = dot(vec, sv)
+        val bit = lit(1L << i)
+        when(abs(fastD) > lit(1e-9 * snD) * nrm,
+          when(fastD >= 0, bit).otherwise(lit(0L)))
+          .otherwise(when(dotExact(vec, sv) >= 0, bit).otherwise(lit(0L)))
       }.reduce(_ + _)
 
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-      sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"),
-      bucket(col(vecCol)).as("_b"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
-      sqrt(dotExact(col(vecCol), col(vecCol))).as("_cn"),
-      bucket(col(vecCol)).as("_b"))
+    val qN0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"))
+    val cN0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_cn"))
+    val q = qN0.withColumn("_b", bucket(col("_qv"), col("_qn")))
+    val c = cN0.withColumn("_b", bucket(col("_cv"), col("_cn")))
     val pairs = q.join(c, Seq("_b")).filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "_qv", "_qn", "neighbor_id", "_cv", "_cn")
     exactTopKRefine(
