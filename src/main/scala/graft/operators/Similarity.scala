@@ -366,6 +366,13 @@ object Similarity {
     cents
   }
 
+  /** Cell assignment for writing the IVF index as a partitioned layout
+    * (`df.withColumn("cell", cellOf(...)).write.partitionBy("cell")`) —
+    * a probe then reads only its nProbe partition directories.
+    */
+  def cellOf(vec: Column, cents: Array[Array[Double]]): Column =
+    nearestCell(vec, cents)
+
   /** Index of the nearest centroid by squared euclidean distance, ties
     * to the lowest index — a pairwise when()-reduce over the fixed
     * centroid list, one flat codegen'd expression.

@@ -26,6 +26,27 @@ class WriteSpec extends SparkSpec {
     assert(pruned.count() === wh.filter($"activity" === "Run").count())
   }
 
+  test("IVF index layout: corpus written partitionBy(cell), probe prunes to probed cells") {
+    // the classic IVF-flat file layout from the Similarity scaladoc:
+    // cell assignment as an ordinary column, one parquet partition per
+    // cell, probes read only their nProbe partitions
+    val rnd = new scala.util.Random(3)
+    val corpus = Seq.tabulate(400)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(corpus, "vec_id", "embedding", k = 4, iters = 2)
+    val withCell = corpus.withColumn("cell",
+      Similarity.cellOf(col("embedding"), cents))
+    val out = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    withCell.write.partitionBy("cell").mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    val probed = back.filter(col("cell").isin(0, 2))
+    val scan = probed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.nonEmpty)
+    assert(probed.select("cell").distinct().as[Int].collect().toSet.subsetOf(Set(0, 2)))
+  }
+
   test("dsum survives large magnitudes under ANSI mode (no silent null)") {
     val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.ansi.enabled", "true")
