@@ -78,6 +78,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach(ext.injectFunction)
 }
 
+object FingerprintExpression {
+  /** Column API for the native kernel (the HOF spec lives at
+    * [[Text.fingerprint]]).
+    */
+  def fingerprint(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      Fingerprint(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+}
+
 object GraftFunctions {
   private def descriptor(name: String, clazz: Class[_],
       builder: Seq[Expression] => Expression) =

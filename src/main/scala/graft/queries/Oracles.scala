@@ -489,6 +489,19 @@ object Oracles {
          |QUALIFY "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
 
+    // content-hash split: the q19 fingerprint expression mod 100 buckets
+    // every doc deterministically; integer counts only
+    "q35_split" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum([CAST(ord(substr(text, i, 1)) AS BIGINT) * CAST((i % 31) + 1 AS BIGINT) FOR i IN range(1, length(text) + 1)]) AS BIGINT) % 2147483647 % 100 AS h,
+         |    CAST(len($toksExpr) AS BIGINT) AS tok
+         |  FROM documents
+         |)
+         |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid' ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs, SUM(tok) AS total_tokens
+         |FROM f GROUP BY 1 ORDER BY split""".stripMargin,
+
     "q34_sessionize" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t

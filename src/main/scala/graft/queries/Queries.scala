@@ -433,6 +433,22 @@ object Queries {
       sprayCols = Seq("event_id"))
       .orderBy("event_type")
 
+  /** Deterministic content-hash corpus split (train/valid/test by
+    * fingerprint mod 100 — the stable-split primitive of a training
+    * pipeline: assignment depends only on content, not on row order,
+    * file layout, or cluster size), with per-split doc/token stats.
+    */
+  val q35Split: Q = (s, dir) => {
+    val h = pmod(graft.functions.FingerprintExpression.fingerprint(col("text")), lit(100))
+    docs(s, dir)
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "valid").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text")).cast("long")).as("total_tokens"))
+      .orderBy("split")
+  }
+
   /** Gap-based sessionization (30-min inactivity closes a session):
     * lag-flag + running sum assigns session ids per user, then one
     * aggregate per session. Same (user, time-order) clustering serves
@@ -556,5 +572,6 @@ object Queries {
     "q32_components" -> q32Components,
     "q33_setops" -> q33SetOps,
     "q34_sessionize" -> q34Sessionize,
+    "q35_split" -> q35Split,
   )
 }
