@@ -489,6 +489,39 @@ object Oracles {
          |QUALIFY "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
 
+    // per-language token-count distribution; lang-ID restated as in
+    // q18; exact interpolated percentiles (quantile_cont == Spark
+    // `percentile`'s 1+p·(n−1) definition), rounded 6dp for the
+    // last-ulp interpolation-arithmetic difference
+    "q36_profile" -> {
+      def sw(words: Seq[String]) =
+        s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+         |m AS (
+         |  SELECT CAST(len(toks) AS BIGINT) AS tok,
+         |    ${sw(Seq("the", "and", "of", "is", "to"))} AS s_en,
+         |    ${sw(Seq("der", "und", "die", "ist", "das"))} AS s_de,
+         |    ${sw(Seq("le", "la", "et", "est", "les"))} AS s_fr,
+         |    ${sw(Seq("el", "los", "y", "es", "las"))} AS s_es
+         |  FROM t
+         |),
+         |l AS (
+         |  SELECT tok,
+         |    CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+         |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |         WHEN s_fr >= s_es THEN 'fr'
+         |         ELSE 'es' END AS lang
+         |  FROM m
+         |)
+         |SELECT lang, COUNT(*) AS n_docs, MIN(tok) AS min_tok, MAX(tok) AS max_tok,
+         |  ROUND(${dsum("tok")} / COUNT(tok), 6) AS avg_tok,
+         |  ROUND(quantile_cont(tok, 0.5), 6) AS p50,
+         |  ROUND(quantile_cont(tok, 0.9), 6) AS p90,
+         |  ROUND(quantile_cont(tok, 0.99), 6) AS p99
+         |FROM l GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
     // content-hash split: the q19 fingerprint expression mod 100 buckets
     // every doc deterministically; integer counts only
     "q35_split" ->

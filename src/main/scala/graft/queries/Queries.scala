@@ -433,6 +433,27 @@ object Queries {
       sprayCols = Seq("event_id"))
       .orderBy("event_type")
 
+  /** Corpus profiling: exact token-count distribution per language
+    * (min/max/mean + interpolated p50/p90/p99). Percentile formulas
+    * match (classical 1+p·(n−1) linear interpolation on the sorted
+    * values) but the engines' interpolation arithmetic can differ in
+    * the last ulp → rounded at 6dp per the parity strategy.
+    */
+  val q36Profile: Q = (s, dir) => {
+    val base = docs(s, dir).select(
+      Text.langId(col("text")).as("lang"),
+      Text.tokenCount(col("text")).cast("long").as("tok"))
+    base.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("tok")).as("min_tok"),
+        max(col("tok")).as("max_tok"),
+        round(Exact.davg(col("tok")), 6).as("avg_tok"),
+        round(expr("percentile(tok, 0.5)"), 6).as("p50"),
+        round(expr("percentile(tok, 0.9)"), 6).as("p90"),
+        round(expr("percentile(tok, 0.99)"), 6).as("p99"))
+      .orderBy("lang")
+  }
+
   /** Deterministic content-hash corpus split (train/valid/test by
     * fingerprint mod 100 — the stable-split primitive of a training
     * pipeline: assignment depends only on content, not on row order,
@@ -573,5 +594,6 @@ object Queries {
     "q33_setops" -> q33SetOps,
     "q34_sessionize" -> q34Sessionize,
     "q35_split" -> q35Split,
+    "q36_profile" -> q36Profile,
   )
 }
