@@ -181,6 +181,8 @@ object Similarity {
 
   /** Sign-pattern LSH bucket id for a vector: bit i = sign(v·hᵢ). */
   def lshBucket(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    require(planes >= 1 && planes <= 63,
+      s"planes must be 1..63 (bucket bits in one long), got $planes")
     val hp = hyperplanes(dim, planes, seed)
     hp.zipWithIndex.map { case (h, i) =>
       val proj = aggregate(
@@ -238,7 +240,7 @@ object Similarity {
     val wProbe = Window.partitionBy("query_id").orderBy(col("_csim").desc, col("_cell"))
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-        posexplode(array(cents.map(cv => centSim(col(vecCol), cv)): _*))
+        posexplode(array(cents.toIndexedSeq.map(cv => centSim(col(vecCol), cv)): _*))
           .as(Seq("_cell", "_csim")))
       .withColumn("_rn", row_number().over(wProbe))
       .filter(col("_rn") <= nProbe)
@@ -404,6 +406,8 @@ object Similarity {
 
     val s = seeds.select(col(idCol).as("_sid"), col(vecCol).as("_sv"))
     val seedRows = s.orderBy("_sid").collect() // seed set is model-sized
+    require(seedRows.nonEmpty && seedRows.length <= 63,
+      s"seeded LSH needs 1..63 seed vectors (bucket bits in one long), got ${seedRows.length}")
     // Banded sign test: sign(exact dot) decides the bit, but the
     // decimal-exact dot only runs when the cheap double dot lies
     // within 1e-9·‖v‖·‖seed‖ of zero (≫ the ~1e-11 double-vs-exact

@@ -76,7 +76,7 @@ object Spine {
     val withDay = dayValues match {
       case None => unioned
       case Some(day) =>
-        val dayCols = day.columns.filterNot(_ == dateCol)
+        val dayCols = day.columns.toIndexedSeq.filterNot(_ == dateCol)
         unioned.drop(dayCols: _*).join(broadcast(day), Seq(dateCol), "left")
     }
     withDay.na.fill(fillDefaults)
