@@ -51,10 +51,18 @@ object Salt {
         merge.tail.map { case (n, c) => c.as(n) }: _*)
   }
 
-  /** Salted exact sum — the common case. */
+  /** Salted exact sum — the common case. The partial stays DECIMAL
+    * between the phases (casting back to double per sub-key would
+    * round each partial and drift from the single-phase sum by ulps);
+    * the merged result is bit-identical to `Exact.dsum` over the
+    * unsalted frame at any spray factor.
+    */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
-      factor: Int = 16): DataFrame =
+      factor: Int = 16, sprayCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     saltedAgg(df, keys, factor,
-      partial = Seq(graft.core.Exact.dsum(col(valueCol)) -> "_p"),
-      merge = Seq(valueCol -> graft.core.Exact.dsum(col("_p"))))
+      partial = Seq(sum(col(valueCol).cast(DecimalType(38, 6))) -> "_p"),
+      merge = Seq(valueCol -> sum(col("_p")).cast(DoubleType)),
+      sprayCols = sprayCols)
+  }
 }

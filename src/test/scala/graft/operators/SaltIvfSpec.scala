@@ -6,6 +6,20 @@ import org.apache.spark.sql.functions._
 class SaltIvfSpec extends SparkSpec {
   import spark.implicits._
 
+  test("salted sum is BIT-identical to the single-phase exact sum") {
+    // non-dyadic decimals: any double roundtrip between the phases
+    // would drift in the low bits
+    val rnd = new scala.util.Random(5)
+    val df = Seq.fill(4000)(("k" + rnd.nextInt(3),
+      math.floor(rnd.nextDouble() * 1e6) / 100)).toDF("k", "v")
+    val salted = Salt.saltedSum(df, Seq("k"), "v", factor = 16)
+      .orderBy("k").select("v").as[Double].collect().toSeq
+    val direct = df.groupBy("k").agg(graft.core.Exact.dsum($"v").as("v"))
+      .orderBy("k").select("v").as[Double].collect().toSeq
+    assert(salted.map(java.lang.Double.doubleToLongBits) ===
+      direct.map(java.lang.Double.doubleToLongBits))
+  }
+
   test("salted sum equals direct sum (hot key sprayed over sub-keys)") {
     val df = (Seq.fill(5000)(("hot", 1.5)) ++ Seq(("cold", 2.0), ("cold", 3.0)))
       .toDF("k", "v")
