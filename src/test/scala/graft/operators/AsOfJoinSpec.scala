@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.max
 
 class AsOfJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -16,6 +17,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("t1") === Some(10.0))  // quote at t=2
     assert(out("t2") === Some(11.0))  // tie (t=7) matches — inclusive
     assert(out("t3") === None)        // B has no quote ≤ 5
+  }
+
+  test("seeded random as-of ≡ naive latest-at-or-before join") {
+    val rnd = new scala.util.Random(17)
+    val trades = Seq.tabulate(300)(i => (s"s${rnd.nextInt(6)}", rnd.nextInt(500).toLong, i))
+      .toDF("sym", "t", "tid")
+    val quotes = Seq.fill(200)((s"s${rnd.nextInt(6)}", rnd.nextInt(500).toLong))
+      .zipWithIndex.map { case ((s, t), i) => (s, t, i * 1.0) }
+      .toDF("sym", "t", "px")
+      // one quote per (sym, t): the naive reference below picks max-t
+      // only, so in-tie winners must be unique to compare
+      .groupBy("sym", "t").agg(max("px").as("px"))
+    val swept = AsOfJoin.backward(trades, quotes, Seq("sym"), "t", "t", Seq("px"))
+      .select("tid", "px").as[(Int, Option[Double])].collect().toMap
+    val qs = quotes.as[(String, Long, Double)].collect()
+    val naive = trades.as[(String, Long, Int)].collect().map { case (s, t, tid) =>
+      val cand = qs.filter(q => q._1 == s && q._2 <= t)
+      tid -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3))
+    }.toMap
+    assert(swept === naive)
   }
 
   test("right rows tied on (key, time) resolve deterministically at any partitioning") {
