@@ -489,6 +489,32 @@ object Oracles {
          |QUALIFY "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
 
+    // pivot as conditional aggregation; absent (day, type) cells are 0
+    "q37_pivot" ->
+      s"""SELECT CAST(ts AS DATE) AS d,
+         |  COALESCE(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE), 0.0) AS click,
+         |  COALESCE(CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE), 0.0) AS view,
+         |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE), 0.0) AS purchase,
+         |  COALESCE(CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE), 0.0) AS error,
+         |  COALESCE(CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE), 0.0) AS signup
+         |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
+
+    // melt restated as union-of-selects over the pivoted CTE
+    "q38_unpivot" -> {
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      val piv = types.map(t =>
+        s"COALESCE(CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(38,6)) END) AS DOUBLE), 0.0) AS \"$t\"").mkString(",\n         |  ")
+      val arms = types.map(t =>
+        s"""SELECT d, '$t' AS event_type, "$t" AS total FROM wide""").mkString("\n         |UNION ALL ")
+      s"""WITH wide AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |  $piv
+         |  FROM events GROUP BY 1
+         |)
+         |$arms
+         |ORDER BY d, event_type""".stripMargin
+    },
+
     // per-language token-count distribution; lang-ID restated as in
     // q18; exact interpolated percentiles (quantile_cont == Spark
     // `percentile`'s 1+p·(n−1) definition), rounded 6dp for the

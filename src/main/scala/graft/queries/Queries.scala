@@ -433,6 +433,34 @@ object Queries {
       sprayCols = Seq("event_id"))
       .orderBy("event_type")
 
+  /** Pivot: daily exact value totals, one column per event type. The
+    * value list is EXPLICIT — `pivot(col)` without values runs an extra
+    * distinct scan of the fact table to discover them, and the column
+    * set would depend on the data (non-deterministic schema at scale).
+    */
+  val q37Pivot: Q = (s, dir) => {
+    val types = Seq("click", "view", "purchase", "error", "signup")
+    ev(s, dir).groupBy("d")
+      .pivot("event_type", types)
+      .agg(Exact.dsum(col("value")))
+      .na.fill(0.0, types)
+      .orderBy("d")
+  }
+
+  /** Unpivot (melt): wide per-day type totals back to long form —
+    * Spark's native `unpivot` (single pass, no union-of-selects scan
+    * per measure).
+    */
+  val q38Unpivot: Q = (s, dir) => {
+    val types = Seq("click", "view", "purchase", "error", "signup")
+    val wide = ev(s, dir).groupBy("d")
+      .pivot("event_type", types)
+      .agg(Exact.dsum(col("value")))
+      .na.fill(0.0, types)
+    wide.unpivot(Array(col("d")), types.map(col).toArray, "event_type", "total")
+      .orderBy("d", "event_type")
+  }
+
   /** Corpus profiling: exact token-count distribution per language
     * (min/max/mean + interpolated p50/p90/p99). Percentile formulas
     * match (classical 1+p·(n−1) linear interpolation on the sorted
@@ -595,5 +623,7 @@ object Queries {
     "q34_sessionize" -> q34Sessionize,
     "q35_split" -> q35Split,
     "q36_profile" -> q36Profile,
+    "q37_pivot" -> q37Pivot,
+    "q38_unpivot" -> q38Unpivot,
   )
 }
