@@ -6,6 +6,16 @@ import org.apache.spark.sql.functions._
 class SaltIvfSpec extends SparkSpec {
   import spark.implicits._
 
+  test("approx_count_distinct stays within its rsd bound of the exact count") {
+    val df = Seq.tabulate(20000)(i => i % 1777).toDF("v")
+    val (approx, exact) = df
+      .agg(approx_count_distinct($"v", 0.02).as("a"), countDistinct($"v").as("e"))
+      .as[(Long, Long)].head()
+    assert(exact === 1777L)
+    // HLL++ at rsd=0.02: allow 5 sigma
+    assert(math.abs(approx - exact) <= (exact * 0.1).toLong)
+  }
+
   test("salted sum is BIT-identical to the single-phase exact sum") {
     // non-dyadic decimals: any double roundtrip between the phases
     // would drift in the low bits
