@@ -39,6 +39,10 @@ object Dedup {
     * scalar to the driver, never data. For adversarially deep graphs
     * switch to large-star/small-star (same join primitive, O(log n)
     * rounds) — not needed for dedup workloads.
+    *
+    * @param reliableCheckpoint use reliable `checkpoint()` (requires
+    *        `spark.checkpoint.dir`) instead of `localCheckpoint` —
+    *        survives executor loss on long cluster runs
     */
   def components(
       vertices: DataFrame,
@@ -46,7 +50,10 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 10,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
     val edges = pairs.select(col(aCol).as("_src"), col(bCol).as("_dst"))
       .union(pairs.select(col(bCol).as("_src"), col(aCol).as("_dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -56,8 +63,7 @@ object Dedup {
     // high-diameter graphs. Checkpointing truncates the plan to a scan
     // of the materialized blocks; on a cluster with lost-executor
     // tolerance requirements use reliable checkpoint() instead.
-    var labels = vertices.select(col(idCol).as("v"), col(idCol).as("comp"))
-      .localCheckpoint(true)
+    var labels = cp(vertices.select(col(idCol).as("v"), col(idCol).as("comp")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -65,11 +71,10 @@ object Dedup {
         .join(labels.select(col("v").as("_src"), col("comp")), "_src")
         .groupBy(col("_dst").as("v"))
         .agg(min(col("comp")).as("_nmin"))
-      val next = labels
+      val next = cp(labels
         .join(neighborMin, Seq("v"), "left")
         .select(col("v"), least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"),
-          col("comp").as("_old"))
-        .localCheckpoint(true)
+          col("comp").as("_old")))
       changed = next.filter(col("comp") =!= col("_old")).count()
       labels = next.drop("_old")
       iter += 1
