@@ -134,6 +134,16 @@ class DiaryPipelineSpec extends SparkSpec {
     assert(r._4 === sqlDate("2020-01-04")) // MAX(date)
   }
 
+  test("end-to-end determinism: two independent builds agree bit-for-bit") {
+    val path = getClass.getResource("/TrainingDiary.json").getPath
+    def snapshot() = DiaryPipeline.build(spark, path)
+      .collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d).toString
+        case x => String.valueOf(x)
+      }.mkString("|")).sorted.toSeq
+    assert(snapshot() === snapshot())
+  }
+
   test("duplicate-date day entries: FIRST day wins (reference date UNIQUE + swallowed insert)") {
     val json =
       """{"days": [
