@@ -60,4 +60,37 @@ class InterpolateSpec extends SparkSpec {
     assert(out.take(10) === (0 until 10).map(_ * 10.0))
     assert(out.drop(10) === (0 until 10).map(100.0 - _ * 10.0))
   }
+
+  test("seeded random ≡ reference linear interpolation (forward limit)") {
+    val rnd = new scala.util.Random(23)
+    val n = 60
+    val days = (0 until n).map(i =>
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).plusDays(i)))
+    val sp = days.toDF("d")
+    val obsIdx = (0 until n).filter(_ => rnd.nextDouble() < 0.25)
+    val obsVal = obsIdx.map(i => i -> math.floor(rnd.nextDouble() * 1000) / 10).toMap
+    val obs = obsIdx.map(i => (days(i), obsVal(i))).toDF("d", "v")
+    val out = Interpolate.onto(sp, obs, "d", Seq("v"))
+      .orderBy("d").select("v").as[Option[Double]].collect().toSeq
+    // reference: null before first obs, exact at obs, linear between,
+    // held after last — computed independently index-by-index
+    val expected = (0 until n).map { i =>
+      val prev = obsIdx.filter(_ <= i).lastOption
+      val next = obsIdx.find(_ >= i)
+      (prev, next) match {
+        case (None, _) => None
+        case (Some(p), None) => Some(obsVal(p))
+        case (Some(p), Some(q)) if p == q => Some(obsVal(p))
+        case (Some(p), Some(q)) =>
+          Some(obsVal(p) + (obsVal(q) - obsVal(p)) * (i - p).toDouble / (q - p).toDouble)
+      }
+    }
+    out.zip(expected).zipWithIndex.foreach { case ((a, e), i) =>
+      (a, e) match {
+        case (None, None) =>
+        case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-9, s"day $i: $x vs $y")
+        case _ => fail(s"day $i: $a vs $e")
+      }
+    }
+  }
 }
