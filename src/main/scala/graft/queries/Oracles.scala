@@ -489,6 +489,39 @@ object Oracles {
          |QUALIFY "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
 
+    // stratified sample: lang as in q36, fingerprint as in q19, rank
+    // and stratum count as window functions — integer-only output
+    "q39_stratified" -> {
+      def sw(words: Seq[String]) =
+        s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(list_sum([CAST(ord(substr(text, i, 1)) AS BIGINT) * CAST((i % 31) + 1 AS BIGINT) FOR i IN range(1, length(text) + 1)]) AS BIGINT) % 2147483647 AS h,
+         |    ${sw(Seq("the", "and", "of", "is", "to"))} AS s_en,
+         |    ${sw(Seq("der", "und", "die", "ist", "das"))} AS s_de,
+         |    ${sw(Seq("le", "la", "et", "est", "les"))} AS s_fr,
+         |    ${sw(Seq("el", "los", "y", "es", "las"))} AS s_es
+         |  FROM t
+         |),
+         |l AS (
+         |  SELECT doc_id, h,
+         |    CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+         |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |         WHEN s_fr >= s_es THEN 'fr'
+         |         ELSE 'es' END AS lang
+         |  FROM m
+         |)
+         |SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM l
+         |) WHERE rn <= CEIL(n * 0.1)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // pivot as conditional aggregation; absent (day, type) cells are 0
     "q37_pivot" ->
       s"""SELECT CAST(ts AS DATE) AS d,

@@ -433,6 +433,25 @@ object Queries {
       sprayCols = Seq("event_id"))
       .orderBy("event_type")
 
+  /** Deterministic stratified sampling: 10% per language stratum,
+    * members ranked by content fingerprint — the sample is a pure
+    * function of content (stable under row order, file layout and
+    * cluster size), and every stratum contributes ceil(0.1·n) rows
+    * (proportional allocation without a count pre-pass: the window
+    * count rides the same (lang) clustering as the rank).
+    */
+  val q39Stratified: Q = (s, dir) => {
+    val base = docs(s, dir).select(col("doc_id"),
+      Text.langId(col("text")).as("lang"),
+      graft.functions.FingerprintExpression.fingerprint(col("text")).as("_h"))
+    val w = Window.partitionBy("lang").orderBy(col("_h"), col("doc_id"))
+    base.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("_rn") <= ceil(col("_n") * 0.1))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   /** Pivot: daily exact value totals, one column per event type. The
     * value list is EXPLICIT — `pivot(col)` without values runs an extra
     * distinct scan of the fact table to discover them, and the column
@@ -625,5 +644,6 @@ object Queries {
     "q36_profile" -> q36Profile,
     "q37_pivot" -> q37Pivot,
     "q38_unpivot" -> q38Unpivot,
+    "q39_stratified" -> q39Stratified,
   )
 }
