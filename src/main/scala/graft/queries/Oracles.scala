@@ -591,7 +591,7 @@ object Oracles {
          |  FROM documents
          |)
          |SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid' ELSE 'test' END AS split,
-         |  COUNT(*) AS n_docs, SUM(tok) AS total_tokens
+         |  COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
          |FROM f GROUP BY 1 ORDER BY split""".stripMargin,
 
     "q34_sessionize" ->

@@ -50,7 +50,15 @@ def main(sf_dir, out_dir):
         else:
             for c in sorted(spark.columns):
                 s, o = spark[c].reset_index(drop=True), oracle[c].reset_index(drop=True)
-                if np.issubdtype(s.dtype, np.floating) or np.issubdtype(o.dtype, np.floating):
+                # The driver hashes string renderings, so a float64 oracle vs an
+                # int64 Spark column ("2894.0" vs "2894") is a hard mismatch there
+                # even when the values are numerically equal. Mirror that.
+                s_f = np.issubdtype(s.dtype, np.floating)
+                o_f = np.issubdtype(o.dtype, np.floating)
+                if s_f != o_f:
+                    entry.setdefault("dtype_mismatch", {})[c] = f"{s.dtype}/{o.dtype}"
+                    ok = False
+                if s_f or o_f:
                     sv, ov = s.astype(float).values, o.astype(float).values
                     neq = ~((sv == ov) | (np.isnan(sv) & np.isnan(ov)))
                     if neq.any():
