@@ -21,6 +21,17 @@ import org.apache.spark.sql.types.DecimalType
   *
   * All vector math is higher-order-function `Column` expressions
   * (zip_with/aggregate) — codegen-friendly, no UDFs.
+  *
+  * Caching contract: the exact paths ([[bruteForceTopK]] with
+  * `exact = true`, [[ivfTopKSeeded]], [[lshTopKSeeded]]) persist
+  * intermediate frames (norms, the slim candidate pass) because each
+  * feeds several consumers of one returned plan. The blocks cannot be
+  * unpersisted here — the result is lazy and the final action happens
+  * at the caller — so a long-lived session issuing many such calls
+  * should `spark.catalog.clearCache()` (or unpersist via
+  * `spark.sharedState.cacheManager`) between calls once each result is
+  * materialized; otherwise cached blocks accumulate (MEMORY_AND_DISK —
+  * they spill rather than OOM, but disk fills eventually).
   */
 object Similarity {
 

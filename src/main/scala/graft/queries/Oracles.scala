@@ -187,6 +187,44 @@ object Oracles {
          |FROM day2 GROUP BY event_type, year_week
          |ORDER BY event_type, year_week""".stripMargin,
 
+    "q41_rollup_month" ->
+      s"""WITH $dailyCte,
+         |day2 AS (SELECT *, strftime(d, '%Y-%b') AS year_month FROM daily)
+         |SELECT 'Month' AS period, event_type, year_month, max(d) AS month_end,
+         |  ROUND(${dsum("tss")}, 6) AS tss,
+         |  ${dsum("tss")} / COUNT(tss) AS tss_avg
+         |FROM day2 GROUP BY event_type, year_month
+         |ORDER BY event_type, year_month""".stripMargin,
+
+    // q21's interpolation with every window PARTITION BY event_type —
+    // the keyed form; interpolation arithmetic is op-for-op the same
+    "q43_interp_keyed" ->
+      s"""WITH td AS (
+         |  SELECT CAST(ts AS DATE) AS d, event_type, ${dsum("value")} / COUNT(value) AS v
+         |  FROM events GROUP BY 1, 2
+         |),
+         |obs AS (SELECT * FROM td WHERE day(d) % 7 = 3),
+         |be AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+         |spine AS (SELECT CAST(u AS DATE) AS d FROM (SELECT unnest(generate_series((SELECT d0 FROM be), (SELECT d1 FROM be), INTERVAL 1 DAY)) AS u)),
+         |combos AS (SELECT DISTINCT event_type FROM events),
+         |grid AS (SELECT c.event_type, s.d FROM spine s CROSS JOIN combos c),
+         |j AS (SELECT g.event_type, g.d, o.v FROM grid g
+         |      LEFT JOIN obs o ON o.d = g.d AND o.event_type = g.event_type),
+         |w AS (
+         |  SELECT event_type, d, v,
+         |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+         |  FROM j
+         |)
+         |SELECT event_type, d, COALESCE(
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) * CAST(datediff('day', pd, d) AS DOUBLE) / CAST(datediff('day', pd, nd) AS DOUBLE)
+         |       WHEN pv IS NOT NULL THEN pv
+         |       ELSE NULL END, 0.0) AS v
+         |FROM w ORDER BY event_type, d""".stripMargin,
+
     "q12_join_agg" ->
       s"""SELECT n_name,
          |  ROUND(${dsum("l_extendedprice * (1.0 - l_discount)")}, 6) AS revenue,

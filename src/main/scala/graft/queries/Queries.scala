@@ -179,6 +179,42 @@ object Queries {
       .orderBy("event_type", "year_week")
   }
 
+  /** O22 month-grain rollup: same AggMethod mapping as q11 over
+    * `year_month` (reference populate_from_json.py:305-342's Month
+    * branch) — SUM for Sum columns, plain unweighted AVG for
+    * Mean/WeightedMean.
+    */
+  val q41RollupMonth: Q = (s, dir) => {
+    val day = Calendar.withCalendarAttrs(dailyTss(s, dir), "d")
+      .withColumn("tss_avg", col("tss"))
+    val specs = Seq(
+      ColSpec("tss", "tss", DoubleType, agg = AggMethod.Sum),
+      ColSpec("tss_avg", "tss_avg", DoubleType, agg = AggMethod.Mean))
+    Rollup.periodic(day, "year_month", "Month", Seq("event_type"), "d", specs)
+      .select(col("period"), col("event_type"), col("year_month"), col("d").as("month_end"),
+        round(col("tss"), 6).as("tss"), col("tss_avg"))
+      .orderBy("event_type", "year_month")
+  }
+
+  /** O20 at scale: the PARTITIONED interpolation shape — every
+    * event_type's sparse daily series interpolates independently under
+    * `Window.partitionBy(event_type)`, so at 100 TB each entity's
+    * series is a separate window partition and no executor ever holds
+    * more than one series (q21/q22 gate the reference's single-athlete
+    * `keys = Nil` case; this gates the keyed form the same operator
+    * takes for the multi-entity corpus).
+    */
+  val q43InterpKeyed: Q = (s, dir) => {
+    val daily = ev(s, dir).groupBy("d", "event_type")
+      .agg(Exact.davg(col("value")).as("v"))
+    val obs = daily.filter(dayofmonth(col("d")) % 7 === 3)
+    val spine = Spine.fromData(ev(s, dir).select("d"), "d")
+      .crossJoin(ev(s, dir).select("event_type").distinct())
+    Interpolate.onto(spine, obs, "d", Seq("v"), keys = Seq("event_type"))
+      .select(col("event_type"), col("d"), coalesce(col("v"), lit(0.0)).as("v"))
+      .orderBy("event_type", "d")
+  }
+
   /** Join + aggregation over the TPC-H-ish star schema (broadcast dim,
     * shuffle facts): revenue per nation.
     */
@@ -645,5 +681,7 @@ object Queries {
     "q37_pivot" -> q37Pivot,
     "q38_unpivot" -> q38Unpivot,
     "q39_stratified" -> q39Stratified,
+    "q41_rollup_month" -> q41RollupMonth,
+    "q43_interp_keyed" -> q43InterpKeyed,
   )
 }

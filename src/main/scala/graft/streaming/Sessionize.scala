@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** One row per (keys, session): event count, start, duration.
-    * `tsCol` must be a timestamp column.
+  /** One row per (keys, session): event count, start, last event, and
+    * duration in microseconds. `tsCol` must be a timestamp column.
     */
   def sessions(
       events: DataFrame,
@@ -32,6 +32,8 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("last_event"))
       .select(keys.map(col) :+ col("n_events") :+ col("session_start") :+
-        col("last_event"): _*)
+        col("last_event") :+
+        (unix_micros(col("last_event")) - unix_micros(col("session_start")))
+          .as("duration_us"): _*)
   }
 }

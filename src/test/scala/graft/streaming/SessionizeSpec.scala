@@ -16,11 +16,13 @@ class SessionizeSpec extends SparkSpec {
     Ev("u1", t(0)), Ev("u1", t(10)), Ev("u1", t(50)), Ev("u1", t(55)), Ev("u2", t(5)))
 
   private val expected = Set(
-    ("u1", 2L, t(0), t(10)), ("u1", 2L, t(50), t(55)), ("u2", 1L, t(5), t(5)))
+    ("u1", 2L, t(0), t(10), 600000000L),
+    ("u1", 2L, t(50), t(55), 300000000L),
+    ("u2", 1L, t(5), t(5), 0L))
 
   test("batch sessionization: 30-min gap splits sessions") {
     val out = Sessionize.sessions(evs.toDF("user", "ts"), "ts", Seq("user"))
-      .as[(String, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+      .as[(String, Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
     assert(out === expected)
   }
 
@@ -42,7 +44,7 @@ class SessionizeSpec extends SparkSpec {
       input.addData(Ev("u3", t(600)))
       q.processAllAvailable()
       val out = spark.table("sess_out")
-        .as[(String, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSet
+        .as[(String, Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
       assert(out === expected)
     } finally q.stop()
   }
