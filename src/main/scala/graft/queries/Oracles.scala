@@ -187,6 +187,18 @@ object Oracles {
          |FROM day2 GROUP BY event_type, year_week
          |ORDER BY event_type, year_week""".stripMargin,
 
+    // reads the SAME file the Spark query writes+parses (free-form SQL,
+    // not a corpus view); ignore_errors drops the planted corrupt line
+    // exactly as PERMISSIVE+quarantine excludes it
+    "q40_jsonl_roundtrip" ->
+      s"""SELECT CAST(date AS DATE) AS d, w.activity AS activity, w.km AS km, w.minutes AS minutes
+         |FROM (
+         |  SELECT date, unnest(workouts) AS w
+         |  FROM read_json('/tmp/graft_q40/diary.jsonl', format='newline_delimited', ignore_errors=true,
+         |       columns={date: 'VARCHAR', workouts: 'STRUCT(activity VARCHAR, km DOUBLE, minutes BIGINT)[]'})
+         |)
+         |ORDER BY d, activity""".stripMargin,
+
     "q41_rollup_month" ->
       s"""WITH $dailyCte,
          |day2 AS (SELECT *, strftime(d, '%Y-%b') AS year_month FROM daily)

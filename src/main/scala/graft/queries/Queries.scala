@@ -3,6 +3,7 @@ package graft.queries
 import graft.core.{AggMethod, ColSpec, Exact, Tables}
 import graft.functions.Text
 import graft.operators._
+import graft.sources.DelimitedSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -177,6 +178,49 @@ object Queries {
       .select(col("period"), col("event_type"), col("year_week"), col("d").as("week_end"),
         round(col("tss"), 6).as("tss"), col("tss_avg"))
       .orderBy("event_type", "year_week")
+  }
+
+  /** O1/O3/O5 under the driver gate: the JSON-source → explode →
+    * partitioned-parquet-sink roundtrip (reference `populate_from_json
+    * .py:111-127`'s nested diary read, the row sink, and the explicit
+    * StructType schema — DDL-as-schema). The query writes a
+    * deterministic mini-diary JSONL (including one CORRUPT line) to a
+    * fixed path, parses it PERMISSIVE through [[DelimitedSource.jsonl]]
+    * with the quarantine split, explodes the nested workouts array,
+    * sinks the result as activity-partitioned parquet, and returns the
+    * read-back — so schema projection, corrupt-row exclusion, explode
+    * semantics, and the partitioned write/read all sit under the DuckDB
+    * hash gate (`read_json(..., ignore_errors=true)` on the same file).
+    */
+  val q40JsonlRoundtrip: Q = (s, _) => {
+    val base = java.nio.file.Paths.get("/tmp/graft_q40")
+    java.nio.file.Files.createDirectories(base)
+    val lines = Seq(
+      """{"date":"2021-01-01","workouts":[{"activity":"run","km":10.5,"minutes":62},{"activity":"swim","km":1.25,"minutes":40}]}""",
+      """{"date":"2021-01-02","workouts":[]}""",
+      """{"date":"2021-01-03","workouts":[{"activity":"bike","km":40.0,"minutes":95}]}""",
+      """{"date":"2021-01-04","workouts":[{"activity":"run","km":7.25,"minutes":44}""", // truncated → quarantine
+      """{"date":"2021-01-05","workouts":[{"activity":"run","km":5.0,"minutes":30},{"activity":"bike","km":25.5,"minutes":70}]}""",
+    )
+    java.nio.file.Files.write(base.resolve("diary.jsonl"),
+      lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = StructType(Seq(
+      StructField("date", StringType),
+      StructField("workouts", ArrayType(StructType(Seq(
+        StructField("activity", StringType),
+        StructField("km", DoubleType),
+        StructField("minutes", LongType)))))))
+    val raw = DelimitedSource.jsonl(s, base.resolve("diary.jsonl").toString, schema)
+    val (clean, _) = DelimitedSource.quarantine(raw)
+    val exploded = clean
+      .select(to_date(col("date")).as("d"), explode(col("workouts")).as("w"))
+      .select(col("d"), col("w.activity").as("activity"),
+        col("w.km").as("km"), col("w.minutes").as("minutes"))
+    val outPath = base.resolve("out_parquet").toString
+    exploded.write.mode("overwrite").partitionBy("activity").parquet(outPath)
+    s.read.parquet(outPath)
+      .select("d", "activity", "km", "minutes")
+      .orderBy("d", "activity")
   }
 
   /** O22 month-grain rollup: same AggMethod mapping as q11 over
@@ -681,6 +725,7 @@ object Queries {
     "q37_pivot" -> q37Pivot,
     "q38_unpivot" -> q38Unpivot,
     "q39_stratified" -> q39Stratified,
+    "q40_jsonl_roundtrip" -> q40JsonlRoundtrip,
     "q41_rollup_month" -> q41RollupMonth,
     "q43_interp_keyed" -> q43InterpKeyed,
   )
