@@ -637,8 +637,11 @@ object Queries {
 
   /** Corpus-level near-dup clustering: LSH candidate pairs verified at
     * exact Jaccard ≥ 0.5 (q16's pair set), then connected components
-    * with min-id canonical assignment (`Dedup.components`) — "keep one
-    * document per near-dup cluster". Integer-only output; the oracle
+    * with min-id canonical assignment — "keep one document per near-dup
+    * cluster". Uses [[Dedup.componentsStar]] (alternating large-star /
+    * small-star, O(log n) rounds on any diameter — safe for adversarial
+    * boilerplate chains; the min-label `Dedup.components` variant is
+    * spec-tested equivalent). Integer-only output; the oracle
     * recomputes reachability with a recursive CTE.
     */
   val q32Components: Q = (s, dir) => {
@@ -648,7 +651,7 @@ object Queries {
       concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
     val corpus = d0.unionByName(mutated)
     val pairs = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
-    Dedup.components(corpus.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
+    Dedup.componentsStar(corpus.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
       .select(col("v").as("doc_id"), col("comp").as("canonical_id"))
       .orderBy("doc_id")
   }

@@ -73,6 +73,49 @@ class SpineDedupRollupSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("components: throws when maxIter is exhausted before convergence") {
+    val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.components(vertices, "id", pairs, "a", "b", maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("componentsStar: min-id canonical per cluster, singleton maps to self") {
+    val vertices = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.componentsStar(vertices, "id", pairs, "a", "b")
+      .orderBy("v").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L)))
+  }
+
+  test("componentsStar: seeded random graph ≡ min-label components") {
+    val rnd = new scala.util.Random(97)
+    val n = 150
+    val edges = Seq.fill(110)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val vertices = (0L until n.toLong).toDF("id")
+    val star = Dedup.componentsStar(vertices, "id", edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.components(vertices, "id", edges.toDF("a", "b"), "a", "b", maxIter = 50)
+      .as[(Long, Long)].collect().toMap
+    assert(star === prop)
+  }
+
+  test("componentsStar: 1000-vertex path converges in O(log n) rounds (min-label would need ~1000)") {
+    val n = 1000L
+    val vertices = (0L until n).toDF("id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    // maxIter = 14 is a HARD bound (componentsStar throws past it):
+    // completing under it proves the O(log n) round count on the
+    // adversarial max-diameter graph
+    val out = Dedup.componentsStar(vertices, "id", pairs, "a", "b", maxIter = 14)
+      .as[(Long, Long)].collect()
+    assert(out.length === n)
+    assert(out.forall(_._2 === 0L))
+  }
+
   test("periodic rollup: SUM cols sum, MEAN cols plain-average, BoolOr counts") {
     val day = Seq(
       ("Run", "2024-1", sqlDate("2024-01-01"), 10.0, 10.0, true),
