@@ -21,6 +21,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Leave a dir with the error but NO parquet: the oracle compare
+        // then sees an empty result and fails the query LOUDLY, instead
+        // of the query silently vanishing from the correctness snapshot
+        // (round 4 lost q32 that way).
+        val d = Paths.get(outDir, name)
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("ERROR.txt"), String.valueOf(e))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -15,14 +15,26 @@ import org.apache.spark.sql.functions._
   */
 object Calendar {
 
+  // English abbreviations rendered by indexing fixed arrays instead of
+  // date_format pattern letters: locale-PROOF (pattern rendering can
+  // follow the JVM default locale, and the DuckDB oracle's strftime
+  // %b/%a is always English) and still pure codegen'd Catalyst.
+  private val MonthNames: Column = array(Seq(
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec").map(lit): _*)
+  private val DowNames: Column = array(Seq(
+    "Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat").map(lit): _*)
+
   def yearWeek(d: Column): Column =
     concat(date_part(lit("YEAROFWEEK"), d), lit("-"), weekofyear(d))
 
-  def yearMonth(d: Column): Column = date_format(d, "yyyy-MMM")
+  def yearMonth(d: Column): Column =
+    concat(year(d), lit("-"), monthAbbrev(d))
 
-  def dayOfWeek(d: Column): Column = date_format(d, "EEE")
+  /** dayofweek() is 1=Sunday..7=Saturday. */
+  def dayOfWeek(d: Column): Column = element_at(DowNames, dayofweek(d))
 
-  def monthAbbrev(d: Column): Column = date_format(d, "MMM")
+  def monthAbbrev(d: Column): Column = element_at(MonthNames, month(d))
 
   /** Adds the four calendar columns the reference stores on every fact
     * row (populate_from_json.py:463-470).

@@ -115,9 +115,13 @@ object Dedup {
     * component).
     *
     * Convergence is detected from a per-round edge-set fingerprint
-    * (count + sum of xxhash64(u, v) — one scalar row to the driver per
-    * round); the star fixed point is reached when a full round leaves
-    * the fingerprint unchanged. maxIter is a backstop only: 60 rounds
+    * (count + bit_xor of xxhash64(u, v) — one scalar row to the driver
+    * per round); the star fixed point is reached when a full round
+    * leaves the fingerprint unchanged. XOR is order-independent and
+    * CANNOT overflow (a sum of hashes overflows LongType and throws
+    * under ANSI mode), and XOR-cancellation is safe because the edge
+    * set is `distinct()` each round — no value appears twice.
+    * maxIter is a backstop only: 60 rounds
     * covers any graph that fits in 2⁶⁰ edges (the paper's bound is
     * O(log n) with small constants; the 1000-vertex path converges in
     * ~6 rounds — spec-tested).
@@ -161,7 +165,7 @@ object Dedup {
     def fingerprint(edges: DataFrame): (Long, Long) = {
       val r = edges.agg(
         count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()
       (r.getLong(0), r.getLong(1))
     }
 

@@ -187,17 +187,29 @@ object Oracles {
          |FROM day2 GROUP BY event_type, year_week
          |ORDER BY event_type, year_week""".stripMargin,
 
-    // reads the SAME file the Spark query writes+parses (free-form SQL,
-    // not a corpus view); ignore_errors drops the planted corrupt line
-    // exactly as PERMISSIVE+quarantine excludes it
-    "q40_jsonl_roundtrip" ->
-      s"""SELECT CAST(date AS DATE) AS d, w.activity AS activity, w.km AS km, w.minutes AS minutes
-         |FROM (
-         |  SELECT date, unnest(workouts) AS w
-         |  FROM read_json('/tmp/graft_q40/diary.jsonl', format='newline_delimited', ignore_errors=true,
-         |       columns={date: 'VARCHAR', workouts: 'STRUCT(activity VARCHAR, km DOUBLE, minutes BIGINT)[]'})
-         |)
-         |ORDER BY d, activity""".stripMargin,
+    // SELF-CONTAINED twin of the Spark JSONL roundtrip: the same
+    // fixture lines are inlined as VALUES (no dependency on any file
+    // the Spark query wrote — oracle-only reruns and concurrent runs
+    // are safe). json_valid drops the planted corrupt line exactly as
+    // PERMISSIVE+quarantine excludes it; json_transform applies the
+    // same explicit schema the Spark source declares.
+    "q40_jsonl_roundtrip" -> {
+      val values = Fixtures.q40DiaryLines
+        .map(l => "    ('" + l.replace("'", "''") + "')")
+        .mkString(",\n")
+      s"""WITH raw(line) AS (VALUES
+         |$values
+         |),
+         |rec AS (
+         |  SELECT json_transform(line,
+         |    '{"date":"VARCHAR","workouts":[{"activity":"VARCHAR","km":"DOUBLE","minutes":"BIGINT"}]}') AS r
+         |  FROM raw WHERE json_valid(line)
+         |),
+         |x AS (SELECT CAST(r."date" AS DATE) AS d, unnest(r.workouts) AS w FROM rec)
+         |SELECT d, w.activity AS activity, w.km AS km, w.minutes AS minutes
+         |FROM x
+         |ORDER BY d, activity""".stripMargin
+    },
 
     "q41_rollup_month" ->
       s"""WITH $dailyCte,

@@ -23,6 +23,24 @@ import org.apache.spark.sql.types._
   * DuckDB) never `bround` in oracle-facing queries; int-rounding uses
   * floor(x+0.5) which is pure binary IEEE arithmetic on both engines.
   */
+/** Fixture data shared between a Spark query and its DuckDB oracle so
+  * neither side depends on an artifact the other produced (the oracle
+  * inlines these lines as VALUES; the Spark query writes them to a
+  * per-run temp file and reads them back through the JSON source).
+  */
+object Fixtures {
+  /** Mini diary JSONL for q40 — line 4 is deliberately truncated JSON
+    * to exercise the PERMISSIVE quarantine path.
+    */
+  val q40DiaryLines: Seq[String] = Seq(
+    """{"date":"2021-01-01","workouts":[{"activity":"run","km":10.5,"minutes":62},{"activity":"swim","km":1.25,"minutes":40}]}""",
+    """{"date":"2021-01-02","workouts":[]}""",
+    """{"date":"2021-01-03","workouts":[{"activity":"bike","km":40.0,"minutes":95}]}""",
+    """{"date":"2021-01-04","workouts":[{"activity":"run","km":7.25,"minutes":44}""", // truncated → quarantine
+    """{"date":"2021-01-05","workouts":[{"activity":"run","km":5.0,"minutes":30},{"activity":"bike","km":25.5,"minutes":70}]}""",
+  )
+}
+
 object Queries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -190,18 +208,15 @@ object Queries {
     * sinks the result as activity-partitioned parquet, and returns the
     * read-back — so schema projection, corrupt-row exclusion, explode
     * semantics, and the partitioned write/read all sit under the DuckDB
-    * hash gate (`read_json(..., ignore_errors=true)` on the same file).
+    * hash gate. The oracle does NOT read this file: it inlines the same
+    * [[Fixtures.q40DiaryLines]] as VALUES (json_valid + json_transform),
+    * so there is no Spark-before-oracle ordering dependency; the file
+    * lives in a per-run unique temp dir, so concurrent runs can't race.
     */
   val q40JsonlRoundtrip: Q = (s, _) => {
-    val base = java.nio.file.Paths.get("/tmp/graft_q40")
-    java.nio.file.Files.createDirectories(base)
-    val lines = Seq(
-      """{"date":"2021-01-01","workouts":[{"activity":"run","km":10.5,"minutes":62},{"activity":"swim","km":1.25,"minutes":40}]}""",
-      """{"date":"2021-01-02","workouts":[]}""",
-      """{"date":"2021-01-03","workouts":[{"activity":"bike","km":40.0,"minutes":95}]}""",
-      """{"date":"2021-01-04","workouts":[{"activity":"run","km":7.25,"minutes":44}""", // truncated → quarantine
-      """{"date":"2021-01-05","workouts":[{"activity":"run","km":5.0,"minutes":30},{"activity":"bike","km":25.5,"minutes":70}]}""",
-    )
+    val base = java.nio.file.Files.createTempDirectory("graft_q40_")
+    base.toFile.deleteOnExit()
+    val lines = Fixtures.q40DiaryLines
     java.nio.file.Files.write(base.resolve("diary.jsonl"),
       lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val schema = StructType(Seq(

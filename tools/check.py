@@ -82,6 +82,11 @@ def main(sf_dir, out_dir):
                         ok = False
         entry["ok"] = ok
         results[name] = entry
+    # A registered oracle with no result dir means the Spark query never
+    # produced output (crashed before write) — fail loudly, don't omit.
+    for name in oracles:
+        if name not in results:
+            results[name] = {"check": "missing-result", "ok": False}
     n_ok = sum(1 for r in results.values() if r.get("ok"))
     print(json.dumps(results, indent=1, default=str))
     print(f"\n{n_ok}/{len(results)} ok")
