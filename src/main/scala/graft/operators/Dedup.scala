@@ -195,6 +195,52 @@ object Dedup {
       .select(col("v"), coalesce(col("_root"), col("v")).as("comp"))
   }
 
+  /** SUBSTRING-level exact dedup (training-data dedup à la Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better":
+    * find document pairs sharing an exact run of ≥ `windowTokens`
+    * tokens). Token-window inverted index: every document emits its
+    * distinct `windowTokens`-gram windows (reuses [[NearDup.shingles]]),
+    * windows are hashed to 8-byte keys, and pairs fall out of a
+    * self-equi-join on the window hash. Returns (id_a < id_b,
+    * shared_windows) — a shared contiguous span of L tokens shows up as
+    * L − windowTokens + 1 shared windows, so `shared_windows` is a
+    * direct proxy for overlap length.
+    *
+    * 100 TB shape: the join key is an 8-byte hash (not the ~10·W-byte
+    * window string), and BOILERPLATE windows — the classic quadratic
+    * hazard (a license header shared by 10⁶ docs would emit 10¹² pairs)
+    * — are dropped by the document-frequency cap: only windows with
+    * 2 ≤ df ≤ `maxDf` generate pairs, bounding per-bucket fan-out at
+    * maxDf². The df count and the self-join share the window-hash
+    * clustering, so the cap costs no extra exchange. Hash collisions
+    * (two distinct windows with equal xxhash64) are the price of the
+    * 8-byte key: P ≈ (#windows)²/2⁶⁵ — negligible (same argument as
+    * the LSH band hash, Oracles.scala header).
+    *
+    * Documents shorter than `windowTokens` contribute their whole text
+    * as one window ([[NearDup.shingles]] semantics) — short exact
+    * duplicates still pair up.
+    */
+  def substringWindowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      maxDf: Int): DataFrame = {
+    val kept = df
+      .select(col(idCol).as("_id"),
+        explode(NearDup.shingles(col(textCol), windowTokens)).as("_win"))
+      .select(col("_id"), xxhash64(col("_win")).as("_wh"))
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy("_wh")))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .select("_id", "_wh")
+    kept.select(col("_id").as("id_a"), col("_wh"))
+      .join(kept.select(col("_id").as("id_b"), col("_wh")), Seq("_wh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
   /** Exact content dedup by hash (LLM-pipeline): one row per distinct
     * `sha2(contentCol)`, first by `order`. The hash groupBy shuffles on
     * the 64-hex digest — uniformly distributed, so no skew at 100 TB;

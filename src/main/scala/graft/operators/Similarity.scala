@@ -379,6 +379,90 @@ object Similarity {
     cents
   }
 
+  /** ORACLE-PARITY Lloyd's k-means: same contract as
+    * [[kmeansCentroids]] (init = k lowest-id vectors, squared-euclidean
+    * assignment with ties to the lowest cell, empty cells keep their
+    * centroid) but every step is engine-reproducible:
+    *  - distances quantize each (xᵢ−cᵢ)² term to DECIMAL(18,12) and
+    *    exact-sum (order-independent, bit-identical in DuckDB —
+    *    the [[dotExact]] strategy). Squares are TIE-FREE under the
+    *    scale-12 cast: a decimal-cast tie requires the value to be
+    *    odd/2¹³ exactly, and a square's dyadic denominator has an even
+    *    exponent — so Spark's HALF_UP and DuckDB's HALF_EVEN casts
+    *    always agree here (raw float VALUES can tie — 1625/2¹³ does in
+    *    this corpus — which is why the means below avoid decimal);
+    *  - cell means exact-sum the values as 2⁴³-scaled longs (float
+    *    inputs with |x| < 2²⁰·ulp are exact multiples of 2⁻⁴³, checked
+    *    per value — violations throw rather than silently drift) and
+    *    divide as doubles, so the trained centroids are bit-identical
+    *    at any parallelism and across engines. Long-sum headroom:
+    *    |Σ| < n·2⁴³, fine through ~10⁶-vector training samples — the
+    *    standard IVF recipe (train on a sample, assign the full corpus
+    *    with the cheap double path).
+    * Per-iteration cost is k×dim decimal ops per row. Use
+    * [[kmeansCentroids]] when cross-engine bit parity of the model
+    * itself is not required.
+    */
+  def kmeansCentroidsExact(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): Array[Array[Double]] = {
+
+    val scale = 8796093022208.0 // 2^43
+    var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      // Argmin via posexplode + min(struct(dist, cell)) — NOT a
+      // when()-reduce: lambda (HOF) expressions are excluded from
+      // subexpression elimination, so a pairwise reduce would inline
+      // each decimal distance up to 2^k times (measured ~100× blowup).
+      // The array() constructor evaluates each distance exactly once;
+      // min over struct(dist, cell) breaks ties to the LOWEST cell.
+      val dists = cents.map(c => distExactDecimal(col(vecCol), c))
+      val assigned = corpus
+        .select(col(idCol).as("_vid"), col(vecCol).as("_v"),
+          posexplode(array(dists.toIndexedSeq: _*)).as(Seq("_cellc", "_dist")))
+        .groupBy("_vid")
+        .agg(min(struct(col("_dist").as("_d"), col("_cellc").as("_c"))).as("_m"),
+          first(col("_v")).as("_v"))
+        .select(col("_m._c").as("_cell"), posexplode(col("_v")).as(Seq("_p", "_x")))
+      val scaled = col("_x").cast("double") * scale
+      val means = assigned.groupBy("_cell", "_p")
+        .agg(
+          (sum(floor(scaled).cast("long")).cast("double") / scale /
+            count(lit(1))).as("_m"),
+          max(when(scaled =!= floor(scaled), 1L).otherwise(0L)).as("_frac"))
+        .collect()
+      require(means.forall(_.getAs[Long]("_frac") == 0L),
+        "kmeansCentroidsExact: input vectors are not exact multiples of " +
+          "2^-43 — the integer-scaled exact mean would truncate. Use " +
+          "kmeansCentroids (plain double means) for this data.")
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("_cell"))(r.getAs[Int]("_p")) = r.getAs[Double]("_m")
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** Decimal-exact squared euclidean distance to a fixed centroid:
+    * per-term quantization at scale 12 makes the value identical on any
+    * engine ([[dotExact]] strategy; squares cannot tie at the cast —
+    * even dyadic exponent — so HALF_UP vs HALF_EVEN never diverges).
+    */
+  private def distExactDecimal(vec: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, lit(c), (x, w) => {
+        val t = x.cast("double") - w
+        (t * t).cast(DecimalType(18, 12))
+      }),
+      lit(BigDecimal(0)).cast(DecimalType(28, 12)),
+      (s, v) => (s + v).cast(DecimalType(28, 12)))
+
   /** Cell assignment for writing the IVF index as a partitioned layout
     * (`df.withColumn("cell", cellOf(...)).write.partitionBy("cell")`) —
     * a probe then reads only its nProbe partition directories.

@@ -211,6 +211,74 @@ object Oracles {
          |ORDER BY d, activity""".stripMargin
     },
 
+    // inverted index over raw 20-token window STRINGS (the Spark side
+    // joins on xxhash64 of the window — identical pair set unless a
+    // 64-bit collision, P ≈ (#windows)²/2⁶⁵); df-cap 2..16 mirrored
+    "q42_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |w AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([array_to_string(toks[i:i+19], ' ') FOR i IN range(1, greatest(len(toks) - 19, 1) + 1)])) AS win
+         |  FROM t
+         |),
+         |df AS (SELECT win, count(*) AS c FROM w GROUP BY win),
+         |keep AS (SELECT w.doc_id, w.win FROM w JOIN df USING (win) WHERE df.c BETWEEN 2 AND 16)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_windows
+         |FROM keep a JOIN keep b ON a.win = b.win AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+
+    // two UNROLLED exact Lloyd's iterations (k=8, dim=64): init = 8
+    // lowest-id vectors; assignment = argmin of the per-term-quantized
+    // squared distance (ties → lowest cell, the ORDER BY dist, cell
+    // below ≡ Spark's left-associative <= reduce; squares are tie-free
+    // under the scale-12 cast — even dyadic exponent — so HALF_UP vs
+    // HALF_EVEN never diverges); means = 2^43-integer-scaled exact
+    // sums divided as doubles (raw float values CAN tie at scale 12 —
+    // 1625/2^13 does — so no decimal cast of raw values); empty cells
+    // keep their centroid (the COALESCE) — bit-for-bit the
+    // kmeansCentroidsExact recurrence
+    "q44_kmeans_train" -> {
+      val dist = (c: String) =>
+        s"list_sum([CAST((v.e[i] - $c.c[i]) * (v.e[i] - $c.c[i]) AS DECIMAL(18,12)) FOR i IN range(1, 65)])"
+      def iter(aN: String, mN: String, cPrev: String, cN: String) =
+        s"""$aN AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT v.vec_id, $cPrev.cell,
+           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist(cPrev)}, $cPrev.cell) AS rn
+           |    FROM v CROSS JOIN $cPrev
+           |  ) WHERE rn = 1
+           |),
+           |$mN AS (
+           |  SELECT $aN.cell, p.i AS pos,
+           |    CAST(SUM(CAST(floor(v.e[p.i] * 8796093022208.0) AS BIGINT)) AS DOUBLE) / 8796093022208.0 / COUNT(*) AS m
+           |  FROM $aN JOIN v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) p
+           |  GROUP BY $aN.cell, p.i
+           |),
+           |$cN AS (
+           |  SELECT $cPrev.cell, coalesce(mm.c, $cPrev.c) AS c
+           |  FROM $cPrev LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c FROM $mN GROUP BY cell) mm USING (cell)
+           |)""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+         |),
+         |c0 AS (
+         |  SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cell, e AS c
+         |  FROM (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+         |        FROM embeddings ORDER BY vec_id LIMIT 8)
+         |),
+         |${iter("a1", "m1", "c0", "c1")},
+         |${iter("a2", "m2", "c1", "c2")}
+         |SELECT cell, i - 1 AS pos, c2.c[i] AS c
+         |FROM c2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) u
+         |ORDER BY cell, pos""".stripMargin
+    },
+
+    // the oracle asserts the EXACT distinct count and that the Spark
+    // side's merged-HLL estimate landed within the ±5% bound (TRUE)
+    "q45_hll_distinct" ->
+      s"""SELECT lang, COUNT(DISTINCT text) AS exact_distinct, TRUE AS within_bounds
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q41_rollup_month" ->
       s"""WITH $dailyCte,
          |day2 AS (SELECT *, strftime(d, '%Y-%b') AS year_month FROM daily)

@@ -703,6 +703,61 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Substring-level exact dedup ([[Dedup.substringWindowPairs]]):
+    * document pairs sharing an exact 20-token window (the corpus's
+    * docs average ~54 tokens, so W=20 plays the role the 50-token
+    * window plays on multi-KB web documents), boilerplate capped at
+    * df ≤ 16. The oracle rebuilds the inverted index with DuckDB list
+    * ops on the raw window STRINGS — so the Spark side's 8-byte
+    * hash-key optimization is itself under the gate (any hash
+    * collision would change the pair set and fail the hash compare).
+    */
+  val q42SubstringDedup: Q = (s, dir) =>
+    Dedup.substringWindowPairs(docs(s, dir), "doc_id", "text",
+        windowTokens = 20, maxDf = 16)
+      .orderBy("id_a", "id_b")
+
+  /** Trained IVF: [[Similarity.kmeansCentroidsExact]] — 2 Lloyd's
+    * iterations, k=8, init = the 8 lowest-id vectors — emitted as
+    * (cell, pos, c) rows. Every arithmetic step is decimal-exact, so
+    * the DuckDB oracle unrolls the same two iterations symbolically
+    * and the trained model matches BIT-FOR-BIT. Wrong assignment of
+    * any single vector would shift a mean and fail the hash gate, so
+    * the assignment step is transitively gated too.
+    */
+  val q44KmeansTrain: Q = (s, dir) => {
+    import s.implicits._
+    val cents = Similarity.kmeansCentroidsExact(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 2)
+    cents.zipWithIndex.flatMap { case (cv, cell) =>
+      cv.zipWithIndex.map { case (x, pos) => (cell.toLong, pos.toLong, x) }
+    }.toSeq.toDF("cell", "pos", "c").orderBy("cell", "pos")
+  }
+
+  /** Mergeable-sketch distinct counting: per-(lang, source) HLL
+    * sketches (Datasketches `hll_sketch_agg`) are UNION-merged per
+    * lang and estimated — the 100 TB shape, where each shard/partition
+    * ships a fixed-size sketch instead of its raw values and the
+    * merge is associative. Gated against the exact distinct count:
+    * `within_bounds` asserts the estimate lands within ±5% (HLL
+    * lgK=12 rsd ≈ 1.6%, and at these cardinalities the sketch is in
+    * exact mode), and the oracle expects TRUE — a wrong sketch merge
+    * or estimate fails the hash compare.
+    */
+  val q45HllDistinct: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val perSource = d.groupBy("lang", "source")
+      .agg(hll_sketch_agg(col("text")).as("_sk"))
+    val merged = perSource.groupBy("lang")
+      .agg(hll_sketch_estimate(hll_union_agg(col("_sk"))).as("_approx"))
+    val exact = d.groupBy("lang").agg(countDistinct(col("text")).as("exact_distinct"))
+    exact.join(merged, Seq("lang"))
+      .select(col("lang"), col("exact_distinct"),
+        (abs(col("_approx") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).as("within_bounds"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -745,6 +800,9 @@ object Queries {
     "q39_stratified" -> q39Stratified,
     "q40_jsonl_roundtrip" -> q40JsonlRoundtrip,
     "q41_rollup_month" -> q41RollupMonth,
+    "q42_substring_dedup" -> q42SubstringDedup,
     "q43_interp_keyed" -> q43InterpKeyed,
+    "q44_kmeans_train" -> q44KmeansTrain,
+    "q45_hll_distinct" -> q45HllDistinct,
   )
 }

@@ -127,6 +127,28 @@ class NearDupSimilaritySpec extends SparkSpec {
     assert(res === Set((0L, 1), (11L, 2)))
   }
 
+  test("kmeansCentroidsExact: matches plain kmeans on separated clusters, exact means") {
+    // values are multiples of 2^-43 (small integers), so the exact path
+    // accepts them; cluster means are exactly representable
+    val pts = Seq(
+      (0L, Array(10f, 0f)), (2L, Array(11f, 0f)), (3L, Array(9f, 0f)),
+      (1L, Array(0f, 10f)), (4L, Array(0f, 11f)), (5L, Array(0f, 9f)),
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroidsExact(pts, "vec_id", "embedding", k = 2, iters = 3)
+    assert(cents(0).toSeq === Seq(10.0, 0.0))
+    assert(cents(1).toSeq === Seq(0.0, 10.0))
+  }
+
+  test("kmeansCentroidsExact: throws loudly on sub-2^-43 granularity input") {
+    // 1e-10f is not a multiple of 2^-43 (its float ulp is ~2^-56), so
+    // the integer-scaled exact mean cannot represent it
+    val pts = Seq((0L, Array(1e-10f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.kmeansCentroidsExact(pts, "vec_id", "embedding", k = 2, iters = 1)
+    }
+    assert(e.getMessage.contains("2^-43"))
+  }
+
   test("ivfTopK accepts kmeans-trained centroids") {
     val emb = Seq(
       (0L, Array(10f, 0f)), (1L, Array(0f, 10f)),

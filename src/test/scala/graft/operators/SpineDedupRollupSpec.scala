@@ -38,6 +38,35 @@ class SpineDedupRollupSpec extends SparkSpec {
     assert(out === Seq(1, 3))
   }
 
+  test("substringWindowPairs: shared token window pairs up, boilerplate df-cap drops") {
+    // docs 1/2 share the exact 4-token run "w x y z" (span 5 tokens →
+    // 5-4+1 = 2 shared 4-gram windows); docs 10..13 all share a
+    // "boilerplate" window (df=4 > maxDf=3) → no pairs from it; doc 20
+    // shares nothing
+    val df = Seq(
+      (1L, "a b w x y z q"),
+      (2L, "c d w x y z q"),
+      (10L, "common header line one"), (11L, "common header line two"),
+      (12L, "common header line three"), (13L, "common header line four"),
+      (20L, "totally unrelated text here"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringWindowPairs(df, "doc_id", "text",
+        windowTokens = 4, maxDf = 3)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    // "w x y z q" span: windows "w x y z", "x y z q" → shared_windows=2
+    assert(out === Seq((1L, 2L, 2L)))
+  }
+
+  test("substringWindowPairs: docs shorter than the window pair only on exact equality") {
+    val df = Seq(
+      (1L, "tiny doc"), (2L, "tiny doc"), (3L, "tiny dog"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringWindowPairs(df, "doc_id", "text",
+        windowTokens = 50, maxDf = 16)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L, 1L)))
+  }
+
   test("components: min-id canonical per cluster, chain needs >1 round, singleton maps to self") {
     // chain 1-2-3 (diameter 2 forces label propagation through rounds),
     // pair 10-11, singleton 20
