@@ -241,6 +241,41 @@ object Dedup {
       .agg(count(lit(1)).as("shared_windows"))
   }
 
+  /** Benchmark-contamination scan (Brown et al. 2020 App. C / GPT-3
+    * style n-gram overlap): flag corpus documents that contain any
+    * exact `windowTokens`-token window occurring in a benchmark/eval
+    * set. Returns (`idCol`, contaminated_windows = distinct matching
+    * windows) for contaminated documents only.
+    *
+    * 100 TB shape: eval benchmarks are model-sized (MBs), so the
+    * distinct benchmark window-hash set BROADCASTS — the corpus pass
+    * is a map-side semi-join (no shuffle of corpus windows against
+    * the benchmark), followed by one partial-aggregated groupBy on
+    * the contaminated subset, which is tiny by construction. Windows
+    * are compared via 8-byte xxhash64 keys (collision argument as in
+    * [[substringWindowPairs]]).
+    */
+  def contamination(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      windowTokens: Int): DataFrame = {
+    val benchWins = benchmark
+      .select(explode(NearDup.shingles(col(benchTextCol), windowTokens)).as("_win"))
+      .select(xxhash64(col("_win")).as("_wh"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(NearDup.shingles(col(textCol), windowTokens)).as("_win"))
+      .select(col(idCol), xxhash64(col("_win")).as("_wh"))
+      .join(broadcast(benchWins), Seq("_wh"), "left_semi")
+      .groupBy(idCol)
+      // shingles are distinct per document, so a plain count IS the
+      // distinct-window count — no count_distinct expand needed
+      .agg(count(lit(1)).as("contaminated_windows"))
+  }
+
   /** Exact content dedup by hash (LLM-pipeline): one row per distinct
     * `sha2(contentCol)`, first by `order`. The hash groupBy shuffles on
     * the 64-hex digest — uniformly distributed, so no skew at 100 TB;

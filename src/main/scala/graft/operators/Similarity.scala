@@ -379,6 +379,72 @@ object Similarity {
     cents
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus into |seeds| cells (argmax
+    * exact cosine to the seed vectors — at 100 TB the seeds come from
+    * [[kmeansCentroids]] on a sample), then WITHIN each cell drop
+    * every vector that has a smaller-id cell-mate with cosine ≥
+    * `threshold`. Returns (`idCol`, cell, is_kept) for the whole
+    * corpus — survivors are the `is_kept` rows.
+    *
+    * Scale shape: seeds broadcast (model-sized); assignment is the
+    * epsilon-banded exact-argmax from [[ivfTopKSeeded]] (fast double
+    * cosine ranks all |C|×|seeds| rows, decimal work only within 1e-9
+    * of each row's max); the pair pass is a self-equi-join ON THE CELL
+    * KEY — candidate volume ∝ Σ|cell|², never |C|², with hot cells
+    * split by AQE. The similarity threshold runs double-prefiltered at
+    * `threshold`−1e-6, decimal-exact on survivors (q26 pattern: the
+    * two differ by ≤ ~1e-11, so no qualifying pair can be lost).
+    */
+  def semDedup(
+      corpus: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+
+    val s = seeds.select(col(idCol).as("_cell"), col(vecCol).as("_sv"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_sn"))
+    val cN = corpus.select(col(idCol), col(vecCol).as("_cv"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val fastSeedSim = when(col("_cn") * col("_sn") > 0,
+      dot(col("_cv"), col("_sv")) / (col("_cn") * col("_sn"))).otherwise(0.0)
+    val exactSeedSim = when(col("_cn") * col("_sn") > 0,
+      dotExact(col("_cv"), col("_sv")) / (col("_cn") * col("_sn"))).otherwise(0.0)
+    val assign = cN.join(broadcast(s), lit(true))
+      .withColumn("_fsim", fastSeedSim)
+      .withColumn("_fmax", max(col("_fsim")).over(Window.partitionBy(idCol)))
+      .filter(col("_fsim") >= col("_fmax") - 1e-9)
+      .withColumn("_csim", exactSeedSim)
+      .groupBy(idCol)
+      .agg(max(struct(col("_csim").as("_s"), (-col("_cell")).as("_negc"))).as("_m"))
+      .select(col(idCol), (-col("_m._negc")).as("cell"))
+
+    // both sides of the cell self-join read this — materialize once
+    val withCell = cN.join(assign, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = withCell.select(col(idCol).as("_ida"), col("cell"),
+      col("_cv").as("_va"), col("_cn").as("_na"))
+    val b = withCell.select(col(idCol).as("_idb"), col("cell"),
+      col("_cv").as("_vb"), col("_cn").as("_nb"))
+    val den = col("_na") * col("_nb")
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("_ida") < col("_idb"))
+      .withColumn("_fast", when(den > 0, dot(col("_va"), col("_vb")) / den).otherwise(0.0))
+      .filter(col("_fast") >= threshold - 1e-6)
+      .withColumn("_sim", when(den > 0, dotExact(col("_va"), col("_vb")) / den).otherwise(0.0))
+      .filter(col("_sim") >= threshold)
+      .select(col("_idb").as(idCol)).distinct()
+      .withColumn("_dropped", lit(true))
+
+    withCell.select(col(idCol), col("cell"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("_dropped").isNull.as("is_kept"))
+  }
+
   /** ORACLE-PARITY Lloyd's k-means: same contract as
     * [[kmeansCentroids]] (init = k lowest-id vectors, squared-euclidean
     * assignment with ties to the lowest cell, empty cells keep their

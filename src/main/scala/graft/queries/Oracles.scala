@@ -67,6 +67,13 @@ object Oracles {
 
   private val kExpr = "CAST(props->>'$.k' AS BIGINT)"
 
+  /** Decimal-exact dot product over two list columns (the
+    * [[graft.operators.Similarity.dotExact]] twin — q26/q29/q20
+    * pattern).
+    */
+  private def dotX(a: String, b: String) =
+    s"CAST(list_sum([CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len($a) + 1)]) AS DOUBLE)"
+
   val all: Map[String, String] = Map(
 
     "q01_catalog" ->
@@ -802,5 +809,96 @@ object Oracles {
     "q30_salted" ->
       s"""SELECT event_type, ${dsum("value")} AS total
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // contamination scan over raw 10-token window STRINGS (the Spark
+    // side semi-joins on xxhash64 of the window — q42 collision
+    // argument); windows are distinct per doc, so count(*) IS the
+    // distinct-window count
+    "q46_contamination" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
+         |),
+         |w AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([array_to_string(toks[i:i+9], ' ') FOR i IN range(1, greatest(len(toks) - 9, 1) + 1)])) AS win
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM corpus)
+         |),
+         |bench AS (
+         |  SELECT DISTINCT
+         |    unnest(list_distinct([array_to_string(toks[i:i+9], ' ') FOR i IN range(1, greatest(len(toks) - 9, 1) + 1)])) AS win
+         |  FROM (SELECT $toksExpr AS toks FROM documents WHERE doc_id % 50 = 0)
+         |)
+         |SELECT w.doc_id, count(*) AS contaminated_windows
+         |FROM w JOIN bench USING (win)
+         |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup: cell assignment = argmax exact cosine to the 8 seed
+    // vectors (ties → lowest cell — q29's assignment recurrence);
+    // dropped = has a smaller-id cell-mate at exact cosine ≥ 0.4
+    "q47_semdedup" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotX("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |),
+         |s AS (SELECT vec_id AS cell, embedding AS sv, nrm AS sn FROM n WHERE vec_id < 8),
+         |cs AS (
+         |  SELECT v.vec_id, s.cell,
+         |    CASE WHEN v.nrm * s.sn > 0 THEN ${dotX("v.embedding", "s.sv")} / (v.nrm * s.sn)
+         |    ELSE 0.0 END AS csim
+         |  FROM n v CROSS JOIN s
+         |),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM cs) WHERE rn = 1
+         |),
+         |w AS (SELECT a.vec_id, a.cell, n.embedding, n.nrm FROM assign a JOIN n USING (vec_id)),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM w a JOIN w b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE CASE WHEN a.nrm * b.nrm > 0 THEN ${dotX("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+         |    ELSE 0.0 END >= 0.4
+         |)
+         |SELECT w.vec_id, w.cell, (d.vec_id IS NULL) AS is_kept
+         |FROM w LEFT JOIN dropped d ON d.vec_id = w.vec_id
+         |ORDER BY w.vec_id""".stripMargin,
+
+    // q32's reachability clustering, taken to the deliverable: keep
+    // the MIN-id doc per component, with cluster size and the
+    // survivor's token count
+    "q49_dedup_e2e" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
+         |),
+         |${shingleCte("corpus")},
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  ) WHERE jaccard >= 0.5
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |),
+         |reach(v, m) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.v
+         |),
+         |labels AS (SELECT v AS doc_id, MIN(m) AS canonical_id FROM reach GROUP BY v),
+         |surv AS (SELECT canonical_id AS doc_id, COUNT(*) AS cluster_size FROM labels GROUP BY canonical_id)
+         |SELECT s.doc_id, s.cluster_size,
+         |  len(list_filter(string_split(c.text, ' '), x -> len(x) > 0)) AS token_count
+         |FROM surv s JOIN corpus c ON c.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
   )
 }

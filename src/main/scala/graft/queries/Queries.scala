@@ -758,6 +758,67 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Benchmark-contamination scan ([[Dedup.contamination]]): corpus
+    * documents sharing any exact 10-token window with a "benchmark"
+    * subset (doc_id % 50 == 0 — stands in for an eval set like MMLU;
+    * real benchmark text would arrive as its own table). The benchmark
+    * window set is broadcast — at 100 TB the corpus pass is a map-side
+    * semi-join, no shuffle of corpus windows. The oracle rebuilds the
+    * scan over raw window STRINGS, so the 8-byte hash-key optimization
+    * is itself under the gate (q42 argument).
+    */
+  val q46Contamination: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    // corpus = the non-benchmark originals plus a first-token-dropped
+    // mutation of EVERY doc (q16's planted near-dups) — the benchmark
+    // docs' mutants are the planted contamination: near-verbatim eval
+    // text embedded in a training corpus, the case this scan exists for
+    val corpus = d.filter(col("doc_id") % 50 =!= 0).unionByName(
+      d.select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text")))
+    Dedup.contamination(corpus, "doc_id", "text",
+        d.filter(col("doc_id") % 50 === 0), "text", windowTokens = 10)
+      .orderBy("doc_id")
+  }
+
+  /** SemDeDup-style semantic dedup ([[Similarity.semDedup]]): cluster
+    * embeddings into 8 cells (seeds = vec_id < 8; at scale, k-means
+    * centroids), drop every vector with a smaller-id cell-mate at
+    * cosine ≥ 0.4. Output is the full corpus labeled (cell, is_kept) —
+    * a wrong cell assignment, a missed pair, or a spurious drop all
+    * fail the hash gate.
+    */
+  val q47SemDedup: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.semDedup(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", threshold = 0.4)
+      .orderBy("vec_id")
+  }
+
+  /** End-to-end near-dup REMOVAL — the deliverable the q16/q32
+    * machinery exists for: LSH candidates → exact-Jaccard verify →
+    * connected components ([[Dedup.componentsStar]]) → keep the
+    * lowest-id document per cluster. Returns the surviving corpus with
+    * its cluster size and token count: `sum(cluster_size) = |corpus|`
+    * and `cluster_size > 1` rows are the dedup wins.
+    */
+  val q49DedupE2e: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id", "text")
+    val mutated = d0.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
+    val corpus = d0.unionByName(mutated)
+    val pairs = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+    val labels = Dedup.componentsStar(corpus.select("doc_id"), "doc_id",
+      pairs, "id_a", "id_b")
+    val survivors = labels.groupBy(col("comp").as("doc_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    corpus.join(survivors, "doc_id")
+      .select(col("doc_id"), col("cluster_size"),
+        Text.tokenCount(col("text")).cast("long").as("token_count"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -804,5 +865,8 @@ object Queries {
     "q43_interp_keyed" -> q43InterpKeyed,
     "q44_kmeans_train" -> q44KmeansTrain,
     "q45_hll_distinct" -> q45HllDistinct,
+    "q46_contamination" -> q46Contamination,
+    "q47_semdedup" -> q47SemDedup,
+    "q49_dedup_e2e" -> q49DedupE2e,
   )
 }

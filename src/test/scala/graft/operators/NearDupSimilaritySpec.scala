@@ -149,6 +149,55 @@ class NearDupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("2^-43"))
   }
 
+  test("contamination: flags docs sharing a window with the benchmark, counts distinct windows") {
+    // bench doc = 6 tokens "w1..w6"; doc 10 embeds tokens w1..w5 (two
+    // 4-token windows in common: w1-w4, w2-w5); doc 11 is clean
+    val bench = Seq((100L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "intro w1 w2 w3 w4 w5 outro"),
+      (11L, "totally unrelated text with other tokens entirely"),
+    ).toDF("doc_id", "text")
+    val res = Dedup.contamination(corpus, "doc_id", "text", bench, "text", windowTokens = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(res === Map(10L -> 2L))
+  }
+
+  test("contamination: short docs (< window) match on whole-text windows") {
+    val bench = Seq((1L, "tiny doc")).toDF("doc_id", "text")
+    val corpus = Seq((2L, "tiny doc"), (3L, "other thing")).toDF("doc_id", "text")
+    val res = Dedup.contamination(corpus, "doc_id", "text", bench, "text", windowTokens = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(res === Map(2L -> 1L))
+  }
+
+  test("semDedup: drops the higher-id of a similar same-cell pair, keeps cross-cell") {
+    val emb = Seq(
+      (0L, Array(10f, 0f)),   // seed/cell 0
+      (1L, Array(0f, 10f)),   // seed/cell 1
+      (10L, Array(10f, 0.5f)),  // cell 0, exactly parallel to 11
+      (11L, Array(20f, 1f)),    // cell 0, cos(10,11)=1 → dropped (10 < 11)
+      (20L, Array(0.5f, 10f)),  // cell 1, no same-cell near-dup at 0.999
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.semDedup(emb, emb.filter($"vec_id" < 2),
+        "vec_id", "embedding", threshold = 0.999)
+      .select("vec_id", "is_kept").as[(Long, Boolean)].collect().toMap
+    // seed-to-member cosines are ≈0.9988 < 0.999, so only the exactly
+    // parallel pair crosses: 10 survives (lowest id), 11 dropped
+    assert(res === Map(0L -> true, 1L -> true, 10L -> true, 11L -> false, 20L -> true))
+  }
+
+  test("semDedup: cell assignment ties go to the lowest cell id") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)), // identical seeds → tie
+      (5L, Array(2f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val res = Similarity.semDedup(emb, emb.filter($"vec_id" < 2),
+        "vec_id", "embedding", threshold = 1.1) // threshold > 1: nothing dropped
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(res.values.toSet === Set(0L))
+    assert(res(5L) === 0L)
+  }
+
   test("ivfTopK accepts kmeans-trained centroids") {
     val emb = Seq(
       (0L, Array(10f, 0f)), (1L, Array(0f, 10f)),
