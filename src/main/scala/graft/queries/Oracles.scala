@@ -868,6 +868,54 @@ object Oracles {
          |FROM w LEFT JOIN dropped d ON d.vec_id = w.vec_id
          |ORDER BY w.vec_id""".stripMargin,
 
+    // same planted-contact construction, RE2 regexes (the patterns sit
+    // in the RE2 ∩ java.util.regex common dialect); DuckDB
+    // regexp_replace needs the 'g' flag to match Spark's replace-all
+    "q48_pii_redact" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '\\b555-[0-9]{4}\\b')) AS BIGINT) AS n_phones,
+         |  sha256(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\b555-[0-9]{4}\\b', '<PHONE>', 'g')) AS redacted_sha
+         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "q50_token_hist" ->
+      s"""SELECT least(CAST(floor(len($toksExpr) / 10) AS BIGINT), 19) AS bucket,
+         |  least(CAST(floor(len($toksExpr) / 10) AS BIGINT), 19) * 10 AS bucket_lo,
+         |  COUNT(*) AS n_docs
+         |FROM documents GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+
+    // pow rounded at 6dp BEFORE the ratio (1-ulp cross-engine hazard);
+    // the normalizer is a DECIMAL sum of the rounded values — exact and
+    // order-independent
+    "q51_lang_weights" ->
+      s"""WITH pl AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+         |pw AS (
+         |  SELECT lang, n_docs,
+         |    ROUND(pow(CAST(n_docs AS DOUBLE) / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE), 0.3), 6) AS pw6
+         |  FROM pl
+         |),
+         |ws AS (SELECT CAST(SUM(CAST(pw6 AS DECIMAL(38,6))) AS DOUBLE) AS wsum FROM pw)
+         |SELECT lang, n_docs, ROUND(pw6 / (SELECT wsum FROM ws), 6) AS weight
+         |FROM pw ORDER BY lang""".stripMargin,
+
+    "q52_incremental_dedup" ->
+      s"""WITH seen AS (SELECT sha256(text) AS h FROM documents WHERE doc_id < 100),
+         |fresh AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 100
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+         |)
+         |SELECT doc_id FROM fresh
+         |WHERE sha256(text) NOT IN (SELECT h FROM seen)
+         |ORDER BY doc_id""".stripMargin,
+
     // q32's reachability clustering, taken to the deliverable: keep
     // the MIN-id doc per component, with cluster size and the
     // survivor's token count

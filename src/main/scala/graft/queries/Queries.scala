@@ -819,6 +819,87 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** PII redaction (training-data scrub): regex email/phone removal
+    * with per-doc redaction counts and a sha256 of the scrubbed text
+    * (so the oracle gates the exact output string, not just counts).
+    * The corpus is synthetic and PII-free, so deterministic contact
+    * lines are planted from doc_id (same construction in the oracle)
+    * — the regexes are the unit under test. Patterns stay in the
+    * RE2 ∩ java.util.regex common dialect (no backrefs/lookaround),
+    * codegen'd straight into the scan projection: one pass, no
+    * shuffle, trivially 100 TB-safe.
+    */
+  val q48PiiRedact: Q = (s, dir) => {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\b555-[0-9]{4}\\b"
+    val planted = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"), lpad(col("doc_id") % 10000, 4, "0"))).otherwise(lit(""))
+      ).as("_t"))
+    planted.select(
+        col("doc_id"),
+        regexp_count(col("_t"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("_t"), lit(phonePat)).cast("long").as("n_phones"),
+        sha2(regexp_replace(regexp_replace(col("_t"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>"), 256).as("redacted_sha"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus token-length histogram: fixed-width buckets (10 tokens,
+    * capped at 190+) — one partial-aggregated groupBy on a ≤20-value
+    * key; the length profile that drives quality-filter thresholds.
+    */
+  val q50TokenHist: Q = (s, dir) =>
+    docs(s, dir)
+      .select(least(floor(Text.tokenCount(col("text")) / 10), lit(19))
+        .cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bucket_lo", (col("bucket") * 10).cast("long"))
+      .select("bucket", "bucket_lo", "n_docs")
+      .orderBy("bucket")
+
+  /** Multilingual sampling weights (temperature resampling, à la
+    * multilingual pretraining): per-language share p, weight ∝ p^0.3.
+    * The pow lands on possibly-1-ulp-different doubles per engine, so
+    * it is rounded at 6dp BEFORE the ratio; the normalizer sums those
+    * rounded values as DECIMAL (order-independent — parallelism-proof)
+    * and the final weight is rounded at 6dp.
+    */
+  val q51LangWeights: Q = (s, dir) => {
+    val total = docs(s, dir).count() // deterministic scalar: corpus size
+    val perLang = docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("_pw",
+        round(pow(col("n_docs").cast("double") / total.toDouble, 0.3), 6))
+    val wsum = perLang.agg(
+      sum(col("_pw").cast(DecimalType(38, 6))).cast("double")).head().getDouble(0)
+    perLang.select(col("lang"), col("n_docs"),
+        round(col("_pw") / wsum, 6).as("weight"))
+      .orderBy("lang")
+  }
+
+  /** Incremental corpus-update dedup: a "new crawl" (the doc_id ≥ 100
+    * tail plus exact re-crawls of 50 already-seen docs) anti-joined by
+    * content sha256 against the seen corpus — only genuinely new
+    * content survives. The anti-join shuffles on the uniform digest
+    * (no skew); at 100 TB the seen side compacts to a digest-only
+    * table (or a bloom-filter pre-filter in front of the same join).
+    */
+  val q52IncrementalDedup: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val seen = d.filter(col("doc_id") < 100)
+    val fresh = d.filter(col("doc_id") >= 100).unionByName(
+      d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    fresh.withColumn("_h", sha2(col("text"), 256))
+      .join(seen.select(sha2(col("text"), 256).as("_h")), Seq("_h"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -867,6 +948,10 @@ object Queries {
     "q45_hll_distinct" -> q45HllDistinct,
     "q46_contamination" -> q46Contamination,
     "q47_semdedup" -> q47SemDedup,
+    "q48_pii_redact" -> q48PiiRedact,
     "q49_dedup_e2e" -> q49DedupE2e,
+    "q50_token_hist" -> q50TokenHist,
+    "q51_lang_weights" -> q51LangWeights,
+    "q52_incremental_dedup" -> q52IncrementalDedup,
   )
 }
