@@ -481,16 +481,36 @@ object Similarity {
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
-      // Argmin via posexplode + min(struct(dist, cell)) — NOT a
-      // when()-reduce: lambda (HOF) expressions are excluded from
-      // subexpression elimination, so a pairwise reduce would inline
-      // each decimal distance up to 2^k times (measured ~100× blowup).
-      // The array() constructor evaluates each distance exactly once;
-      // min over struct(dist, cell) breaks ties to the LOWEST cell.
-      val dists = cents.map(c => distExactDecimal(col(vecCol), c))
+      // Epsilon-banded exact argmin (the ivfTopKSeeded assignment
+      // pattern): cheap DOUBLE distances to all k centroids prune to
+      // the cells within 1e-6 of the row's fast minimum (double vs
+      // exact squared distances differ by ≤ ~1e-11 at these
+      // magnitudes, so the true exact-argmin cell always survives —
+      // usually exactly one does), and the k× decimal work runs only
+      // on those survivors. The surviving cell's decimal distance is
+      // dispatched through a flat when() CHAIN — each decimal
+      // expression appears exactly ONCE (a nested when-reduce argmin
+      // would inline them up to 2^k times, CSE excludes lambdas), and
+      // only the matched branch evaluates. Argmin via min over
+      // struct(dist, cell) breaks ties to the LOWEST cell; the
+      // array_min/posexplode pair stays map-side — one exchange per
+      // iteration (the groupBy), same as the unbanded form.
+      val fasts = cents.map { c =>
+        aggregate(
+          zip_with(col("_v"), lit(c), (x, w) => { val t = x.cast("double") - w; t * t }),
+          lit(0.0), (s, v) => s + v)
+      }
+      val exactByCell = cents.zipWithIndex.tail.foldLeft(
+        when(col("_cellc") === 0, distExactDecimal(col("_v"), cents(0)))) {
+        case (acc, (c, i)) => acc.when(col("_cellc") === i, distExactDecimal(col("_v"), c))
+      }
       val assigned = corpus
-        .select(col(idCol).as("_vid"), col(vecCol).as("_v"),
-          posexplode(array(dists.toIndexedSeq: _*)).as(Seq("_cellc", "_dist")))
+        .select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+        .select(col("_vid"), col("_v"), array(fasts.toIndexedSeq: _*).as("_fa"))
+        .select(col("_vid"), col("_v"), array_min(col("_fa")).as("_amin"),
+          posexplode(col("_fa")).as(Seq("_cellc", "_fd")))
+        .filter(col("_fd") <= col("_amin") + 1e-6)
+        .withColumn("_dist", exactByCell)
         .groupBy("_vid")
         .agg(min(struct(col("_dist").as("_d"), col("_cellc").as("_c"))).as("_m"),
           first(col("_v")).as("_v"))

@@ -44,6 +44,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("contamination: benchmark window set broadcasts as a semi-join (corpus never shuffles)") {
+    val corpus = writeParquet((1 to 500).map(i => (i.toLong, s"token$i alpha beta gamma delta"))
+      .toDF("doc_id", "text"), "corpus")
+    val bench = writeParquet(Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text"), "bench")
+    val q = Dedup.contamination(spark.read.parquet(corpus), "doc_id", "text",
+      spark.read.parquet(bench), "text", windowTokens = 4)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi-join on the benchmark window set:\n$plan")
+    // the corpus side's only exchange is the count aggregation on the
+    // (tiny) contaminated subset — the window-match itself is map-side
+    assert(!plan.contains("SortMergeJoin"), s"corpus windows were shuffled for the join:\n$plan")
+  }
+
   test("rolling window + EWMA fold share ONE clustering exchange") {
     val df = (0 until 200).map { i =>
       (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i / 4)),
