@@ -916,6 +916,46 @@ object Oracles {
          |WHERE sha256(text) NOT IN (SELECT h FROM seen)
          |ORDER BY doc_id""".stripMargin,
 
+    // both ratios are exact integer divisions — bit-identical without
+    // rounding; slice toks[i:i+1] is the inclusive-2-element 2-gram
+    "q53_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 2 THEN [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
+         |    ELSE [] END AS g2
+         |  FROM t
+         |),
+         |d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+         |    ELSE 0.0 END AS dup_2gram_ratio
+         |  FROM g
+         |),
+         |terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM terms GROUP BY doc_id, term),
+         |p AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_token_ratio FROM tf GROUP BY doc_id)
+         |SELECT d.doc_id, d.dup_2gram_ratio, p.top_token_ratio
+         |FROM d JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // q35's split recurrence × lang; token_share is an exact-int ratio
+    "q54_mix_report" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang,
+         |    CAST(list_sum([CAST(ord(substr(text, i, 1)) AS BIGINT) * CAST((i % 31) + 1 AS BIGINT) FOR i IN range(1, length(text) + 1)]) AS BIGINT) % 2147483647 % 100 AS h,
+         |    CAST(len($toksExpr) AS BIGINT) AS tok
+         |  FROM documents
+         |),
+         |g AS (
+         |  SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid' ELSE 'test' END AS split,
+         |    lang, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
+         |  FROM f GROUP BY 1, 2
+         |)
+         |SELECT split, lang, n_docs, total_tokens,
+         |  ROUND(CAST(total_tokens AS DOUBLE) /
+         |    CAST(CAST(SUM(total_tokens) OVER (PARTITION BY split) AS BIGINT) AS DOUBLE), 6) AS token_share
+         |FROM g ORDER BY split, lang""".stripMargin,
+
     // q32's reachability clustering, taken to the deliverable: keep
     // the MIN-id doc per component, with cluster size and the
     // survivor's token count

@@ -900,6 +900,53 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Within-document repetition signals (Gopher-style quality rules:
+    * Rae et al. 2021 §A1.1): duplicate-2-gram fraction and top-token
+    * fraction. Tokens are materialized as a column FIRST — lambda
+    * (HOF) expressions are excluded from Spark's subexpression
+    * elimination, so referencing `Text.tokens(text)` from each metric
+    * would re-split the text per metric. Both ratios are exact integer
+    * divisions — deterministic cross-engine with no rounding.
+    */
+  val q53Repetition: Q = (s, dir) => {
+    val t = docs(s, dir).select(col("doc_id"), Text.tokens(col("text")).as("_tk"))
+    // sequence(1, n-1) would infer a NEGATIVE step for n = 1 — guard
+    val g2 = when(size(col("_tk")) >= 2,
+      transform(sequence(lit(1), size(col("_tk")) - 1),
+        i => concat_ws(" ", slice(col("_tk"), i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val dup = t.select(col("doc_id"), g2.as("_g2"))
+      .select(col("doc_id"),
+        when(size(col("_g2")) > 0,
+          (size(col("_g2")) - size(array_distinct(col("_g2")))).cast("double") /
+            size(col("_g2")).cast("double")).otherwise(0.0).as("dup_2gram_ratio"))
+    val tf = t.select(col("doc_id"), explode(col("_tk")).as("_term"))
+      .groupBy("doc_id", "_term").agg(count(lit(1)).as("_cnt"))
+    val top = tf.groupBy("doc_id")
+      .agg((max(col("_cnt")).cast("double") / sum(col("_cnt")).cast("double"))
+        .as("top_token_ratio"))
+    dup.join(top, "doc_id").orderBy("doc_id")
+  }
+
+  /** Training-mix report — the composition a pipeline owner actually
+    * reads: q35's deterministic content-hash split × language, with
+    * doc counts, token totals, and each language's token share within
+    * its split (exact-integer ratio — deterministic division, no
+    * parity rounding needed; rounded 6dp only for display stability).
+    */
+  val q54MixReport: Q = (s, dir) => {
+    val h = pmod(graft.functions.FingerprintExpression.fingerprint(col("text")), lit(100))
+    val base = docs(s, dir).select(
+      when(h < 80, "train").when(h < 90, "valid").otherwise("test").as("split"),
+      col("lang"), Text.tokenCount(col("text")).cast("long").as("_tok"))
+    val g = base.groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("total_tokens"))
+    g.withColumn("token_share",
+        round(col("total_tokens").cast("double") /
+          sum(col("total_tokens")).over(Window.partitionBy("split")).cast("double"), 6))
+      .orderBy("split", "lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -953,5 +1000,7 @@ object Queries {
     "q50_token_hist" -> q50TokenHist,
     "q51_lang_weights" -> q51LangWeights,
     "q52_incremental_dedup" -> q52IncrementalDedup,
+    "q53_repetition" -> q53Repetition,
+    "q54_mix_report" -> q54MixReport,
   )
 }
