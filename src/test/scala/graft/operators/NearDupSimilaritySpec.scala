@@ -198,6 +198,65 @@ class NearDupSimilaritySpec extends SparkSpec {
     assert(res(5L) === 0L)
   }
 
+  test("contamination: seeded-random equivalence vs a driver-side naive reference") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def doc() = Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpusRows = (1L to 60L).map(i => (i, doc()))
+    val benchRows = (100L to 104L).map(i => (i, doc()))
+    val w = 3
+    def windows(text: String): Set[String] = {
+      val t = text.split(" ").filter(_.nonEmpty)
+      if (t.length < w) Set(t.mkString(" "))
+      else t.sliding(w).map(_.mkString(" ")).toSet
+    }
+    val benchWins = benchRows.flatMap(r => windows(r._2)).toSet
+    val expected = corpusRows
+      .map { case (id, tx) => id -> windows(tx).count(benchWins) }
+      .filter(_._2 > 0).toMap
+    val got = Dedup.contamination(corpusRows.toDF("doc_id", "text"), "doc_id", "text",
+        benchRows.toDF("doc_id", "text"), "text", windowTokens = w)
+      .as[(Long, Long)].collect().toMap
+    assert(expected.nonEmpty, "seed produced no contaminated docs — pick another seed")
+    assert(got === expected.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("semDedup: seeded-random equivalence vs a driver-side naive reference") {
+    // small-integer vectors: products and squared norms are exact in
+    // double, so the naive double reference matches the decimal-exact
+    // engine path bit-for-bit (no FP-tie ambiguity)
+    val rnd = new scala.util.Random(77)
+    val dim = 4
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(dim)((rnd.nextInt(9) - 4).toFloat)))
+    val nSeeds = 4
+    val threshold = 0.9
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na * nb > 0) d / (na * nb) else 0.0
+    }
+    val seeds = rows.filter(_._1 < nSeeds)
+    val assign = rows.map { case (id, v) =>
+      // argmax cosine, ties → lowest cell id (the engine recurrence)
+      val best = seeds.map { case (cid, sv) => (cos(v, sv), cid) }
+        .maxBy { case (sim, cid) => (sim, -cid) }
+      id -> best._2
+    }.toMap
+    val dropped = rows.flatMap { case (idB, vb) =>
+      rows.collectFirst { case (idA, va)
+        if idA < idB && assign(idA) == assign(idB) && cos(va, vb) >= threshold => idB }
+    }.toSet
+    val expected = rows.map { case (id, _) => (id, assign(id), !dropped(id)) }.toSet
+    val got = Similarity.semDedup(rows.toDF("vec_id", "embedding"),
+        rows.filter(_._1 < nSeeds).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(dropped.nonEmpty, "seed produced no drops — pick another seed")
+    assert(got === expected)
+  }
+
   test("ivfTopK accepts kmeans-trained centroids") {
     val emb = Seq(
       (0L, Array(10f, 0f)), (1L, Array(0f, 10f)),
