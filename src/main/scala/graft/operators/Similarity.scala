@@ -397,6 +397,44 @@ object Similarity {
     * `threshold`−1e-6, decimal-exact on survivors (q26 pattern: the
     * two differ by ≤ ~1e-11, so no qualifying pair can be lost).
     */
+  /** Exact-argmax cosine cell assignment against broadcast seed
+    * vectors: returns (`idCol`, cell = seed id). The epsilon-banded
+    * [[ivfTopKSeeded]] recurrence: the fast double cosine ranks all
+    * |C|×|seeds| rows, decimal-exact work runs only within 1e-9 of
+    * each row's fast max, ties resolve to the LOWEST cell id. Shared
+    * by [[semDedup]] and the cell-diagnostic queries.
+    */
+  def assignCells(
+      corpus: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    assignCellsFrom(
+      corpus.select(col(idCol), col(vecCol).as("_cv"),
+        sqrt(dotExact(col(vecCol), col(vecCol))).as("_cn")),
+      seeds.select(col(idCol).as("_cell"), col(vecCol).as("_sv"),
+        sqrt(dotExact(col(vecCol), col(vecCol))).as("_sn")),
+      idCol)
+
+  /** [[assignCells]] over pre-normed frames (`idCol`,`_cv`,`_cn`) and
+    * (`_cell`,`_sv`,`_sn`) — lets callers persist the norm pass when
+    * it feeds more consumers than the assignment.
+    */
+  private def assignCellsFrom(cN: DataFrame, s: DataFrame, idCol: String): DataFrame = {
+    val fastSeedSim = when(col("_cn") * col("_sn") > 0,
+      dot(col("_cv"), col("_sv")) / (col("_cn") * col("_sn"))).otherwise(0.0)
+    val exactSeedSim = when(col("_cn") * col("_sn") > 0,
+      dotExact(col("_cv"), col("_sv")) / (col("_cn") * col("_sn"))).otherwise(0.0)
+    cN.join(broadcast(s), lit(true))
+      .withColumn("_fsim", fastSeedSim)
+      .withColumn("_fmax", max(col("_fsim")).over(Window.partitionBy(idCol)))
+      .filter(col("_fsim") >= col("_fmax") - 1e-9)
+      .withColumn("_csim", exactSeedSim)
+      .groupBy(idCol)
+      .agg(max(struct(col("_csim").as("_s"), (-col("_cell")).as("_negc"))).as("_m"))
+      .select(col(idCol), (-col("_m._negc")).as("cell"))
+  }
+
   def semDedup(
       corpus: DataFrame,
       seeds: DataFrame,
@@ -410,18 +448,7 @@ object Similarity {
       sqrt(dotExact(col(vecCol), col(vecCol))).as("_cn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val fastSeedSim = when(col("_cn") * col("_sn") > 0,
-      dot(col("_cv"), col("_sv")) / (col("_cn") * col("_sn"))).otherwise(0.0)
-    val exactSeedSim = when(col("_cn") * col("_sn") > 0,
-      dotExact(col("_cv"), col("_sv")) / (col("_cn") * col("_sn"))).otherwise(0.0)
-    val assign = cN.join(broadcast(s), lit(true))
-      .withColumn("_fsim", fastSeedSim)
-      .withColumn("_fmax", max(col("_fsim")).over(Window.partitionBy(idCol)))
-      .filter(col("_fsim") >= col("_fmax") - 1e-9)
-      .withColumn("_csim", exactSeedSim)
-      .groupBy(idCol)
-      .agg(max(struct(col("_csim").as("_s"), (-col("_cell")).as("_negc"))).as("_m"))
-      .select(col(idCol), (-col("_m._negc")).as("cell"))
+    val assign = assignCellsFrom(cN, s, idCol)
 
     // both sides of the cell self-join read this — materialize once
     val withCell = cN.join(assign, idCol)

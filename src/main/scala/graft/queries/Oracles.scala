@@ -956,6 +956,42 @@ object Oracles {
          |    CAST(CAST(SUM(total_tokens) OVER (PARTITION BY split) AS BIGINT) AS DOUBLE), 6) AS token_share
          |FROM g ORDER BY split, lang""".stripMargin,
 
+    // q47's assignment recurrence + the label column: majority label
+    // per cell (ties → lowest label), exact-int purity
+    "q55_cell_purity" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotX("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |),
+         |s AS (SELECT vec_id AS cell, embedding AS sv, nrm AS sn FROM n WHERE vec_id < 8),
+         |cs AS (
+         |  SELECT v.vec_id, s.cell,
+         |    CASE WHEN v.nrm * s.sn > 0 THEN ${dotX("v.embedding", "s.sv")} / (v.nrm * s.sn)
+         |    ELSE 0.0 END AS csim
+         |  FROM n v CROSS JOIN s
+         |),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM cs) WHERE rn = 1
+         |),
+         |l AS (
+         |  SELECT a.cell, e.label, COUNT(*) AS c
+         |  FROM assign a JOIN embeddings e USING (vec_id) GROUP BY a.cell, e.label
+         |),
+         |tot AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n_vecs FROM l GROUP BY cell),
+         |top AS (
+         |  SELECT cell, label AS top_label, c FROM (
+         |    SELECT cell, label, c,
+         |      ROW_NUMBER() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rn
+         |    FROM l) WHERE rn = 1
+         |)
+         |SELECT t.cell, tot.n_vecs, t.top_label,
+         |  CAST(t.c AS DOUBLE) / CAST(tot.n_vecs AS DOUBLE) AS purity
+         |FROM top t JOIN tot USING (cell) ORDER BY t.cell""".stripMargin,
+
     // q32's reachability clustering, taken to the deliverable: keep
     // the MIN-id doc per component, with cluster size and the
     // survivor's token count

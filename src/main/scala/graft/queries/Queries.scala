@@ -947,6 +947,28 @@ object Queries {
       .orderBy("split", "lang")
   }
 
+  /** Cell-purity diagnostic ([[Similarity.assignCells]] + the
+    * embeddings `label` column): per cell — member count, majority
+    * label (ties → lowest label) and purity. The report a pipeline
+    * owner reads to judge whether IVF cells / SemDeDup clusters track
+    * the label structure. Exact-int purity ratio; two partial-agg
+    * groupBys sharing the cell clustering.
+    */
+  val q55CellPurity: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val assign = Similarity.assignCells(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding")
+    val l = assign.join(emb.select("vec_id", "label"), "vec_id")
+      .groupBy("cell", "label").agg(count(lit(1)).as("_c"))
+    l.groupBy("cell")
+      .agg(sum(col("_c")).as("n_vecs"),
+        max(struct(col("_c").as("_n"), (-col("label")).as("_negl"))).as("_m"))
+      .select(col("cell"), col("n_vecs"),
+        (-col("_m._negl")).as("top_label"),
+        (col("_m._n").cast("double") / col("n_vecs").cast("double")).as("purity"))
+      .orderBy("cell")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1002,5 +1024,6 @@ object Queries {
     "q52_incremental_dedup" -> q52IncrementalDedup,
     "q53_repetition" -> q53Repetition,
     "q54_mix_report" -> q54MixReport,
+    "q55_cell_purity" -> q55CellPurity,
   )
 }
