@@ -956,6 +956,13 @@ object Oracles {
          |    CAST(CAST(SUM(total_tokens) OVER (PARTITION BY split) AS BIGINT) AS DOUBLE), 6) AS token_share
          |FROM g ORDER BY split, lang""".stripMargin,
 
+    // hour buckets are UTC (session tz pinned on both engines);
+    // time_bucket ≡ window(ts, '1 hour').start
+    "q56_tumbling" ->
+      s"""SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS hour_start,
+         |  event_type, COUNT(*) AS n, ${dsum("value")} AS total
+         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
     // q47's assignment recurrence + the label column: majority label
     // per cell (ties → lowest label), exact-int purity
     "q55_cell_purity" ->

@@ -969,6 +969,21 @@ object Queries {
       .orderBy("cell")
   }
 
+  /** Tumbling event-time window aggregation — Spark's native
+    * `window()` (the batch twin of the Structured Streaming windowed
+    * agg in `streaming/StreamingLoad`): hourly per-type counts and
+    * decimal-exact value totals. Session timezone is pinned UTC, so
+    * the hour buckets are engine-independent; oracle = DuckDB
+    * `time_bucket`.
+    */
+  val q56Tumbling: Q = (s, dir) => {
+    val e = events(s, dir)
+    e.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("total"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("total"))
+      .orderBy("hour_start", "event_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1025,5 +1040,6 @@ object Queries {
     "q53_repetition" -> q53Repetition,
     "q54_mix_report" -> q54MixReport,
     "q55_cell_purity" -> q55CellPurity,
+    "q56_tumbling" -> q56Tumbling,
   )
 }
