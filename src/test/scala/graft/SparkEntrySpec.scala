@@ -8,6 +8,14 @@ import org.apache.spark.sql.functions._
 class SparkEntrySpec extends SparkSpec {
   import spark.implicits._
 
+  test("query registry ≡ oracle registry (no rows-only gaps, no orphan oracles)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q === o, s"queries without oracle: ${(q -- o).toSeq.sorted}; " +
+      s"oracles without query: ${(o -- q).toSeq.sorted}")
+    assert(q.forall(_.matches("q\\d{2}_[a-z0-9_]+")), "non-conforming query name")
+  }
+
   test("entry: >0 rows, All cell present, first-row null discipline") {
     val df = SparkEntry.entry(spark).cache()
     assert(df.count() > 0)
