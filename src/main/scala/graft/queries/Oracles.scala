@@ -963,6 +963,20 @@ object Oracles {
          |  event_type, COUNT(*) AS n, ${dsum("value")} AS total
          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
 
+    // full frames only (start+15 ≤ len) — partial-frame clipping is
+    // where engine substring semantics could diverge; md5 hex is
+    // lowercase on both engines
+    // DuckDB can neither slice BLOBs nor md5 them, so the oracle
+    // slices and hashes the VARCHAR — identical bytes because the
+    // corpus is pure ASCII (octet_length = length for every row at
+    // every SF; a multibyte corpus would need a byte-capable oracle)
+    "q57_frame_sample" ->
+      s"""SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  md5(substring(text, CAST(frame_idx * 32 + 1 AS BIGINT), 16)) AS frame_md5
+         |FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS frame_idx) u
+         |WHERE frame_idx * 32 + 16 <= octet_length(CAST(text AS BLOB))
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+
     // q47's assignment recurrence + the label column: majority label
     // per cell (ties → lowest label), exact-int purity
     "q55_cell_purity" ->

@@ -984,6 +984,32 @@ object Queries {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Multimodal frame sampling under the oracle gate: fixed-stride
+    * byte windows over the opaque binary payload (text cast to binary
+    * stands in — the container ships no codecs), one row per full
+    * frame with its md5. This gates the declarative frame-sample
+    * SHAPE — binary slicing, per-frame fan-out, per-frame digest —
+    * while `Multimodal.sampleFrames` (FakeCodec, mapPartitions
+    * batching) stays the production variant for real codec calls.
+    * Only FULL frames are emitted (start+15 ≤ len): partial-frame
+    * clipping is the one place engine substring semantics could
+    * diverge.
+    */
+  val q57FrameSample: Q = (s, dir) => {
+    val stride = 32
+    val frameLen = 16
+    val bin = col("_bin")
+    docs(s, dir)
+      .select(col("doc_id"), col("text").cast(BinaryType).as("_bin"))
+      .select(col("doc_id"), bin,
+        posexplode(sequence(lit(0), lit(3))).as(Seq("_ord", "frame_idx")))
+      .filter(col("frame_idx") * stride + frameLen <= length(bin))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(substr(bin, col("frame_idx") * stride + 1, lit(frameLen)))
+          .as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1041,5 +1067,6 @@ object Queries {
     "q54_mix_report" -> q54MixReport,
     "q55_cell_purity" -> q55CellPurity,
     "q56_tumbling" -> q56Tumbling,
+    "q57_frame_sample" -> q57FrameSample,
   )
 }
