@@ -227,6 +227,9 @@ object Dedup {
       textCol: String,
       windowTokens: Int,
       maxDf: Int): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(maxDf >= 2,
+      s"maxDf must be >= 2 (a window needs df >= 2 to pair at all), got $maxDf")
     val kept = df
       .select(col(idCol).as("_id"),
         explode(NearDup.shingles(col(textCol), windowTokens)).as("_win"))
@@ -262,6 +265,7 @@ object Dedup {
       benchmark: DataFrame,
       benchTextCol: String,
       windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     val benchWins = benchmark
       .select(explode(NearDup.shingles(col(benchTextCol), windowTokens)).as("_win"))
       .select(xxhash64(col("_win")).as("_wh"))

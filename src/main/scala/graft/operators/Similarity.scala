@@ -441,6 +441,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
+    require(!threshold.isNaN, "threshold must not be NaN (every comparison would be false)")
 
     val s = seeds.select(col(idCol).as("_cell"), col(vecCol).as("_sv"),
       sqrt(dotExact(col(vecCol), col(vecCol))).as("_sn"))
