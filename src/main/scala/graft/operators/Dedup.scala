@@ -108,11 +108,20 @@ object Dedup {
     *    v > u re-attaches to m — emit (v, m);
     *  - small-star (on edges directed high→low, m = min(N⁻(u) ∪ {u})):
     *    u and its smaller neighbors all attach to m.
-    * Both are one windowed min over the node's partition (no join) +
-    * one distinct — two shuffles each, all on integer keys. The fixed
-    * point is the star set {(v, root)}; labels fall out as a left join
-    * of vertices onto it (vertices absent from any edge are their own
-    * component).
+    * Per-node minima are computed as `groupBy(u).agg(min(v))` and
+    * joined back on u — NOT as `min().over(Window.partitionBy(u))`.
+    * The distinction is the whole 100 TB story: near-dup graphs
+    * converge TO stars, so the root of a mega duplicate cluster
+    * (empty docs, boilerplate) ends up with degree = cluster size. A
+    * per-key window ships that entire neighborhood to ONE task with
+    * no partial aggregation and no skew mitigation; the groupBy is
+    * map-side combinable (the hot key reduces to one partial row per
+    * input partition before the exchange), and the join back is a
+    * plain shuffle join that AQE's skew handling can split (windows
+    * cannot be skew-split). Still two exchanges per star op, all on
+    * integer keys. The fixed point is the star set {(v, root)};
+    * labels fall out as a left join of vertices onto it (vertices
+    * absent from any edge are their own component).
     *
     * Convergence is detected from a per-round edge-set fingerprint
     * (count + bit_xor of xxhash64(u, v) — one scalar row to the driver
@@ -136,31 +145,8 @@ object Dedup {
       reliableCheckpoint: Boolean = false): DataFrame = {
     def cp(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
-    val wNode = Window.partitionBy("u")
-
-    // large-star: symmetrize, m = min over the full neighborhood incl.
-    // u, re-attach strictly-larger neighbors to m. m < v always (m ≤ u
-    // < v), so no self-loops.
-    def largeStar(edges: DataFrame): DataFrame = {
-      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-      sym.withColumn("_m", least(col("u"), min(col("v")).over(wNode)))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("_m").as("v"))
-        .distinct()
-    }
-
-    // small-star: direct edges high→low (u > v), m = min of the smaller
-    // neighborhood; attach u and every non-min smaller neighbor to m.
-    def smallStar(edges: DataFrame): DataFrame = {
-      val dir = edges.select(
-        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-        .filter(col("u") =!= col("v"))
-      val withM = dir.withColumn("_m", min(col("v")).over(wNode))
-      withM.filter(col("v") =!= col("_m"))
-        .select(col("v").as("u"), col("_m").as("v"))
-        .union(withM.select(col("u"), col("_m").as("v")))
-        .distinct()
-    }
+    def largeStar(edges: DataFrame): DataFrame = largeStarRound(edges)
+    def smallStar(edges: DataFrame): DataFrame = smallStarRound(edges)
 
     def fingerprint(edges: DataFrame): (Long, Long) = {
       val r = edges.agg(
@@ -195,6 +181,39 @@ object Dedup {
       .select(col("v"), coalesce(col("_root"), col("v")).as("comp"))
   }
 
+  // One large-star round: symmetrize, m = min over the full
+  // neighborhood incl. u, re-attach strictly-larger neighbors to m.
+  // m < v always (m ≤ u < v), so no self-loops. Neighborhood min via
+  // partial-agg groupBy + join back (see componentsStar scaladoc —
+  // per-key windows are the skew hazard this operator exists to
+  // avoid). Package-visible so PlanShapeSpec can lock the no-Window
+  // shape per round.
+  private[graft] def largeStarRound(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("_nmin"))
+    sym.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("u"), col("_nmin")).as("v"))
+      .distinct()
+  }
+
+  // One small-star round: direct edges high→low (u > v), m = min of
+  // the smaller neighborhood; attach u and every non-min smaller
+  // neighbor to m. The (u, m) attachment comes straight from the
+  // aggregate frame — one row per u, no need to emit it per edge and
+  // distinct it away.
+  private[graft] def smallStarRound(edges: DataFrame): DataFrame = {
+    val dir = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    val mins = dir.groupBy("u").agg(min(col("v")).as("_m"))
+    dir.join(mins, Seq("u"))
+      .filter(col("v") =!= col("_m"))
+      .select(col("v").as("u"), col("_m").as("v"))
+      .union(mins.select(col("u"), col("_m").as("v")))
+      .distinct()
+  }
+
   /** SUBSTRING-level exact dedup (training-data dedup à la Lee et al.
     * 2022, "Deduplicating Training Data Makes Language Models Better":
     * find document pairs sharing an exact run of ≥ `windowTokens`
@@ -211,8 +230,15 @@ object Dedup {
     * hazard (a license header shared by 10⁶ docs would emit 10¹² pairs)
     * — are dropped by the document-frequency cap: only windows with
     * 2 ≤ df ≤ `maxDf` generate pairs, bounding per-bucket fan-out at
-    * maxDf². The df count and the self-join share the window-hash
-    * clustering, so the cap costs no extra exchange. Hash collisions
+    * maxDf². The df itself is a partial-aggregated `groupBy(_wh)
+    * .count()` — map-side combinable, so the boilerplate hash reduces
+    * to one partial row per input partition instead of shipping every
+    * (doc, window) row of a hot hash to one task (which is what a
+    * `count().over(Window.partitionBy(_wh))` would do — the window
+    * form computes df with zero extra exchanges but re-creates the
+    * exact single-task hot key the cap exists to kill). The kept-hash
+    * semi-join back is AQE-skew-splittable and its pathological left
+    * partitions are pure drop-scans. Hash collisions
     * (two distinct windows with equal xxhash64) are the price of the
     * 8-byte key: P ≈ (#windows)²/2⁶⁵ — negligible (same argument as
     * the LSH band hash, Oracles.scala header).
@@ -230,13 +256,15 @@ object Dedup {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     require(maxDf >= 2,
       s"maxDf must be >= 2 (a window needs df >= 2 to pair at all), got $maxDf")
-    val kept = df
+    val wins = df
       .select(col(idCol).as("_id"),
         explode(NearDup.shingles(col(textCol), windowTokens)).as("_win"))
       .select(col("_id"), xxhash64(col("_win")).as("_wh"))
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy("_wh")))
+    val keptHashes = wins.groupBy("_wh")
+      .agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 && col("_df") <= maxDf)
-      .select("_id", "_wh")
+      .select("_wh")
+    val kept = wins.join(keptHashes, Seq("_wh"), "left_semi")
     kept.select(col("_id").as("id_a"), col("_wh"))
       .join(kept.select(col("_id").as("id_b"), col("_wh")), Seq("_wh"))
       .filter(col("id_a") < col("id_b"))

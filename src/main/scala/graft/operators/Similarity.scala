@@ -435,6 +435,22 @@ object Similarity {
       .select(col(idCol), (-col("_m._negc")).as("cell"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): assign every vector to its nearest
+    * seed cell, then within each cell drop any vector that has a
+    * smaller-id cell-mate at cosine ≥ `threshold`. Output: (`idCol`,
+    * cell, is_kept) for the full corpus.
+    *
+    * CACHE LIFETIME: `cN` (normed corpus) and `withCell` are persisted
+    * MEMORY_AND_DISK and intentionally NOT unpersisted — the operator
+    * returns a lazy frame, so there is no point inside it where the
+    * output is known to be materialized; an eager unpersist would
+    * silently recompute both sides of the self-join (the exact cost
+    * the persist exists to kill). Same policy as [[NearDup
+    * .nearDupPairs]]'s shingle frame. Blocks are LRU-evicted under
+    * memory pressure; long-lived sessions issuing many semDedup calls
+    * should `spark.catalog.clearCache()` between pipelines (the bench
+    * does).
+    */
   def semDedup(
       corpus: DataFrame,
       seeds: DataFrame,

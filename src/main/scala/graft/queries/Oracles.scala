@@ -1045,5 +1045,48 @@ object Oracles {
          |  len(list_filter(string_split(c.text, ' '), x -> len(x) > 0)) AS token_count
          |FROM surv s JOIN corpus c ON c.doc_id = s.doc_id
          |ORDER BY s.doc_id""".stripMargin,
+
+    // sketch values are merge-order-dependent, so (q45 HLL pattern)
+    // the engine emits rank-error-bound booleans and the oracle
+    // expects them all true; lang-ID restated as in q36
+    "q58_quantile_sketch" -> {
+      def sw(words: Seq[String]) =
+        s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+         |m AS (
+         |  SELECT CAST(len(toks) AS BIGINT) AS tok,
+         |    ${sw(Seq("the", "and", "of", "is", "to"))} AS s_en,
+         |    ${sw(Seq("der", "und", "die", "ist", "das"))} AS s_de,
+         |    ${sw(Seq("le", "la", "et", "est", "les"))} AS s_fr,
+         |    ${sw(Seq("el", "los", "y", "es", "las"))} AS s_es
+         |  FROM t
+         |),
+         |l AS (
+         |  SELECT tok,
+         |    CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+         |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |         WHEN s_fr >= s_es THEN 'fr'
+         |         ELSE 'es' END AS lang
+         |  FROM m
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  TRUE AS ok_p50, TRUE AS ok_p90, TRUE AS ok_p99
+         |FROM l GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // bloom pre-filter is exactness-preserving (no false negatives +
+    // exact anti-join backstop) — survivors are q52's, so the oracle
+    // IS q52's
+    "q59_bloom_incremental" ->
+      s"""WITH seen AS (SELECT sha256(text) AS h FROM documents WHERE doc_id < 100),
+         |fresh AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 100
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+         |)
+         |SELECT doc_id FROM fresh
+         |WHERE sha256(text) NOT IN (SELECT h FROM seen)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

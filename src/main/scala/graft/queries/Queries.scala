@@ -801,6 +801,19 @@ object Queries {
     * lowest-id document per cluster. Returns the surviving corpus with
     * its cluster size and token count: `sum(cluster_size) = |corpus|`
     * and `cluster_size > 1` rows are the dedup wins.
+    *
+    * ORACLE-PARITY PRECONDITION: the engine verifies only LSH
+    * candidates while the oracle computes exact all-pairs Jaccard, and
+    * this corpus DOES contain pairs in the LSH low-recall band (~40%
+    * band-collision mass just above Jaccard 0.5 at 32 hashes/8 bands).
+    * Detection is deterministic (fixed xxhash64 seeds), and the gate
+    * compares post-clustering SURVIVORS, so it is sound iff every
+    * LSH-missed pair is redundant — endpoints already connected via
+    * detected edges. `NearDupSimilaritySpec` ("q49 oracle-parity
+    * guard") recomputes components over exact all-pairs vs LSH pairs
+    * on this exact corpus at the gate SF and FAILS LOUDLY if a corpus
+    * change ever plants a cluster-bridging pair LSH misses, instead of
+    * letting engine and oracle silently desync.
     */
   val q49DedupE2e: Q = (s, dir) => {
     val d0 = docs(s, dir).select("doc_id", "text")
@@ -868,16 +881,24 @@ object Queries {
     * it is rounded at 6dp BEFORE the ratio; the normalizer sums those
     * rounded values as DECIMAL (order-independent — parallelism-proof)
     * and the final weight is rounded at 6dp.
+    *
+    * Both normalizing scalars (corpus size, weight sum) are plan-side
+    * broadcast crossJoins of single-row aggregates — ONE submitted job,
+    * no driver actions inside query construction. The corpus total is
+    * re-aggregated from the per-language counts (model-sized), not a
+    * second corpus scan.
     */
   val q51LangWeights: Q = (s, dir) => {
-    val total = docs(s, dir).count() // deterministic scalar: corpus size
     val perLang = docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val total = perLang.agg(sum(col("n_docs")).as("_total"))
+    val pw = perLang.crossJoin(broadcast(total))
       .withColumn("_pw",
-        round(pow(col("n_docs").cast("double") / total.toDouble, 0.3), 6))
-    val wsum = perLang.agg(
-      sum(col("_pw").cast(DecimalType(38, 6))).cast("double")).head().getDouble(0)
-    perLang.select(col("lang"), col("n_docs"),
-        round(col("_pw") / wsum, 6).as("weight"))
+        round(pow(col("n_docs").cast("double") / col("_total").cast("double"), 0.3), 6))
+    val wsum = pw.agg(
+      sum(col("_pw").cast(DecimalType(38, 6))).cast("double").as("_wsum"))
+    pw.crossJoin(broadcast(wsum))
+      .select(col("lang"), col("n_docs"),
+        round(col("_pw") / col("_wsum"), 6).as("weight"))
       .orderBy("lang")
   }
 
@@ -1010,6 +1031,78 @@ object Queries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Mergeable quantile-sketch profiling — the 100 TB twin of q36's
+    * exact percentiles: `percentile_approx` (Greenwald–Khanna summary,
+    * a TypedImperativeAggregate with partial merge) profiles the
+    * token-length distribution per language WITHOUT the per-group full
+    * sort/buffer that exact `percentile` needs. Gated on the q45 HLL
+    * pattern: sketch values themselves are merge-order-dependent, so
+    * the query emits deterministic error-bound BOOLEANS and the oracle
+    * expects them all true. The bound is the tie-safe RANK check — a
+    * correct p-quantile value v satisfies #(tok < v)/n ≤ p ≤
+    * #(tok ≤ v)/n; at accuracy 10000 the sketch's rank error is
+    * 10⁻⁴·n, asserted with a 0.01 margin (100× slack, yet any real
+    * sketch misuse — wrong percentile array index, swapped bounds,
+    * unmerged partials — lands far outside it). Value-space deltas
+    * are NOT asserted: token counts tie heavily, and with ties a
+    * correct sketch value can sit arbitrarily far from the
+    * interpolated exact percentile in value space while being exact
+    * in rank space.
+    */
+  val q58QuantileSketch: Q = (s, dir) => {
+    val base = docs(s, dir).select(
+      Text.langId(col("text")).as("lang"),
+      Text.tokenCount(col("text")).cast("long").as("tok"))
+    val ap = base.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      percentile_approx(col("tok"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("_ap"))
+    def rankOk(i: Int, p: Double): Column = {
+      val n = max(col("n_docs")).cast("double")
+      val lt = sum(when(col("tok") < col("_ap")(i), 1L).otherwise(0L)).cast("double")
+      val le = sum(when(col("tok") <= col("_ap")(i), 1L).otherwise(0L)).cast("double")
+      (lt / n <= lit(p + 0.01)) && (le / n >= lit(p - 0.01))
+    }
+    base.join(broadcast(ap), "lang")
+      .groupBy("lang")
+      .agg(max(col("n_docs")).as("n_docs"),
+        rankOk(0, 0.5).as("ok_p50"),
+        rankOk(1, 0.9).as("ok_p90"),
+        rankOk(2, 0.99).as("ok_p99"))
+      .orderBy("lang")
+  }
+
+  /** Bloom-pre-filtered incremental dedup — q52's promise kept: at
+    * 100 TB the "seen" digest table is itself huge, so shuffling EVERY
+    * fresh row into the anti-join is waste when most of the crawl is
+    * genuinely new. The seen digests aggregate into a bloom filter
+    * delivered as a SCALAR SUBQUERY (one bitmap per task, the
+    * InjectRuntimeFilter mechanism); rows the filter rejects are
+    * DEFINITELY unseen (no false negatives) and bypass the join
+    * entirely — only the might-contain sliver (true dups + ~2% false
+    * positives) pays the exact sha256 anti-join, which keeps the
+    * result exact. Survivors are IDENTICAL to q52 by construction,
+    * and the oracle (same SQL as q52) gates exactly that.
+    */
+  val q59BloomIncremental: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val seen = d.filter(col("doc_id") < 100).select(sha2(col("text"), 256).as("_h"))
+    val fresh = d.filter(col("doc_id") >= 100).unionByName(
+        d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .withColumn("_h", sha2(col("text"), 256))
+    val bloom = seen
+      .agg(graft.functions.Bloom.bloomFilterAgg(col("_h"),
+        expectedItems = 1000000L, numBits = 8388608L).as("_bf"))
+      .scalar()
+    val flagged = fresh.withColumn("_cand",
+      graft.functions.Bloom.mightContain(bloom, col("_h")))
+    flagged.filter(!col("_cand")).select("doc_id")
+      .unionByName(flagged.filter(col("_cand"))
+        .join(seen, Seq("_h"), "left_anti").select("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1068,5 +1161,7 @@ object Queries {
     "q55_cell_purity" -> q55CellPurity,
     "q56_tumbling" -> q56Tumbling,
     "q57_frame_sample" -> q57FrameSample,
+    "q58_quantile_sketch" -> q58QuantileSketch,
+    "q59_bloom_incremental" -> q59BloomIncremental,
   )
 }

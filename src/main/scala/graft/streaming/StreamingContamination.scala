@@ -45,8 +45,14 @@ object StreamingContamination {
         .dropDuplicatesWithinWatermark(idCol)
         .select(idCol, tsCol)
     else
+      // emit-once parity with the streaming branch: a batch frame with
+      // duplicate ids must still yield ONE row per contaminated id, so
+      // the ts join-back aggregates to the id's earliest timestamp
+      // (deterministic, unlike dropDuplicates' arbitrary row; the
+      // streaming side keeps the first ARRIVED ts, which is inherently
+      // arrival-order-dependent — min is the reproducible batch analog)
       Dedup.contamination(df, idCol, textCol, benchmark, benchTextCol, windowTokens)
-        .join(df.select(col(idCol), col(tsCol)), idCol)
+        .join(df.groupBy(idCol).agg(min(col(tsCol)).as(tsCol)), idCol)
         .select(idCol, tsCol)
   }
 }

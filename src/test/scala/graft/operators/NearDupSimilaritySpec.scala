@@ -257,6 +257,52 @@ class NearDupSimilaritySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q49 oracle-parity guard: components over LSH pairs ≡ components over exact all-pairs") {
+    // q49 gates LSH-candidate-restricted pairs against an exact
+    // all-pairs oracle. LSH detection is DETERMINISTIC per pair (fixed
+    // xxhash64 seeds), but a pair at Jaccard just above 0.5 has only
+    // ~40% band-collision mass at 32 hashes / 8 bands — and this
+    // corpus DOES contain such borderline pairs (79 in [0.5, 0.95) at
+    // sf0.01). The gate is sound iff every missed pair is REDUNDANT —
+    // its endpoints already connected through detected edges — i.e.
+    // the connected-components labeling is identical for the LSH edge
+    // set and the exact all-pairs edge set. This recomputes both on
+    // the EXACT q49 corpus at the driver's gate SF and fails loudly if
+    // a corpus change ever plants a borderline pair that LSH misses
+    // AND that bridges two otherwise-separate clusters.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val d0 = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val mutated = d0.select((col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(graft.functions.Text.tokens(col("text")), 2, 100000)).as("text"))
+    val corpus = d0.unionByName(mutated)
+    val sh = corpus.select(col("doc_id"), NearDup.shingles(col("text"), 3).as("s"))
+      .select(col("doc_id"), col("s"), size(col("s")).as("n"))
+    val a = sh.select(col("doc_id").as("ida"), col("s").as("sa"), col("n").as("na"))
+    val b = sh.select(col("doc_id").as("idb"), col("s").as("sb"), col("n").as("nb"))
+    val exactPairs = a.crossJoin(b)
+      .filter(col("ida") < col("idb"))
+      // exact prune: J ≥ 0.5 forces |A∩B| ≥ 0.5·|A∪B|, so the shingle
+      // counts must be within 2× of each other — skip the array work
+      // for the overwhelming majority of pairs
+      .filter(least(col("na"), col("nb")).cast("double") /
+        greatest(col("na"), col("nb")).cast("double") >= 0.5)
+      .filter(NearDup.jaccard(col("sa"), col("sb")) >= 0.5)
+      .select(col("ida").as("id_a"), col("idb").as("id_b"))
+    val lshPairs = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+    val verts = corpus.select("doc_id")
+    val viaExact = Dedup.componentsStar(verts, "doc_id", exactPairs, "id_a", "id_b")
+    val viaLsh = Dedup.componentsStar(verts, "doc_id", lshPairs, "id_a", "id_b")
+    assert(viaExact.count() > 0)
+    assert(viaExact.exceptAll(viaLsh).isEmpty && viaLsh.exceptAll(viaExact).isEmpty,
+      "LSH missed a CLUSTER-BRIDGING pair — q49's engine and its exact " +
+        "all-pairs oracle now disagree; switch the gated query to an exact verify")
+    // sanity: the guard actually saw the planted near-dup structure
+    assert(viaExact.filter(col("v") =!= col("comp")).count() > 0,
+      "guard saw no clustered docs — corpus shape changed?")
+    spark.catalog.clearCache() // nearDupPairs persists its shingle frame
+  }
+
   test("ivfTopK accepts kmeans-trained centroids") {
     val emb = Seq(
       (0L, Array(10f, 0f)), (1L, Array(0f, 10f)),

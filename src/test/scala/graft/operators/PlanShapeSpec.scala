@@ -60,6 +60,65 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus windows were shuffled for the join:\n$plan")
   }
 
+  test("componentsStar rounds: neighborhood minima are partial-agg groupBy+join, never per-key windows") {
+    // near-dup graphs converge TO stars — the root of a mega duplicate
+    // cluster has degree = cluster size, so a min().over(partitionBy(u))
+    // would ship the whole cluster to ONE task per round. The groupBy
+    // form is map-side combinable and its join back is AQE-skew-splittable.
+    val edges = (1L until 50L).map(i => (i, i + 1)).toDF("u", "v")
+    for ((name, round) <- Seq(
+        "largeStar" -> Dedup.largeStarRound(edges),
+        "smallStar" -> Dedup.smallStarRound(edges))) {
+      round.collect()
+      val plan = round.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Window"),
+        s"$name computes minima via a per-key window (single-task hot key at scale):\n$plan")
+      assert(plan.contains("partial_min"),
+        s"$name min lacks map-side partial aggregation:\n$plan")
+    }
+  }
+
+  test("substringWindowPairs: df is a partial-agg count, never a per-key window") {
+    val docs = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "shared license header line plus " + i else s"unique body $i text $i")).toDF("doc_id", "text")
+    val q = Dedup.substringWindowPairs(docs, "doc_id", "text", windowTokens = 3, maxDf = 5)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"df computed via per-key window — boilerplate window hash becomes one task:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"df count lacks map-side partial aggregation:\n$plan")
+  }
+
+  test("semDedup: no cartesian product; the cell self-join is an equi-join on the cell key") {
+    val emb = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat / 13f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.semDedup(emb, emb.filter($"vec_id" < 4), "vec_id", "embedding", 0.4)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    // seed assignment is an intentional broadcast nested-loop (seeds are
+    // model-sized); what must never appear is a shuffled cartesian
+    assert(!plan.contains("CartesianProduct"),
+      s"semDedup pair generation degenerated to a cartesian product:\n$plan")
+    assert(raw"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#".r
+        .findFirstIn(plan).isDefined,
+      s"cell self-join is not an equi-join keyed on cell:\n$plan")
+    spark.catalog.clearCache() // semDedup persists intermediates
+  }
+
+  test("frame sampling (q57 shape): zero clustering exchanges — only the final sort") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val q = graft.queries.Queries.q57FrameSample(spark, dir)
+    q.collect()
+    val shuffles = raw"Exchange hashpartitioning.*?\[plan_id=(\d+)\]".r
+      .findAllMatchIn(q.queryExecution.executedPlan.toString())
+      .map(_.group(1)).toSet.size
+    assert(shuffles === 0,
+      s"frame sampling should be a pure map-side fan-out before the sort, got $shuffles hash exchanges")
+  }
+
   test("rolling window + EWMA fold share ONE clustering exchange") {
     val df = (0 until 200).map { i =>
       (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i / 4)),
