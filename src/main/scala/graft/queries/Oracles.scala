@@ -1088,5 +1088,13 @@ object Oracles {
          |SELECT doc_id FROM fresh
          |WHERE sha256(text) NOT IN (SELECT h FROM seen)
          |ORDER BY doc_id""".stripMargin,
+
+    // stream-batch parity: the engine runs a REAL bounded stream
+    // (file source → watermarked window agg → append file sink); the
+    // oracle is the plain batch daily aggregation
+    "q60_streaming_daily" ->
+      s"""WITH $dailyCte
+         |SELECT d, event_type, tss FROM daily
+         |ORDER BY d, event_type""".stripMargin,
   )
 }

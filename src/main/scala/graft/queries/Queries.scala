@@ -1103,6 +1103,52 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Structured Streaming under the oracle gate — the real streaming
+    * runtime (file source → watermarked windowed agg → append-mode
+    * file sink), not a batch fallback: events are copied to a temp
+    * dir, streamed through [[graft.streaming.StreamingLoad
+    * .dailyAggregate]] with `Trigger.AvailableNow`, and the SINK's
+    * parquet is read back as the result. Oracle = the batch daily-sum
+    * SQL, so the gate proves stream-batch parity of the day totals
+    * (decimal-exact sums — bit-identical at any parallelism).
+    *
+    * Append-mode flush mechanics: a watermarked aggregation only
+    * emits a window once the watermark passes its end, and the
+    * watermark only advances between micro-batches — so a bounded
+    * stream's last windows would stay in the state store forever. A
+    * SENTINEL event far beyond the corpus horizon (fixed 2030-01-01,
+    * no driver-side max(ts) action needed) rides in the single data
+    * micro-batch; the trailing no-data batch (noDataMicroBatches,
+    * default on) then sees watermark = sentinel − lateness > every
+    * real window end and flushes them all. The sentinel's own window
+    * never passes the watermark, so it stays in state and never
+    * reaches the sink — no output filtering required. All files land
+    * in one data batch (no maxFilesPerTrigger limit), so no real
+    * event can be dropped as late by the sentinel's watermark.
+    */
+  val q60StreamingDaily: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q60").toString
+    val (in, out, chk) = (s"$tmp/in", s"$tmp/out", s"$tmp/chk")
+    val e = events(s, dir).select(
+      col("event_id"), col("ts"), col("event_type"), col("value"))
+    val sentinel = s.range(1).select(
+      lit(-1L).as("event_id"),
+      lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+      lit("__sentinel").as("event_type"), lit(0.0).as("value"))
+    e.unionByName(sentinel).write.mode("overwrite").parquet(in)
+    val agg = graft.streaming.StreamingLoad.dailyAggregate(
+      s.readStream.schema(e.schema).parquet(in), "ts", Seq("event_type"), "value")
+    val q = agg.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select(col("date").as("d"), col("event_type"), col("tss"))
+      .orderBy("d", "event_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1163,5 +1209,6 @@ object Queries {
     "q57_frame_sample" -> q57FrameSample,
     "q58_quantile_sketch" -> q58QuantileSketch,
     "q59_bloom_incremental" -> q59BloomIncremental,
+    "q60_streaming_daily" -> q60StreamingDaily,
   )
 }
