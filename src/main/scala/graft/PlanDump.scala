@@ -9,7 +9,9 @@ object PlanDump {
       .config("spark.ui.enabled", false).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q03_projection", "q06_cube", "q09_ewma", "q17_cosine_topk", "q31_range")) {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q03_projection", "q06_cube", "q09_ewma", "q17_cosine_topk", "q31_range")
+    for (name <- names) {
       println(s"=====PLAN $name")
       println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
