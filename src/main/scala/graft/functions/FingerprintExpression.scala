@@ -107,6 +107,10 @@ object GraftFunctions {
     descriptor("graft_tokens", classOf[WordTokens], c => WordTokens(c.head)),
     descriptor("graft_count_in", classOf[CountInSet], c =>
       CountInSet(c.head, c.drop(1).map(_.eval().toString))),
+    descriptor("graft_i8_scale", classOf[Int8Scale], c => Int8Scale(c.head)),
+    descriptor("graft_i8_quant", classOf[Int8Quantize], c => Int8Quantize(c.head)),
+    descriptor("graft_i8_dot", classOf[Int8Dot], c => Int8Dot(c.head, c(1))),
+    descriptor("graft_i8_abssum", classOf[Int8AbsSum], c => Int8AbsSum(c.head)),
   )
 
   def register(spark: SparkSession): Unit =

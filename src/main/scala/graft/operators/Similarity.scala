@@ -690,4 +690,93 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
   }
+
+  /** EXACT cosine top-k through an int8-quantized scan — the
+    * compressed-pair-pass scale path. Each vector is quantized once to
+    * (scale s, bytes q) with s = max|vᵢ|/127, qᵢ = round(vᵢ/s), so
+    * |vᵢ − s·qᵢ| ≤ s/2 and the pair dot product obeys the RIGOROUS
+    * bound
+    *
+    *   |a·b − sa·sb·(qa·qb)| ≤ sa·sb·(Σ|qb|/2 + Σ|qa|/2 + dim/4)
+    *
+    * (expand a = sa·qa + e, b = sb·qb + f and triangle-inequality the
+    * three cross terms; Σ|q| and dim are per-VECTOR constants, so the
+    * bound is one multiply-add per pair). The pair scan therefore
+    * touches only byte arrays — 4× less data than float32 and an
+    * integer multiply-accumulate inner loop — while staying exact:
+    * per query, the kth largest LOWER bound (est − β) floors the kth
+    * exact cosine, every pair whose UPPER bound (est + β) reaches that
+    * floor survives (a superset of the exact top-k by construction),
+    * and only survivors pay the decimal-exact re-score. Output is
+    * identical to `bruteForceTopK(..., exact = true)` — same
+    * similarity values, same ranking, same tie-break — which is
+    * exactly what its oracle checks.
+    *
+    * The staging keeps Spark's WindowGroupLimit pushdown (pure
+    * `row_number = k` filter, band applied as a broadcast join —
+    * see [[exactTopKRefine]]'s rationale). Persisted frames follow the
+    * file-head caching contract (lazy result — caller clears cache).
+    *
+    * At 100 TB: quantization is a map-side projection persisted with
+    * the corpus (in a real deployment the byte arrays would be the
+    * stored index); the estimate pass is the only |Q|×|C| work and
+    * moves a quarter of the bytes; survivors per query ≈ k + band
+    * ties, so the decimal pass and the final window are top-k-sized.
+    */
+  def quantizedTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      roundDp: Int = -1): DataFrame = {
+
+    import graft.functions.QuantExpressions._
+    def prep(df: DataFrame, id: String, p: String) = df.select(
+      col(idCol).as(id),
+      col(vecCol).as(s"_${p}v"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as(s"_${p}n"),
+      i8Scale(col(vecCol)).as(s"_${p}s"),
+      i8Quantize(col(vecCol)).as(s"_${p}q"))
+      .withColumn(s"_${p}a", i8AbsSum(col(s"_${p}q")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = prep(queries, "query_id", "q")
+    val c = prep(corpus, "neighbor_id", "c")
+
+    val den = col("_qn") * col("_cn")
+    val estDot = col("_qs") * col("_cs") * i8Dot(col("_qq"), col("_cq")).cast("double")
+    // + 1e-9 absorbs double round-off in est/bound themselves (the
+    // analytic bound is real-arithmetic; fp noise here is ~1e-13)
+    val bndDot = col("_qs") * col("_cs") *
+      (col("_ca").cast("double") / 2 + col("_qa").cast("double") / 2 +
+        size(col("_qq")).cast("double") / 4)
+    // rounding before ranking widens the must-survive band by one
+    // rounding quantum (pairs that round INTO a tie at the cutoff)
+    val roundSlack = if (roundDp >= 0) math.pow(10.0, -roundDp) else 0.0
+
+    val slim = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(den > 0, estDot / den).otherwise(0.0).as("_est"),
+        when(den > 0, bndDot / den + 1e-9).otherwise(lit(1e-9)).as("_beta"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wLb = Window.partitionBy("query_id")
+      .orderBy((col("_est") - col("_beta")).desc, col("neighbor_id"))
+    val kth = slim.withColumn("_rn", row_number().over(wLb))
+      .filter(col("_rn") === k)
+      .select(col("query_id"), (col("_est") - col("_beta")).as("_kth_lb"))
+    // left join: a query with < k candidates keeps them all
+    val surv = slim.join(broadcast(kth), Seq("query_id"), "left")
+      .filter(col("_kth_lb").isNull ||
+        col("_est") + col("_beta") >= col("_kth_lb") - roundSlack)
+      .select("query_id", "neighbor_id")
+
+    val cosE = when(den > 0, dotExact(col("_qv"), col("_cv")) / den).otherwise(0.0)
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(surv.join(q.select("query_id", "_qv", "_qn"), "query_id")),
+        "neighbor_id")
+      .withColumn("sim", if (roundDp < 0) cosE else round(cosE, roundDp))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
 }
