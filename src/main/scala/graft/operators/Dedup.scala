@@ -323,4 +323,30 @@ object Dedup {
     firstWins(
       df.withColumn("_h", sha2(col(contentCol), 256)),
       Seq("_h"), order).drop("_h")
+
+  /** Corpus snapshot diff — the versioning primitive a periodically
+    * re-crawled training corpus needs: classify every id across two
+    * snapshots as added / removed / changed / unchanged by CONTENT,
+    * not by row identity.
+    *
+    * Scale shape: each side is first reduced map-side to
+    * (id, 32-byte sha256) — the full-outer join never carries document
+    * bodies, so at 100 TB it shuffles two digest tables (≈40 bytes/row)
+    * hash-partitioned on id; AQE handles size asymmetry between
+    * snapshots. Output is one row per id in either snapshot.
+    */
+  def corpusDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol), sha2(col(contentCol), 256).as("_ho"))
+    val n = newSnap.select(col(idCol), sha2(col(contentCol), 256).as("_hn"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_ho").isNull, "added")
+          .when(col("_hn").isNull, "removed")
+          .when(col("_ho") === col("_hn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

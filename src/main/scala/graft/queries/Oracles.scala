@@ -67,6 +67,34 @@ object Oracles {
 
   private val kExpr = "CAST(props->>'$.k' AS BIGINT)"
 
+  /** Exact brute-force cosine top-5 (vec_id < 50 queries) — shared by
+    * q17 (brute-force engine path) and q61 (int8-quantized engine
+    * path): both must produce the identical exact answer.
+    */
+  private val cosineTopKSql =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
+       |  FROM embeddings
+       |),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(list_sum([CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(q.embedding) + 1)]) AS DOUBLE) AS dt,
+       |    q.nrm * c.nrm AS den
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 50
+       |),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN den > 0 THEN dt / den ELSE 0.0 END AS sim
+       |  FROM p
+       |)
+       |SELECT query_id, neighbor_id, sim,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank"
+       |FROM scored
+       |QUALIFY "rank" <= 5
+       |ORDER BY query_id, "rank"""".stripMargin
+
   /** Decimal-exact dot product over two list columns (the
     * [[graft.operators.Similarity.dotExact]] twin — q26/q29/q20
     * pattern).
@@ -366,29 +394,12 @@ object Oracles {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |) WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
-    "q17_cosine_topk" ->
-      s"""WITH n AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
-         |  FROM embeddings
-         |),
-         |p AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    CAST(list_sum([CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(q.embedding) + 1)]) AS DOUBLE) AS dt,
-         |    q.nrm * c.nrm AS den
-         |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 50
-         |),
-         |scored AS (
-         |  SELECT query_id, neighbor_id,
-         |    CASE WHEN den > 0 THEN dt / den ELSE 0.0 END AS sim
-         |  FROM p
-         |)
-         |SELECT query_id, neighbor_id, sim,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank"
-         |FROM scored
-         |QUALIFY "rank" <= 5
-         |ORDER BY query_id, "rank"""".stripMargin,
+    "q17_cosine_topk" -> cosineTopKSql,
+
+    // the quantized scan path is exactness-preserving (rigorous
+    // error-bound band + decimal-exact re-score) — its answer IS
+    // q17's, so the oracle IS q17's
+    "q61_quantized_ann" -> cosineTopKSql,
 
     "q18_text" -> {
       val toks = "toks"
@@ -1096,5 +1107,104 @@ object Oracles {
       s"""WITH $dailyCte
          |SELECT d, event_type, tss FROM daily
          |ORDER BY d, event_type""".stripMargin,
+
+    // stream-batch dedup parity on the deterministic invariant: the
+    // emitted content-hash SET (which duplicate ROW is emitted is
+    // arrival-order-dependent, the hash set is not)
+    "q62_streaming_dedup" ->
+      s"""WITH fresh AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 100
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+         |)
+         |SELECT DISTINCT sha256(text) AS h FROM fresh ORDER BY h""".stripMargin,
+
+    // q09's recursive EWMA restricted to days PRESENT in the daily
+    // aggregate: streaming emits only arriving rows; zero-filled gap
+    // days decay state without emitting (and a zero state decayed
+    // through leading spine days is still zero, so the recursions
+    // agree on initial conditions)
+    "q64_streaming_ewma" ->
+      s"""WITH RECURSIVE $filledCte,
+         |numbered AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn FROM filled
+         |),
+         |rec AS (
+         |  SELECT event_type, d, tss, rn,
+         |    tss * $CI + 0.0 * $CD AS ctl,
+         |    tss * $AI + 0.0 * $AD AS atl
+         |  FROM numbered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT f.event_type, f.d, f.tss, f.rn,
+         |    f.tss * $CI + r.ctl * $CD,
+         |    f.tss * $AI + r.atl * $AD
+         |  FROM numbered f JOIN rec r ON f.event_type = r.event_type AND f.rn = r.rn + 1
+         |)
+         |SELECT r.event_type, r.d, r.tss, ROUND(r.ctl, 6) AS ctl,
+         |  ROUND(r.atl, 6) AS atl, ROUND(r.ctl - r.atl, 6) AS tsb
+         |FROM rec r
+         |WHERE EXISTS (SELECT 1 FROM daily dl
+         |              WHERE dl.d = r.d AND dl.event_type = r.event_type)
+         |ORDER BY r.event_type, r.d""".stripMargin,
+
+    "q65_corpus_diff" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 10 <> 0
+         |),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+         |  FROM documents WHERE doc_id % 7 <> 0
+         |)
+         |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         |  CASE WHEN v1.h IS NULL THEN 'added'
+         |       WHEN v2.h IS NULL THEN 'removed'
+         |       WHEN v1.h = v2.h THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // the ORC hop must be lossless: the oracle aggregates the ORIGINAL
+    // parquet; any encode/decode corruption through the engine's ORC
+    // sink+source shows up in the digests
+    "q66_orc_roundtrip" ->
+      s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+         |  MIN(sha256(text)) AS min_h, MAX(sha256(text)) AS max_h
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // q40 fixture pattern: the oracle inlines the expected parse as
+    // VALUES — four clean rows, one quarantined (Fixtures.q67CsvLines)
+    "q67_csv_roundtrip" ->
+      s"""SELECT * FROM (VALUES
+         |  (DATE '2021-01-01', 'run',  10.5, CAST(62 AS BIGINT), CAST(1 AS BIGINT)),
+         |  (DATE '2021-01-02', 'swim', 1.25, CAST(40 AS BIGINT), CAST(1 AS BIGINT)),
+         |  (DATE '2021-01-03', 'bike', 40.0, CAST(95 AS BIGINT), CAST(1 AS BIGINT)),
+         |  (DATE '2021-01-05', 'run',  5.0,  CAST(30 AS BIGINT), CAST(1 AS BIGINT))
+         |) AS t(d, activity, km, minutes, n_quarantined)
+         |ORDER BY d""".stripMargin,
+
+    // q46's contaminated-id set (ids are unique per corpus row, so the
+    // streaming emit-once output is exactly this set)
+    "q63_streaming_contamination" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
+         |),
+         |w AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([array_to_string(toks[i:i+9], ' ') FOR i IN range(1, greatest(len(toks) - 9, 1) + 1)])) AS win
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM corpus)
+         |),
+         |bench AS (
+         |  SELECT DISTINCT
+         |    unnest(list_distinct([array_to_string(toks[i:i+9], ' ') FOR i IN range(1, greatest(len(toks) - 9, 1) + 1)])) AS win
+         |  FROM (SELECT $toksExpr AS toks FROM documents WHERE doc_id % 50 = 0)
+         |)
+         |SELECT DISTINCT w.doc_id
+         |FROM w JOIN bench USING (win)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

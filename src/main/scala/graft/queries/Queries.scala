@@ -39,6 +39,19 @@ object Fixtures {
     """{"date":"2021-01-04","workouts":[{"activity":"run","km":7.25,"minutes":44}""", // truncated → quarantine
     """{"date":"2021-01-05","workouts":[{"activity":"run","km":5.0,"minutes":30},{"activity":"bike","km":25.5,"minutes":70}]}""",
   )
+
+  /** Mini diary CSV for q67 — line 5's km is non-numeric to exercise
+    * the PERMISSIVE quarantine path (the oracle inlines the four
+    * clean rows as VALUES with n_quarantined = 1).
+    */
+  val q67CsvLines: Seq[String] = Seq(
+    "date,activity,km,minutes",
+    "2021-01-01,run,10.5,62",
+    "2021-01-02,swim,1.25,40",
+    "2021-01-03,bike,40.0,95",
+    "2021-01-04,run,notanumber,44", // malformed km → quarantine
+    "2021-01-05,run,5.0,30",
+  )
 }
 
 object Queries {
@@ -1149,6 +1162,200 @@ object Queries {
       .orderBy("d", "event_type")
   }
 
+  /** Int8-quantized EXACT cosine top-k ([[Similarity.quantizedTopK]])
+    * — q17's answer through the compressed scan path: the |Q|×|C|
+    * pair pass reads 4× smaller byte arrays and integer dot products,
+    * the rigorous quantization-error band keeps a superset of the
+    * exact top-k, and only that sliver pays the decimal-exact
+    * re-score. Same oracle as q17 — the gate proves the quantized
+    * path loses NOTHING.
+    */
+  val q61QuantizedAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.quantizedTopK(
+      emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding",
+      k = 5, roundDp = -1)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Structured Streaming exact dedup under the oracle gate (q60
+    * pattern): q52's fresh crawl (new docs + re-crawled copies) is
+    * written to a temp dir, streamed through [[graft.streaming
+    * .StreamingDedup.exactByHash]] (file source → watermark →
+    * dropDuplicatesWithinWatermark on the content sha256 → append
+    * parquet sink, Trigger.AvailableNow), and the SINK is read back.
+    * Which duplicate row is emitted is arrival-order-dependent, so
+    * the gate projects the deterministic invariant: the emitted
+    * CONTENT-HASH SET — exactly one row per distinct sha256, equal to
+    * DuckDB's `SELECT DISTINCT sha256(text)`. No sentinel is needed:
+    * dedup emits first occurrences in the same micro-batch (state
+    * only holds back later duplicates), unlike q60's windowed agg.
+    */
+  val q62StreamingDedup: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q62").toString
+    val (in, out, chk) = (s"$tmp/in", s"$tmp/out", s"$tmp/chk")
+    val d = docs(s, dir).select("doc_id", "text")
+    val fresh = d.filter(col("doc_id") >= 100).unionByName(
+        d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .withColumn("ts", lit("2021-01-01 00:00:00").cast("timestamp"))
+    fresh.write.mode("overwrite").parquet(in)
+    val dedup = graft.streaming.StreamingDedup.exactByHash(
+      s.readStream.schema(fresh.schema).parquet(in), "ts", "text")
+    val q = dedup.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).select(sha2(col("text"), 256).as("h")).orderBy("h")
+  }
+
+  /** Structured Streaming contamination scan under the oracle gate:
+    * q46's corpus (originals + first-token-dropped mutants, the
+    * planted eval-set leaks) streams through [[graft.streaming
+    * .StreamingContamination.contaminatedIds]] — stream-static
+    * broadcast semi-join against the static benchmark window hashes,
+    * then watermark-keyed emit-once per doc id — into an append
+    * parquet sink. The emitted ID SET is deterministic (ids are
+    * unique in the corpus; only arrival ORDER varies), so the gate
+    * compares ids against the batch contamination oracle.
+    */
+  val q63StreamingContamination: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q63").toString
+    val (in, out, chk) = (s"$tmp/in", s"$tmp/out", s"$tmp/chk")
+    val d = docs(s, dir).select("doc_id", "text")
+    val corpus = d.filter(col("doc_id") % 50 =!= 0).unionByName(
+        d.select((col("doc_id") + 100000).as("doc_id"),
+          concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text")))
+      .withColumn("ts", lit("2021-01-01 00:00:00").cast("timestamp"))
+    corpus.write.mode("overwrite").parquet(in)
+    val ids = graft.streaming.StreamingContamination.contaminatedIds(
+      s.readStream.schema(corpus.schema).parquet(in),
+      "doc_id", "ts", "text",
+      d.filter(col("doc_id") % 50 === 0), "text", windowTokens = 10)
+    val q = ids.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).select("doc_id").orderBy("doc_id")
+  }
+
+  /** The custom-state streaming operator ([[graft.streaming
+    * .StreamingLoad.ewma]], flatMapGroupsWithState) under the oracle
+    * gate — the third and last streaming path to graduate from
+    * spec-only parity. The intended two-query deployment (watermarked
+    * daily agg → day-grain sink → incremental EWMA) is materialized
+    * literally: the batch daily aggregate is written to a temp dir
+    * and STREAMED through the EWMA operator into an append sink.
+    * Within a trigger batch each key folds in date order and gap days
+    * decay with tss = 0, so the emitted series is bit-identical to
+    * the batch spine-filled fold — the oracle is q09's recursive CTE
+    * restricted to days present in the daily aggregate (zero-filled
+    * gap days only DECAY state on the streaming side, they don't
+    * emit; decaying a zero state through leading spine days is still
+    * zero, so initial conditions agree too).
+    */
+  val q64StreamingEwma: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q64").toString
+    val (in, out, chk) = (s"$tmp/in", s"$tmp/out", s"$tmp/chk")
+    val daily = graft.streaming.StreamingLoad.dailyAggregate(
+      events(s, dir).select(col("ts"), col("event_type"), col("value")),
+      "ts", Seq("event_type"), "value")
+    daily.write.mode("overwrite").parquet(in)
+    import s.implicits._
+    val stream = s.readStream.schema(daily.schema).parquet(in)
+      .select(col("event_type").as("key"),
+        datediff(col("date"), lit("1970-01-01").cast("date")).cast("long").as("epochDay"),
+        col("tss"))
+      .as[graft.streaming.StreamingLoad.DailyRow]
+    val q = graft.streaming.StreamingLoad.ewma(stream).toDF()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select(col("key").as("event_type"),
+        date_add(lit("1970-01-01").cast("date"), col("epochDay").cast("int")).as("d"),
+        col("tss"),
+        round(col("ctl"), 6).as("ctl"),
+        round(col("atl"), 6).as("atl"),
+        round(col("tsb"), 6).as("tsb"))
+      .orderBy("event_type", "d")
+  }
+
+  /** Corpus snapshot diff ([[Dedup.corpusDiff]]): two simulated crawl
+    * versions of the documents table — v2 drops the doc_id % 7 == 0
+    * slice of v1's range, adds the % 10 == 0 slice v1 lacked, and
+    * edits every % 5 == 0 text — classified added / removed /
+    * changed / unchanged by content digest. The join carries only
+    * (id, sha256), never document bodies.
+    */
+  val q65CorpusDiff: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val v1 = d.filter(col("doc_id") % 10 =!= 0)
+    val v2 = d.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    Dedup.corpusDiff(v1, v2, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** ORC sink/source roundtrip under the gate — the other columnar
+    * format the bundled runtime ships (no extra deps): docs →
+    * lang-partitioned ORC write → read back → per-lang aggregate
+    * with content digests. A corrupted encode/decode, a dropped
+    * partition directory, or type mangling through the partition
+    * column all fail the hash gate (the oracle aggregates the
+    * ORIGINAL parquet — the ORC hop must be lossless).
+    */
+  val q66OrcRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q66").toString
+    docs(s, dir).select("doc_id", "lang", "n_chars", "text")
+      .write.mode("overwrite").partitionBy("lang").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        min(sha2(col("text"), 256)).as("min_h"),
+        max(sha2(col("text"), 256)).as("max_h"))
+      .orderBy("lang")
+  }
+
+  /** CSV source with PERMISSIVE quarantine under the gate (q40's
+    * self-contained fixture pattern — the driver corpus is parquet,
+    * so the fixture rows live in [[Fixtures.q67CsvLines]] and the
+    * oracle inlines them as VALUES). Line 5's km is not a number:
+    * PERMISSIVE parks the raw line in the quarantine column instead
+    * of killing the job (FAILFAST) or silently dropping it
+    * (DROPMALFORMED); the clean rows and the quarantined COUNT are
+    * both under the hash gate.
+    */
+  val q67CsvRoundtrip: Q = (s, _) => {
+    val base = java.nio.file.Files.createTempDirectory("graft_q67_")
+    base.toFile.deleteOnExit()
+    java.nio.file.Files.write(base.resolve("diary.csv"),
+      Fixtures.q67CsvLines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = StructType(Seq(
+      StructField("date", StringType),
+      StructField("activity", StringType),
+      StructField("km", DoubleType),
+      StructField("minutes", LongType)))
+    val raw = DelimitedSource.csv(s, base.resolve("diary.csv").toString, schema)
+    val (clean, bad) = DelimitedSource.quarantine(raw)
+    clean
+      .select(to_date(col("date")).as("d"), col("activity"), col("km"), col("minutes"))
+      .crossJoin(broadcast(bad.agg(count(lit(1)).as("n_quarantined"))))
+      .orderBy("d")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1210,5 +1417,12 @@ object Queries {
     "q58_quantile_sketch" -> q58QuantileSketch,
     "q59_bloom_incremental" -> q59BloomIncremental,
     "q60_streaming_daily" -> q60StreamingDaily,
+    "q61_quantized_ann" -> q61QuantizedAnn,
+    "q62_streaming_dedup" -> q62StreamingDedup,
+    "q63_streaming_contamination" -> q63StreamingContamination,
+    "q64_streaming_ewma" -> q64StreamingEwma,
+    "q65_corpus_diff" -> q65CorpusDiff,
+    "q66_orc_roundtrip" -> q66OrcRoundtrip,
+    "q67_csv_roundtrip" -> q67CsvRoundtrip,
   )
 }

@@ -119,6 +119,47 @@ class PlanShapeSpec extends SparkSpec {
       s"frame sampling should be a pure map-side fan-out before the sort, got $shuffles hash exchanges")
   }
 
+  test("quantizedTopK: group-limit pushdown survives; survivor band is a broadcast join, not a window") {
+    val emb = (0 until 80).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 17 + d * 5) % 11).toFloat / 11f - 0.4f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizedTopK(emb.filter($"vec_id" < 10), emb,
+      "vec_id", "embedding", k = 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    // the kth-lower-bound pass must keep WindowGroupLimit: map tasks
+    // retain only k rows per query BEFORE the window shuffle (an OR'd
+    // band predicate in the rank filter would disable the rewrite and
+    // sort every estimated pair — measured 2× whole-query cost on the
+    // float path, same mechanics here)
+    assert(plan.contains("WindowGroupLimit"),
+      s"estimate pass lost the group-limit pushdown:\n$plan")
+    spark.catalog.clearCache() // quantizedTopK persists intermediates
+  }
+
+  test("corpusDiff: the full-outer join carries digests only, never document bodies") {
+    val v1 = writeParquet((1 to 300).map(i => (i.toLong, s"body text $i " * 20))
+      .toDF("doc_id", "text"), "snapv1")
+    val v2 = writeParquet((100 to 400).map(i => (i.toLong, s"body text $i " * 20))
+      .toDF("doc_id", "text"), "snapv2")
+    val q = Dedup.corpusDiff(
+      spark.read.parquet(v1), spark.read.parquet(v2), "doc_id", "text")
+    q.collect()
+    // query-stage nodes hide their subtrees from collect(), so assert
+    // on the printed plan (the established style in this suite)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
+    // the text column may appear only where the digest is COMPUTED
+    // (the sha2 projection / the scan itself) — any other occurrence
+    // means document bodies leaked past the map-side digest projection
+    // into the sort/exchange/join
+    val leaked = plan.linesIterator.filter(_.contains("text#"))
+      .filterNot(l => l.contains("sha2(") || l.contains("FileScan") || l.contains("ReadSchema"))
+      .toSeq
+    assert(leaked.isEmpty,
+      s"document bodies reached the join (should be digest-only):\n${leaked.mkString("\n")}")
+  }
+
   test("rolling window + EWMA fold share ONE clustering exchange") {
     val df = (0 until 200).map { i =>
       (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i / 4)),

@@ -165,6 +165,15 @@ class SpineDedupRollupSpec extends SparkSpec {
       ("2024-2", sqlDate("2024-01-08"), 50.0, 50.0, 1L)))
   }
 
+  test("corpusDiff: added/removed/changed/unchanged by content digest") {
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "beta"), (3L, "gamma EDITED"), (4L, "delta")).toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(v1, v2, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, "removed"), (2L, "unchanged"), (3L, "changed"), (4L, "added")))
+  }
+
   test("calendar attrs: ISO year-week at year boundary (SURVEY Q1)") {
     val out = Calendar.withCalendarAttrs(Seq(sqlDate("2021-01-01")).toDF("d"), "d")
       .select("year_week", "year_month", "day_of_week", "month")
