@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: a 65-query bench in ONE JVM accumulates old-gen
+  // state (broadcast blocks pinned until the ContextCleaner's next
+  // GC, Janino codegen classes, streaming state-store providers) —
+  // at 8g the tail of the suite ran 10-40× slow from full-GC thrash
+  // while the same queries were fast isolated. The host has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -48,6 +48,11 @@ object Bench {
         // drop persisted intermediates (q16/q17 pipelines cache) so
         // runs are independent and the cache never accumulates
         spark.catalog.clearCache()
+        // broadcast/shuffle blocks are only reclaimed when the
+        // ContextCleaner sees their refs collected — force that
+        // between queries so query N's garbage never bills query N+1
+        // (the GC pause itself lands outside the next timing window)
+        System.gc()
         if (ok) dt else -1.0
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
