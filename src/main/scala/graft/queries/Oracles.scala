@@ -1164,6 +1164,19 @@ object Oracles {
          |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    // sliding = tumbling with an explicit 2-way fan-out: every event
+    // lands in windows starting at hour_floor and hour_floor - 1h
+    // (duration 2h / slide 1h, starts aligned to the slide grid —
+    // Spark's window() alignment)
+    "q68_sliding_windows" ->
+      s"""WITH x AS (
+         |  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) - to_hours(k) AS ws,
+         |    event_type, value
+         |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+         |)
+         |SELECT ws, event_type, COUNT(*) AS n, ${dsum("value")} AS total
+         |FROM x GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
     // the ORC hop must be lossless: the oracle aggregates the ORIGINAL
     // parquet; any encode/decode corruption through the engine's ORC
     // sink+source shows up in the digests

@@ -1356,6 +1356,22 @@ object Queries {
       .orderBy("d")
   }
 
+  /** Sliding event-time windows — q56's tumbling twin with overlap:
+    * native `window(ts, "2 hours", "1 hour")` assigns every event to
+    * exactly duration/slide = 2 windows (starts aligned to the slide
+    * grid), the shape behind overlapping-horizon monitoring aggs.
+    * The oracle reproduces the fan-out explicitly: each event joins
+    * offsets {0,1} and buckets to hour_floor − offset. Decimal-exact
+    * sums make the double result bit-identical under the 2× expand.
+    */
+  val q68SlidingWindows: Q = (s, dir) => {
+    val e = events(s, dir)
+    e.groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("total"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
+      .orderBy("ws", "event_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1424,5 +1440,6 @@ object Queries {
     "q65_corpus_diff" -> q65CorpusDiff,
     "q66_orc_roundtrip" -> q66OrcRoundtrip,
     "q67_csv_roundtrip" -> q67CsvRoundtrip,
+    "q68_sliding_windows" -> q68SlidingWindows,
   )
 }
