@@ -1164,6 +1164,31 @@ object Oracles {
          |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    // session_window semantics: a NEW session starts when the gap is
+    // >= 30 min (STRICT — q34's batch lag-flag splits only at > 30
+    // min); lag ties on equal t are diff-0 merges either way, so the
+    // event_id tiebreak never changes a boundary
+    "q69_streaming_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id FROM events
+         |),
+         |m AS (
+         |  SELECT user_id, t, event_id,
+         |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 1800000000
+         |         THEN 1 ELSE 0 END AS new
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+         |),
+         |s AS (
+         |  SELECT user_id, t,
+         |    SUM(new) OVER (PARTITION BY user_id ORDER BY t, event_id
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM m
+         |)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  MIN(t) AS session_start, MAX(t) - MIN(t) AS duration_us
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+
     // sliding = tumbling with an explicit 2-way fan-out: every event
     // lands in windows starting at hour_floor and hour_floor - 1h
     // (duration 2h / slide 1h, starts aligned to the slide grid —

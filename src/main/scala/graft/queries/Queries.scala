@@ -1372,6 +1372,45 @@ object Queries {
       .orderBy("ws", "event_type")
   }
 
+  /** Native session windows under the streaming oracle gate — the
+    * last spec-only streaming operator ([[graft.streaming.Sessionize
+    * .sessions]]) graduates: events + a far-future sentinel stream
+    * through `session_window` (watermarked, append parquet sink,
+    * AvailableNow); the trailing no-data batch sees watermark =
+    * sentinel − lateness > every real session's close and flushes
+    * them all (q60 mechanics — session windows, like windowed aggs,
+    * hold output until the watermark passes). The sentinel rides a
+    * reserved key (user_id = −1) so it can never merge into a real
+    * session; its own session stays in state and never reaches the
+    * sink. Semantics note: `session_window` starts a NEW session at
+    * gap ≥ 30 min (strict), where q34's batch lag-flag splits at
+    * > 30 min — the oracle here uses the strict form, so the exact
+    * boundary behavior is itself under the gate.
+    */
+  val q69StreamingSessionize: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q69").toString
+    val (in, out, chk) = (s"$tmp/in", s"$tmp/out", s"$tmp/chk")
+    val e = events(s, dir).select(col("user_id"), col("ts"))
+    val sentinel = s.range(1).select(
+      lit(-1L).as("user_id"),
+      lit("2030-01-01 00:00:00").cast("timestamp").as("ts"))
+    e.unionByName(sentinel).write.mode("overwrite").parquet(in)
+    val sess = graft.streaming.Sessionize.sessions(
+      s.readStream.schema(e.schema).parquet(in), "ts", Seq("user_id"),
+      gap = "30 minutes", lateness = "1 hour")
+    val q = sess.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select(col("user_id"), col("n_events"),
+        unix_micros(col("session_start")).as("session_start"),
+        col("duration_us"))
+      .orderBy("user_id", "session_start")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1441,5 +1480,6 @@ object Queries {
     "q66_orc_roundtrip" -> q66OrcRoundtrip,
     "q67_csv_roundtrip" -> q67CsvRoundtrip,
     "q68_sliding_windows" -> q68SlidingWindows,
+    "q69_streaming_sessionize" -> q69StreamingSessionize,
   )
 }
