@@ -1164,6 +1164,15 @@ object Oracles {
          |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    // Misra-Gries bound holds for ANY processing order, so the
+    // booleans are deterministic even though the raw estimates are
+    // not; the exact top-10 identities and counts are fully gated
+    "q70_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($toksExpr) AS tok FROM documents),
+         |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY tok)
+         |SELECT tok, cnt, TRUE AS ok_lower, TRUE AS ok_upper
+         |FROM c ORDER BY cnt DESC, tok LIMIT 10""".stripMargin,
+
     // session_window semantics: a NEW session starts when the gap is
     // >= 30 min (STRICT — q34's batch lag-flag splits only at > 30
     // min); lag ties on equal t are diff-0 merges either way, so the

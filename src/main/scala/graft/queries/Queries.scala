@@ -1411,6 +1411,34 @@ object Queries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Mergeable heavy-hitters ([[graft.functions.MisraGries]], q45/q58
+    * sketch-gating pattern): top-token frequencies WITHOUT a
+    * full-vocabulary groupBy — each partition reduces to a ≤16-entry
+    * summary before the (single-row) merge. The sketch estimates are
+    * processing-order-dependent inside the Misra-Gries band, so the
+    * gate emits deterministic BOOLEANS: for each exact top-10 token
+    * (computed alongside as the small-scale oracle), the estimate
+    * must sit in [count − n/17, count]. Any broken reduce/merge step
+    * (dropped decrement, unmerged partial, off-by-one cut) lands
+    * outside the band and fails the hash gate; the exact top-10
+    * identities/counts are themselves gated too.
+    */
+  val q70HeavyHitters: Q = (s, dir) => {
+    val toks = docs(s, dir).select(explode(Text.tokens(col("text"))).as("tok"))
+    val sketch = toks.agg(
+      graft.functions.HeavyHitters.misraGries(16)(col("tok")).as("_mg"),
+      count(lit(1)).as("_n"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(10)
+    top.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("cnt"),
+        ((col("cnt") - coalesce(element_at(col("_mg"), col("tok")), lit(0L)))
+          .cast("double") <= col("_n").cast("double") / 17.0).as("ok_lower"),
+        (coalesce(element_at(col("_mg"), col("tok")), lit(0L)) <= col("cnt"))
+          .as("ok_upper"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1481,5 +1509,6 @@ object Queries {
     "q67_csv_roundtrip" -> q67CsvRoundtrip,
     "q68_sliding_windows" -> q68SlidingWindows,
     "q69_streaming_sessionize" -> q69StreamingSessionize,
+    "q70_heavy_hitters" -> q70HeavyHitters,
   )
 }
