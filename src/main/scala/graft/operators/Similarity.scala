@@ -275,10 +275,12 @@ object Similarity {
     * plan is pure relational algebra over data and has a DuckDB oracle
     * twin. At 100 TB the seeds come from [[kmeansCentroids]] or a
     * deterministic sample; the assignment/probe/rerank machinery is
-    * identical. Scale shape: seeds broadcast (k×dim is model-sized);
-    * corpus assignment is a partial-aggregated groupBy (no window
-    * sort); the probe join shuffles by cell — candidate volume ∝
-    * nProbe/|seeds|, with hot cells handled by AQE skew splitting.
+    * identical. Scale shape: seeds collect to the driver and enter the
+    * plan as literals (k×dim is model-sized — the same move as
+    * [[lshTopKSeeded]]'s hyperplanes), so assignment and probe ranking
+    * are map-side array math with no fanned-frame shuffle; the probe
+    * join shuffles by cell — candidate volume ∝ nProbe/|seeds|, with
+    * hot cells handled by AQE skew splitting.
     */
   def ivfTopKSeeded(
       queries: DataFrame,
@@ -291,9 +293,9 @@ object Similarity {
 
     val s = seeds.select(col(idCol).as("_cell"), col(vecCol).as("_sv"),
       sqrt(dotExact(col(vecCol), col(vecCol))).as("_sn"))
-    def exactSim(vec: Column, nrm: Column) =
-      when(nrm * col("_sn") > 0, dotExact(vec, col("_sv")) / (nrm * col("_sn")))
-        .otherwise(0.0)
+    // the seed set is model-sized — one driver collect serves both the
+    // corpus assignment and the query probes as literal expressions
+    val model = collectSeeds(s)
 
     // the decimal-exact self-dot norms feed three consumers each
     // (assignment, probe join, survivor re-attach) — persist so the
@@ -305,34 +307,28 @@ object Similarity {
       sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Corpus assignment, epsilon-banded like [[exactTopKRefine]]: the
-    // fast double cosine ranks all |C|×|seeds| (vector, seed) rows, the
-    // decimal-exact sim is computed ONLY for seeds within 1e-9 of each
-    // vector's fast max (≫ 2ε₀, so the true exact-argmax seed always
-    // survives — usually exactly one row). Winner via max(struct(sim,
-    // -cell)): map-side combinable, ties → LOWEST cell id, matching
-    // the oracle's ORDER BY csim DESC, cell. The window max and the
-    // groupBy share the neighbor_id clustering — one exchange total.
-    val fastSeedSim = when(col("_cn") * col("_sn") > 0,
-      dot(col("_cv"), col("_sv")) / (col("_cn") * col("_sn"))).otherwise(0.0)
-    val cAssign = cN.join(broadcast(s), lit(true))
-      .withColumn("_fsim", fastSeedSim)
-      .withColumn("_fmax", max(col("_fsim")).over(Window.partitionBy("neighbor_id")))
-      .filter(col("_fsim") >= col("_fmax") - 1e-9)
-      .withColumn("_csim", exactSim(col("_cv"), col("_cn")))
-      .groupBy("neighbor_id")
-      .agg(max(struct(col("_csim").as("_s"), (-col("_cell")).as("_negc"))).as("_m"))
-      .select(col("neighbor_id"), (-col("_m._negc")).as("_cell"))
-    val withCell = cN.join(cAssign, "neighbor_id")
+    val withCell = cN.join(
+      assignCellsFromModel(cN, model, "neighbor_id")
+        .withColumnRenamed("cell", "_cell"),
+      "neighbor_id")
 
-    // queries probe their nProbe closest cells — |Q|×|seeds| rows,
-    // decimal-exact outright (the query side is the small side)
-    val wProbe = Window.partitionBy("query_id").orderBy(col("_csim").desc, col("_cell"))
-    val probes = qN.join(broadcast(s), lit(true))
-      .withColumn("_csim", exactSim(col("_qv"), col("_qn")))
-      .withColumn("_rn", row_number().over(wProbe))
-      .filter(col("_rn") <= nProbe)
-      .select("query_id", "_qv", "_qn", "_cell")
+    // queries probe their nProbe closest cells — per query, an array
+    // of struct(-exact_sim, cell) over the seed LITERALS, array_sort
+    // (= sim desc, ties → lowest cell, matching the oracle's ORDER BY
+    // csim DESC, cell), slice to nProbe, explode. A pure map-side
+    // projection of qN: no |Q|×|seeds| shuffle, no window, and the
+    // query vectors never ride an exchange just to be ranked.
+    def qden(i: Int) = col("_qn") * lit(model(i).norm)
+    val probeArr = array(model.indices.map { i =>
+      struct(
+        (-when(qden(i) > 0, dotExact(col("_qv"), lit(model(i).vec)) / qden(i))
+          .otherwise(0.0)).as("_negs"),
+        lit(model(i).cell).as("_cell"))
+    }.toIndexedSeq: _*)
+    val probes = qN
+      .select(col("query_id"), col("_qv"), col("_qn"),
+        explode(slice(array_sort(probeArr), 1, nProbe)).as("_pc"))
+      .select(col("query_id"), col("_qv"), col("_qn"), col("_pc._cell").as("_cell"))
 
     // candidates = probed cells' members; exact top-k via the shared
     // banded refine (decimal work only on the handful of survivors)
@@ -388,21 +384,23 @@ object Similarity {
     * `threshold`. Returns (`idCol`, cell, is_kept) for the whole
     * corpus — survivors are the `is_kept` rows.
     *
-    * Scale shape: seeds broadcast (model-sized); assignment is the
-    * epsilon-banded exact-argmax from [[ivfTopKSeeded]] (fast double
-    * cosine ranks all |C|×|seeds| rows, decimal work only within 1e-9
-    * of each row's max); the pair pass is a self-equi-join ON THE CELL
+    * Scale shape: seeds become driver-collected literals
+    * (model-sized); assignment is the epsilon-banded map-side
+    * exact-argmax of [[assignCellsFromModel]] (fast double cosines as
+    * an array, decimal work only within 1e-9 of each vector's
+    * `array_max`); the pair pass is a self-equi-join ON THE CELL
     * KEY — candidate volume ∝ Σ|cell|², never |C|², with hot cells
     * split by AQE. The similarity threshold runs double-prefiltered at
     * `threshold`−1e-6, decimal-exact on survivors (q26 pattern: the
     * two differ by ≤ ~1e-11, so no qualifying pair can be lost).
     */
-  /** Exact-argmax cosine cell assignment against broadcast seed
-    * vectors: returns (`idCol`, cell = seed id). The epsilon-banded
-    * [[ivfTopKSeeded]] recurrence: the fast double cosine ranks all
-    * |C|×|seeds| rows, decimal-exact work runs only within 1e-9 of
-    * each row's fast max, ties resolve to the LOWEST cell id. Shared
-    * by [[semDedup]] and the cell-diagnostic queries.
+  /** Exact-argmax cosine cell assignment against seed vectors:
+    * returns (`idCol`, cell = seed id). Seeds become literals
+    * ([[assignCellsFromModel]]): the fast double cosines to every seed
+    * are a map-side array, `array_max` bands them at 1e-9, and
+    * decimal-exact work runs only on band survivors; ties resolve to
+    * the LOWEST cell id. Shared by [[semDedup]] and the
+    * cell-diagnostic queries.
     */
   def assignCells(
       corpus: DataFrame,
@@ -416,20 +414,79 @@ object Similarity {
         sqrt(dotExact(col(vecCol), col(vecCol))).as("_sn")),
       idCol)
 
-  /** [[assignCells]] over pre-normed frames (`idCol`,`_cv`,`_cn`) and
-    * (`_cell`,`_sv`,`_sn`) — lets callers persist the norm pass when
-    * it feeds more consumers than the assignment.
+  /** One collected seed: (cell id, vector, engine-computed exact norm).
+    * The norm is collected rather than recomputed on the driver so the
+    * literal is bit-identical to what `sqrt(dotExact(v,v))` yields in
+    * the plan — driver-side BigDecimal arithmetic could round casts
+    * differently.
     */
-  private def assignCellsFrom(cN: DataFrame, s: DataFrame, idCol: String): DataFrame = {
-    val fastSeedSim = when(col("_cn") * col("_sn") > 0,
-      dot(col("_cv"), col("_sv")) / (col("_cn") * col("_sn"))).otherwise(0.0)
-    val exactSeedSim = when(col("_cn") * col("_sn") > 0,
-      dotExact(col("_cv"), col("_sv")) / (col("_cn") * col("_sn"))).otherwise(0.0)
-    cN.join(broadcast(s), lit(true))
-      .withColumn("_fsim", fastSeedSim)
-      .withColumn("_fmax", max(col("_fsim")).over(Window.partitionBy(idCol)))
+  private case class Seed(cell: Any, vec: Array[Float], norm: Double)
+
+  /** Collect a model-sized seed frame (`_cell`,`_sv`,`_sn`) to the
+    * driver, ordered by cell id (the plan must not depend on collect
+    * order). Same move as [[lshTopKSeeded]]'s hyperplane seeds.
+    */
+  private def collectSeeds(s: DataFrame): Array[Seed] = {
+    val rows = s.orderBy("_cell").collect().map { r =>
+      Seed(r.get(0), r.getSeq[Float](1).toArray, r.getDouble(2))
+    }
+    require(rows.nonEmpty, "seed frame is empty — need at least one cell seed")
+    rows
+  }
+
+  /** [[assignCells]] over a pre-normed corpus frame (`idCol`,`_cv`,
+    * `_cn`) and pre-normed seeds (`_cell`,`_sv`,`_sn`) — lets callers
+    * persist the corpus norm pass when it feeds more consumers than
+    * the assignment.
+    */
+  private def assignCellsFrom(cN: DataFrame, s: DataFrame, idCol: String): DataFrame =
+    assignCellsFromModel(cN, collectSeeds(s), idCol)
+
+  /** The assignment engine: seeds enter the plan as LITERALS (they are
+    * model-sized and already on the driver), so the per-vector fast
+    * max is `array_max` over a map-side array — no |corpus|×|seeds|
+    * fanned frame ever rides a shuffle, and the corpus vectors never
+    * leave their map task. Stages, all map-side until the last:
+    *  (a) `_fa` = array of fast double cosines to every seed literal;
+    *  (b) `array_max(_fa)` — the per-vector fast max, zero exchanges
+    *      (the [[kmeansCentroidsExact]] argmin pattern);
+    *  (c) posexplode + band filter keeps seeds within 1e-9 of the max
+    *      (≫ 2ε₀ ≈ 2e-11 double-vs-exact error, so the true exact-
+    *      argmax seed always survives — usually exactly one row);
+    *  (d) the surviving row's decimal-exact sim dispatches through a
+    *      flat when() chain on the exploded position — each decimal
+    *      kernel appears exactly once (a nested reduce would inline
+    *      them up to 2^k times; CSE excludes lambdas);
+    *  (e) winner via groupBy(id).max(struct(sim, -cell)): map-side
+    *      combinable, ties → LOWEST cell id, and the only exchange in
+    *      the whole assignment carries (id, sim, cell) — ~24 bytes/row
+    *      with ~1 row per id, not vector payloads.
+    */
+  private def assignCellsFromModel(
+      cN: DataFrame,
+      model: Array[Seed],
+      idCol: String): DataFrame = {
+
+    def den(i: Int) = col("_cn") * lit(model(i).norm)
+    def fastSim(i: Int) =
+      when(den(i) > 0, dot(col("_cv"), lit(model(i).vec)) / den(i)).otherwise(0.0)
+    def exactSim(i: Int) =
+      when(den(i) > 0, dotExact(col("_cv"), lit(model(i).vec)) / den(i)).otherwise(0.0)
+    val csimByPos = (1 until model.length).foldLeft(
+      when(col("_pos") === 0, exactSim(0))) {
+      case (acc, i) => acc.when(col("_pos") === i, exactSim(i))
+    }
+    val cellByPos = (1 until model.length).foldLeft(
+      when(col("_pos") === 0, lit(model(0).cell))) {
+      case (acc, i) => acc.when(col("_pos") === i, lit(model(i).cell))
+    }
+    cN.select(col(idCol), col("_cv"), col("_cn"),
+        array(model.indices.map(fastSim).toIndexedSeq: _*).as("_fa"))
+      .select(col(idCol), col("_cv"), col("_cn"),
+        array_max(col("_fa")).as("_fmax"),
+        posexplode(col("_fa")).as(Seq("_pos", "_fsim")))
       .filter(col("_fsim") >= col("_fmax") - 1e-9)
-      .withColumn("_csim", exactSeedSim)
+      .select(col(idCol), csimByPos.as("_csim"), cellByPos.as("_cell"))
       .groupBy(idCol)
       .agg(max(struct(col("_csim").as("_s"), (-col("_cell")).as("_negc"))).as("_m"))
       .select(col(idCol), (-col("_m._negc")).as("cell"))

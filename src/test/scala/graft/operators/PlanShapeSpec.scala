@@ -97,14 +97,44 @@ class PlanShapeSpec extends SparkSpec {
     val q = Similarity.semDedup(emb, emb.filter($"vec_id" < 4), "vec_id", "embedding", 0.4)
     q.collect()
     val plan = q.queryExecution.executedPlan.toString()
-    // seed assignment is an intentional broadcast nested-loop (seeds are
-    // model-sized); what must never appear is a shuffled cartesian
     assert(!plan.contains("CartesianProduct"),
       s"semDedup pair generation degenerated to a cartesian product:\n$plan")
     assert(raw"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#".r
         .findFirstIn(plan).isDefined,
       s"cell self-join is not an equi-join keyed on cell:\n$plan")
+    // seeds are literals, not a joined frame: the |corpus|×|seeds| fan
+    // never materializes as a join, and nothing in semDedup needs a
+    // window (the per-vector fast max is array_max, map-side)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"seed assignment joins the seed frame instead of using literals:\n$plan")
+    assert(!plan.contains("Window"),
+      s"semDedup should be window-free (fanned-frame max is the 100 TB killer):\n$plan")
     spark.catalog.clearCache() // semDedup persists intermediates
+  }
+
+  test("seed assignment: map-side array_max over seed literals — no window, no fanned-frame shuffle") {
+    // the round-7 scale defect: max(fsim).over(partitionBy(id)) on the
+    // |corpus|×|seeds| frame shuffled every corpus vector |seeds| times
+    // WITH its embedding payload. The literal-seed form keeps vectors
+    // in their map task; the only exchange is the slim groupBy argmax.
+    val emb = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat / 13f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.assignCells(emb, emb.filter($"vec_id" < 4), "vec_id", "embedding")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"cell assignment uses a per-id window over the fanned frame:\n$plan")
+    assert(!plan.contains("Join"),
+      s"cell assignment joins the seed frame instead of using literals:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"argmax lacks map-side partial aggregation:\n$plan")
+    // the embedding payload must not ride the argmax exchange — only
+    // (id, sim, cell) may cross
+    val exchanged = plan.linesIterator.filter(_.contains("Exchange"))
+      .filter(_.contains("embedding#")).toSeq
+    assert(exchanged.isEmpty,
+      s"corpus vectors ride the assignment shuffle:\n${exchanged.mkString("\n")}")
   }
 
   test("frame sampling (q57 shape): zero clustering exchanges — only the final sort") {
