@@ -45,8 +45,11 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        // drop persisted intermediates (q16/q17 pipelines cache) so
-        // runs are independent and the cache never accumulates
+        // drop operator-persisted intermediates (q16/q17 pipelines
+        // cache) so runs are independent and the cache never
+        // accumulates; clearCache additionally covers any
+        // cacheTable-style entries outside the registry
+        graft.core.OpCache.release()
         spark.catalog.clearCache()
         // broadcast/shuffle blocks are only reclaimed when the
         // ContextCleaner sees their refs collected — force that

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.OpCache.TrackedPersist
 
 /** Deterministic first-wins deduplication (reference O18: `date UNIQUE`
   * + swallowed insert errors, populate_from_json.py:465, 531-535 —
@@ -62,7 +63,7 @@ object Dedup {
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
     val edges = pairs.select(col(aCol).as("_src"), col(bCol).as("_dst"))
       .union(pairs.select(col(bCol).as("_src"), col(aCol).as("_dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     // localCheckpoint (not persist): each round references the label
     // frame twice, so a lineage-preserving cache would DOUBLE the plan
     // tree per round — exponential plan growth that OOMs the driver on

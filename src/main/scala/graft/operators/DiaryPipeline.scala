@@ -4,6 +4,7 @@ import graft.core.DiarySpecs
 import graft.sources.DiarySource
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.OpCache.TrackedPersist
 
 /** The full training-diary warehouse build — the reference's three
   * entry points (`populate`, `calculate_all_tsb`,
@@ -63,7 +64,7 @@ object DiaryPipeline {
     // aggregation of the fact table at 100 TB. The cube output is
     // bounded by days × combos, far smaller than its input.
     val finalized = CubeFanout.finalizeAll(cubed, specs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
 
     // day-level values rendered once per date (rounded at write)
     val dayVals = days.select(

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.Text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.OpCache.TrackedPersist
 
 /** Near-duplicate detection for document corpora (LLM-pipeline
   * extension, SURVEY.md §2.5): word-shingle Jaccard as ground truth,
@@ -121,7 +122,7 @@ object NearDup {
     // of the verification join) — materialize it once; Spark's plan
     // reuse does not cover differently-aliased self-join inputs
     val sh = df.select(col(idCol), shingles(col(textCol), n).as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val sigs = sh.select(col(idCol), minhashSignature(col("_sh"), numHashes).as("_sig"))
     val b = lshBands(sigs, idCol, "_sig", bands)
     val l = b.select(col(idCol).as("id_a"), col("band"), col("band_hash"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.core.OpCache.TrackedPersist
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`), LLM-pipeline extension (SURVEY.md §2.5).
@@ -23,15 +24,16 @@ import org.apache.spark.sql.types.DecimalType
   * (zip_with/aggregate) — codegen-friendly, no UDFs.
   *
   * Caching contract: the exact paths ([[bruteForceTopK]] with
-  * `exact = true`, [[ivfTopKSeeded]], [[lshTopKSeeded]]) persist
+  * `exact = true`, [[ivfTopKSeeded]], [[quantizedTopK]]) persist
   * intermediate frames (norms, the slim candidate pass) because each
   * feeds several consumers of one returned plan. The blocks cannot be
   * unpersisted here — the result is lazy and the final action happens
-  * at the caller — so a long-lived session issuing many such calls
-  * should `spark.catalog.clearCache()` (or unpersist via
-  * `spark.sharedState.cacheManager`) between calls once each result is
-  * materialized; otherwise cached blocks accumulate (MEMORY_AND_DISK —
-  * they spill rather than OOM, but disk fills eventually).
+  * at the caller — so every persist is registered with
+  * [[graft.core.OpCache]]: a long-lived session calls
+  * `OpCache.release()` once each result is materialized, freeing
+  * exactly the operator-internal blocks (the bench does this between
+  * queries). Unreleased blocks are MEMORY_AND_DISK — they spill
+  * rather than OOM, but disk fills eventually.
   */
 object Similarity {
 
@@ -106,7 +108,7 @@ object Similarity {
     // norm scan
     def d(a: Column, b: Column) = if (exact) dotExact(a, b) else dot(a, b)
     def persistIfExact(df: DataFrame) =
-      if (exact) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else df
+      if (exact) df.persistTracked else df
     val q = persistIfExact(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
       sqrt(d(col(vecCol), col(vecCol))).as("_qn")))
     val c = persistIfExact(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
@@ -161,7 +163,7 @@ object Similarity {
     val fast = when(den > 0, dot(col("_qv"), col("_cv")) / den).otherwise(0.0)
     val slim = pairs.withColumn("_sim_fast", fast)
       .select("query_id", "neighbor_id", "_sim_fast")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val wFast = Window.partitionBy("query_id")
       .orderBy(col("_sim_fast").desc, col("neighbor_id"))
     val kth = slim.withColumn("_rn", row_number().over(wFast))
@@ -302,10 +304,10 @@ object Similarity {
     // exact norm pass runs once per vector, not once per consumer
     val cN = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       sqrt(dotExact(col(vecCol), col(vecCol))).as("_cn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val qN = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
       sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
 
     val withCell = cN.join(
       assignCellsFromModel(cN, model, "neighbor_id")
@@ -356,23 +358,32 @@ object Similarity {
       k: Int,
       iters: Int): Array[Array[Double]] = {
 
-    var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    for (_ <- 0 until iters) {
-      val assigned = corpus.select(
-        nearestCell(col(vecCol), cents).as("_cell"),
-        posexplode(col(vecCol)).as(Seq("_p", "_x")))
-      val means = assigned.groupBy("_cell", "_p")
-        .agg(avg(col("_x").cast("double")).as("_m"))
-        .collect()
-      val next = cents.map(_.clone())
-      means.foreach { r =>
-        next(r.getAs[Int]("_cell"))(r.getAs[Int]("_p")) = r.getAs[Double]("_m")
+    // iterative training re-reads the vectors every iteration (plus
+    // the init scan) — cache the projection once so iterations hit
+    // memory, not the source scan. Training is EAGER (the model comes
+    // back as a driver array), so the cache is released before
+    // returning — no OpCache round-trip needed.
+    val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Array[Array[Double]] = vecs.orderBy(col("_vid")).limit(k)
+        .select(col("_v")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      for (_ <- 0 until iters) {
+        val assigned = vecs.select(
+          nearestCell(col("_v"), cents).as("_cell"),
+          posexplode(col("_v")).as(Seq("_p", "_x")))
+        val means = assigned.groupBy("_cell", "_p")
+          .agg(avg(col("_x").cast("double")).as("_m"))
+          .collect()
+        val next = cents.map(_.clone())
+        means.foreach { r =>
+          next(r.getAs[Int]("_cell"))(r.getAs[Int]("_p")) = r.getAs[Double]("_m")
+        }
+        cents = next
       }
-      cents = next
-    }
-    cents
+      cents
+    } finally vecs.unpersist(false)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
@@ -503,10 +514,10 @@ object Similarity {
     * output is known to be materialized; an eager unpersist would
     * silently recompute both sides of the self-join (the exact cost
     * the persist exists to kill). Same policy as [[NearDup
-    * .nearDupPairs]]'s shingle frame. Blocks are LRU-evicted under
-    * memory pressure; long-lived sessions issuing many semDedup calls
-    * should `spark.catalog.clearCache()` between pipelines (the bench
-    * does).
+    * .nearDupPairs]]'s shingle frame. Both are registered with
+    * [[graft.core.OpCache]]; long-lived sessions issuing many
+    * semDedup calls release them via `OpCache.release()` once the
+    * result is materialized (the bench does, between queries).
     */
   def semDedup(
       corpus: DataFrame,
@@ -520,13 +531,13 @@ object Similarity {
       sqrt(dotExact(col(vecCol), col(vecCol))).as("_sn"))
     val cN = corpus.select(col(idCol), col(vecCol).as("_cv"),
       sqrt(dotExact(col(vecCol), col(vecCol))).as("_cn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
 
     val assign = assignCellsFrom(cN, s, idCol)
 
     // both sides of the cell self-join read this — materialize once
     val withCell = cN.join(assign, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val a = withCell.select(col(idCol).as("_ida"), col("cell"),
       col("_cv").as("_va"), col("_cn").as("_na"))
     val b = withCell.select(col(idCol).as("_idb"), col("cell"),
@@ -578,8 +589,15 @@ object Similarity {
       iters: Int): Array[Array[Double]] = {
 
     val scale = 8796093022208.0 // 2^43
-    var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
-      .select(col(vecCol)).collect()
+    // cache the vector projection once — each Lloyd's iteration (and
+    // the init) otherwise re-runs the source scan. Training is EAGER
+    // (the model is a driver array), so the cache is released in the
+    // finally — no OpCache round-trip needed.
+    val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    var cents: Array[Array[Double]] = vecs.orderBy(col("_vid")).limit(k)
+      .select(col("_v")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
       // Epsilon-banded exact argmin (the ivfTopKSeeded assignment
@@ -605,8 +623,7 @@ object Similarity {
         when(col("_cellc") === 0, distExactDecimal(col("_v"), cents(0)))) {
         case (acc, (c, i)) => acc.when(col("_cellc") === i, distExactDecimal(col("_v"), c))
       }
-      val assigned = corpus
-        .select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+      val assigned = vecs
         .select(col("_vid"), col("_v"), array(fasts.toIndexedSeq: _*).as("_fa"))
         .select(col("_vid"), col("_v"), array_min(col("_fa")).as("_amin"),
           posexplode(col("_fa")).as(Seq("_cellc", "_fd")))
@@ -634,6 +651,7 @@ object Similarity {
       cents = next
     }
     cents
+    } finally vecs.unpersist(false)
   }
 
   /** Decimal-exact squared euclidean distance to a fixed centroid:
@@ -796,7 +814,7 @@ object Similarity {
       i8Scale(col(vecCol)).as(s"_${p}s"),
       i8Quantize(col(vecCol)).as(s"_${p}q"))
       .withColumn(s"_${p}a", i8AbsSum(col(s"_${p}q")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val q = prep(queries, "query_id", "q")
     val c = prep(corpus, "neighbor_id", "c")
 
@@ -815,7 +833,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         when(den > 0, estDot / den).otherwise(0.0).as("_est"),
         when(den > 0, bndDot / den + 1e-9).otherwise(lit(1e-9)).as("_beta"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val wLb = Window.partitionBy("query_id")
       .orderBy((col("_est") - col("_beta")).desc, col("neighbor_id"))
     val kth = slim.withColumn("_rn", row_number().over(wLb))

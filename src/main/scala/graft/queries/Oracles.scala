@@ -1164,6 +1164,45 @@ object Oracles {
          |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    // MERGE semantics replayed relationally: corrections overwrite
+    // matched keys, arrivals insert, untouched days pass through the
+    // UNION — any partition the Spark side clobbered or any coalesce
+    // it got backwards shifts a day digest
+    "q71_merge_upsert" ->
+      s"""WITH e AS (
+         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+         |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+         |  FROM events
+         |),
+         |day0 AS (SELECT MIN(d) AS d0 FROM e),
+         |upd AS (
+         |  SELECT event_id, ts, event_type, value + 10 AS value, d
+         |  FROM e WHERE d = (SELECT d0 FROM day0) AND event_id % 7 = 0
+         |  UNION ALL
+         |  SELECT event_id + 1000000, ts, 'correction', 1.5, d
+         |  FROM e WHERE d = (SELECT d0 FROM day0) AND event_id % 11 = 0
+         |),
+         |tgt AS (SELECT * FROM e WHERE d = (SELECT d0 FROM day0)),
+         |merged AS (
+         |  SELECT COALESCE(u.event_id, t.event_id) AS event_id,
+         |         COALESCE(u.ts, t.ts) AS ts,
+         |         COALESCE(u.event_type, t.event_type) AS event_type,
+         |         COALESCE(u.value, t.value) AS value,
+         |         COALESCE(t.d, u.d) AS d
+         |  FROM tgt t FULL OUTER JOIN upd u ON t.event_id = u.event_id
+         |),
+         |final AS (
+         |  SELECT event_id, ts, event_type, value, d
+         |  FROM e WHERE d <> (SELECT d0 FROM day0)
+         |  UNION ALL
+         |  SELECT event_id, ts, event_type, value, d FROM merged
+         |)
+         |SELECT d, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  ${dsum("value")} AS total,
+         |  CAST(SUM(epoch_us(ts)) AS BIGINT) AS ts_us_sum,
+         |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+         |FROM final GROUP BY d ORDER BY d""".stripMargin,
+
     // Misra-Gries bound holds for ANY processing order, so the
     // booleans are deterministic even though the raw estimates are
     // not; the exact top-10 identities and counts are fully gated

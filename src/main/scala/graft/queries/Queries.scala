@@ -54,6 +54,40 @@ object Fixtures {
   )
 }
 
+/** Per-run scratch space for the sink/source roundtrip queries (q40,
+  * q60, q62–q64, q66, q67, q69). Streaming input copies and
+  * checkpoints are deleted EAGERLY ([[drop]]) the moment the bounded
+  * run finishes — the sink read-back never touches them. Sink dirs
+  * must outlive the query (the returned frame lazily re-reads them at
+  * gate time), so the whole root is removed by a JVM shutdown hook
+  * instead: `File.deleteOnExit` cannot remove non-empty directories,
+  * and repeated harness runs would otherwise accumulate unbounded
+  * /tmp.
+  */
+object Scratch {
+  private lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try drop(p) catch { case _: Throwable => () }))
+    p
+  }
+
+  /** A fresh unique directory that lives until JVM exit. */
+  def fresh(name: String): String =
+    java.nio.file.Files.createTempDirectory(root, name).toString
+
+  /** Recursively delete now (input/checkpoint dirs after a run). */
+  def drop(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
+  def drop(path: String): Unit = drop(java.nio.file.Paths.get(path))
+}
+
 object Queries {
 
   type Q = (SparkSession, String) => DataFrame
@@ -227,8 +261,7 @@ object Queries {
     * lives in a per-run unique temp dir, so concurrent runs can't race.
     */
   val q40JsonlRoundtrip: Q = (s, _) => {
-    val base = java.nio.file.Files.createTempDirectory("graft_q40_")
-    base.toFile.deleteOnExit()
+    val base = java.nio.file.Paths.get(Scratch.fresh("q40_"))
     val lines = Fixtures.q40DiaryLines
     java.nio.file.Files.write(base.resolve("diary.jsonl"),
       lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1139,8 +1172,24 @@ object Queries {
     * in one data batch (no maxFilesPerTrigger limit), so no real
     * event can be dropped as late by the sentinel's watermark.
     */
+  /** Shared sink runner for the streaming gate queries: bounded run
+    * into an append-mode parquet sink under `Trigger.AvailableNow`,
+    * then eagerly drop the input copy and checkpoint — after
+    * `awaitTermination` only the sink is ever read again.
+    */
+  private def runToSink(stream: DataFrame, in: String, out: String, chk: String): Unit = {
+    val q = stream.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Scratch.drop(in)
+    Scratch.drop(chk)
+  }
+
   val q60StreamingDaily: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q60").toString
+    val tmp = Scratch.fresh("q60")
     val (in, out, chk) = (s"$tmp/in", s"$tmp/out", s"$tmp/chk")
     val e = events(s, dir).select(
       col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -1151,12 +1200,7 @@ object Queries {
     e.unionByName(sentinel).write.mode("overwrite").parquet(in)
     val agg = graft.streaming.StreamingLoad.dailyAggregate(
       s.readStream.schema(e.schema).parquet(in), "ts", Seq("event_type"), "value")
-    val q = agg.writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", chk)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runToSink(agg, in, out, chk)
     s.read.parquet(out)
       .select(col("date").as("d"), col("event_type"), col("tss"))
       .orderBy("d", "event_type")
@@ -1193,7 +1237,7 @@ object Queries {
     * only holds back later duplicates), unlike q60's windowed agg.
     */
   val q62StreamingDedup: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q62").toString
+    val tmp = Scratch.fresh("q62")
     val (in, out, chk) = (s"$tmp/in", s"$tmp/out", s"$tmp/chk")
     val d = docs(s, dir).select("doc_id", "text")
     val fresh = d.filter(col("doc_id") >= 100).unionByName(
@@ -1203,12 +1247,7 @@ object Queries {
     fresh.write.mode("overwrite").parquet(in)
     val dedup = graft.streaming.StreamingDedup.exactByHash(
       s.readStream.schema(fresh.schema).parquet(in), "ts", "text")
-    val q = dedup.writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", chk)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runToSink(dedup, in, out, chk)
     s.read.parquet(out).select(sha2(col("text"), 256).as("h")).orderBy("h")
   }
 
@@ -1223,7 +1262,7 @@ object Queries {
     * compares ids against the batch contamination oracle.
     */
   val q63StreamingContamination: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q63").toString
+    val tmp = Scratch.fresh("q63")
     val (in, out, chk) = (s"$tmp/in", s"$tmp/out", s"$tmp/chk")
     val d = docs(s, dir).select("doc_id", "text")
     val corpus = d.filter(col("doc_id") % 50 =!= 0).unionByName(
@@ -1235,12 +1274,7 @@ object Queries {
       s.readStream.schema(corpus.schema).parquet(in),
       "doc_id", "ts", "text",
       d.filter(col("doc_id") % 50 === 0), "text", windowTokens = 10)
-    val q = ids.writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", chk)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runToSink(ids, in, out, chk)
     s.read.parquet(out).select("doc_id").orderBy("doc_id")
   }
 
@@ -1260,7 +1294,7 @@ object Queries {
     * zero, so initial conditions agree too).
     */
   val q64StreamingEwma: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q64").toString
+    val tmp = Scratch.fresh("q64")
     val (in, out, chk) = (s"$tmp/in", s"$tmp/out", s"$tmp/chk")
     val daily = graft.streaming.StreamingLoad.dailyAggregate(
       events(s, dir).select(col("ts"), col("event_type"), col("value")),
@@ -1272,13 +1306,7 @@ object Queries {
         datediff(col("date"), lit("1970-01-01").cast("date")).cast("long").as("epochDay"),
         col("tss"))
       .as[graft.streaming.StreamingLoad.DailyRow]
-    val q = graft.streaming.StreamingLoad.ewma(stream).toDF()
-      .writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", chk)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runToSink(graft.streaming.StreamingLoad.ewma(stream).toDF(), in, out, chk)
     s.read.parquet(out)
       .select(col("key").as("event_type"),
         date_add(lit("1970-01-01").cast("date"), col("epochDay").cast("int")).as("d"),
@@ -1316,7 +1344,7 @@ object Queries {
     * ORIGINAL parquet — the ORC hop must be lossless).
     */
   val q66OrcRoundtrip: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q66").toString
+    val tmp = Scratch.fresh("q66")
     docs(s, dir).select("doc_id", "lang", "n_chars", "text")
       .write.mode("overwrite").partitionBy("lang").orc(tmp)
     s.read.orc(tmp)
@@ -1338,8 +1366,7 @@ object Queries {
     * both under the hash gate.
     */
   val q67CsvRoundtrip: Q = (s, _) => {
-    val base = java.nio.file.Files.createTempDirectory("graft_q67_")
-    base.toFile.deleteOnExit()
+    val base = java.nio.file.Paths.get(Scratch.fresh("q67_"))
     java.nio.file.Files.write(base.resolve("diary.csv"),
       Fixtures.q67CsvLines.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1379,31 +1406,29 @@ object Queries {
     * AvailableNow); the trailing no-data batch sees watermark =
     * sentinel − lateness > every real session's close and flushes
     * them all (q60 mechanics — session windows, like windowed aggs,
-    * hold output until the watermark passes). The sentinel rides a
-    * reserved key (user_id = −1) so it can never merge into a real
-    * session; its own session stays in state and never reaches the
-    * sink. Semantics note: `session_window` starts a NEW session at
-    * gap ≥ 30 min (strict), where q34's batch lag-flag splits at
-    * > 30 min — the oracle here uses the strict form, so the exact
-    * boundary behavior is itself under the gate.
+    * hold output until the watermark passes). The sentinel's key is
+    * max(user_id)+1 — DERIVED, not a reserved constant, so it can
+    * never collide with (and merge into) a real user's session no
+    * matter what ids the corpus carries; its own session stays in
+    * state and never reaches the sink. Semantics note:
+    * `session_window` starts a NEW session at gap ≥ 30 min (strict),
+    * where q34's batch lag-flag splits at > 30 min — the oracle here
+    * uses the strict form, so the exact boundary behavior is itself
+    * under the gate.
     */
   val q69StreamingSessionize: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q69").toString
+    val tmp = Scratch.fresh("q69")
     val (in, out, chk) = (s"$tmp/in", s"$tmp/out", s"$tmp/chk")
     val e = events(s, dir).select(col("user_id"), col("ts"))
+    val sentinelKey = e.agg(coalesce(max("user_id"), lit(0L))).head.getLong(0) + 1L
     val sentinel = s.range(1).select(
-      lit(-1L).as("user_id"),
+      lit(sentinelKey).as("user_id"),
       lit("2030-01-01 00:00:00").cast("timestamp").as("ts"))
     e.unionByName(sentinel).write.mode("overwrite").parquet(in)
     val sess = graft.streaming.Sessionize.sessions(
       s.readStream.schema(e.schema).parquet(in), "ts", Seq("user_id"),
       gap = "30 minutes", lateness = "1 hour")
-    val q = sess.writeStream.format("parquet")
-      .option("path", out).option("checkpointLocation", chk)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    runToSink(sess, in, out, chk)
     s.read.parquet(out)
       .select(col("user_id"), col("n_events"),
         unix_micros(col("session_start")).as("session_start"),
@@ -1430,13 +1455,93 @@ object Queries {
       count(lit(1)).as("_n"))
     val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(10)
+    // try_element_at, not element_at: under ANSI mode a map miss
+    // throws, and Misra-Gries only guarantees presence for tokens
+    // with count > n/(capacity+1) — a light top-10 token (flatter
+    // corpus) must fall through to the 0 estimate, not crash
     top.crossJoin(broadcast(sketch))
       .select(col("tok"), col("cnt"),
-        ((col("cnt") - coalesce(element_at(col("_mg"), col("tok")), lit(0L)))
+        ((col("cnt") - coalesce(try_element_at(col("_mg"), col("tok")), lit(0L)))
           .cast("double") <= col("_n").cast("double") / 17.0).as("ok_lower"),
-        (coalesce(element_at(col("_mg"), col("tok")), lit(0L)) <= col("cnt"))
+        (coalesce(try_element_at(col("_mg"), col("tok")), lit(0L)) <= col("cnt"))
           .as("ok_upper"))
       .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  /** MERGE-style incremental upsert — the reference's UPDATE-by-key
+    * (pop:178-184) at warehouse scale: instead of functionally
+    * recomputing the whole table (q22's answer) or rewriting every
+    * partition, a day's correction batch rewrites ONLY that day's
+    * partition directory. Mechanics under the gate:
+    *  (1) the events table is laid out as date-PARTITIONED parquet
+    *      (the 100 TB layout);
+    *  (2) the target day is read back partition-PRUNED (only that
+    *      directory's files are scanned);
+    *  (3) MERGE = full-outer join target-day × updates on the key,
+    *      COALESCE update-over-existing per column — matched rows are
+    *      corrected (value+10), unmatched updates are inserted (new
+    *      arrivals), unmatched targets pass through;
+    *  (4) the merged day lands via DYNAMIC partition overwrite — only
+    *      partitions present in the written frame are replaced, every
+    *      other day's directory is untouched (staged to a scratch dir
+    *      first: Spark refuses a plan that overwrites a path it is
+    *      reading).
+    * The gate digests the WHOLE warehouse per day (count + exact value
+    * sum + ts/id sums), so a bad coalesce, a lost arrival, AND a
+    * clobbered untouched partition all fail the hash compare.
+    */
+  val q71MergeUpsert: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q71")
+    val e = events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"),
+        to_date(col("ts")).as("d"))
+    e.write.mode("overwrite").partitionBy("d").parquet(s"$tmp/wh")
+
+    // deterministic target day: the earliest (driver-side scalar — at
+    // scale this is partition-listing metadata, not a data scan)
+    val day = e.agg(min("d")).head.getDate(0)
+    val corrections = e
+      .filter(col("d") === lit(day) && col("event_id") % 7 === 0)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        (col("value") + 10).as("value"), col("d"))
+    val arrivals = e
+      .filter(col("d") === lit(day) && col("event_id") % 11 === 0)
+      .select((col("event_id") + 1000000L).as("event_id"), col("ts"),
+        lit("correction").as("event_type"), lit(1.5).as("value"), col("d"))
+    val updates = corrections.unionByName(arrivals)
+      .select(col("event_id").as("_u_id"), col("ts").as("_u_ts"),
+        col("event_type").as("_u_type"), col("value").as("_u_value"),
+        col("d").as("_u_d"))
+
+    val target = s.read.parquet(s"$tmp/wh").filter(col("d") === lit(day))
+    val merged = target
+      .join(updates, col("event_id") === col("_u_id"), "full_outer")
+      .select(
+        coalesce(col("event_id"), col("_u_id")).as("event_id"),
+        coalesce(col("_u_ts"), col("ts")).as("ts"),
+        coalesce(col("_u_type"), col("event_type")).as("event_type"),
+        coalesce(col("_u_value"), col("value")).as("value"),
+        coalesce(col("d"), col("_u_d")).as("d"))
+    merged.write.mode("overwrite").parquet(s"$tmp/stage")
+
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s.read.parquet(s"$tmp/stage").write.mode("overwrite")
+        .partitionBy("d").parquet(s"$tmp/wh")
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    Scratch.drop(s"$tmp/stage")
+
+    s.read.parquet(s"$tmp/wh")
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum(col("value")).as("total"),
+        sum(unix_micros(col("ts"))).as("ts_us_sum"),
+        sum(col("event_id")).as("id_sum"))
+      .orderBy("d")
   }
 
   val all: Map[String, Q] = Map(
@@ -1510,5 +1615,6 @@ object Queries {
     "q68_sliding_windows" -> q68SlidingWindows,
     "q69_streaming_sessionize" -> q69StreamingSessionize,
     "q70_heavy_hitters" -> q70HeavyHitters,
+    "q71_merge_upsert" -> q71MergeUpsert,
   )
 }

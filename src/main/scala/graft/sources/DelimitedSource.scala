@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.core.OpCache.TrackedPersist
 
 /** CSV / JSON-lines ingestion for corpus-shaped data — the source
   * formats a training-data pipeline meets besides parquet (reference
@@ -50,7 +51,7 @@ object DelimitedSource {
     * two branches would otherwise re-parse the files anyway.
     */
   def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
-    val parsed = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parsed = df.persistTracked
     (parsed.filter(col(CorruptCol).isNull).drop(CorruptCol),
       parsed.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw")))
   }
