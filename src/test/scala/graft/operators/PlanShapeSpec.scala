@@ -164,7 +164,25 @@ class PlanShapeSpec extends SparkSpec {
     // float path, same mechanics here)
     assert(plan.contains("WindowGroupLimit"),
       s"estimate pass lost the group-limit pushdown:\n$plan")
+    // the |Q|×|C| estimate pass must touch BYTE arrays only — the 4×
+    // data reduction is the operator's whole scale story. Column
+    // pruning must strip the float vectors from the cached-relation
+    // scans that feed the quantized pair join (they re-enter only at
+    // the survivor-sized re-attach)...
+    val mixedScans = plan.linesIterator
+      .filter(l => l.contains("InMemoryTableScan")
+        && (l.contains("_qq#") || l.contains("_cq#"))
+        && (l.contains("_qv#") || l.contains("_cv#"))).toSeq
+    assert(mixedScans.isEmpty,
+      s"quantized pair scan reads float vectors alongside byte arrays:\n${mixedScans.mkString("\n")}")
+    // ...and no estimate/bound expression may reference a float vector
+    val vecInEstimate = plan.linesIterator
+      .filter(l => l.contains("_est#")
+        && (l.contains("_qv#") || l.contains("_cv#"))).toSeq
+    assert(vecInEstimate.isEmpty,
+      s"estimate pass computes over float vectors:\n${vecInEstimate.mkString("\n")}")
     spark.catalog.clearCache() // quantizedTopK persists intermediates
+    graft.core.OpCache.release(blocking = true)
   }
 
   test("corpusDiff: the full-outer join carries digests only, never document bodies") {
