@@ -248,16 +248,18 @@ object Similarity {
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       argmaxCell(col(vecCol)).as("_cell"))
-    // queries rank all cells (|Q|×nCentroids rows) and probe the top
-    // nProbe — posexplode + row_number, deterministic (desc sim, asc cell)
-    val wProbe = Window.partitionBy("query_id").orderBy(col("_csim").desc, col("_cell"))
+    // queries rank all cells and probe the top nProbe — an array of
+    // struct(-sim, cell) over the centroid literals, array_sort
+    // (= sim desc, ties → lowest cell), slice, explode: a pure
+    // map-side projection, no |Q|×nCentroids window shuffle (the
+    // [[ivfTopKSeeded]] probe shape)
+    val probeArr = array(cents.zipWithIndex.map { case (cv, i) =>
+      struct((-centSim(col(vecCol), cv)).as("_negs"), lit(i).as("_cell"))
+    }.toIndexedSeq: _*)
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
-        posexplode(array(cents.toIndexedSeq.map(cv => centSim(col(vecCol), cv)): _*))
-          .as(Seq("_cell", "_csim")))
-      .withColumn("_rn", row_number().over(wProbe))
-      .filter(col("_rn") <= nProbe)
-      .select("query_id", "_qv", "_cell")
+        explode(slice(array_sort(probeArr), 1, nProbe)).as("_pc"))
+      .select(col("query_id"), col("_qv"), col("_pc._cell").as("_cell"))
 
     // each corpus vector lives in exactly ONE cell (argmax assignment),
     // so (query, neighbor) pairs are already unique — no dedup shuffle

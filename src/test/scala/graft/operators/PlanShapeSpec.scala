@@ -137,6 +137,49 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus vectors ride the assignment shuffle:\n${exchanged.mkString("\n")}")
   }
 
+  test("IVF probe selection: map-side array_sort over centroid literals — only the top-k window remains") {
+    // a query ranks all cells to pick its nProbe closest. Ranking via
+    // posexplode + row_number().over(partitionBy(query_id)) shuffles a
+    // |Q|×nCentroids frame that carries the query VECTOR on every row;
+    // the array_sort(struct(-sim, cell)) form ranks inside the map task
+    // and only the final exact top-k keeps a window (rewritten to
+    // WindowGroupLimit). Locked for both the engine-seeded and the
+    // data-seeded variants.
+    val emb = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat / 13f)))
+      .toDF("vec_id", "embedding")
+    val variants = Seq(
+      // ivfTopK ranks candidates once → exactly the top-k window
+      ("ivfTopK", 1, Similarity.ivfTopK(emb.filter($"vec_id" < 6), emb,
+        "vec_id", "embedding", dim = 8, k = 3, nCentroids = 4, nProbe = 2)),
+      // the seeded refine adds the group-limited kth-fast-sim window
+      ("ivfTopKSeeded", 2, Similarity.ivfTopKSeeded(emb.filter($"vec_id" < 6), emb,
+        emb.filter($"vec_id" % 16 === 0), "vec_id", "embedding", k = 3, nProbe = 2)))
+    for ((name, expected, q) <- variants) {
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString()
+      // AQE prints the initial and final plan, so dedupe Window nodes by
+      // their spec with tree prefix and expression IDs stripped — only
+      // the ranking windows over the (fast/exact) candidate sims may
+      // remain; a probe-ranking window over per-cell sims must not
+      val specs = plan.linesIterator.filter(_.contains("Window ["))
+        .map(_.replaceAll("^.*?(?=Window \\[)", "").replaceAll("#\\d+", "")).toSet
+      assert(specs.size === expected,
+        s"$name: expected $expected distinct Windows (candidate top-k only), got " +
+          s"${specs.size} — probe ranking shuffles the fanned frame:\n${specs.mkString("\n")}")
+      assert(specs.forall(s => s.contains("sim DESC") || s.contains("_sim_fast DESC")),
+        s"$name: unexpected window (probe ranking?):\n${specs.mkString("\n")}")
+      // per-cell sims (_csim/_negs) may exist as map-side expressions
+      // (assignment band dispatch) but must never be a window's key
+      val cellSimWindows = plan.linesIterator
+        .filter(l => l.contains("Window") && (l.contains("_csim") || l.contains("_negs"))).toSeq
+      assert(cellSimWindows.isEmpty,
+        s"$name: probe/assignment sims rank via a window:\n${cellSimWindows.mkString("\n")}")
+    }
+    spark.catalog.clearCache() // ivfTopKSeeded persists norm frames
+    graft.core.OpCache.release(blocking = true)
+  }
+
   test("frame sampling (q57 shape): zero clustering exchanges — only the final sort") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/documents.parquet").exists())
