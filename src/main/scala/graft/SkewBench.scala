@@ -4,33 +4,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Planted-skew stress bench: proves the de-skewed operator shapes
-  * actually win where they claim to — under a mega duplicate cluster
-  * and a shared boilerplate window — by timing the CURRENT partial-agg
-  * forms against the per-key-window forms they replaced (round 5-7
-  * work; see PLANS.md). The sf corpora are skew-free, so without this
-  * fixture the 100 TB claim ("a window over a hot key ships the whole
-  * cluster to one task") was plan-shape-asserted but never measured.
+/** Planted-skew stress bench: measures the de-skewed operator shapes
+  * against the per-key-window forms they replaced (round 5-7 work; see
+  * PLANS.md) under a planted hot key — the regime the sf corpora never
+  * exercise.
   *
-  * Fixtures (deterministic, built from spark.range):
-  *  - STAR: one duplicate cluster of `clusterSize` docs (every doc
-  *    paired to doc 0 — the shape near-dup graphs converge to, with
-  *    root degree = cluster size) plus 1 000 chains of length 100
-  *    (forces several star rounds).
-  *  - BOILERPLATE: `nDocs` documents sharing one exact `windowTokens`
-  *    run (a license header) plus unique body tokens — the classic
-  *    quadratic hazard substringWindowPairs' df cap exists for.
+  * The claim under test is a SCALING claim, not a constant-factor one:
+  * a `min()/count().over(Window.partitionBy(hotKey))` puts the whole
+  * hot-key partition in ONE task (sort + single-threaded scan, and no
+  * optimizer rule can split a window partition), while the partial-agg
+  * `groupBy(hotKey)` form combines map-side (the hot key's agg
+  * exchange carries one partial row per map partition, not N rows)
+  * and its join-back is splittable by AQE skew-join once the hot
+  * partition crosses the skew threshold. So the experiment is a
+  * SWEEP: one large-star round over a pure N-member star (root
+  * degree = N — what near-dup graphs converge to), N rising until
+  * the hot key's shuffle partition crosses stock AQE's 256 MB skew
+  * threshold.
   *
-  * For each, two measured variants:
-  *  - `current`: the shipped operator ([[graft.operators.Dedup
-  *    .componentsStar]] rounds / partial-agg df).
-  *  - `legacyWindow`: the identical logical computation with per-key
-  *    minima/df via `min()/count().over(Window.partitionBy(key))` —
-  *    the round-5/6 shape this library removed. Kept ONLY here, as a
-  *    measurement baseline.
+  * Two metrics per variant, because local[k] wall-clock answers the
+  * wrong question: on one box both forms share the same cores and
+  * memory bus, so wall time measures TOTAL work; on a 1000-executor
+  * cluster wall time is the CRITICAL PATH — the longest single task.
+  * So alongside wall seconds the bench records, via SparkListener
+  * task metrics, the longest task (executorRunTime) and the largest
+  * per-task shuffle-read row count. The window form must read the
+  * entire symmetrized hot key (≈2N rows) in one task at any N — that
+  * single number IS its cluster wall-clock floor, growing linearly
+  * with N no matter how many executors exist. The partial-agg form's
+  * heaviest task is bounded by the map-partition count and AQE
+  * splitting.
   *
-  * Prints one JSON line with seconds per variant. Results land in
-  * PERF.md.
+  * Also timed end-to-end at fixed (small) scale for regression
+  * context: componentsStar and substringWindowPairs vs their legacy
+  * window twins — at toy scale the window forms MAY win on exchange
+  * count; the numbers document that trade honestly.
+  *
+  * Prints one JSON line. Results land in PERF.md.
   */
 object SkewBench {
 
@@ -40,7 +50,60 @@ object SkewBench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  // ---- legacy per-key-window star rounds (measurement baseline) ----
+  /** Interleaved min-of-2: the first Spark jobs in a JVM pay warmup,
+    * which a single pass charges to whichever variant runs first.
+    */
+  private def minOf2(body: => Long): (Long, Double) = {
+    val (a1, t1) = time(body)
+    val (a2, t2) = time(body)
+    require(a1 == a2, s"nondeterministic variant: $a1 vs $a2")
+    (a1, math.min(t1, t2))
+  }
+
+  /** Per-run task-level maxima — the cluster critical-path proxy. */
+  private final class TaskMaxListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val maxRunMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val maxShuffleRows = new java.util.concurrent.atomic.AtomicLong(0L)
+    def reset(): Unit = { maxRunMs.set(0L); maxShuffleRows.set(0L) }
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        maxRunMs.accumulateAndGet(m.executorRunTime, math.max(_, _))
+        val sr = m.shuffleReadMetrics
+        if (sr != null)
+          maxShuffleRows.accumulateAndGet(sr.recordsRead, math.max(_, _))
+      }
+    }
+  }
+
+  private case class Meas(result: Long, wall: Double, maxTaskSec: Double,
+      maxTaskShuffleRows: Long) {
+    def json: String =
+      f"""{"wall":$wall%.3f,"max_task_sec":$maxTaskSec%.3f,""" +
+        s""""max_task_shuffle_rows":$maxTaskShuffleRows}"""
+  }
+
+  /** minOf2 with listener maxima from the faster run. The listener bus
+    * is async; the post-action sleep lets straggler TaskEnd events
+    * drain before the maxima are read (outside the timed region).
+    */
+  private def minOf2M(l: TaskMaxListener)(body: => Long): Meas = {
+    def once(): Meas = {
+      l.reset()
+      val (a, t) = time(body)
+      Thread.sleep(1500)
+      Meas(a, t, l.maxRunMs.get / 1e3, l.maxShuffleRows.get)
+    }
+    val m1 = once()
+    val m2 = once()
+    require(m1.result == m2.result,
+      s"nondeterministic variant: ${m1.result} vs ${m2.result}")
+    if (m2.wall < m1.wall) m2 else m1
+  }
+
+  // ---- legacy per-key-window forms (measurement baselines ONLY) ----
 
   private def largeStarRoundWindow(edges: DataFrame): DataFrame = {
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
@@ -92,8 +155,6 @@ object SkewBench {
       .select(col("v"), coalesce(col("_root"), col("v")).as("comp"))
   }
 
-  // ---- legacy per-key-window substring df (measurement baseline) ----
-
   private def substringPairsWindowDf(
       df: DataFrame, windowTokens: Int, maxDf: Int): DataFrame = {
     val wins = df
@@ -113,31 +174,41 @@ object SkewBench {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val clusterSize = sys.env.getOrElse("SPARK_GRAFT_SKEW_CLUSTER", "4000000").toInt
+    // single-round sweep sizes: last one puts the hot key's shuffle
+    // partition past stock AQE's 256 MB skew threshold
+    val sweepNs = sys.env.getOrElse("SPARK_GRAFT_SKEW_SWEEP",
+      "4000000,16000000,64000000").split(",").map(_.trim.toLong)
+    val clusterSize = sys.env.getOrElse("SPARK_GRAFT_SKEW_CLUSTER", "1000000").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_SKEW_DOCS", "100000").toInt
-    // At 100 TB a hot key's partition is GBs and AQE's default skew
-    // thresholds (256 MB / 5× median) fire; at bench scale the hot
-    // partition is ~100 MB, so emulate the production regime by
-    // scaling the thresholds down proportionally (SKEW_EMULATE=1,
-    // the default). SKEW_EMULATE=0 keeps stock AQE — at that setting
-    // NOTHING can split the hot key and both forms serialize on it;
-    // the pair of runs brackets the claim.
-    val emulate = sys.env.getOrElse("SPARK_GRAFT_SKEW_EMULATE", "1") == "1"
-    val b = SparkSession.builder()
+    // STOCK AQE — the sweep crosses the real 256 MB threshold instead
+    // of emulating it, so the numbers are the defaults' numbers
+    val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    val b2 =
-      if (emulate) b
-        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
-        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      else b
-    val spark = b2.getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // STAR fixture: duplicate mega-cluster (i, 0) + 1000 chains of 100
+    // ---- 1. star-round scaling sweep (the claim's direct test) ----
+    // pure star: every doc duplicates doc 0 → root degree = N. One
+    // largeStarRound, both forms, count-materialized.
+    val listener = new TaskMaxListener
+    spark.sparkContext.addSparkListener(listener)
+    val sweep = sweepNs.map { n =>
+      val edges = spark.range(1, n).select(col("id").as("u"), lit(0L).as("v"))
+      val cur = minOf2M(listener) {
+        graft.operators.Dedup.largeStarRound(edges).agg(count(lit(1))).head().getLong(0)
+      }
+      val win = minOf2M(listener) {
+        largeStarRoundWindow(edges).agg(count(lit(1))).head().getLong(0)
+      }
+      require(cur.result == win.result,
+        s"round output disagreement at n=$n: ${cur.result} vs ${win.result}")
+      (n, cur, win)
+    }
+
+    // ---- 2. end-to-end components at fixed small scale ----
     val cluster = spark.range(1, clusterSize)
       .select(col("id").as("a"), lit(0L).as("b"))
     val chainBase = 10000000L
@@ -148,15 +219,6 @@ object SkewBench {
     val vertices = spark.range(0, clusterSize).select(col("id"))
       .union(spark.range(chainBase, chainBase + 100000).select(col("id")))
 
-    // Interleaved min-of-2 per variant: the first Spark jobs in a JVM
-    // pay several seconds of warmup, which the original single-pass
-    // ordering charged entirely to whichever variant ran first.
-    def minOf2(body: => Long): (Long, Double) = {
-      val (a1, t1) = time(body)
-      val (a2, t2) = time(body)
-      require(a1 == a2, s"nondeterministic variant: $a1 vs $a2")
-      (a1, math.min(t1, t2))
-    }
     val (nCur, tCur) = minOf2 {
       graft.operators.Dedup.componentsStar(vertices, "id", pairs, "a", "b")
         .agg(countDistinct(col("comp"))).head().getLong(0)
@@ -167,10 +229,7 @@ object SkewBench {
     }
     require(nCur == nWin, s"variant disagreement: $nCur vs $nWin components")
 
-    // BOILERPLATE fixture: every doc carries the same 12-token header
-    // (one shared 10-token window after shingling w=10 spans it) plus
-    // a few unique body tokens; ~1% of docs also share pairwise
-    // 10-token runs (df=2 — the pairs the operator must still emit)
+    // ---- 3. substring df under a shared boilerplate window ----
     val boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
     val docs = spark.range(0, nDocs).select(
       col("id").as("doc_id"),
@@ -196,8 +255,11 @@ object SkewBench {
     }
     require(pCur == pWin, s"variant disagreement: $pCur vs $pWin pairs")
 
-    println(s"""{"metric":"skew","cluster_size":$clusterSize,"n_docs":$nDocs,""" +
-      s""""emulate":$emulate,""" +
+    val sweepJson = sweep.map { case (n, c, w) =>
+      s"""{"n":$n,"current":${c.json},"legacy_window":${w.json}}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"skew","star_round_sweep":$sweepJson,""" +
+      s""""cluster_size":$clusterSize,"n_docs":$nDocs,""" +
       s""""components":{"current":$tCur,"legacy_window":$tWin,"n_components":$nCur},""" +
       s""""substring_df":{"current":$tDfCur,"legacy_window":$tDfWin,"n_pairs":$pCur}}""")
     spark.stop()
