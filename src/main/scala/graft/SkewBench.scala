@@ -86,14 +86,28 @@ object SkewBench {
   }
 
   /** minOf2 with listener maxima from the faster run. The listener bus
-    * is async; the post-action sleep lets straggler TaskEnd events
-    * drain before the maxima are read (outside the timed region).
+    * is async, so straggler TaskEnd events can land after the action
+    * returns; poll (outside the timed region) until the maxima hold
+    * still for a full grace window — a fixed sleep under-reports
+    * exactly the numbers the scaling claim rests on. Bounded at 15 s
+    * so a wedged bus can't hang the bench.
     */
+  private def awaitStableMaxima(l: TaskMaxListener): Unit = {
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    var last = (l.maxRunMs.get, l.maxShuffleRows.get)
+    var stableMs = 0
+    while (stableMs < 1000 && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      val cur = (l.maxRunMs.get, l.maxShuffleRows.get)
+      if (cur == last) stableMs += 200 else { last = cur; stableMs = 0 }
+    }
+  }
+
   private def minOf2M(l: TaskMaxListener)(body: => Long): Meas = {
     def once(): Meas = {
       l.reset()
       val (a, t) = time(body)
-      Thread.sleep(1500)
+      awaitStableMaxima(l)
       Meas(a, t, l.maxRunMs.get / 1e3, l.maxShuffleRows.get)
     }
     val m1 = once()

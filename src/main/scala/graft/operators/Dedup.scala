@@ -117,9 +117,17 @@ object Dedup {
     * per-key window ships that entire neighborhood to ONE task with
     * no partial aggregation and no skew mitigation; the groupBy is
     * map-side combinable (the hot key reduces to one partial row per
-    * input partition before the exchange), and the join back is a
-    * plain shuffle join that AQE's skew handling can split (windows
-    * cannot be skew-split). Still two exchanges per star op, all on
+    * input partition before the exchange). The JOIN BACK needs its own
+    * skew treatment — measured (SkewBench, PERF.md round 8): AQE's
+    * skew-join never splits it, because the aggregate's exchange
+    * already satisfies the join's distribution requirement, so the
+    * mins side fuses into the join stage and OptimizeSkewedJoin's
+    * two-shuffle-stage pattern never matches. The rounds therefore
+    * split the re-attach by degree (known for free from the same
+    * partial agg): keys at or above `hotDegree` have their minima
+    * BROADCAST and joined map-side — the hot key's rows never ride a
+    * shuffle at all — while the residual cold join carries only keys
+    * of bounded degree. Still two exchanges per star op, all on
     * integer keys. The fixed point is the star set {(v, root)};
     * labels fall out as a left join of vertices onto it (vertices
     * absent from any edge are their own component).
@@ -135,6 +143,10 @@ object Dedup {
     * covers any graph that fits in 2⁶⁰ edges (the paper's bound is
     * O(log n) with small constants; the 1000-vertex path converges in
     * ~6 rounds — spec-tested).
+    *
+    * @param hotDegree keys with degree ≥ this broadcast their minima
+    *        in the round join-backs (see [[HotDegree]]); raise it on
+    *        graphs where the hot set could outgrow the driver
     */
   def componentsStar(
       vertices: DataFrame,
@@ -143,11 +155,12 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIter: Int = 60,
-      reliableCheckpoint: Boolean = false): DataFrame = {
+      reliableCheckpoint: Boolean = false,
+      hotDegree: Long = HotDegree): DataFrame = {
     def cp(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
-    def largeStar(edges: DataFrame): DataFrame = largeStarRound(edges)
-    def smallStar(edges: DataFrame): DataFrame = smallStarRound(edges)
+    def largeStar(edges: DataFrame): DataFrame = largeStarRound(edges, hotDegree)
+    def smallStar(edges: DataFrame): DataFrame = smallStarRound(edges, hotDegree)
 
     def fingerprint(edges: DataFrame): (Long, Long) = {
       val r = edges.agg(
@@ -182,17 +195,50 @@ object Dedup {
       .select(col("v"), coalesce(col("_root"), col("v")).as("comp"))
   }
 
+  /** Degree at or above which a star-round key is HOT: its minimum is
+    * broadcast instead of shuffle-joined. Worst-case broadcast size is
+    * 2·|edges| / hotDegree rows of (long, long) — at 2⁶⁰ edges and the
+    * default 2¹⁸ threshold that is ≤ 2⁴³ only in theory; in practice
+    * near-dup graphs have a handful of mega-roots (the empty-document
+    * cluster, boilerplate), and callers on trillion-edge graphs raise
+    * the threshold to keep the hot set driver-sized.
+    */
+  private[graft] val HotDegree: Long = 1L << 18
+
+  // Skew-safe re-attach of per-key minima: rows ⋈ mins on `u`, where
+  // `mins` carries `_deg` (the key's degree) from the same partial
+  // agg that computed the min — free. Hot keys (deg ≥ hotDegree) join
+  // their minima via BROADCAST, so a degree-N root's N rows never
+  // enter a shuffle; the broadcast anti-join peels those rows off the
+  // cold path map-side, leaving a shuffle join in which every key has
+  // degree < hotDegree (no single-task funnel). The same broadcast
+  // subtree backs the inner and anti joins, so the exchange is built
+  // once and reused. Plain `sym.join(mins, "u")` is NOT AQE-rescuable
+  // here: the aggregate's exchange doubles as the join's distribution,
+  // fusing the mins side into the join stage, and OptimizeSkewedJoin
+  // only fires when both sides are re-readable shuffle stages.
+  private def joinMinsSkewSafe(
+      rows: DataFrame, mins: DataFrame, hotDegree: Long): DataFrame = {
+    val hot = mins.filter(col("_deg") >= hotDegree).drop("_deg")
+    val cold = mins.filter(col("_deg") < hotDegree).drop("_deg")
+    rows.join(broadcast(hot), Seq("u"))
+      .unionByName(rows.join(broadcast(hot), Seq("u"), "left_anti")
+        .join(cold, Seq("u")))
+  }
+
   // One large-star round: symmetrize, m = min over the full
   // neighborhood incl. u, re-attach strictly-larger neighbors to m.
   // m < v always (m ≤ u < v), so no self-loops. Neighborhood min via
-  // partial-agg groupBy + join back (see componentsStar scaladoc —
-  // per-key windows are the skew hazard this operator exists to
-  // avoid). Package-visible so PlanShapeSpec can lock the no-Window
-  // shape per round.
-  private[graft] def largeStarRound(edges: DataFrame): DataFrame = {
+  // partial-agg groupBy + skew-safe join back (see componentsStar
+  // scaladoc — per-key windows and un-split hot-key joins are the
+  // skew hazards this operator exists to avoid). Package-visible so
+  // PlanShapeSpec can lock the no-Window shape per round.
+  private[graft] def largeStarRound(
+      edges: DataFrame, hotDegree: Long = HotDegree): DataFrame = {
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy("u").agg(min(col("v")).as("_nmin"))
-    sym.join(mins, Seq("u"))
+    val mins = sym.groupBy("u")
+      .agg(min(col("v")).as("_nmin"), count(lit(1)).as("_deg"))
+    joinMinsSkewSafe(sym, mins, hotDegree)
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), least(col("u"), col("_nmin")).as("v"))
       .distinct()
@@ -203,12 +249,14 @@ object Dedup {
   // neighbor to m. The (u, m) attachment comes straight from the
   // aggregate frame — one row per u, no need to emit it per edge and
   // distinct it away.
-  private[graft] def smallStarRound(edges: DataFrame): DataFrame = {
+  private[graft] def smallStarRound(
+      edges: DataFrame, hotDegree: Long = HotDegree): DataFrame = {
     val dir = edges.select(
       greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
-    val mins = dir.groupBy("u").agg(min(col("v")).as("_m"))
-    dir.join(mins, Seq("u"))
+    val mins = dir.groupBy("u")
+      .agg(min(col("v")).as("_m"), count(lit(1)).as("_deg"))
+    joinMinsSkewSafe(dir, mins, hotDegree)
       .filter(col("v") =!= col("_m"))
       .select(col("v").as("u"), col("_m").as("v"))
       .union(mins.select(col("u"), col("_m").as("v")))

@@ -75,6 +75,15 @@ class PlanShapeSpec extends SparkSpec {
         s"$name computes minima via a per-key window (single-task hot key at scale):\n$plan")
       assert(plan.contains("partial_min"),
         s"$name min lacks map-side partial aggregation:\n$plan")
+      // the min join-back must be degree-split: hot keys' minima join
+      // via broadcast (their rows never ride a shuffle) and the anti
+      // join peels them off the cold path map-side — a plain shuffle
+      // join here is NOT AQE-rescuable (the agg exchange fuses into
+      // the join stage; measured in SkewBench, PERF.md round 8)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name lost the broadcast hot-minima join:\n$plan")
+      assert(plan.contains("LeftAnti"),
+        s"$name lost the map-side hot-key peel-off:\n$plan")
     }
   }
 
