@@ -127,7 +127,13 @@ object Dedup {
     * partial agg): keys at or above `hotDegree` have their minima
     * BROADCAST and joined map-side — the hot key's rows never ride a
     * shuffle at all — while the residual cold join carries only keys
-    * of bounded degree. Still two exchanges per star op, all on
+    * of bounded degree. The split is engaged PER ROUND only when a hot
+    * key is possible: max degree ≤ 2·|edges|, and the round count is
+    * already on the driver from the convergence fingerprint, so rounds
+    * over graphs (or converged remnants) too small to contain a hot
+    * key run the plain join with zero broadcast-build barriers — the
+    * toy-scale/cluster-scale trade costs nothing where it can't pay
+    * off. Still two exchanges per star op, all on
     * integer keys. The fixed point is the star set {(v, root)};
     * labels fall out as a left join of vertices onto it (vertices
     * absent from any edge are their own component).
@@ -159,8 +165,6 @@ object Dedup {
       hotDegree: Long = HotDegree): DataFrame = {
     def cp(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
-    def largeStar(edges: DataFrame): DataFrame = largeStarRound(edges, hotDegree)
-    def smallStar(edges: DataFrame): DataFrame = smallStarRound(edges, hotDegree)
 
     def fingerprint(edges: DataFrame): (Long, Long) = {
       val r = edges.agg(
@@ -178,7 +182,15 @@ object Dedup {
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
-      edges = cp(smallStar(largeStar(edges)))
+      // Per-round split decision, FREE from the fingerprint count: a
+      // key's degree in the symmetrized frame is at most 2·|edges| (and
+      // the small-star frame is no larger than the large-star output,
+      // itself ≤ |edges|), so when 2·count < hotDegree NO key can be
+      // hot and the round runs the plain join — small/shrinking graphs
+      // skip every broadcast-build barrier, while any round whose edge
+      // count leaves a mega-star possible keeps the skew-safe split.
+      val eff = if (fp._1 >= (hotDegree + 1) / 2) hotDegree else Long.MaxValue
+      edges = cp(smallStarRound(largeStarRound(edges, eff), eff))
       val fpNext = fingerprint(edges)
       converged = fpNext == fp
       fp = fpNext
@@ -219,11 +231,18 @@ object Dedup {
   // only fires when both sides are re-readable shuffle stages.
   private def joinMinsSkewSafe(
       rows: DataFrame, mins: DataFrame, hotDegree: Long): DataFrame = {
-    val hot = mins.filter(col("_deg") >= hotDegree).drop("_deg")
-    val cold = mins.filter(col("_deg") < hotDegree).drop("_deg")
-    rows.join(broadcast(hot), Seq("u"))
-      .unionByName(rows.join(broadcast(hot), Seq("u"), "left_anti")
-        .join(cold, Seq("u")))
+    if (hotDegree == Long.MaxValue) {
+      // no key can be hot (caller proved max degree < threshold from
+      // the round's edge count) — the split machinery would only add
+      // broadcast-build barriers, so fall back to the plain join
+      rows.join(mins.drop("_deg"), Seq("u"))
+    } else {
+      val hot = mins.filter(col("_deg") >= hotDegree).drop("_deg")
+      val cold = mins.filter(col("_deg") < hotDegree).drop("_deg")
+      rows.join(broadcast(hot), Seq("u"))
+        .unionByName(rows.join(broadcast(hot), Seq("u"), "left_anti")
+          .join(cold, Seq("u")))
+    }
   }
 
   // One large-star round: symmetrize, m = min over the full

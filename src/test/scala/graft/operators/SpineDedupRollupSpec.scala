@@ -130,6 +130,13 @@ class SpineDedupRollupSpec extends SparkSpec {
     val prop = Dedup.components(vertices, "id", edges.toDF("a", "b"), "a", "b", maxIter = 50)
       .as[(Long, Long)].collect().toMap
     assert(star === prop)
+    // hotDegree = 2 forces the broadcast/anti-join split in EVERY
+    // round (2·count ≥ 2 always, every key hot) — the skew-safe
+    // join-back path must reach the same fixed point as the adaptive
+    // default, which on this toy graph runs plain joins throughout
+    val forced = Dedup.componentsStar(vertices, "id", edges.toDF("a", "b"), "a", "b",
+      hotDegree = 2).as[(Long, Long)].collect().toMap
+    assert(forced === prop)
   }
 
   test("componentsStar: 1000-vertex path converges in O(log n) rounds (min-label would need ~1000)") {
