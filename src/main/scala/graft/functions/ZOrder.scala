@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   *
   * The key is pure integer Column arithmetic (shift/mask spreading,
   * the classic magic-number interleave) — whole-stage-codegen'd, no
-  * UDF, and reproducible in ANSI SQL for the oracle gate (q76).
+  * UDF, and reproducible in ANSI SQL for the oracle gate
+  * (q72_zorder_cluster; ZOrderSpec asserts the per-file pruning
+  * claim).
   */
 object ZOrder {
 

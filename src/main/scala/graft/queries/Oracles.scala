@@ -1203,6 +1203,31 @@ object Oracles {
          |  CAST(SUM(event_id) AS BIGINT) AS id_sum
          |FROM final GROUP BY d ORDER BY d""".stripMargin,
 
+    // re-derives the Morton key from the ORIGINAL parquet in pure
+    // DuckDB bit ops (the staged spread16 magic-number interleave,
+    // 16→32-bit variant) — a lossy clustered roundtrip OR any drift
+    // in the engine's bit-interleave arithmetic fails the digest.
+    // Every intermediate is BIGINT (the shifts overflow INT32).
+    "q72_zorder_cluster" ->
+      s"""WITH b AS (
+         |  SELECT event_type, event_id, value,
+         |    CAST(user_id % 65536 AS BIGINT) AS x,
+         |    CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01') % 65536 AS BIGINT) AS y
+         |  FROM events
+         |),
+         |s1 AS (SELECT *, ((x | (x << 8)) & 16711935) AS x1, ((y | (y << 8)) & 16711935) AS y1 FROM b),
+         |s2 AS (SELECT *, ((x1 | (x1 << 4)) & 252645135) AS x2, ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+         |s3 AS (SELECT *, ((x2 | (x2 << 2)) & 858993459) AS x3, ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+         |s4 AS (SELECT *, ((x3 | (x3 << 1)) & 1431655765) AS x4, ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3),
+         |z AS (SELECT event_type, event_id, value, (x4 | (y4 << 1)) AS z FROM s4)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(z) AS BIGINT) AS z_sum,
+         |  CAST(MIN(z) AS BIGINT) AS z_min,
+         |  CAST(MAX(z) AS BIGINT) AS z_max,
+         |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+         |  ${dsum("value")} AS total
+         |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Misra-Gries bound holds for ANY processing order, so the
     // booleans are deterministic even though the raw estimates are
     // not; the exact top-10 identities and counts are fully gated
