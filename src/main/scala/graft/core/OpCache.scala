@@ -34,6 +34,10 @@ object OpCache {
 
   /** Persist MEMORY_AND_DISK and remember the frame for [[release]]. */
   def persist(df: DataFrame): DataFrame = {
+    // sweep entries whose blocks were freed behind our back (a session
+    // keeping the old spark.catalog.clearCache() habit) — otherwise the
+    // registry pins their analyzed plan trees on the driver forever
+    registry.removeIf(_.storageLevel == StorageLevel.NONE)
     df.persist(StorageLevel.MEMORY_AND_DISK)
     registry.add(df)
     df
@@ -42,12 +46,27 @@ object OpCache {
   /** Unpersist every registered frame and forget them. `blocking =
     * true` waits for the blocks to actually drop (deterministic for
     * tests); the default returns immediately.
+    *
+    * Entries are removed ONE BY ONE as they are unpersisted (not a
+    * blanket clear after the loop): a frame registered concurrently —
+    * between the iteration snapshot and a trailing clear() — would be
+    * forgotten while still persisted, resurrecting the exact leak this
+    * registry exists to kill. The CHM-backed iterator is weakly
+    * consistent, so a concurrent registration is either released now
+    * or stays registered for the next release; never dropped silently.
+    *
+    * Release is still SESSION-GLOBAL: it unpersists every operator's
+    * intermediates, so with two interleaved operator calls, releasing
+    * after the first result materializes drops the blocks backing the
+    * second, still-lazy result (correct, but it recomputes). Call it
+    * at pipeline boundaries, not mid-flight.
     */
   def release(blocking: Boolean = false): Unit = {
-    registry.forEach { df =>
-      try df.unpersist(blocking) catch { case _: Throwable => () }
+    val it = registry.iterator()
+    while (it.hasNext) {
+      try it.next().unpersist(blocking) catch { case _: Throwable => () }
+      it.remove()
     }
-    registry.clear()
   }
 
   /** Number of currently registered frames (diagnostics/specs). */

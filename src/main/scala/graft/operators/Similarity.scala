@@ -285,6 +285,10 @@ object Similarity {
     * are map-side array math with no fanned-frame shuffle; the probe
     * join shuffles by cell — candidate volume ∝ nProbe/|seeds|, with
     * hot cells handled by AQE skew splitting.
+    *
+    * EAGER on the seed side (see [[assignCells]]): the seed frame is
+    * collected at plan-build time (memoized per canonical plan) and
+    * must be non-empty; queries/corpus stay lazy.
     */
   def ivfTopKSeeded(
       queries: DataFrame,
@@ -414,6 +418,11 @@ object Similarity {
     * decimal-exact work runs only on band survivors; ties resolve to
     * the LOWEST cell id. Shared by [[semDedup]] and the
     * cell-diagnostic queries.
+    *
+    * EAGER on the seed side: the seed frame is collected (memoized
+    * per canonical plan) AT PLAN-BUILD TIME, and an empty seed frame
+    * throws immediately — callers cannot construct the plan before
+    * seed data exists. The corpus side stays fully lazy.
     */
   def assignCells(
       corpus: DataFrame,
@@ -435,16 +444,48 @@ object Similarity {
     */
   private case class Seed(cell: Any, vec: Array[Float], norm: Double)
 
+  /** Session-scoped memo of collected seed models, keyed by the seed
+    * frame's CANONICALIZED analyzed plan (expression ids normalized;
+    * file relations compare by root path, so two separate
+    * `spark.read.parquet(p).filter(...)` constructions of the same
+    * seed frame share one entry). Repeated operator calls over the
+    * same seed set — the common session shape: assignment, purity
+    * diagnostics and dedup all seeded from one frame — then pay ONE
+    * driver collect job instead of one per call. Models are
+    * model-sized by contract, so the map stays tiny; a 64-entry cap
+    * bounds the pinned plan trees in pathological many-model
+    * sessions. Staleness contract (same as Spark's own plan-keyed
+    * dataframe cache): rewriting the seed frame's BACKING FILES in
+    * place between calls serves the stale model — call
+    * [[clearSeedModels]] after in-place input mutation.
+    */
+  private val seedModelCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Array[Seed]]()
+
+  /** Drop every memoized seed model (see [[seedModelCache]] staleness
+    * contract).
+    */
+  def clearSeedModels(): Unit = seedModelCache.clear()
+
+  /** Memoized seed-model count (diagnostics/specs). */
+  private[graft] def seedModelsCached: Int = seedModelCache.size
+
   /** Collect a model-sized seed frame (`_cell`,`_sv`,`_sn`) to the
     * driver, ordered by cell id (the plan must not depend on collect
     * order). Same move as [[lshTopKSeeded]]'s hyperplane seeds.
+    * Memoized per canonical plan — see [[seedModelCache]].
     */
   private def collectSeeds(s: DataFrame): Array[Seed] = {
-    val rows = s.orderBy("_cell").collect().map { r =>
-      Seed(r.get(0), r.getSeq[Float](1).toArray, r.getDouble(2))
-    }
-    require(rows.nonEmpty, "seed frame is empty — need at least one cell seed")
-    rows
+    if (seedModelCache.size > 64) seedModelCache.clear()
+    seedModelCache.computeIfAbsent(
+      (s.sparkSession, s.queryExecution.analyzed.canonicalized), _ => {
+        val rows = s.orderBy("_cell").collect().map { r =>
+          Seed(r.get(0), r.getSeq[Float](1).toArray, r.getDouble(2))
+        }
+        require(rows.nonEmpty, "seed frame is empty — need at least one cell seed")
+        rows
+      })
   }
 
   /** [[assignCells]] over a pre-normed corpus frame (`idCol`,`_cv`,
@@ -520,6 +561,10 @@ object Similarity {
     * [[graft.core.OpCache]]; long-lived sessions issuing many
     * semDedup calls release them via `OpCache.release()` once the
     * result is materialized (the bench does, between queries).
+    *
+    * EAGER on the seed side (see [[assignCells]]): the seed frame is
+    * collected at plan-build time (memoized per canonical plan) and
+    * must be non-empty; the corpus side stays lazy.
     */
   def semDedup(
       corpus: DataFrame,

@@ -198,6 +198,33 @@ class NearDupSimilaritySpec extends SparkSpec {
     assert(res(5L) === 0L)
   }
 
+  test("seed-model collect is memoized across fresh constructions of the same seed frame") {
+    // q29/q47/q55 each rebuild `emb.filter(vec_id < 8)` from a fresh
+    // spark.read of the same path; the canonical-plan memo must serve
+    // ONE driver collect for all of them (file relations canonicalize
+    // by root path, so separate reads compare equal)
+    Similarity.clearSeedModels()
+    val p = java.nio.file.Files.createTempDirectory("seedmemo").toString + "/emb"
+    (0 until 16).map(i => (i.toLong, Array.tabulate(4)(d => (i * 3 + d).toFloat + 1f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(p)
+    def run(): Unit = {
+      val emb = spark.read.parquet(p)
+      Similarity.assignCells(emb, emb.filter($"vec_id" < 2), "vec_id", "embedding")
+        .collect()
+    }
+    run()
+    assert(Similarity.seedModelsCached === 1)
+    run()
+    assert(Similarity.seedModelsCached === 1,
+      "second construction of the same seed frame re-collected the model")
+    // a DIFFERENT seed frame is a different model, not a false hit
+    val emb = spark.read.parquet(p)
+    Similarity.assignCells(emb, emb.filter($"vec_id" < 4), "vec_id", "embedding")
+      .collect()
+    assert(Similarity.seedModelsCached === 2)
+    Similarity.clearSeedModels()
+  }
+
   test("contamination: seeded-random equivalence vs a driver-side naive reference") {
     val rnd = new scala.util.Random(4242)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
