@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // catalog-backed layout queries (q73 bucketing) must not drop a
+      // spark-warehouse dir into the repo cwd
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

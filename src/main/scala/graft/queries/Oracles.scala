@@ -1228,6 +1228,27 @@ object Oracles {
          |  ${dsum("value")} AS total
          |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // layout queries: the clustered/partitioned roundtrip must be
+    // value-preserving, so the oracles are plain joins on the RAW
+    // tables — any row lost or duplicated by the bucketed write or
+    // the partition pruning fails the hash
+    "q73_bucketed_join" ->
+      s"""SELECT c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+         |  ${dsum("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q74_dpp" ->
+      s"""SELECT event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  ${dsum("value")} AS total
+         |FROM events
+         |WHERE (CAST(strftime(CAST(ts AS TIMESTAMP), '%d') AS INT) - 1) // 7 + 1 = 2
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Misra-Gries bound holds for ANY processing order, so the
     // booleans are deterministic even though the raw estimates are
     // not; the exact top-10 identities and counts are fully gated

@@ -1616,6 +1616,66 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Bucketed co-located join under the oracle gate — the layout
+    * lever that removes BOTH exchanges from the warehouse's biggest
+    * join (SURVEY.md §2's physio/diary date join, grown to the scale
+    * where neither side broadcasts). orders and customer are written
+    * bucketed ×8 on the join key via [[Layout.writeBucketed]] (one
+    * sorted file per bucket), then [[Layout.coLocatedJoin]] sort-merge
+    * joins them with zero runtime shuffle on either side —
+    * LayoutSpec locks the no-Exchange plan shape; the gate locks the
+    * answer against a plain DuckDB join. The aggregate after the join
+    * DOES shuffle (by c_mktsegment — 5 groups), which is the correct
+    * asymmetry: exchanges belong on grouped row counts, not on the
+    * raw fact tables.
+    */
+  val q73BucketedJoin: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q73")
+    val o = Tables.orders(s, dir).withColumnRenamed("o_custkey", "custkey")
+    val c = Tables.customer(s, dir).withColumnRenamed("c_custkey", "custkey")
+    Layout.writeBucketed(o, "q73_orders", s"$tmp/orders", "custkey", 8)
+    Layout.writeBucketed(c, "q73_customer", s"$tmp/customer", "custkey", 8)
+    Layout.coLocatedJoin(s, "q73_orders", "q73_customer", "custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("custkey")).as("n_custs"),
+        Exact.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Dynamic partition pruning under the oracle gate — the layout
+    * lever that keeps a selective dim-filtered join from scanning the
+    * whole fact table. events are written hive-partitioned by day
+    * ([[Layout.writePartitioned]]); a day→week-of-month dim (itself
+    * file-backed — no LocalRelation shortcut) is filtered to ONE week
+    * and joined on the partition column. Spark cannot prune
+    * statically (the filter is on the dim), so PartitionPruning
+    * plants a dynamic subquery reusing the dim's broadcast as an
+    * IN-filter on the fact scan's partition listing: ~23 of 30 day
+    * partitions are never read (LayoutSpec locks the `dynamicpruning`
+    * filter and counts the scanned partitions). The oracle applies
+    * the equivalent static predicate to the raw table.
+    */
+  val q74Dpp: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q74")
+    val ev = events(s, dir)
+      .withColumn("day", dayofmonth(to_date(col("ts"))))
+    Layout.writePartitioned(
+      ev.select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("day")),
+      "day", s"$tmp/fact")
+    ev.select("day").distinct()
+      .withColumn("wk", expr("(day - 1) div 7 + 1"))
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val fact = s.read.parquet(s"$tmp/fact")
+    val dim = s.read.parquet(s"$tmp/dim").filter(col("wk") === 2)
+    Layout.prunedFactJoin(fact, dim, "day")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        Exact.dsum(col("value")).as("total"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1689,5 +1749,7 @@ object Queries {
     "q70_heavy_hitters" -> q70HeavyHitters,
     "q71_merge_upsert" -> q71MergeUpsert,
     "q72_zorder_cluster" -> q72ZorderCluster,
+    "q73_bucketed_join" -> q73BucketedJoin,
+    "q74_dpp" -> q74Dpp,
   )
 }
