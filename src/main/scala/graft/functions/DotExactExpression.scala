@@ -22,14 +22,71 @@ import org.apache.spark.sql.types._
   * per element.
   */
 object DotExactKernel {
+
+  /** Sentinel for "element does not fit DECIMAL(18,12) — skip", the
+    * behavior of the original `if (changePrecision) sum +=` form. A
+    * real unscaled value is bounded by |v| < 10^18 < 2^63, so
+    * Long.MinValue can never collide with a legitimate result.
+    */
+  private final val Skip = Long.MinValue
+
+  /** `Decimal(p).changePrecision(18,12).toUnscaledLong` — Spark's
+    * Decimal(Double) constructor goes through
+    * `java.lang.Double.toString` + BigDecimal PARSE (≈1 µs per call),
+    * which at one call per vector ELEMENT dominated the whole
+    * assignment stage (profiled: q55's 773 ms map stage was ~90%
+    * FloatingDecimal/BigDecimal). The quantization target is the
+    * HALF_UP rounding of p's SHORTEST DECIMAL REPRESENTATION (that is
+    * what the string path rounds — not the exact binary value), so the
+    * fast path may only answer when both agree provably:
+    *
+    *  - q = p·10¹² in double; the true target t = s·10¹² where s is
+    *    the real value of Double.toString(p). |q − t| ≤
+    *    0.5·ulp(p)·10¹² (shortest-repr round-trip bound) +
+    *    0.5·ulp(q) (the multiply's rounding).
+    *  - If the fractional part of |q| is more than that margin away
+    *    from the HALF_UP boundary (.5), floor/ceil of |q| equals the
+    *    string path's result — answer with pure integer math.
+    *  - Inside the margin (≈1 in 10⁴ for unit-scale inputs), or on
+    *    magnitude overflow / NaN / ±Inf, fall back to the ORIGINAL
+    *    Spark Decimal path, preserving bit-identical results and the
+    *    original exception behavior. `DotExactQuantSpec` hammers the
+    *    equivalence including adversarial near-boundary values.
+    */
+  private[functions] def quantUnscaledOrSkip(p: Double): Long = {
+    val q = p * 1e12
+    val aq = math.abs(q)
+    // 4.6e17 < 10^18 (precision-18 cap) and < 2^63; above it the
+    // original path either still fits (4.6e17..1e18 — rare, slow path
+    // handles it) or skips
+    if (aq < 4.6e17) {
+      val fl = math.floor(aq) // exact: fl and aq within a factor of 2
+      val frac = aq - fl      // exact by Sterbenz
+      val margin = 5.1e11 * math.ulp(p) + 0.51 * math.ulp(aq) + 1e-18
+      val k =
+        if (frac > 0.5 + margin) fl + 1.0
+        else if (frac < 0.5 - margin) fl
+        else return quantSlow(p)
+      if (q < 0) -k.toLong else k.toLong
+    } else quantSlow(p)
+  }
+
+  /** The original (string-parsing) quantization — the semantics of
+    * record; the fast path must provably agree or defer here.
+    */
+  private[functions] def quantSlow(p: Double): Long = {
+    val d = Decimal(p)
+    if (d.changePrecision(18, 12)) d.toUnscaledLong else Skip
+  }
+
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var sumUnscaled = 0L
     var i = 0
     while (i < n) {
       val p = a.getFloat(i).toDouble * b.getFloat(i).toDouble
-      val d = Decimal(p)
-      if (d.changePrecision(18, 12)) sumUnscaled += d.toUnscaledLong
+      val u = quantUnscaledOrSkip(p)
+      if (u != Skip) sumUnscaled += u
       i += 1
     }
     Decimal(sumUnscaled, 38, 12).toDouble
