@@ -24,6 +24,19 @@ import org.apache.spark.storage.StorageLevel
   * still safe (MEMORY_AND_DISK spills rather than OOMs and LRU
   * eviction reclaims memory) but fills disk eventually.
   *
+  * INTERLEAVED CALLS: the global [[release]] drops EVERY registered
+  * frame — with two in-flight operator results, releasing after the
+  * first materializes would un-persist the intermediates backing the
+  * second (correct, but it recomputes). Callers interleaving operator
+  * lifetimes wrap each call in [[scoped]], which tags the frames that
+  * call persists and returns a [[Scope]] releasable independently:
+  *
+  * {{{
+  * val (dedup, s1) = OpCache.scoped(Dedup.nearDupRemoval(docs))
+  * val (ann, s2)   = OpCache.scoped(Similarity.ivfTopK(q, corpus))
+  * dedup.write.parquet(out); s1.release()   // ann's blocks untouched
+  * }}}
+  *
   * Registry entries are identity-keyed (Dataset does not override
   * equals), so re-registering the same logical plan from two calls
   * tracks both frames — release unpersists each exactly once.
@@ -31,6 +44,47 @@ import org.apache.spark.storage.StorageLevel
 object OpCache {
   private val registry = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  /** A per-call release handle: frames persisted inside [[scoped]]'s
+    * thunk land here as well as in the global registry. [[release]]
+    * frees only this scope's frames; the global [[OpCache.release]]
+    * still covers them (pipeline-boundary cleanup stays one call).
+    */
+  final class Scope private[OpCache] () {
+    private[OpCache] val frames = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+    /** Unpersist exactly the frames persisted under this scope. */
+    def release(blocking: Boolean = false): Unit = {
+      val it = frames.iterator()
+      while (it.hasNext) {
+        val df = it.next()
+        try df.unpersist(blocking) catch { case _: Throwable => () }
+        registry.remove(df)
+        it.remove()
+      }
+    }
+
+    /** Frames currently tracked by this scope (diagnostics/specs). */
+    def registered: Int = frames.size
+  }
+
+  private val currentScope = new ThreadLocal[Scope]
+
+  /** Run `body` (typically one operator call: plan construction is
+    * where operators persist) with its tracked persists ALSO tagged to
+    * a fresh [[Scope]], returned alongside the result for independent
+    * release. Scopes nest per thread (inner scope wins); frames
+    * persisted on OTHER threads (e.g. inside an eager job) stay
+    * global-only — operators persist during plan construction on the
+    * calling thread, so the tag covers the operator surface.
+    */
+  def scoped[A](body: => A): (A, Scope) = {
+    val scope = new Scope
+    val prev = currentScope.get
+    currentScope.set(scope)
+    try (body, scope) finally currentScope.set(prev)
+  }
 
   /** Persist MEMORY_AND_DISK and remember the frame for [[release]]. */
   def persist(df: DataFrame): DataFrame = {
@@ -40,6 +94,8 @@ object OpCache {
     registry.removeIf(_.storageLevel == StorageLevel.NONE)
     df.persist(StorageLevel.MEMORY_AND_DISK)
     registry.add(df)
+    val scope = currentScope.get
+    if (scope != null) scope.frames.add(df)
     df
   }
 
@@ -55,11 +111,9 @@ object OpCache {
     * consistent, so a concurrent registration is either released now
     * or stays registered for the next release; never dropped silently.
     *
-    * Release is still SESSION-GLOBAL: it unpersists every operator's
-    * intermediates, so with two interleaved operator calls, releasing
-    * after the first result materializes drops the blocks backing the
-    * second, still-lazy result (correct, but it recomputes). Call it
-    * at pipeline boundaries, not mid-flight.
+    * Release is SESSION-GLOBAL: it unpersists every operator's
+    * intermediates. Call it at pipeline boundaries, not mid-flight;
+    * interleaved operator lifetimes use [[scoped]] instead.
     */
   def release(blocking: Boolean = false): Unit = {
     val it = registry.iterator()
