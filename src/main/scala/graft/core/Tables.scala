@@ -20,12 +20,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark does not
-    * model (PARQUET_TYPE_ILLEGAL). Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as
-    * epoch-nanos LongType; normalize to a microsecond TimestampType
-    * here via integer division (`div` — a double roundtrip would lose
-    * precision above 2^53).
+  /** `events.ts` arrives in whatever physical encoding the corpus
+    * generator used, which has varied across regenerations:
+    *
+    *  - TIMESTAMP(NANOS), which Spark does not model
+    *    (PARQUET_TYPE_ILLEGAL). Sessions set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as
+    *    epoch-nanos LongType; normalized via integer division (`div` —
+    *    a double roundtrip would lose precision above 2^53).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers
+    *    as TIMESTAMP_NTZ. Under the pinned UTC session timezone a
+    *    plain cast to TimestampType is value-identical (both are the
+    *    same micros-since-epoch payload), and it keeps every
+    *    downstream function (`unix_micros`, `window`, watermarks) on
+    *    the instant type they expect.
+    *  - plain TIMESTAMP (isAdjustedToUTC=true) passes through.
+    *
+    * Normalizing here — at the single choke-point every query reads
+    * through — means the 70+ gated queries never see the encoding.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // settable at runtime — the driver's own session may not carry it
@@ -34,6 +46,8 @@ object Tables {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
