@@ -1338,5 +1338,68 @@ object Oracles {
          |SELECT DISTINCT w.doc_id
          |FROM w JOIN bench USING (win)
          |ORDER BY doc_id""".stripMargin,
+
+    // BM25 (Lucene idf variant) — the score expression-tree mirrors
+    // Queries.q75 token for token: per-term tf via list_filter, corpus
+    // stats from a single-row CTE, terms summed left-associatively in
+    // the same fixed order, rounded 6dp BEFORE the rank/filter
+    "q75_bm25_retrieval" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksExpr AS toks, len($toksExpr) AS dl
+         |  FROM documents
+         |),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS total_len,
+         |    CAST(SUM(CASE WHEN list_contains(toks, 'spark')  THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |    CAST(SUM(CASE WHEN list_contains(toks, 'join')   THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |    CAST(SUM(CASE WHEN list_contains(toks, 'stream') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |  FROM d
+         |),
+         |sc AS (
+         |  SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+         |    ROUND(
+         |      (CASE WHEN tf0 > 0.0 THEN (ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * (1.2 + 1.0))) / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (total_len / n)))) ELSE 0.0 END)
+         |    + (CASE WHEN tf1 > 0.0 THEN (ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1.0))) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (total_len / n)))) ELSE 0.0 END)
+         |    + (CASE WHEN tf2 > 0.0 THEN (ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1.0))) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (total_len / n)))) ELSE 0.0 END)
+         |    , 6) AS score
+         |  FROM (
+         |    SELECT doc_id, dl,
+         |      CAST(len(list_filter(toks, x -> x = 'spark'))  AS DOUBLE) AS tf0,
+         |      CAST(len(list_filter(toks, x -> x = 'join'))   AS DOUBLE) AS tf1,
+         |      CAST(len(list_filter(toks, x -> x = 'stream')) AS DOUBLE) AS tf2
+         |    FROM d
+         |  ) CROSS JOIN st
+         |)
+         |SELECT doc_id, dl, score FROM sc WHERE score > 0.0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // naive theta-join twin of the deletion-neighborhood blocked join
+    // (FuzzyJoin.editDistance1Pairs): every distinct-name pair within
+    // Levenshtein 1 over the SAME planted-typo corpus. Both engines
+    // implement classic unit-cost Levenshtein.
+    "q76_fuzzy_join" ->
+      s"""WITH names AS (
+         |  SELECT DISTINCT p_name FROM part
+         |),
+         |corpus AS (
+         |  SELECT p_name FROM names
+         |  UNION
+         |  SELECT 'x' || substr(p_name, 2) AS p_name FROM names
+         |)
+         |SELECT a.p_name AS a, b.p_name AS b,
+         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+         |FROM corpus a JOIN corpus b
+         |  ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1
+         |ORDER BY a, b""".stripMargin,
+
+    // full recompute over ALL events — the gate proves the view+delta
+    // partial merge (IncrementalAgg) is bit-identical to rebuilding
+    // from scratch (decimal partial sums are exactly associative)
+    "q77_incremental_agg" ->
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${dsum("value")} AS total,
+         |  MIN(value) AS vmin, MAX(value) AS vmax,
+         |  MIN(CAST(ts AS DATE)) AS d_min, MAX(CAST(ts AS DATE)) AS d_max
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -1676,6 +1676,64 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** BM25 keyword retrieval ([[Retrieval.bm25TopK]]) — top-20 docs for
+    * a 3-term query. The plan is the 100 TB shape argued in the
+    * operator's scaladoc: one map pass (token array + per-term tf via
+    * array HOFs, never an explode), one SINGLE-ROW mergeable stats
+    * aggregate broadcast back (df only for the query terms — no
+    * vocabulary groupBy), scoring as a pure projection, TakeOrdered
+    * top-k (per-partition k + driver merge, no global sort). Oracle
+    * mirrors the exact expression tree; scores rounded 6dp before the
+    * rank so ties break on doc_id identically on both engines.
+    */
+  val q75Bm25Retrieval: Q = (s, dir) =>
+    Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
+      terms = Seq("spark", "join", "stream"), k = 20)
+
+  /** Edit-distance-1 fuzzy self-join ([[FuzzyJoin.editDistance1Pairs]],
+    * FastSS deletion-neighborhood blocking) over part names plus a
+    * planted typo per name ('x' over the first char — substitution
+    * distance exactly 1, so every name pairs with its typo and the
+    * gate has real mass). The engine runs block-then-verify: variant
+    * equi-join candidates (shuffle linear in Σ|name|), exact
+    * `levenshtein` only on collisions; the oracle runs the naive N²
+    * theta join over the same corpus — viable at 64 distinct names,
+    * impossible at 10⁹ keys, which is exactly the point.
+    */
+  val q76FuzzyJoin: Q = (s, dir) => {
+    val names = Tables.part(s, dir).select(col("p_name")).distinct()
+    val corpus = names.unionByName(
+      names.select(concat(lit("x"), expr("substring(p_name, 2)")).as("p_name")))
+    FuzzyJoin.editDistance1Pairs(corpus, "p_name").orderBy("a", "b")
+  }
+
+  /** Incremental materialized-aggregate refresh ([[IncrementalAgg]]):
+    * a stored view of mergeable partials (count / DECIMAL(38,6) sum /
+    * min / max per event_type) built from history (< Jan 25) is
+    * refreshed with a delta batch (>= Jan 25) by ONE group-by over
+    * view ∪ delta partial rows — history is never re-scanned (the
+    * delta filter pushes to the parquet scan; on a date-partitioned
+    * fact table it is partition-pruned). Oracle recomputes from ALL
+    * events: the gate proves old⊕delta ≡ full rebuild bit-for-bit —
+    * the decimal partial sum is exactly associative, so the merged
+    * double equals the single-pass Exact.dsum at any batch split.
+    */
+  val q77IncrementalAgg: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q77")
+    val e = events(s, dir).withColumn("d", to_date(col("ts")))
+    val cutoff = lit("2024-01-25").cast(DateType)
+    IncrementalAgg.partials(e.filter(col("d") < cutoff),
+      Seq("event_type"), "value", "d")
+      .write.mode("overwrite").parquet(s"$tmp/view")
+    val view = s.read.parquet(s"$tmp/view")
+    val delta = IncrementalAgg.partials(e.filter(col("d") >= cutoff),
+      Seq("event_type"), "value", "d")
+    IncrementalAgg.finish(
+      IncrementalAgg.merge(view.unionByName(delta), Seq("event_type")),
+      Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1751,5 +1809,8 @@ object Queries {
     "q72_zorder_cluster" -> q72ZorderCluster,
     "q73_bucketed_join" -> q73BucketedJoin,
     "q74_dpp" -> q74Dpp,
+    "q75_bm25_retrieval" -> q75Bm25Retrieval,
+    "q76_fuzzy_join" -> q76FuzzyJoin,
+    "q77_incremental_agg" -> q77IncrementalAgg,
   )
 }
