@@ -41,14 +41,14 @@ object DeletionNeighborhoodKernel {
 
 /** Native deletion-1 neighborhood (FastSS blocking key generator) —
   * the codegen'd hot-path twin of [[graft.operators.FuzzyJoin
-  * .deletionNeighborhood]]'s higher-order-function formulation (which
+  * .deletionNeighborhood]]'s higher-order-function formulation, which
   * stays as the executable spec; the two are property-tested
-  * identical). The HOF form allocates a position array and evaluates
-  * interpreted lambdas per element; this is one linear scan per row.
-  * Also the building block [[graft.plans.FuzzyJoinRewrite]] plants
-  * when it rewrites a `levenshtein(a, b) <= 1` theta join into the
-  * blocked form — an optimizer rule cannot inject unresolved lambda
-  * functions, so a self-contained expression is the right carrier.
+  * identical, including astral-plane (surrogate-pair) codepoints
+  * (`RetrievalFuzzyIncrementalSpec`, "kernel ≡ HOF"). The HOF form
+  * allocates a position array and evaluates interpreted lambdas per
+  * element; this is one linear scan per row, and it is what
+  * [[graft.operators.FuzzyJoin.editDistance1Pairs]] plants in the
+  * candidate-generation hot path.
   */
 case class DeletionNeighborhood(child: Expression) extends UnaryExpression {
 

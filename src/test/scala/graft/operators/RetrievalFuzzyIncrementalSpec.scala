@@ -61,6 +61,39 @@ class RetrievalFuzzyIncrementalSpec extends SparkSpec {
     assert(out(2).toSeq === Seq(""))              // empty-string guard
   }
 
+  test("kernel ≡ HOF: native DeletionNeighborhood matches the composable spec, incl. surrogate pairs") {
+    val rnd = new scala.util.Random(13)
+    // BMP letters, a combining mark, and astral (surrogate-pair)
+    // codepoints — the kernel deletes CODEPOINTS, as Spark's
+    // length/substr count them, so 𝄞/😀 must come out whole
+    val alphabet = Seq("a", "b", "é", "́", "𝄞", "😀", "中")
+    val strs = (Seq("", "aa", "𝄞𝄞", "a😀b") ++ Seq.fill(200)(
+      (0 until rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString))
+      .distinct
+    val df = strs.toDF("s")
+    val hof = df.select($"s", FuzzyJoin.deletionNeighborhood($"s").as("n"))
+      .as[(String, Seq[String])].collect().toMap
+    val native = df.select($"s",
+        graft.functions.FuzzyExpressions.deletionNeighborhood($"s").as("n"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(native === hof)
+    // and the codegen path really ran: the plan contains the native fn
+    val plan = df.select(
+      graft.functions.FuzzyExpressions.deletionNeighborhood($"s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_deletion_neighborhood"), plan)
+  }
+
+  test("editDistance1Pairs: key longer than maxLen fails loudly") {
+    val df = Seq("short", "x" * 50).toDF("s")
+    val e = intercept[Exception] {
+      FuzzyJoin.editDistance1Pairs(df, "s", maxLen = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exceeds maxLen")), e.toString)
+  }
+
   test("editDistance1Pairs ≡ naive levenshtein join (random corpus)") {
     val rnd = new scala.util.Random(7)
     val alphabet = "abc"
