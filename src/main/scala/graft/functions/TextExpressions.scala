@@ -62,6 +62,34 @@ object TextKernels {
     words.foreach(w => s.add(UTF8String.fromString(w)))
     s
   }
+
+  /** tf vector aligned to a fixed term list: out(i) = occurrences of
+    * term i in `tokens`. ONE scan with an O(1) hash probe per token —
+    * per-row cost O(dl + T), vs the O(dl · T) of evaluating T separate
+    * `size(filter(toks, _ == t))` HOFs (each re-walks the whole token
+    * array, and lambda subtrees are excluded from codegen CSE). This
+    * is what keeps multi-term BM25 ([[graft.operators.Retrieval]])
+    * flat in the query-term count.
+    */
+  def termTfs(tokens: ArrayData,
+              idx: java.util.HashMap[UTF8String, Integer],
+              nTerms: Int): ArrayData = {
+    val counts = new Array[Long](nTerms)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val slot = idx.get(tokens.getUTF8String(i))
+      if (slot != null) counts(slot.intValue) += 1
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  def toIndex(terms: Seq[String]): java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](terms.size * 2)
+    terms.zipWithIndex.foreach { case (t, i) => m.put(UTF8String.fromString(t), i) }
+    m
+  }
 }
 
 case class WordTokens(child: Expression) extends UnaryExpression {
@@ -99,9 +127,37 @@ case class CountInSet(child: Expression, words: Seq[String]) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** Per-row term-frequency vector over a FIXED term list (the BM25
+  * query terms): `ARRAY<BIGINT>` aligned to `terms` order. Terms must
+  * be distinct — duplicate slots would silently split counts.
+  */
+case class TermTfCounts(child: Expression, terms: Seq[String]) extends UnaryExpression {
+  require(terms.nonEmpty && terms.distinct == terms,
+    s"graft_term_tfs needs a non-empty, duplicate-free term list, got $terms")
+  @transient private lazy val idx = TextKernels.toIndex(terms)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_term_tfs requires ARRAY<STRING>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_term_tfs"
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.termTfs(input.asInstanceOf[ArrayData], idx, terms.size)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idxRef = ctx.addReferenceObj("termIdx", idx, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextKernels.termTfs($c, $idxRef, ${terms.size})")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TermTfCounts =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def tokens(text: Column): Column =
     ColumnBridge.column(WordTokens(ColumnBridge.expression(text)))
   def countIn(tokens: Column, words: Seq[String]): Column =
     ColumnBridge.column(CountInSet(ColumnBridge.expression(tokens), words))
+  def termTfs(tokens: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(TermTfCounts(ColumnBridge.expression(tokens), terms))
 }

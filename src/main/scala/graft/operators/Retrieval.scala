@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.Text
+import graft.functions.{Text, TextExpressions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -48,14 +48,22 @@ object Retrieval {
                terms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
+    // per-doc state in ONE token pass: the tf VECTOR (term i →
+    // occurrences) comes from the native single-scan kernel
+    // (TermTfCounts: O(dl + T) per doc), not T separate
+    // size(filter(...)) HOFs (O(dl · T) — each term re-walks the
+    // whole token array), so cost stays flat as the query grows from
+    // 3 to 100 terms
     val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast("long"))
+      .withColumn("_tfs", TextExpressions.termTfs(col("_toks"), terms))
 
     // single-row corpus stats: mergeable integer aggregates only
     val statAggs: Seq[Column] =
       Seq(count(lit(1)).as("_n"), sum(col("_dl")).as("_len")) ++
-        terms.zipWithIndex.map { case (t, i) =>
-          sum(when(array_contains(col("_toks"), t), 1L).otherwise(0L)).as(s"_df$i")
+        terms.indices.map { i =>
+          sum(when(element_at(col("_tfs"), i + 1) > lit(0L), 1L)
+            .otherwise(0L)).as(s"_df$i")
         }
     val stats = toks.agg(statAggs.head, statAggs.tail: _*)
 
@@ -65,8 +73,8 @@ object Retrieval {
     val avgdl = col("_len").cast("double") / nD
     // per-term score, summed in fixed `terms` order (left-assoc, same
     // tree as the oracle SQL's `t0 + t1 + ...`)
-    val score: Column = terms.zipWithIndex.map { case (t, i) =>
-      val tf = size(filter(col("_toks"), x => x === lit(t))).cast("double")
+    val score: Column = terms.indices.map { i =>
+      val tf = element_at(col("_tfs"), i + 1).cast("double")
       val dfD = col(s"_df$i").cast("double")
       val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
       when(tf > lit(0.0),

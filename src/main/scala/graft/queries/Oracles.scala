@@ -102,6 +102,46 @@ object Oracles {
   private def dotX(a: String, b: String) =
     s"CAST(list_sum([CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len($a) + 1)]) AS DOUBLE)"
 
+  /** BM25 oracle generator for an arbitrary term list — the q75
+    * handwritten SQL with the per-term df/tf/score blocks emitted in
+    * a loop, score terms summed LEFT-ASSOCIATIVELY in list order
+    * (DuckDB's `t0 + t1 + ...` parse mirrors the Spark side's
+    * `reduce(_ + _)` tree), rounded 6dp before rank/filter.
+    */
+  private def bm25Sql(terms: Seq[String], k: Int): String = {
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(",\n    ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n      ")
+    val score = terms.indices.map { i =>
+      s"(CASE WHEN tf$i > 0.0 THEN (ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * (1.2 + 1.0))) / (tf$i + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (total_len / n)))) ELSE 0.0 END)"
+    }.mkString("\n    + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, $toksExpr AS toks, len($toksExpr) AS dl
+       |  FROM documents
+       |),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS total_len,
+       |    $dfCols
+       |  FROM d
+       |),
+       |sc AS (
+       |  SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       |    ROUND(
+       |      $score
+       |    , 6) AS score
+       |  FROM (
+       |    SELECT doc_id, dl,
+       |      $tfCols
+       |    FROM d
+       |  ) CROSS JOIN st
+       |)
+       |SELECT doc_id, dl, score FROM sc WHERE score > 0.0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "q01_catalog" ->
@@ -1401,5 +1441,23 @@ object Oracles {
          |  MIN(value) AS vmin, MAX(value) AS vmax,
          |  MIN(CAST(ts AS DATE)) AS d_min, MAX(CAST(ts AS DATE)) AS d_max
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // sketch-state twin of q77: the oracle asserts the exact distinct
+    // count and expects TRUE for both in-plan assertions — incremental
+    // HLL estimate == full-rebuild estimate (union associativity,
+    // through a parquet roundtrip of the view sketches) and the q45
+    // ±5% envelope vs the exact count
+    "q78_incremental_hll" ->
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |  COUNT(DISTINCT user_id) AS exact_distinct,
+         |  TRUE AS incremental_equals_full, TRUE AS within_bounds,
+         |  MIN(CAST(ts AS DATE)) AS d_min, MAX(CAST(ts AS DATE)) AS d_max
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // generated 20-term twin of the handwritten q75 SQL: per-term
+    // CASE/tf/idf blocks emitted in Queries.Bm25MultiTerms order,
+    // summed left-associatively — the exact expression tree the Spark
+    // side reduces over the native tf vector
+    "q79_bm25_multiterm" -> bm25Sql(graft.queries.Queries.Bm25MultiTerms, 30),
   )
 }

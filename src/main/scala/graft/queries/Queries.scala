@@ -1740,6 +1740,73 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Incremental SKETCH-state refresh ([[IncrementalAgg.sketchPartials]]):
+    * the q77 view⊕delta shape extended to the non-algebraic aggregate
+    * q77's scaladoc rules out in exact form — distinct user counts per
+    * event_type, kept as mergeable HLL sketches. The view (< Jan 15)
+    * is written to parquet (serialized sketch binaries survive the
+    * roundtrip), refreshed with the delta (>= Jan 15) by ONE group-by
+    * union-merge, and compared IN THE PLAN against a from-scratch
+    * rebuild: `incremental_equals_full` asserts estimate equality
+    * (HLL union is per-register max / coupon-set union — associative,
+    * so any batch split reaches the same sketch state), and
+    * `within_bounds` asserts the q45-style ±5% envelope against the
+    * exact distinct count. The oracle expects TRUE for both — a wrong
+    * union, a sketch corrupted by the parquet roundtrip, or a drifted
+    * estimate all fail the hash compare.
+    */
+  val q78IncrementalHll: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q78")
+    val keys = Seq("event_type")
+    val e = events(s, dir)
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("d"))
+    val cutoff = lit("2024-01-15").cast(DateType)
+    IncrementalAgg.sketchPartials(e.filter(col("d") < cutoff), keys, "user_id", "d")
+      .write.mode("overwrite").parquet(s"$tmp/view")
+    val view = s.read.parquet(s"$tmp/view")
+    val delta = IncrementalAgg.sketchPartials(
+      e.filter(col("d") >= cutoff), keys, "user_id", "d")
+    val inc = IncrementalAgg.sketchFinish(
+      IncrementalAgg.sketchMerge(view.unionByName(delta), keys), keys)
+    val full = IncrementalAgg.sketchFinish(
+      IncrementalAgg.sketchPartials(e, keys, "user_id", "d"), keys)
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    exact
+      .join(inc.select(col("event_type"), col("n"),
+        col("approx_distinct").as("_inc"), col("d_min"), col("d_max")), "event_type")
+      .join(full.select(col("event_type"),
+        col("approx_distinct").as("_full")), "event_type")
+      .select(col("event_type"), col("n"), col("exact_distinct"),
+        (col("_inc") === col("_full")).as("incremental_equals_full"),
+        (abs(col("_inc") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.05).as("within_bounds"),
+        col("d_min"), col("d_max"))
+      .orderBy("event_type")
+  }
+
+  /** The 20 query terms of [[q79Bm25Multiterm]] — shared with the
+    * oracle SQL generator so both engines score the identical list in
+    * the identical order.
+    */
+  val Bm25MultiTerms: Seq[String] = Seq(
+    "join", "hash", "row", "batch", "scan", "column", "customer",
+    "filter", "small", "slow", "merge", "order", "vector", "line",
+    "data", "table", "agg", "value", "key", "stream")
+
+  /** Multi-term BM25 ([[Retrieval.bm25TopK]] at 20 query terms): same
+    * single-Aggregate / no-Generate plan shape as q75, but per-doc tf
+    * comes from the native single-scan tf-vector kernel
+    * (`graft_term_tfs`: O(dl + T) per doc) rather than T per-term
+    * array refilters (O(dl · T)) — the shape that keeps long curation
+    * queries ("docs about any of these 100 topics") flat in term
+    * count. The oracle generates the same fixed-order left-associative
+    * score tree per term, so the hash gate covers all 20 idf/tf paths.
+    */
+  val q79Bm25Multiterm: Q = (s, dir) =>
+    Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
+      terms = Bm25MultiTerms, k = 30)
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1818,5 +1885,7 @@ object Queries {
     "q75_bm25_retrieval" -> q75Bm25Retrieval,
     "q76_fuzzy_join" -> q76FuzzyJoin,
     "q77_incremental_agg" -> q77IncrementalAgg,
+    "q78_incremental_hll" -> q78IncrementalHll,
+    "q79_bm25_multiterm" -> q79Bm25Multiterm,
   )
 }

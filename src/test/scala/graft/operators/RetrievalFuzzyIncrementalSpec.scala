@@ -39,6 +39,29 @@ class RetrievalFuzzyIncrementalSpec extends SparkSpec {
     assert(out.toSeq === Seq(0L, 3L, 6L, 9L, 12L))
   }
 
+  test("termTfs kernel ≡ per-term size(filter(...)) HOFs (random corpora)") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Seq("cat", "dog", "bird", "fish", "ant", "bee", "猫", "")
+    val terms = Seq("cat", "bird", "猫", "absent")
+    val docs = Seq.fill(150)(
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      .toDF("text")
+      .select(graft.functions.Text.tokens($"text").as("toks"))
+    val native = docs.select(
+      graft.functions.TextExpressions.termTfs($"toks", terms).as("tfs"))
+      .as[Seq[Long]].collect()
+    val hof = docs.select(array(terms.map(t =>
+        size(filter($"toks", x => x === lit(t))).cast("long")): _*).as("tfs"))
+      .as[Seq[Long]].collect()
+    assert(native.toSeq === hof.toSeq)
+  }
+
+  test("termTfs rejects duplicate terms") {
+    intercept[IllegalArgumentException] {
+      graft.functions.TextExpressions.termTfs(lit(Array("a")), Seq("a", "a"))
+    }
+  }
+
   test("bm25: corpus stats are ONE aggregate and scoring adds no extra shuffle") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("id", "text")
     val plan = Retrieval.bm25TopK(docs, "id", "text", Seq("a", "b"), k = 5)
@@ -158,6 +181,34 @@ class RetrievalFuzzyIncrementalSpec extends SparkSpec {
     val fT = full.map(_.getDouble(2)).map(java.lang.Double.doubleToLongBits)
     val mT = merged.map(_.getDouble(2)).map(java.lang.Double.doubleToLongBits)
     assert(fT === mT)
+  }
+
+  test("sketch partials: view ⊕ delta estimate ≡ full rebuild at any split") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(5000)((
+      "k" + rnd.nextInt(3),
+      "user" + rnd.nextInt(800),
+      sqlDate(f"2024-03-${1 + rnd.nextInt(28)}%02d")))
+    val df = rows.toDF("k", "u", "d")
+    val keys = Seq("k")
+    val full = IncrementalAgg.sketchFinish(
+      IncrementalAgg.sketchPartials(df, keys, "u", "d"), keys)
+      .orderBy("k").collect().toSeq
+    val parts = Seq(df.filter($"d" < lit("2024-03-10").cast("date")),
+        df.filter($"d" >= lit("2024-03-10").cast("date") && $"d" < lit("2024-03-20").cast("date")),
+        df.filter($"d" >= lit("2024-03-20").cast("date")))
+      .map(IncrementalAgg.sketchPartials(_, keys, "u", "d"))
+    val merged = IncrementalAgg.sketchFinish(IncrementalAgg.sketchMerge(
+      parts.reduce(_ unionByName _), keys), keys).orderBy("k").collect().toSeq
+    assert(merged === full)
+    // ~700 distinct/key is past the sketch's exact (coupon) phase, so
+    // estimates carry HLL error — assert the q45-style ±5% envelope
+    // (lgK=12 rsd ≈ 1.6%)
+    val exact = df.groupBy("k").agg(countDistinct($"u").as("e"))
+      .orderBy("k").collect().map(_.getLong(1))
+    full.map(_.getLong(2)).zip(exact).foreach { case (est, ex) =>
+      assert(math.abs(est - ex) <= ex * 0.05, s"estimate $est vs exact $ex")
+    }
   }
 
   test("merge is associative across arbitrary batch splits") {
