@@ -60,12 +60,19 @@ object SkewBench {
     (a1, math.min(t1, t2))
   }
 
-  /** Per-run task-level maxima — the cluster critical-path proxy. */
+  /** Per-run task-level maxima — the cluster critical-path proxy —
+    * plus TOTAL shuffle-write bytes (the linear-vs-quadratic-bytes
+    * claims of the fuzzy-join long-key sweep are about volume, not
+    * the longest task).
+    */
   private final class TaskMaxListener
       extends org.apache.spark.scheduler.SparkListener {
     val maxRunMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val maxShuffleRows = new java.util.concurrent.atomic.AtomicLong(0L)
-    def reset(): Unit = { maxRunMs.set(0L); maxShuffleRows.set(0L) }
+    val totalShuffleWriteBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    def reset(): Unit = {
+      maxRunMs.set(0L); maxShuffleRows.set(0L); totalShuffleWriteBytes.set(0L)
+    }
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
@@ -74,15 +81,18 @@ object SkewBench {
         val sr = m.shuffleReadMetrics
         if (sr != null)
           maxShuffleRows.accumulateAndGet(sr.recordsRead, math.max(_, _))
+        val sw = m.shuffleWriteMetrics
+        if (sw != null) totalShuffleWriteBytes.addAndGet(sw.bytesWritten)
       }
     }
   }
 
   private case class Meas(result: Long, wall: Double, maxTaskSec: Double,
-      maxTaskShuffleRows: Long) {
+      maxTaskShuffleRows: Long, shuffleWriteBytes: Long = 0L) {
     def json: String =
       f"""{"wall":$wall%.3f,"max_task_sec":$maxTaskSec%.3f,""" +
-        s""""max_task_shuffle_rows":$maxTaskShuffleRows}"""
+        s""""max_task_shuffle_rows":$maxTaskShuffleRows,""" +
+        s""""shuffle_write_bytes":$shuffleWriteBytes}"""
   }
 
   /** minOf2 with listener maxima from the faster run. The listener bus
@@ -108,7 +118,8 @@ object SkewBench {
       l.reset()
       val (a, t) = time(body)
       awaitStableMaxima(l)
-      Meas(a, t, l.maxRunMs.get / 1e3, l.maxShuffleRows.get)
+      Meas(a, t, l.maxRunMs.get / 1e3, l.maxShuffleRows.get,
+        l.totalShuffleWriteBytes.get)
     }
     val m1 = once()
     val m2 = once()
@@ -184,6 +195,23 @@ object SkewBench {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared_windows"))
+  }
+
+  /** The pre-round-11 editDistance1Pairs (baseline ONLY): full strings
+    * ride the candidate shuffle once per deletion variant — O(Σ|s|·|s|)
+    * shuffle bytes, the quadratic-in-key-length behaviour the hashed
+    * form replaced.
+    */
+  private def editDistance1PairsLegacy(df: DataFrame, strCol: String): DataFrame = {
+    val vars = df.select(col(strCol).as("_s")).distinct()
+      .select(col("_s"),
+        explode(graft.operators.FuzzyJoin.deletionNeighborhood(col("_s"))).as("_v"))
+    val a = vars.select(col("_s").as("a"), col("_v"))
+    val b = vars.select(col("_s").as("b"), col("_v"))
+    a.join(b, "_v")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .filter(levenshtein(col("a"), col("b")) <= 1)
   }
 
   def main(args: Array[String]): Unit = {
@@ -269,13 +297,127 @@ object SkewBench {
     }
     require(pCur == pWin, s"variant disagreement: $pCur vs $pWin pairs")
 
+    // ---- 4. BM25 planted hot term: a term in EVERY document ----
+    // The failure mode this rules out: corpus stats computed per-term
+    // via explode+groupBy would send one row per (hot-term, doc) to
+    // one reducer. The single-row mergeable aggregate's exchange must
+    // instead carry one partial row per map partition — max-task
+    // shuffle rows FLAT in corpus size.
+    val bm25Ns = sys.env.getOrElse("SPARK_GRAFT_SKEW_BM25", "1000000,4000000")
+      .split(",").map(_.trim.toLong)
+    val bm25 = bm25Ns.map { n =>
+      val bdocs = spark.range(0, n).select(col("id").as("doc_id"),
+        concat_ws(" ", lit("hot"),
+          concat(lit("u"), col("id")), concat(lit("v"), col("id")),
+          when(col("id") % 1000 === 0, lit("rare"))
+            .otherwise(concat(lit("w"), col("id")))).as("text"))
+      val m = minOf2M(listener) {
+        graft.operators.Retrieval.bm25TopK(
+            bdocs, "doc_id", "text", Seq("hot", "rare"), k = 10)
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      (n, m)
+    }
+
+    // ---- 5. fuzzy join long-key sweep + hot shared variant ----
+    // (a) unique long keys: current (hashed-variant) shuffle bytes
+    // must grow ~linearly in key length; the legacy string-shuffling
+    // form grows ~quadratically.
+    val fuzzKeys = sys.env.getOrElse("SPARK_GRAFT_SKEW_FUZZ_KEYS", "10000").toInt
+    val fuzzLens = sys.env.getOrElse("SPARK_GRAFT_SKEW_FUZZ_LENS", "64,256")
+      .split(",").map(_.trim.toInt)
+    // at toy scale Catalyst auto-broadcasts the candidate join and the
+    // byte claim measures nothing; at 10⁹ keys neither side fits a
+    // broadcast — force the shuffle plan the claim is about
+    val savedBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fuzzy = fuzzLens.map { len =>
+      // chain DISTINCT md5 blocks: a repeated single block would let
+      // shuffle compression (lz4) collapse the legacy form's
+      // quadratic bytes and mask the comparison
+      val reps = len / 32 + 1
+      val blocks = (0 until reps).map(j =>
+        md5((col("id") * reps + j).cast("string")))
+      val base = spark.range(0, fuzzKeys).select(
+        substring(concat(blocks: _*), 1, len).as("s"))
+      val cur = minOf2M(listener) {
+        graft.operators.FuzzyJoin.editDistance1Pairs(base, "s")
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      val leg = minOf2M(listener) {
+        editDistance1PairsLegacy(base, "s").agg(count(lit(1))).head().getLong(0)
+      }
+      require(cur.result == leg.result,
+        s"fuzzy variant disagreement at len=$len: ${cur.result} vs ${leg.result}")
+      (len, cur, leg)
+    }
+    // (b) hot shared variant: N strings differing only in their first
+    // char all share the delete-first-char variant → the candidate
+    // set is genuinely all-pairs (they ARE all within distance 1 —
+    // FastSS semantics, not a defect). What must stay bounded is the
+    // per-row cost riding that hot shuffle partition: 16-byte hash
+    // rows (AQE-splittable), not full strings.
+    val hotN = sys.env.getOrElse("SPARK_GRAFT_SKEW_FUZZ_HOT", "2000").toInt
+    val hotTail = "commonsuffixsharedbyallhotkeysxx"
+    // one DISTINCT single char per string (BMP codepoints ≥ 0x400 —
+    // Spark's chr() mods at 256, so index into a literal alphabet
+    // instead), so every string's delete-first-char variant IS the
+    // shared tail: ONE variant hash carrying all hotN strings
+    val hotAlphabet = (0 until hotN).map(i => (0x400 + i).toChar).mkString
+    val hotDf = spark.range(0, hotN)
+      .select(concat(
+        lit(hotAlphabet).substr((col("id") + 1).cast("int"), lit(1)),
+        lit(hotTail)).as("s"))
+      .union(spark.range(0, fuzzKeys).select(
+        substring(repeat(md5(col("id").cast("string")), 3), 1, 64).as("s")))
+    val hot = minOf2M(listener) {
+      graft.operators.FuzzyJoin.editDistance1Pairs(hotDf, "s")
+        .agg(count(lit(1))).head().getLong(0)
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBcast)
+
+    // ---- 6. incremental refresh with one mega-key in the delta ----
+    // partials() is a partial-aggregated groupBy: the mega-key's
+    // exchange carries ONE partial row per map partition regardless of
+    // delta size — max-task shuffle rows flat in N.
+    val incN = sys.env.getOrElse("SPARK_GRAFT_SKEW_INC", "32000000").toLong
+    val incKeys = Seq("k")
+    val histView = graft.operators.IncrementalAgg.partials(
+      spark.range(0, 100000).select(
+        concat(lit("k"), col("id") % 50).as("k"),
+        (col("id") % 97).cast("double").as("v"),
+        to_date(lit("2024-05-01")).as("d")),
+      incKeys, "v", "d")
+    val inc = minOf2M(listener) {
+      val delta = spark.range(0, incN).select(
+        lit("hot").as("k"),
+        (col("id") % 1000).cast("double").as("v"),
+        to_date(lit("2024-06-01")).as("d"))
+      graft.operators.IncrementalAgg.finish(
+        graft.operators.IncrementalAgg.merge(
+          histView.unionByName(
+            graft.operators.IncrementalAgg.partials(delta, incKeys, "v", "d")),
+          incKeys),
+        incKeys)
+        .agg(sum(col("n"))).head().getLong(0)
+    }
+
     val sweepJson = sweep.map { case (n, c, w) =>
       s"""{"n":$n,"current":${c.json},"legacy_window":${w.json}}"""
+    }.mkString("[", ",", "]")
+    val bm25Json = bm25.map { case (n, m) => s"""{"n":$n,"bm25":${m.json}}""" }
+      .mkString("[", ",", "]")
+    val fuzzyJson = fuzzy.map { case (len, c, l) =>
+      s"""{"len":$len,"current":${c.json},"legacy_strings":${l.json}}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"skew","star_round_sweep":$sweepJson,""" +
       s""""cluster_size":$clusterSize,"n_docs":$nDocs,""" +
       s""""components":{"current":$tCur,"legacy_window":$tWin,"n_components":$nCur},""" +
-      s""""substring_df":{"current":$tDfCur,"legacy_window":$tDfWin,"n_pairs":$pCur}}""")
+      s""""substring_df":{"current":$tDfCur,"legacy_window":$tDfWin,"n_pairs":$pCur},""" +
+      s""""bm25_hot_term":$bm25Json,""" +
+      s""""fuzzy_longkey":$fuzzyJson,""" +
+      s""""fuzzy_hot_variant":{"n_hot":$hotN,"meas":${hot.json}},""" +
+      s""""incremental_megakey":{"n":$incN,"meas":${inc.json}}}""")
     spark.stop()
   }
 }

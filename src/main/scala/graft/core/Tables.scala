@@ -42,6 +42,11 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     // settable at runtime — the driver's own session may not carry it
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→instant cast below is value-identical ONLY under a UTC
+    // session timezone; every entrypoint pins it, but pin it here too
+    // (same defensive move as nanosAsLong) so a future caller with a
+    // local-time session cannot silently shift every event instant
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = apply(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

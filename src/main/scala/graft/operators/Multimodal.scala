@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing here is real — schema, partitioning,
   * batch shape, null/corrupt handling — while the codec itself is a
   * STUB (`FakeCodec`): the container has no image/audio libraries, so
-  * decode is a deterministic fake keyed on the payload bytes. Swapping
-  * in a real codec (JavaCV, TwelveMonkeys, ffmpeg-over-pipe) changes
-  * only `FakeCodec`, nothing in the plumbing.
+  * decode is a deterministic fake keyed on the payload bytes. The
+  * production seam is explicit: every operator takes a [[MediaCodec]]
+  * (constructor injection, default `FakeCodec`), so a real decoder
+  * (JavaCV, TwelveMonkeys, ffmpeg-over-pipe) drops in per call site —
+  * `FakeCodec` is a test fixture behind the same interface, not the
+  * only implementation.
   *
   * Scale notes: `mapPartitions` keeps the codec's native buffers
   * per-partition rather than per-row (the Scala analogue of
@@ -36,11 +39,26 @@ object Multimodal {
     StructField("duration_ms", LongType),
   ))
 
+  /** The decode seam: implementations must be [[Serializable]] (the
+    * instance ships inside task closures) and PURE — a function of the
+    * payload bytes only — so re-run tasks (speculation, retries)
+    * produce identical rows. Stateful native handles belong in lazy
+    * per-JVM fields of the implementation, not in captured state.
+    */
+  trait MediaCodec extends Serializable {
+    def sniffFormat(bytes: Array[Byte]): String
+    def dims(bytes: Array[Byte]): (Int, Int)
+    def durationMs(bytes: Array[Byte]): Long
+    def features(bytes: Array[Byte]): Array[Float]
+    def resize(bytes: Array[Byte], maxBytes: Int): Array[Byte]
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+  }
+
   /** Deterministic stand-in for a real decoder. Everything below is a
     * pure function of the payload bytes — stable across runs, engines
     * and partitionings.
     */
-  object FakeCodec {
+  object FakeCodec extends MediaCodec {
     def sniffFormat(bytes: Array[Byte]): String =
       if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
       else if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
@@ -86,15 +104,16 @@ object Multimodal {
   /** Attach the metadata struct (cheap: header sniffing only, no
     * decode — safe to run over the full corpus).
     */
-  def withMetadata(df: DataFrame, payloadCol: String, mediaType: String): DataFrame = {
+  def withMetadata(df: DataFrame, payloadCol: String, mediaType: String,
+                   codec: MediaCodec = FakeCodec): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField("meta", mediaMetaType))
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(idx)) Array.emptyByteArray else r.getAs[Array[Byte]](idx)
-        val (w, ht) = FakeCodec.dims(bytes)
-        val meta = Row(mediaType, bytes.length.toLong, FakeCodec.sniffFormat(bytes),
-          w, ht, FakeCodec.durationMs(bytes))
+        val (w, ht) = codec.dims(bytes)
+        val meta = Row(mediaType, bytes.length.toLong, codec.sniffFormat(bytes),
+          w, ht, codec.durationMs(bytes))
         Row.fromSeq(r.toSeq :+ meta)
       }
     }(Encoders.row(schema))
@@ -104,7 +123,8 @@ object Multimodal {
     * (decode throws) yield a null feature column instead of failing
     * the task — at 100 TB some shard WILL be corrupt.
     */
-  def withFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+  def withFeatures(df: DataFrame, payloadCol: String,
+                   codec: MediaCodec = FakeCodec): DataFrame = {
     val schema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType), nullable = true))
     val idx = df.schema.fieldIndex(payloadCol)
@@ -113,7 +133,7 @@ object Multimodal {
         val feat =
           try {
             if (r.isNullAt(idx)) null
-            else FakeCodec.features(r.getAs[Array[Byte]](idx)).toSeq
+            else codec.features(r.getAs[Array[Byte]](idx)).toSeq
           } catch { case scala.util.control.NonFatal(_) => null }
         Row.fromSeq(r.toSeq :+ feat)
       }
@@ -121,14 +141,15 @@ object Multimodal {
   }
 
   /** Thumbnail/resize pass returning a bounded-size payload copy. */
-  def withResized(df: DataFrame, payloadCol: String, maxBytes: Int): DataFrame = {
+  def withResized(df: DataFrame, payloadCol: String, maxBytes: Int,
+                  codec: MediaCodec = FakeCodec): DataFrame = {
     val schema = StructType(df.schema.fields :+
       StructField("resized", BinaryType, nullable = true))
     val idx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.map { r =>
         val out = if (r.isNullAt(idx)) null
-          else FakeCodec.resize(r.getAs[Array[Byte]](idx), maxBytes)
+          else codec.resize(r.getAs[Array[Byte]](idx), maxBytes)
         Row.fromSeq(r.toSeq :+ out)
       }
     }(Encoders.row(schema))
@@ -137,7 +158,8 @@ object Multimodal {
   /** Explode a video payload into sampled frame rows
     * (id, frame_idx, frame_bytes).
     */
-  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, n: Int): DataFrame = {
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String, n: Int,
+                   codec: MediaCodec = FakeCodec): DataFrame = {
     val outSchema = StructType(Seq(
       df.schema(idCol),
       StructField("frame_idx", IntegerType, nullable = false),
@@ -147,7 +169,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         if (r.isNullAt(pIdx)) Iterator.empty
-        else FakeCodec.sampleFrames(r.getAs[Array[Byte]](pIdx), n)
+        else codec.sampleFrames(r.getAs[Array[Byte]](pIdx), n)
           .iterator.zipWithIndex.map { case (f, i) => Row(r.get(idIdx), i, f) }
       }
     }(Encoders.row(outSchema))

@@ -531,7 +531,12 @@ object Queries {
   /** Tokenize → term frequencies → document frequencies → tf-idf
     * (two groupBys + a broadcast-sized join back). tf and idf's
     * argument are exact integer ratios (bit-identical across engines);
-    * only the final log differs by ≤1 ulp → rounded at 6dp.
+    * only the final log differs by ≤1 ulp → rounded at 6dp. The
+    * corpus size N stays IN the plan as a single-row broadcast
+    * crossJoin (the q75/q51 scalar pattern) — no driver-side count()
+    * job per call; both N and df are exact integers as doubles below
+    * 2⁵², so the folded form is bit-identical to the literal it
+    * replaced.
     */
   val q28Tfidf: Q = (s, dir) => {
     val sub = docs(s, dir).filter(col("doc_id") < 200)
@@ -539,13 +544,14 @@ object Queries {
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
     val docLen = terms.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = sub.count() // deterministic scalar: corpus size
+    val nRow = sub.agg(count(lit(1)).as("_nc"))
     tf.join(docLen, "doc_id").join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nRow))
       .select(
         col("doc_id"), col("term"), col("cnt"), col("df"),
         (col("cnt").cast("double") / col("doc_len").cast("double")).as("tf"),
         round((col("cnt").cast("double") / col("doc_len").cast("double")) *
-          (log(lit((n + 1).toDouble) / (col("df").cast("double") + 1.0)) + 1.0), 6
+          (log((col("_nc").cast("double") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0), 6
         ).as("tfidf"))
       .orderBy("doc_id", "term")
   }

@@ -41,4 +41,26 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() === 4)
     assert(frames.select(max("frame_idx")).as[Int].head() === 3)
   }
+
+  test("codec seam: a custom MediaCodec instance drives the plumbing") {
+    // a trivial real-ish implementation, injected where FakeCodec is
+    // the default — proves the production swap is one argument, and
+    // that the instance survives the task-closure roundtrip
+    object ConstCodec extends Multimodal.MediaCodec {
+      def sniffFormat(b: Array[Byte]) = "const"
+      def dims(b: Array[Byte]) = (1, 2)
+      def durationMs(b: Array[Byte]) = 7L
+      def features(b: Array[Byte]) = Array(b.length.toFloat)
+      def resize(b: Array[Byte], m: Int) = b.take(m)
+      def sampleFrames(b: Array[Byte], n: Int) = Seq.fill(n)(b)
+    }
+    val df = Seq((1L, Array[Byte](9, 9, 9))).toDF("id", "payload")
+    val meta = Multimodal.withMetadata(df, "payload", "image", ConstCodec)
+      .select("meta.format", "meta.width", "meta.duration_ms")
+      .as[(String, Int, Long)].head()
+    assert(meta === (("const", 1, 7L)))
+    val feat = Multimodal.withFeatures(df, "payload", ConstCodec)
+      .select("features").as[Seq[Float]].head()
+    assert(feat === Seq(3.0f))
+  }
 }

@@ -64,13 +64,20 @@ class RetrievalFuzzyIncrementalSpec extends SparkSpec {
 
   test("bm25: corpus stats are ONE aggregate and scoring adds no extra shuffle") {
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("id", "text")
-    val plan = Retrieval.bm25TopK(docs, "id", "text", Seq("a", "b"), k = 5)
-      .queryExecution.optimizedPlan.toString
-    // no per-term/explode groupBy: exactly one Aggregate (plus its
-    // partial) feeding a broadcast — vocabulary never shuffles
-    val aggs = "(?m)^\\s*[+:]?-?\\s*Aggregate".r.findAllIn(plan).size
-    assert(aggs <= 1, s"expected a single logical Aggregate, got $aggs in:\n$plan")
-    assert(!plan.contains("Generate"), s"unexpected explode in BM25 plan:\n$plan")
+    // the same lock at 2 terms and at 20 — the multi-term path must
+    // not regress to per-term shuffles or an explode as T grows
+    for (terms <- Seq(Seq("a", "b"),
+        (1 to 20).map(i => s"t$i"))) {
+      val plan = Retrieval.bm25TopK(docs, "id", "text", terms, k = 5)
+        .queryExecution.optimizedPlan.toString
+      // no per-term/explode groupBy: exactly one Aggregate (plus its
+      // partial) feeding a broadcast — vocabulary never shuffles
+      val aggs = "(?m)^\\s*[+:]?-?\\s*Aggregate".r.findAllIn(plan).size
+      assert(aggs <= 1,
+        s"expected a single logical Aggregate at ${terms.size} terms, got $aggs in:\n$plan")
+      assert(!plan.contains("Generate"),
+        s"unexpected explode in BM25 plan at ${terms.size} terms:\n$plan")
+    }
   }
 
   // ─────────────────────── FuzzyJoin ───────────────────────
