@@ -1459,5 +1459,17 @@ object Oracles {
     // summed left-associatively — the exact expression tree the Spark
     // side reduces over the native tf vector
     "q79_bm25_multiterm" -> bm25Sql(graft.queries.Queries.Bm25MultiTerms, 30),
+
+    // stream-stream interval join: an inner join's emitted set is a
+    // pure function of the inputs, so the oracle is exactly the q31
+    // batch theta join
+    "q80_streaming_join" ->
+      s"""SELECT e.event_id AS error_id, c.event_id AS click_id, c.user_id
+         |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+         |      FROM events WHERE event_type = 'error') e
+         |JOIN (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+         |      FROM events WHERE event_type = 'click') c
+         |  ON c.user_id = e.user_id AND c.t BETWEEN e.t - 600000000 AND e.t
+         |ORDER BY error_id, click_id""".stripMargin,
   )
 }

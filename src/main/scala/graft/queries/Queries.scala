@@ -1813,6 +1813,41 @@ object Queries {
     Retrieval.bm25TopK(docs(s, dir), "doc_id", "text",
       terms = Bm25MultiTerms, k = 30)
 
+  /** STREAM-STREAM watermarked interval join ([[graft.streaming
+    * .StreamingJoin.pointInPrecedingWindow]]) under the oracle gate —
+    * the q31 range join (clicks within the 10 minutes preceding each
+    * error, same user) with BOTH sides arriving as streams: two file
+    * sources, symmetric-hash join keyed on user_id with the time-range
+    * predicate driving state eviction, append sink. An inner join's
+    * emitted set is a pure function of the input sets (arrival order
+    * only changes batching), so the gate compares the full
+    * (error_id, click_id) pair set against the batch theta-join
+    * oracle — same SQL as q31.
+    */
+  val q80StreamingJoin: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q80")
+    val (inC, inE, out, chk) = (s"$tmp/clicks", s"$tmp/errors", s"$tmp/out", s"$tmp/chk")
+    val e = events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("ets"))
+    clicks.write.mode("overwrite").parquet(inC)
+    errors.write.mode("overwrite").parquet(inE)
+    val joined = graft.streaming.StreamingJoin.pointInPrecedingWindow(
+      s.readStream.schema(clicks.schema).parquet(inC),
+      s.readStream.schema(errors.schema).parquet(inE),
+      Seq("user_id"), "cts", "ets", windowSec = 600L,
+      // the corpus spans one month and arrives in arbitrary file
+      // order — a generous horizon keeps every row joinable; real
+      // deployments tighten this to their actual lateness bound
+      lateness = "40 days")
+      .select("error_id", "click_id", "user_id")
+    runToSink(joined, inC, out, chk)
+    Scratch.drop(inE)
+    s.read.parquet(out).orderBy("error_id", "click_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1893,5 +1928,6 @@ object Queries {
     "q77_incremental_agg" -> q77IncrementalAgg,
     "q78_incremental_hll" -> q78IncrementalHll,
     "q79_bm25_multiterm" -> q79Bm25Multiterm,
+    "q80_streaming_join" -> q80StreamingJoin,
   )
 }
