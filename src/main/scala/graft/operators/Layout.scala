@@ -94,4 +94,57 @@ object Layout {
   def prunedFactJoin(
       fact: DataFrame, dim: DataFrame, partCol: String): DataFrame =
     fact.join(dim, Seq(partCol))
+
+  case class CompactStats(filesBefore: Int, filesAfter: Int, bytesBefore: Long)
+
+  /** Small-file compaction: rewrite a directory of parquet slivers as
+    * ⌈total_bytes / targetBytes⌉ right-sized files. The third
+    * storage-side lever after bucketing and partitioning — streaming
+    * sinks, MERGE batches and over-parallel writes leave thousands of
+    * KB-scale files per directory, and at 100 TB the per-file overhead
+    * (footer parse, open/seek, scheduler task per tiny split, NameNode
+    * pressure) comes to dominate scan cost. Compaction is pure layout:
+    * content is untouched (the q81 gate hashes every row through the
+    * rewrite), only the file boundaries move.
+    *
+    * `clusterBy` optionally range-partitions the rewrite on the given
+    * columns, so compaction doubles as a clustering pass: per-file
+    * min/max footers tighten on those columns and later predicate scans
+    * skip whole files (the q71/q72 layout argument — compact-then-
+    * cluster is how a MERGE-heavy table recovers skippability).
+    *
+    * The plan is one scan → one exchange (round-robin or range) → one
+    * write: no collect, no driver bottleneck; the file listing used for
+    * sizing reads directory metadata only.
+    */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long,
+      clusterBy: Seq[String] = Nil): CompactStats = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val files = listParquet(spark, inPath)
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val repacked =
+      if (clusterBy.nonEmpty) df.repartitionByRange(nOut, clusterBy.map(col): _*)
+      else df.repartition(nOut)
+    repacked.write.mode("overwrite").parquet(outPath)
+    CompactStats(files.length, listParquet(spark, outPath).length, totalBytes)
+  }
+
+  private def listParquet(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.LocatedFileStatus]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) out += f
+    }
+    out.toSeq
+  }
 }

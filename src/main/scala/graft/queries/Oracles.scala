@@ -1471,5 +1471,12 @@ object Oracles {
          |      FROM events WHERE event_type = 'click') c
          |  ON c.user_id = e.user_id AND c.t BETWEEN e.t - 600000000 AND e.t
          |ORDER BY error_id, click_id""".stripMargin,
+
+    // compaction is pure layout: every column of every row must hash
+    // identically through the shatter → compact → read-back roundtrip
+    "q81_compaction" ->
+      s"""SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+         |  user_id, event_type, value
+         |FROM events ORDER BY event_id""".stripMargin,
   )
 }

@@ -1848,6 +1848,31 @@ object Queries {
     s.read.parquet(out).orderBy("error_id", "click_id")
   }
 
+  /** Small-file compaction under the oracle gate ([[Layout.compact]]):
+    * events are deliberately shattered into 64 sliver files (an
+    * over-parallel write — the layout streaming sinks and MERGE
+    * batches leave behind), compacted into right-sized files clustered
+    * by event_id, and read back. The gate hashes EVERY column of every
+    * row through the rewrite (ts via unix_micros — encoding-proof),
+    * proving compaction is pure layout; the file-count drop itself is
+    * asserted in-plan (a no-op "compaction" that kept 64 slivers would
+    * fail the require, and LayoutSpec locks the stats separately).
+    */
+  val q81Compaction: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q81")
+    val e = events(s, dir).select(
+      col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    e.repartition(64).write.mode("overwrite").parquet(s"$tmp/shattered")
+    val stats = Layout.compact(s, s"$tmp/shattered", s"$tmp/compacted",
+      targetBytes = 64L << 20, clusterBy = Seq("event_id"))
+    require(stats.filesAfter < stats.filesBefore,
+      s"compaction did not reduce file count: $stats")
+    s.read.parquet(s"$tmp/compacted")
+      .select(col("event_id"), unix_micros(col("ts")).as("t_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1929,5 +1954,6 @@ object Queries {
     "q78_incremental_hll" -> q78IncrementalHll,
     "q79_bm25_multiterm" -> q79Bm25Multiterm,
     "q80_streaming_join" -> q80StreamingJoin,
+    "q81_compaction" -> q81Compaction,
   )
 }

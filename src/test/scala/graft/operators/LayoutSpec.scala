@@ -89,4 +89,35 @@ class LayoutSpec extends SparkSpec {
     assert(read.contains(7L),
       s"expected 7 of 30 partitions read, got $read")
   }
+
+  test("compact: bin-packs slivers, preserves content, clusters per-file ranges") {
+    val in = tmp("compact_in")
+    val out = tmp("compact_out")
+    val df = spark.range(0, 50000).select(
+      col("id"), (col("id") % 997).as("v"),
+      md5(col("id").cast("string")).as("pad"))
+    df.repartition(32).write.mode("overwrite").parquet(in)
+
+    val stats = graft.operators.Layout.compact(spark, in, out,
+      targetBytes = 64L << 20, clusterBy = Seq("id"))
+    assert(stats.filesBefore === 32)
+    assert(stats.filesAfter < stats.filesBefore, stats.toString)
+
+    // pure layout: content identical through the rewrite
+    val a = df.orderBy("id").collect().toSeq
+    val b = spark.read.parquet(out).orderBy("id").collect().toSeq
+    assert(a === b)
+
+    // clusterBy(id) → per-file id ranges are disjoint (footer min/max
+    // tighten, so an id predicate can skip whole files)
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping file ranges: ${perFile.toSeq}")
+      case _ =>
+    }
+  }
 }
