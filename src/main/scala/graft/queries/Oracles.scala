@@ -1478,5 +1478,35 @@ object Oracles {
       s"""SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
          |  user_id, event_type, value
          |FROM events ORDER BY event_id""".stripMargin,
+
+    // quality cascade: same metrics as the q18 oracle, chained in the
+    // same rule order — first failing rule names the verdict. All
+    // predicates are exact integer/ratio comparisons, so no float
+    // rounding can flip a verdict between engines.
+    "q82_quality_cascade" -> {
+      def swCount(words: Seq[String]) =
+        s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+      val en = swCount(Seq("the", "and", "of", "is", "to"))
+      val de = swCount(Seq("der", "und", "die", "ist", "das"))
+      val fr = swCount(Seq("le", "la", "et", "est", "les"))
+      val es = swCount(Seq("el", "los", "y", "es", "las"))
+      val stop = swCount(graft.functions.Text.Stopwords)
+      s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS tc,
+         |    CAST($stop AS DOUBLE) / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS sr,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE) AS pr,
+         |    $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN NOT (tc >= 20) THEN 'min_tokens'
+         |       WHEN NOT (s_en + s_de + s_fr + s_es > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es) THEN 'lang_en'
+         |       WHEN NOT (sr >= 0.04) THEN 'stopword'
+         |       WHEN NOT (pr <= 0.2) THEN 'punct'
+         |       ELSE 'pass' END AS verdict
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
   )
 }

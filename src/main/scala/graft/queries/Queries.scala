@@ -1873,6 +1873,28 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** C4/Gopher-style quality-filter cascade ([[QualityCascade]]) with
+    * first-failure attribution: ordered rules (token floor → language
+    * → stopword floor → punctuation cap), one map-side when-chain, no
+    * shuffle — each doc gets "pass" or the FIRST rule it failed, the
+    * report every corpus-curation iteration starts from. Every rule
+    * predicate is exact integer/ratio arithmetic (no composite float
+    * scores), so the verdict is bit-stable across engines and the
+    * whole cascade hashes under the gate. The DuckDB oracle chains
+    * the same metrics in the same order.
+    */
+  val q82QualityCascade: Q = (s, dir) => {
+    val txt = col("text")
+    val rules = Seq(
+      "min_tokens" -> (Text.tokenCount(txt) >= 20),
+      "lang_en"    -> (Text.langId(txt) === "en"),
+      "stopword"   -> (Text.stopwordRatio(txt) >= 0.04),
+      "punct"      -> (Text.punctRatio(txt) <= 0.2))
+    QualityCascade.annotate(docs(s, dir).select(col("doc_id"), txt), rules)
+      .select("doc_id", "verdict")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1955,5 +1977,6 @@ object Queries {
     "q79_bm25_multiterm" -> q79Bm25Multiterm,
     "q80_streaming_join" -> q80StreamingJoin,
     "q81_compaction" -> q81Compaction,
+    "q82_quality_cascade" -> q82QualityCascade,
   )
 }
