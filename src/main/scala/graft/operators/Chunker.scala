@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Document chunking for training-data preparation: split each
+  * document into fixed-token-length windows with a configurable
+  * stride (overlap), the step between "raw corpus" and "training
+  * sequences" in every LLM pipeline (and the retrieval-index unit for
+  * RAG). Chunk-level dedup/contamination then compose with the
+  * existing operators on the chunk frame.
+  *
+  * Semantics: chunks start at token offsets 0, stride, 2·stride, …;
+  * every token belongs to ≥1 chunk (stride ≤ window enforces cover);
+  * the LAST chunk of a doc may be shorter than `window` (it is the
+  * tail remnant), and a chunk is only emitted if it starts before the
+  * end of the document — so a doc with ≤ window tokens yields exactly
+  * one chunk, and an empty doc yields none.
+  *
+  * 100 TB shape: a pure map-side projection + explode — tokenize once
+  * (`graft_tokens`, codegen CSE), build the chunk array with `slice`
+  * over the token array (no re-tokenization per chunk), explode with
+  * `posexplode` so the chunk index is stable. No shuffle at all; the
+  * fan-out is rows × ⌈dl/stride⌉, the same linearity as the shingle
+  * operators. Chunk ids are (doc_id, chunk_idx) — deterministic,
+  * layout-independent.
+  */
+object Chunker {
+
+  /** Chunk array of `textCol`: element i = tokens
+    * [i·stride, i·stride + window) re-joined with single spaces.
+    */
+  def chunkArray(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window] for full cover, got $stride")
+    val toks = Text.tokens(text)
+    val nChunks = ceil(size(toks).cast("double") / stride).cast("int")
+    // sequence(0, -1) would yield a DESCENDING [0, -1] — guard empties
+    // (same pitfall as FuzzyJoin.deletionNeighborhood)
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * stride + 1, lit(window)))))
+  }
+
+  /** Explode docs into (idCol, chunk_idx, chunk, n_tokens) rows. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            window: Int, stride: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(chunkArray(col(textCol), window, stride))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"), Text.tokenCount(col("chunk")).cast("long").as("n_tokens"))
+}

@@ -1508,5 +1508,55 @@ object Oracles {
          |       ELSE 'pass' END AS verdict
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    // chunking: rebuild every 32-token/stride-24 chunk string — the
+    // slice arithmetic, the stride cover, and the short tail chunk
+    // all hash-compare
+    "q83_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 24.0) AS BIGINT) AS nch FROM t WHERE len(toks) > 0),
+         |i AS (SELECT unnest(range(0, (SELECT max(nch) FROM n))) AS i),
+         |c AS (
+         |  SELECT doc_id, i.i AS chunk_idx,
+         |    array_to_string(toks[i.i*24+1 : i.i*24+32], ' ') AS chunk
+         |  FROM n CROSS JOIN i
+         |  WHERE i.i < nch
+         |)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk,
+         |  CAST(len(list_filter(string_split(chunk, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // packing: replay the greedy per-shard recurrence as a recursive
+    // CTE — rn joins step k to k+1, so every sequence boundary and
+    // position matches the engine's sequential fold decision-for-
+    // decision
+    "q84_packing" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 24.0) AS BIGINT) AS nch FROM t WHERE len(toks) > 0),
+         |iv AS (SELECT unnest(range(0, (SELECT max(nch) FROM n))) AS i),
+         |ch AS (
+         |  SELECT doc_id, iv.i AS chunk_idx,
+         |    CAST(len(list_filter(string_split(array_to_string(toks[iv.i*24+1 : iv.i*24+32], ' '), ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+         |  FROM n CROSS JOIN iv WHERE iv.i < nch
+         |),
+         |o AS (
+         |  SELECT doc_id % 8 AS shard, doc_id, chunk_idx, n_tokens,
+         |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM ch
+         |),
+         |p AS (
+         |  SELECT shard, rn, doc_id, chunk_idx, n_tokens,
+         |    CAST(0 AS BIGINT) AS seq_idx, CAST(0 AS BIGINT) AS seq_pos, n_tokens AS used
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT c.shard, c.rn, c.doc_id, c.chunk_idx, c.n_tokens,
+         |    CASE WHEN p.used > 0 AND p.used + c.n_tokens > 256 THEN p.seq_idx + 1 ELSE p.seq_idx END,
+         |    CASE WHEN p.used > 0 AND p.used + c.n_tokens > 256 THEN 0 ELSE p.seq_pos + 1 END,
+         |    CASE WHEN p.used > 0 AND p.used + c.n_tokens > 256 THEN c.n_tokens ELSE p.used + c.n_tokens END
+         |  FROM o c JOIN p ON c.shard = p.shard AND c.rn = p.rn + 1
+         |)
+         |SELECT shard, doc_id, chunk_idx, n_tokens, seq_idx, seq_pos
+         |FROM p ORDER BY shard, doc_id, chunk_idx""".stripMargin,
   )
 }

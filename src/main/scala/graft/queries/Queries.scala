@@ -1895,6 +1895,35 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Document chunking ([[Chunker.chunk]]): fixed 32-token windows at
+    * stride 24 (8-token overlap) — the raw-corpus → training-sequence
+    * step (and the RAG index unit). Pure map-side tokenize-once +
+    * slice + posexplode, no shuffle; chunk ids are (doc_id,
+    * chunk_idx), deterministic and layout-independent. The oracle
+    * rebuilds every chunk string in DuckDB, so window arithmetic,
+    * stride cover, and the short tail chunk are all under the hash
+    * gate.
+    */
+  val q83Chunking: Q = (s, dir) =>
+    Chunker.chunk(docs(s, dir), "doc_id", "text", window = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Greedy sequence packing ([[Packer.pack]]) of the q83 chunks into
+    * 256-token training sequences, 8 shards: per-shard sequential fold
+    * (flatMapGroups — the Ewma precedent), parallel across shards,
+    * deterministic in (doc_id, chunk_idx) order. The oracle replays
+    * the same greedy recurrence as a per-shard recursive CTE, so every
+    * placement decision (sequence boundary, overlong-chunk isolation,
+    * position within sequence) is under the hash gate.
+    */
+  val q84Packing: Q = (s, dir) => {
+    val chunks = Chunker.chunk(docs(s, dir), "doc_id", "text",
+      window = 32, stride = 24)
+    Packer.pack(chunks, "doc_id", "chunk_idx", "n_tokens",
+        budget = 256L, shards = 8)
+      .orderBy("shard", "doc_id", "chunk_idx")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -1978,5 +2007,7 @@ object Queries {
     "q80_streaming_join" -> q80StreamingJoin,
     "q81_compaction" -> q81Compaction,
     "q82_quality_cascade" -> q82QualityCascade,
+    "q83_chunking" -> q83Chunking,
+    "q84_packing" -> q84Packing,
   )
 }
