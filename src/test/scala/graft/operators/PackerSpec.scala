@@ -53,4 +53,12 @@ class PackerSpec extends SparkSpec {
       if (nChunks > 1) assert(total <= budget, s"$nChunks chunks, $total tokens")
     }
   }
+
+  test("pack is ONE exchange: the shard partition of metadata rows") {
+    val df = Seq((0L, 0L, 4L)).toDF("doc_id", "chunk_idx", "n_tokens")
+    val plan = Packer.pack(df, "doc_id", "chunk_idx", "n_tokens", 10L, 2)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly one exchange:\n$plan")
+  }
 }
