@@ -138,6 +138,79 @@ object NearDup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dedup against a STORED band index — the q52
+    * shape for NEAR duplicates: a new crawl batch must be checked for
+    * near-dups against a 100 TB history WITHOUT re-shingling or
+    * re-hashing that history. The stored state is the band table
+    * (band, band_hash, id) — ~bands × 16 bytes per historical doc,
+    * written once when each batch is ingested; history TEXT is touched
+    * again only for verification, and only for the (few) docs that
+    * actually collide with a delta band — a semi-join pushes the
+    * candidate id set into the history scan.
+    *
+    * Emits all near-dup pairs INVOLVING the delta (delta×history and
+    * delta×delta; history×history pairs were emitted when those
+    * batches were ingested — the invariant that makes the incremental
+    * union over batches equal the batch-over-everything pair set).
+    * Also returns the delta's band rows: the caller appends them to
+    * the stored index, completing the state update.
+    *
+    * Shuffle budget: delta bands ⋈ stored bands is ONE equi-join on
+    * (band, band_hash) — shuffle ∝ band rows; AQE splits hot buckets
+    * (boilerplate bands are the classic skew case). Nothing rescans
+    * or re-hashes history.
+    */
+  def incrementalNearDupPairs(
+      bandState: DataFrame,
+      historyText: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands); " +
+        "otherwise trailing signature elements are excluded from every band")
+    val dSh = delta.select(col(idCol), shingles(col(textCol), n).as("_sh"))
+      .persistTracked
+    val dSigs = dSh.select(col(idCol), minhashSignature(col("_sh"), numHashes).as("_sig"))
+    val dBands = lshBands(dSigs, idCol, "_sig", bands)
+
+    // delta × history candidates: one equi-join against the stored index
+    val histCand = dBands.select(col(idCol).as("_did"), col("band"), col("band_hash"))
+      .join(bandState.select(col(idCol).as("_hid"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select("_did", "_hid").distinct()
+    // delta × delta candidates: the batch-internal self-join (small side)
+    val l = dBands.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val r = dBands.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    val deltaCand = l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    // verify: history shingles recomputed ONLY for colliding ids —
+    // the semi-join prunes the history scan to the candidate set
+    val hSh = historyText
+      .join(histCand.select(col("_hid").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), n).as("_sh"))
+    val histPairs = histCand
+      .join(dSh.select(col(idCol).as("_did"), col("_sh").as("_sha")), "_did")
+      .join(hSh.select(col(idCol).as("_hid"), col("_sh").as("_shb")), "_hid")
+      .withColumn("jaccard", jaccard(col("_sha"), col("_shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("_did"), col("_hid")).as("id_a"),
+        greatest(col("_did"), col("_hid")).as("id_b"), col("jaccard"))
+    val deltaPairs = deltaCand
+      .join(dSh.select(col(idCol).as("id_a"), col("_sh").as("_sha")), "id_a")
+      .join(dSh.select(col(idCol).as("id_b"), col("_sh").as("_shb")), "id_b")
+      .withColumn("jaccard", jaccard(col("_sha"), col("_shb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+    (histPairs.unionByName(deltaPairs), dBands)
+  }
+
   /** 64-bit SimHash over tokens: bit b of the fingerprint is the sign
     * of Σ_tokens (±1 per token's hash bit b).
     */

@@ -1558,5 +1558,25 @@ object Oracles {
          |)
          |SELECT shard, doc_id, chunk_idx, n_tokens, seq_idx, seq_pos
          |FROM p ORDER BY shard, doc_id, chunk_idx""".stripMargin,
+
+    // incremental near-dedup: the exact-Jaccard theta join over the
+    // full corpus, restricted to pairs involving the delta (ids >= 400
+    // — mutants carry +100000). history×history pairs are excluded:
+    // the incremental contract says those were emitted at their own
+    // ingest.
+    "q85_incremental_neardup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents
+         |        WHERE doc_id >= 350 AND doc_id < 450)
+         |),
+         |${shingleCte("corpus")}
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |) WHERE jaccard >= 0.5 AND (id_a >= 400 OR id_b >= 400)
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -1924,6 +1924,40 @@ object Queries {
       .orderBy("shard", "doc_id", "chunk_idx")
   }
 
+  /** Incremental near-dedup ([[NearDup.incrementalNearDupPairs]]):
+    * the q52 incremental-crawl shape for NEAR duplicates. History
+    * (doc_id < 400) is indexed ONCE — its band table is written to
+    * parquet and read back, the stored-state roundtrip — then a delta
+    * batch (doc_id ≥ 400 plus first-token-dropped mutants of docs
+    * 350-449, planting both delta×history and delta×delta near-dups)
+    * is checked against the index: history is never re-shingled, and
+    * history text is re-read only for band-colliding candidates (a
+    * semi-join prunes the scan). The oracle is the exact-Jaccard
+    * theta join over the full corpus RESTRICTED to pairs involving
+    * the delta — exactly the incremental invariant (history×history
+    * pairs were emitted at their own ingest) — with the q16 recall
+    * argument (1−(1−j⁴)⁸ ≈ 1 at j≈0.95).
+    */
+  val q85IncrementalNearDup: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q85")
+    val d = docs(s, dir).select("doc_id", "text")
+    val history = d.filter(col("doc_id") < 400)
+    val mutants = d.filter(col("doc_id") >= 350 && col("doc_id") < 450)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
+    val delta = d.filter(col("doc_id") >= 400).unionByName(mutants)
+    // ingest-time state: the history band index (bands × 16 bytes/doc)
+    val histSigs = history
+      .select(col("doc_id"), NearDup.shingles(col("text"), 3).as("_sh"))
+      .select(col("doc_id"), NearDup.minhashSignature(col("_sh"), 32).as("_sig"))
+    NearDup.lshBands(histSigs, "doc_id", "_sig", 8)
+      .write.mode("overwrite").parquet(s"$tmp/bands")
+    val bandState = s.read.parquet(s"$tmp/bands")
+    val (pairs, _) = NearDup.incrementalNearDupPairs(
+      bandState, history, delta, "doc_id", "text", threshold = 0.5)
+    pairs.orderBy("id_a", "id_b")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -2009,5 +2043,6 @@ object Queries {
     "q82_quality_cascade" -> q82QualityCascade,
     "q83_chunking" -> q83Chunking,
     "q84_packing" -> q84Packing,
+    "q85_incremental_neardup" -> q85IncrementalNearDup,
   )
 }

@@ -330,6 +330,42 @@ class NearDupSimilaritySpec extends SparkSpec {
     spark.catalog.clearCache() // nearDupPairs persists its shingle frame
   }
 
+  test("incremental near-dedup: per-batch union ≡ batch over everything; state appends") {
+    val rnd = new scala.util.Random(53)
+    val vocab = (0 until 50).map(i => s"w$i")
+    def doc(): String = Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // 30 base docs; every third gets a near-dup (first token dropped)
+    val base = (0L until 30L).map(i => (i, doc()))
+    val muts = base.collect { case (i, t) if i % 3 == 0 =>
+      (i + 1000L, t.split(" ").drop(1).mkString(" "))
+    }
+    val all = base ++ muts
+    // batch 1 = ids < 15 and their mutants; batch 2 = the rest
+    val (b1, b2) = all.partition { case (id, _) => id % 1000 < 15 }
+    val h = b1.toDF("doc_id", "text")
+    val d2 = b2.toDF("doc_id", "text")
+
+    def bandsOf(df: org.apache.spark.sql.DataFrame) = {
+      val sigs = df.select($"doc_id", NearDup.shingles($"text", 3).as("_sh"))
+        .select($"doc_id", NearDup.minhashSignature($"_sh", 32).as("_sig"))
+      NearDup.lshBands(sigs, "doc_id", "_sig", 8)
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val batch1Pairs = pairSet(NearDup.nearDupPairs(h, "doc_id", "text", 0.5))
+    val (incPairs, newBands) = NearDup.incrementalNearDupPairs(
+      bandsOf(h), h, d2, "doc_id", "text", threshold = 0.5)
+    val full = pairSet(NearDup.nearDupPairs(
+      h.unionByName(d2), "doc_id", "text", 0.5))
+    assert(batch1Pairs.union(pairSet(incPairs)) === full)
+    // disjoint: the incremental step never re-emits history pairs
+    assert(batch1Pairs.intersect(pairSet(incPairs)).isEmpty)
+    // returned delta bands + stored bands = the full corpus index
+    val merged = bandsOf(h).unionByName(newBands)
+    assert(merged.count() === bandsOf(h.unionByName(d2)).count())
+  }
+
   test("ivfTopK accepts kmeans-trained centroids") {
     val emb = Seq(
       (0L, Array(10f, 0f)), (1L, Array(0f, 10f)),
