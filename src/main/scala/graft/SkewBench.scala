@@ -104,11 +104,15 @@ object SkewBench {
     */
   private def awaitStableMaxima(l: TaskMaxListener): Unit = {
     val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-    var last = (l.maxRunMs.get, l.maxShuffleRows.get)
+    // totalShuffleWriteBytes is part of the watched tuple: a straggler
+    // TaskEnd below both maxima still adds bytes, and the byte total
+    // is exactly what the fuzzy-join linear-bytes claim rests on
+    def snap() = (l.maxRunMs.get, l.maxShuffleRows.get, l.totalShuffleWriteBytes.get)
+    var last = snap()
     var stableMs = 0
     while (stableMs < 1000 && System.nanoTime() < deadline) {
       Thread.sleep(200)
-      val cur = (l.maxRunMs.get, l.maxShuffleRows.get)
+      val cur = snap()
       if (cur == last) stableMs += 200 else { last = cur; stableMs = 0 }
     }
   }

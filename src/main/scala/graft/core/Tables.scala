@@ -43,10 +43,17 @@ object Tables {
     // settable at runtime — the driver's own session may not carry it
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the NTZ→instant cast below is value-identical ONLY under a UTC
-    // session timezone; every entrypoint pins it, but pin it here too
-    // (same defensive move as nanosAsLong) so a future caller with a
-    // local-time session cannot silently shift every event instant
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // session timezone. ASSERT rather than set: silently mutating the
+    // caller's session timezone would shift every unrelated
+    // timestamp render in their session — the same class of silent
+    // instant-shifting this guard exists to prevent. (The cast is
+    // LAZY, so a set-and-restore around this method wouldn't protect
+    // it either; failing loudly here is the only sound option.)
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.events requires spark.sql.session.timeZone=UTC: the " +
+        "TIMESTAMP_NTZ→TIMESTAMP normalization is value-identical only " +
+        "under UTC. Pin it in the SparkSession builder (all graft " +
+        "entrypoints do).")
     val df = apply(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

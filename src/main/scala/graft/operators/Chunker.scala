@@ -12,12 +12,14 @@ import graft.functions.Text
   * RAG). Chunk-level dedup/contamination then compose with the
   * existing operators on the chunk frame.
   *
-  * Semantics: chunks start at token offsets 0, stride, 2·stride, …;
-  * every token belongs to ≥1 chunk (stride ≤ window enforces cover);
-  * the LAST chunk of a doc may be shorter than `window` (it is the
-  * tail remnant), and a chunk is only emitted if it starts before the
-  * end of the document — so a doc with ≤ window tokens yields exactly
-  * one chunk, and an empty doc yields none.
+  * Semantics: chunks start at token offsets 0, stride, 2·stride, …,
+  * up to the FIRST start whose window reaches the end of the document
+  * — every token belongs to ≥1 chunk (stride ≤ window enforces
+  * cover), the last chunk may be shorter than `window`, and no chunk
+  * is a subset of its predecessor (a tail start already covered by
+  * the previous window is NOT emitted — it would duplicate text into
+  * the training stream). A doc with ≤ window tokens yields exactly
+  * one chunk; an empty doc yields none.
   *
   * 100 TB shape: a pure map-side projection + explode — tokenize once
   * (`graft_tokens`, codegen CSE), build the chunk array with `slice`
@@ -37,10 +39,18 @@ object Chunker {
     require(stride > 0 && stride <= window,
       s"stride must be in [1, window] for full cover, got $stride")
     val toks = Text.tokens(text)
-    val nChunks = ceil(size(toks).cast("double") / stride).cast("int")
+    // starts 0..L where L is the first offset whose window covers the
+    // tail: ceil((dl − window)/stride) + 1 chunks for dl > window,
+    // else one. The naive ceil(dl/stride) would emit tail chunks that
+    // are strict SUBSETS of their predecessor (dl=30, window=32,
+    // stride=24 → a second chunk of tokens 25-30 ⊂ chunk 0),
+    // duplicating text into the training stream.
+    val dl = size(toks)
+    val nChunks = when(dl <= window, lit(1))
+      .otherwise(ceil((dl - window).cast("double") / stride).cast("int") + 1)
     // sequence(0, -1) would yield a DESCENDING [0, -1] — guard empties
     // (same pitfall as FuzzyJoin.deletionNeighborhood)
-    when(size(toks) === 0, array().cast("array<string>"))
+    when(dl === 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), nChunks - 1),
         i => concat_ws(" ", slice(toks, i * stride + 1, lit(window)))))
   }

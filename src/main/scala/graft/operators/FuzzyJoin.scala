@@ -74,7 +74,11 @@ object FuzzyJoin {
       .otherwise(raise_error(concat(
         lit(s"graft.FuzzyJoin: key exceeds maxLen=$maxLen chars: '"),
         col(strCol).substr(lit(1), lit(40)), lit("…'"))))
-    val keys = df.select(guarded.as("_s")).distinct()
+    // NULL keys are dropped, not guarded: length(NULL) <= maxLen is
+    // NULL, which would fall through to the raise_error branch and
+    // abort the job on a row the operator is documented to ignore
+    val keys = df.filter(col(strCol).isNotNull)
+      .select(guarded.as("_s")).distinct()
       .withColumn("_id", xxhash64(col("_s")))
     // only 8-byte ids and 8-byte variant hashes ride the candidate
     // shuffle; the strings stay behind in `keys`
@@ -97,6 +101,12 @@ object FuzzyJoin {
       .select(least(col("_sa"), col("_sb")).as("a"),
               greatest(col("_sa"), col("_sb")).as("b"))
       .filter(col("a") < col("b"))
+      // on a string-id collision the diagonal candidate fans out to
+      // BOTH orientations of the colliding pair, which least/greatest
+      // fold to the same row — dedup so collisions stay fully
+      // neutral (cost: one exchange of verified pairs, the small end
+      // of the funnel)
+      .distinct()
       .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
       .filter(col("dist") <= 1)
       .select("a", "b", "dist")

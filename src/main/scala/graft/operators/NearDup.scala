@@ -178,10 +178,14 @@ object NearDup {
     val dSigs = dSh.select(col(idCol), minhashSignature(col("_sh"), numHashes).as("_sig"))
     val dBands = lshBands(dSigs, idCol, "_sig", bands)
 
-    // delta × history candidates: one equi-join against the stored index
+    // delta × history candidates: one equi-join against the stored
+    // index. A re-crawled doc (same id in delta and history) collides
+    // with its own stored bands — filter the degenerate self-pair,
+    // which batch nearDupPairs (strict id_a < id_b) can never emit.
     val histCand = dBands.select(col(idCol).as("_did"), col("band"), col("band_hash"))
       .join(bandState.select(col(idCol).as("_hid"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
+      .filter(col("_did") =!= col("_hid"))
       .select("_did", "_hid").distinct()
     // delta × delta candidates: the batch-internal self-join (small side)
     val l = dBands.select(col(idCol).as("id_a"), col("band"), col("band_hash"))

@@ -37,12 +37,16 @@ object QualityCascade {
   }
 
   /** Per-verdict document counts (kept + first-failure attribution per
-    * rule), with share of corpus. One tiny mergeable aggregate.
+    * rule), with share of corpus. ONE scan: the total comes from a
+    * window over the already-aggregated per-verdict counts (a handful
+    * of rows in one partition), not a second pass over the corpus.
     */
   def report(annotated: DataFrame): DataFrame = {
     val counts = annotated.groupBy("verdict").agg(count(lit(1)).as("docs"))
-    val total = annotated.agg(count(lit(1)).as("_total"))
-    counts.crossJoin(broadcast(total))
+    counts
+      .withColumn("_total",
+        sum(col("docs")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
       .select(col("verdict"), col("docs"),
         round(col("docs").cast("double") / col("_total").cast("double"), 6)
           .as("share"))

@@ -1514,7 +1514,7 @@ object Oracles {
     // all hash-compare
     "q83_chunking" ->
       s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-         |n AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 24.0) AS BIGINT) AS nch FROM t WHERE len(toks) > 0),
+         |n AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 32 THEN 1 ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS nch FROM t WHERE len(toks) > 0),
          |i AS (SELECT unnest(range(0, (SELECT max(nch) FROM n))) AS i),
          |c AS (
          |  SELECT doc_id, i.i AS chunk_idx,
@@ -1533,7 +1533,7 @@ object Oracles {
     "q84_packing" ->
       s"""WITH RECURSIVE
          |t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-         |n AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 24.0) AS BIGINT) AS nch FROM t WHERE len(toks) > 0),
+         |n AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 32 THEN 1 ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS nch FROM t WHERE len(toks) > 0),
          |iv AS (SELECT unnest(range(0, (SELECT max(nch) FROM n))) AS i),
          |ch AS (
          |  SELECT doc_id, iv.i AS chunk_idx,
