@@ -1,5 +1,6 @@
 package graft.core
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
@@ -44,6 +45,8 @@ import org.apache.spark.storage.StorageLevel
 object OpCache {
   private val registry = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+  private val rddRegistry = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[RDD[_], java.lang.Boolean]())
 
   /** A per-call release handle: frames persisted inside [[scoped]]'s
     * thunk land here as well as in the global registry. [[release]]
@@ -53,8 +56,11 @@ object OpCache {
   final class Scope private[OpCache] () {
     private[OpCache] val frames = java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+    private[OpCache] val rdds = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[RDD[_], java.lang.Boolean]())
 
-    /** Unpersist exactly the frames persisted under this scope. */
+    /** Unpersist exactly the frames (and checkpoint RDDs) persisted
+      * under this scope. */
     def release(blocking: Boolean = false): Unit = {
       val it = frames.iterator()
       while (it.hasNext) {
@@ -63,10 +69,20 @@ object OpCache {
         registry.remove(df)
         it.remove()
       }
+      val rit = rdds.iterator()
+      while (rit.hasNext) {
+        val r = rit.next()
+        freeRdd(r, blocking)
+        rddRegistry.remove(r)
+        rit.remove()
+      }
     }
 
     /** Frames currently tracked by this scope (diagnostics/specs). */
     def registered: Int = frames.size
+
+    /** Checkpoint RDDs currently tracked by this scope. */
+    def registeredRdds: Int = rdds.size
   }
 
   private val currentScope = new ThreadLocal[Scope]
@@ -121,10 +137,54 @@ object OpCache {
       try it.next().unpersist(blocking) catch { case _: Throwable => () }
       it.remove()
     }
+    val rit = rddRegistry.iterator()
+    while (rit.hasNext) {
+      freeRdd(rit.next(), blocking)
+      rit.remove()
+    }
+  }
+
+  /** Register ALREADY-materialized blocks that no `Dataset.persist`
+    * owns — the RDD backing an eager local/reliable checkpoint (e.g.
+    * the fixed-point frame of [[graft.operators.Dedup.componentsStar]])
+    * — so [[release]] frees them alongside the persisted frames.
+    *
+    * UNLIKE a persisted frame, a released checkpoint CANNOT recompute:
+    * its lineage is truncated to a scan of the very blocks/files being
+    * dropped, so any DataFrame reading it is DEAD after release.
+    * Operators register only their RESULT-backing checkpoint (interior
+    * rounds are freed eagerly by the operator itself); callers
+    * materialize or write the result BEFORE releasing — the same
+    * pipeline-boundary discipline the frame registry already requires,
+    * minus the recompute safety net.
+    */
+  def registerRdd(rdd: RDD[_]): Unit = {
+    rddRegistry.removeIf(r =>
+      r.getStorageLevel == StorageLevel.NONE && r.getCheckpointFile.isEmpty)
+    rddRegistry.add(rdd)
+    val scope = currentScope.get
+    if (scope != null) scope.rdds.add(rdd)
+  }
+
+  /** Free one checkpoint-backing RDD now: drop its storage blocks and,
+    * for reliable checkpoints, delete the checkpoint files. The RDD
+    * (and any frame scanning it) is unusable afterwards. Exposed so
+    * operators can drop round N−1's checkpoint the moment round N
+    * materializes instead of stranding every round until session end.
+    */
+  def freeRdd(rdd: RDD[_], blocking: Boolean = false): Unit = {
+    try rdd.unpersist(blocking) catch { case _: Throwable => () }
+    try rdd.getCheckpointFile.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
+    } catch { case _: Throwable => () }
   }
 
   /** Number of currently registered frames (diagnostics/specs). */
   def registered: Int = registry.size
+
+  /** Number of currently registered checkpoint RDDs. */
+  def registeredRdds: Int = rddRegistry.size
 
   implicit class TrackedPersist(private val df: DataFrame) extends AnyVal {
     def persistTracked: DataFrame = OpCache.persist(df)

@@ -1,8 +1,10 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.OpCache
 import graft.core.OpCache.TrackedPersist
 
 /** Deterministic first-wins deduplication (reference O18: `date UNIQUE`
@@ -16,6 +18,24 @@ import graft.core.OpCache.TrackedPersist
   * the key, same as dropDuplicates would cost.
   */
 object Dedup {
+
+  /** The RDD whose blocks back an eagerly checkpointed frame — the
+    * `LogicalRDD` scan node's `rdd`, fetched reflectively because
+    * `LogicalRDD` is `private[sql]` (the accessor is public in
+    * bytecode, so no `setAccessible` games). Both components operators
+    * need the handle to free round N−1's checkpoint the moment round N
+    * materializes: `Dataset.unpersist` only touches CacheManager
+    * entries, never checkpoint blocks, so without this every round of
+    * every call pins |edges|-sized lineage-truncated blocks until the
+    * session dies — the round-11 leak that broke `OpCacheSpec` and
+    * would exhaust storage memory in a long-lived incremental-dedup
+    * service.
+    */
+  private def checkpointRdd(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case p if p.getClass.getName == "org.apache.spark.sql.execution.LogicalRDD" =>
+        p.getClass.getMethod("rdd").invoke(p).asInstanceOf[RDD[_]]
+    }.headOption
 
   /** Keep exactly one row per `keys`, the first by `order`. */
   def firstWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
@@ -70,7 +90,18 @@ object Dedup {
     // high-diameter graphs. Checkpointing truncates the plan to a scan
     // of the materialized blocks; on a cluster with lost-executor
     // tolerance requirements use reliable checkpoint() instead.
+    //
+    // Block lifecycle: round N's eager cp reads round N−1's blocks, so
+    // the moment it returns, N−1 is dead weight — freed immediately
+    // (checkpoint blocks are lineage-truncated, so Spark can NEVER
+    // evict them itself; stranding them pins |V|-sized storage per
+    // round per call forever). Only the RESULT-backing checkpoint
+    // survives the call, registered with OpCache so the session frees
+    // it at the usual pipeline boundary — after which the returned
+    // frame is dead (no recompute path), same contract as
+    // componentsStar.
     var labels = cp(vertices.select(col(idCol).as("v"), col(idCol).as("comp")))
+    var prevCp = checkpointRdd(labels)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -83,15 +114,20 @@ object Dedup {
         .select(col("v"), least(col("comp"), coalesce(col("_nmin"), col("comp"))).as("comp"),
           col("comp").as("_old")))
       changed = next.filter(col("comp") =!= col("_old")).count()
+      prevCp.foreach(OpCache.freeRdd(_))
+      prevCp = checkpointRdd(next)
       labels = next.drop("_old")
       iter += 1
     }
     edges.unpersist()
-    if (changed > 0 && requireConvergence)
+    if (changed > 0 && requireConvergence) {
+      prevCp.foreach(OpCache.freeRdd(_))
       throw new IllegalStateException(
         s"components() did not converge in $maxIter rounds ($changed labels still " +
           "changing — graph diameter exceeds maxIter). Raise maxIter or use " +
           "componentsStar (O(log n) rounds on any diameter).")
+    }
+    prevCp.foreach(OpCache.registerRdd)
     labels
   }
 
@@ -178,6 +214,7 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct())
+    var prevCp = checkpointRdd(edges)
     var fp = fingerprint(edges)
     var iter = 0
     var converged = edges.isEmpty
@@ -190,16 +227,30 @@ object Dedup {
       // skip every broadcast-build barrier, while any round whose edge
       // count leaves a mega-star possible keeps the skew-safe split.
       val eff = if (fp._1 >= (hotDegree + 1) / 2) hotDegree else Long.MaxValue
-      edges = cp(smallStarRound(largeStarRound(edges, eff), eff))
-      val fpNext = fingerprint(edges)
+      val next = cp(smallStarRound(largeStarRound(edges, eff), eff))
+      val fpNext = fingerprint(next)
+      // round N−1's blocks fed the eager cp above and are now dead —
+      // free them NOW: checkpoint blocks are lineage-truncated, so the
+      // storage layer can never evict them on its own (the round-11
+      // leak: every round of every call stayed pinned for the session)
+      prevCp.foreach(OpCache.freeRdd(_))
+      prevCp = checkpointRdd(next)
+      edges = next
       converged = fpNext == fp
       fp = fpNext
       iter += 1
     }
-    if (!converged)
+    if (!converged) {
+      prevCp.foreach(OpCache.freeRdd(_))
       throw new IllegalStateException(
         s"componentsStar() fingerprint still moving after $maxIter rounds — " +
           "not reachable for any real edge set (bound is O(log n) rounds)")
+    }
+    // the fixed-point star set backs the returned frame: its blocks
+    // live until the caller's pipeline-boundary OpCache.release()
+    // (after which the frame is dead — checkpoints cannot recompute;
+    // materialize/write the labels first, as Bench/Verify already do)
+    prevCp.foreach(OpCache.registerRdd)
     // stars are (child u, root v): label = root where present, self for
     // roots and isolated vertices
     vertices.select(col(idCol).as("v"))
