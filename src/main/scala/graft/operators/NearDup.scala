@@ -155,6 +155,20 @@ object NearDup {
     * Also returns the delta's band rows: the caller appends them to
     * the stored index, completing the state update.
     *
+    * RE-CRAWLED ids (present in both `bandState` and `delta`) are
+    * SUPERSEDED: their stored bands describe the OLD content, so they
+    * are excluded from candidate generation (an anti-join on the delta
+    * id set — map-side when the delta broadcasts, which a crawl batch
+    * against a 100 TB index always does) and every pair involving the
+    * id is computed from the delta's current text. This also makes
+    * `histPairs`/`deltaPairs` structurally disjoint — without it a
+    * re-crawled doc near-dup with another delta doc is emitted TWICE,
+    * once through its stale bands and once through the delta self-join.
+    * The stale band rows stay in the caller's stored index after the
+    * append (harmless: future collisions against them verify against
+    * the history table's CURRENT text); periodic compaction (the q81
+    * operator) prunes them.
+    *
     * Shuffle budget: delta bands ⋈ stored bands is ONE equi-join on
     * (band, band_hash) — shuffle ∝ band rows; AQE splits hot buckets
     * (boilerplate bands are the classic skew case). Nothing rescans
@@ -179,13 +193,14 @@ object NearDup {
     val dBands = lshBands(dSigs, idCol, "_sig", bands)
 
     // delta × history candidates: one equi-join against the stored
-    // index. A re-crawled doc (same id in delta and history) collides
-    // with its own stored bands — filter the degenerate self-pair,
-    // which batch nearDupPairs (strict id_a < id_b) can never emit.
+    // index. Re-crawled ids' stale bands are superseded by the delta's
+    // (see scaladoc) — the anti-join also subsumes the degenerate
+    // self-collision of a re-crawled doc with its own stored bands.
+    val liveState = bandState
+      .join(delta.select(col(idCol)), Seq(idCol), "left_anti")
     val histCand = dBands.select(col(idCol).as("_did"), col("band"), col("band_hash"))
-      .join(bandState.select(col(idCol).as("_hid"), col("band"), col("band_hash")),
+      .join(liveState.select(col(idCol).as("_hid"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
-      .filter(col("_did") =!= col("_hid"))
       .select("_did", "_hid").distinct()
     // delta × delta candidates: the batch-internal self-join (small side)
     val l = dBands.select(col(idCol).as("id_a"), col("band"), col("band_hash"))

@@ -33,6 +33,17 @@ object Packer {
            budget: Long, shards: Int): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
+    // fail fast on non-integral columns: a string id would cast to
+    // NULL (non-ANSI) and surface later as an opaque null-in-
+    // non-nullable-field NPE from the Tuple4 encoder at execution
+    Seq(idCol, idxCol, tokCol).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val t = chunks.schema(c).dataType
+      val integral = t == ByteType || t == ShortType || t == IntegerType || t == LongType
+      require(integral,
+        s"pack() needs integral columns; '$c' is $t — hash non-numeric ids " +
+          "to longs first (e.g. xxhash64(col)) so shard assignment is defined")
+    }
     val s = chunks.sparkSession
     import s.implicits._
     chunks.select(

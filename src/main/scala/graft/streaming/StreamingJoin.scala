@@ -51,6 +51,17 @@ object StreamingJoin {
       lateness: String = "1 hour"): DataFrame = {
     require(pointTs != intervalTs,
       "stream-stream join needs distinct timestamp column names")
+    // mixed stream-static is NOT supported: a batch `point` with a
+    // streaming `interval` would take the batch RangeJoin path and
+    // apply explode/sequence binning to a streaming frame (runtime
+    // failure with an unrelated error); a streaming `point` with a
+    // batch `interval` would skip watermarking the static side without
+    // the documented stream-stream state semantics. Fail at plan time
+    // with the actual problem instead.
+    require(point.isStreaming == interval.isStreaming,
+      "pointInPrecedingWindow needs both frames streaming or both batch, got " +
+        s"point.isStreaming=${point.isStreaming}, " +
+        s"interval.isStreaming=${interval.isStreaming}")
     if (point.isStreaming) {
       val p = point.withWatermark(pointTs, lateness)
       val i = interval.withWatermark(intervalTs, lateness)

@@ -366,6 +366,30 @@ class NearDupSimilaritySpec extends SparkSpec {
     assert(merged.count() === bandsOf(h.unionByName(d2)).count())
   }
 
+  test("incremental near-dedup: re-crawled id emits each pair ONCE, from current content") {
+    // doc 1 is in history AND re-crawled in the delta; doc 1001 is a
+    // new delta doc near-dup with it. Without superseding the stale
+    // stored bands, the (1, 1001) pair is emitted TWICE — once through
+    // doc 1's stored bands (histPairs) and once through the delta
+    // self-join (deltaPairs) — and Set-comparison specs hide it.
+    val text = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val h = Seq((1L, text), (2L, "totally different words here entirely distinct"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (1L, text),                                      // re-crawl, same content
+      (1001L, text.split(" ").drop(1).mkString(" ")))  // near-dup of doc 1
+      .toDF("doc_id", "text")
+    val sigs = h.select($"doc_id", NearDup.shingles($"text", 3).as("_sh"))
+      .select($"doc_id", NearDup.minhashSignature($"_sh", 32).as("_sig"))
+    val state = NearDup.lshBands(sigs, "doc_id", "_sig", 8)
+    val (pairs, _) = NearDup.incrementalNearDupPairs(
+      state, h, delta, "doc_id", "text", threshold = 0.5)
+    val rows = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(rows.size === rows.distinct.size,
+      s"pair list must be duplicate-free, got $rows")
+    assert(rows.toSet === Set((1L, 1001L)))
+  }
+
   test("ivfTopK accepts kmeans-trained centroids") {
     val emb = Seq(
       (0L, Array(10f, 0f)), (1L, Array(0f, 10f)),

@@ -61,4 +61,14 @@ class PackerSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges === 1, s"expected exactly one exchange:\n$plan")
   }
+
+  test("non-integral id column fails fast with a clear error, not an encoder NPE") {
+    // a string id would cast to NULL (non-ANSI) and only die deep in
+    // the Tuple4 encoder at execution — the guard names the column
+    val df = Seq(("doc-a", 0L, 4L)).toDF("doc_id", "chunk_idx", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      Packer.pack(df, "doc_id", "chunk_idx", "n_tokens", budget = 10L, shards = 2)
+    }
+    assert(e.getMessage.contains("doc_id") && e.getMessage.contains("integral"))
+  }
 }

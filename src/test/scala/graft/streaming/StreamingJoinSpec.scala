@@ -66,4 +66,22 @@ class StreamingJoinSpec extends SparkSpec {
         Seq("user_id"), "ts", "ts", windowSec = 60L)
     }
   }
+
+  test("mixed stream-static frames are rejected at plan time, both directions") {
+    implicit val sqlCtx = spark.sqlContext
+    val cIn = MemoryStream[Click]
+    val eIn = MemoryStream[Err]
+    // batch point + streaming interval: would silently take the batch
+    // RangeJoin path and explode a streaming frame at runtime
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingJoin.pointInPrecedingWindow(
+        clicks.toDF(), eIn.toDF(), Seq("user_id"), "cts", "ets", windowSec = 60L)
+    }
+    assert(e1.getMessage.contains("isStreaming"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingJoin.pointInPrecedingWindow(
+        cIn.toDF(), errors.toDF(), Seq("user_id"), "cts", "ets", windowSec = 60L)
+    }
+    assert(e2.getMessage.contains("isStreaming"))
+  }
 }
