@@ -111,6 +111,14 @@ object GraftFunctions {
     descriptor("graft_i8_quant", classOf[Int8Quantize], c => Int8Quantize(c.head)),
     descriptor("graft_i8_dot", classOf[Int8Dot], c => Int8Dot(c.head, c(1))),
     descriptor("graft_i8_abssum", classOf[Int8AbsSum], c => Int8AbsSum(c.head)),
+    // graft_term_tfs(tokens, 'term', ...): per-term tf counts over a
+    // token array in ONE pass (the q79 multi-term BM25 kernel)
+    descriptor("graft_term_tfs", classOf[TermTfCounts], c =>
+      TermTfCounts(c.head, c.drop(1).map(_.eval().toString))),
+    // graft_deletion_neighborhood(str): FastSS deletion variants (the
+    // q76 edit-distance-1 fuzzy-join candidate kernel)
+    descriptor("graft_deletion_neighborhood", classOf[DeletionNeighborhood], c =>
+      DeletionNeighborhood(c.head)),
   )
 
   def register(spark: SparkSession): Unit =

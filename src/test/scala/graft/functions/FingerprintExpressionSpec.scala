@@ -48,4 +48,29 @@ class FingerprintExpressionSpec extends SparkSpec {
     assert(r.getAs[Double]("d") === 11.0)
     assert(r.getAs[Double]("de") === 11.0)
   }
+
+  test("graft_term_tfs: SQL form matches the DataFrame form") {
+    GraftFunctions.register(spark)
+    val df = Seq("the cat sat on the mat the end").toDF("t")
+    df.createOrReplaceTempView("ttf_in")
+    val sql = spark.sql(
+      "SELECT graft_term_tfs(graft_tokens(t), 'the', 'cat', 'dog') AS tfs FROM ttf_in")
+      .head().getSeq[Long](0).toList
+    val api = df.select(
+        TextExpressions.termTfs(Text.tokens($"t"), Seq("the", "cat", "dog")).as("tfs"))
+      .head().getSeq[Long](0).toList
+    assert(sql === api)
+    assert(sql === List(3L, 1L, 0L))
+  }
+
+  test("graft_deletion_neighborhood: SQL form matches the DataFrame form") {
+    GraftFunctions.register(spark)
+    val sql = spark.sql("SELECT graft_deletion_neighborhood('abc') AS nb")
+      .head().getSeq[String](0).toSet
+    val api = Seq("abc").toDF("t")
+      .select(FuzzyExpressions.deletionNeighborhood($"t").as("nb"))
+      .head().getSeq[String](0).toSet
+    assert(sql === api)
+    assert(sql.contains("bc") && sql.contains("ac") && sql.contains("ab"))
+  }
 }
