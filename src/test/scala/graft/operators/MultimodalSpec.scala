@@ -63,4 +63,37 @@ class MultimodalSpec extends SparkSpec {
       .select("features").as[Seq[Float]].head()
     assert(feat === Seq(3.0f))
   }
+
+  test("ImageIoCodec: real PNG roundtrip recovers planted dims and channel means") {
+    val png = ImageIoCodec.constantPng(10, 6, 200, 50, 7)
+    val df = Seq((1L, png), (2L, Array[Byte](1, 2, 3)), // garbage payload
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val meta = Multimodal.withMetadata(df, "payload", "image", ImageIoCodec)
+      .select($"id", $"meta.format", $"meta.width", $"meta.height")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    assert(meta(0) === ((1L, "png", 10, 6)))
+    assert(meta(1) === ((2L, "bin", -1, -1))) // corrupt degrades, no crash
+    val feats = Multimodal.withFeatures(df, "payload", ImageIoCodec)
+      .select("id", "features").as[(Long, Option[Seq[Float]])].collect().sortBy(_._1)
+    val f = feats(0)._2.get
+    assert(math.round(f(0) * 255) === 200 && math.round(f(1) * 255) === 50 &&
+      math.round(f(2) * 255) === 7)
+    assert(f(4) === 0.0f && f(5) === 0.0f && f(6) === 0.0f) // constant image: zero stddev
+    assert(feats(1)._2.isEmpty && feats(2)._2.isEmpty) // corrupt/null → null features
+  }
+
+  test("ImageIoCodec: resize fits the byte budget; strip frames decode to planted colors") {
+    val png = ImageIoCodec.constantPng(256, 256, 10, 20, 30)
+    val small = ImageIoCodec.resize(png, 500)
+    assert(small.length <= 500 && small.length > 0)
+    val (w, h) = ImageIoCodec.dims(small)
+    assert(w >= 1 && h >= 1 && w < 256)
+    // strips: full horizontal coverage, decoded pixels keep the color
+    val frames = ImageIoCodec.sampleFrames(ImageIoCodec.constantPng(8, 9, 99, 0, 99), 4)
+    assert(frames.length === 4)
+    val dims = frames.map(ImageIoCodec.dims)
+    assert(dims.forall(_._1 == 8) && dims.map(_._2).sum === 9)
+    val f0 = ImageIoCodec.features(frames.head)
+    assert(math.round(f0(0) * 255) === 99 && math.round(f0(1) * 255) === 0)
+  }
 }
