@@ -1578,5 +1578,21 @@ object Oracles {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |) WHERE jaccard >= 0.5 AND (id_a >= 400 OR id_b >= 400)
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // real-codec image roundtrip: the Spark side encodes a constant
+    // (w, h, r, g, b) PNG per doc via javax.imageio and decodes it
+    // back through ImageIoCodec; the oracle recomputes the planted
+    // values arithmetically — equality proves the real encode→decode
+    // path preserves header dims and per-channel pixel values.
+    "q86_imageio_roundtrip" ->
+      """SELECT doc_id,
+        |       'png' AS fmt,
+        |       4 + doc_id % 13 AS width,
+        |       4 + doc_id % 7 AS height,
+        |       (doc_id * 37) % 256 AS mean_r,
+        |       (doc_id * 59) % 256 AS mean_g,
+        |       (doc_id * 83) % 256 AS mean_b
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin,
   )
 }
