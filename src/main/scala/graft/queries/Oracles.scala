@@ -1594,5 +1594,21 @@ object Oracles {
         |       (doc_id * 83) % 256 AS mean_b
         |FROM documents WHERE doc_id < 200
         |ORDER BY doc_id""".stripMargin,
+
+    // real-codec audio roundtrip: the Spark side encodes a constant
+    // |amplitude| square-wave PCM16 WAV per doc via javax.sound and
+    // decodes it back through WavCodec; frame counts are multiples of
+    // 8 so duration_ms = frames // 8 at 8 kHz is exact, and amplitude
+    // < 2^15 makes the /32768 float normalization a lossless
+    // power-of-two scale.
+    "q87_wav_roundtrip" ->
+      """SELECT doc_id,
+        |       'wav' AS fmt,
+        |       1 + doc_id % 2 AS channels,
+        |       CAST(16 AS BIGINT) AS bits,
+        |       (800 + (doc_id % 5) * 400) // 8 AS duration_ms,
+        |       500 + (doc_id * 31) % 30000 AS amp
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -2037,6 +2037,38 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Real-codec AUDIO roundtrip ([[WavCodec]], q86's pattern for the
+    * second JDK-decodable modality): constant-amplitude square-wave
+    * PCM16 WAVs are encoded executor-side via javax.sound.sampled and
+    * decoded back through the production codec — header-only
+    * channels/bits/duration via `withMetadata`, full-PCM mean
+    * |amplitude| via `withFeatures`. All outputs integer-exact
+    * (frame counts divisible by the rate, amplitude < 2¹⁵ so the
+    * /32768 float normalization is a pure power-of-two scale), so the
+    * DuckDB oracle recomputes them arithmetically — a wrong decode
+    * (byte order, channel interleave, header math) fails the gate.
+    */
+  val q87WavRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val ids = docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 200).as[Long]
+    val payloads = ids.mapPartitions(_.map { id =>
+      val channels = 1 + (id % 2).toInt
+      val frames = 800 + (id % 5).toInt * 400
+      val amp = (500 + (id * 31) % 30000).toShort
+      (id, WavCodec.squareWav(frames, 8000f, channels, amp))
+    }).toDF("doc_id", "payload")
+    val meta = Multimodal.withMetadata(payloads, "payload", "audio", WavCodec)
+    val feats = Multimodal.withFeatures(meta, "payload", WavCodec)
+    feats.select(
+        col("doc_id"),
+        col("meta.format").as("fmt"),
+        col("meta.width").cast("long").as("channels"),
+        col("meta.height").cast("long").as("bits"),
+        col("meta.duration_ms").as("duration_ms"),
+        bround(element_at(col("features"), 1) * 32768).cast("long").as("amp"))
+      .orderBy("doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2144,5 +2176,6 @@ object Queries {
     "q84_packing" -> q84Packing,
     "q85_incremental_neardup" -> q85IncrementalNearDup,
     "q86_imageio_roundtrip" -> q86ImageioRoundtrip,
+    "q87_wav_roundtrip" -> q87WavRoundtrip,
   )
 }

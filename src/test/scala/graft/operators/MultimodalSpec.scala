@@ -82,6 +82,41 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1)._2.isEmpty && feats(2)._2.isEmpty) // corrupt/null → null features
   }
 
+  test("WavCodec: real PCM roundtrip recovers planted channels/duration/amplitude") {
+    val wav = WavCodec.squareWav(frames = 1600, sampleRate = 8000f,
+      channels = 2, amplitude = 1234)
+    val df = Seq((1L, wav), (2L, Array[Byte](1, 2, 3)),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val meta = Multimodal.withMetadata(df, "payload", "audio", WavCodec)
+      .select($"id", $"meta.format", $"meta.width", $"meta.height", $"meta.duration_ms")
+      .as[(Long, String, Int, Int, Long)].collect().sortBy(_._1)
+    assert(meta(0) === ((1L, "wav", 2, 16, 200L))) // 1600 frames @ 8 kHz
+    assert(meta(1) === ((2L, "bin", -1, -1, 0L)))  // corrupt degrades, no crash
+    val feats = Multimodal.withFeatures(df, "payload", WavCodec)
+      .select("id", "features").as[(Long, Option[Seq[Float]])].collect().sortBy(_._1)
+    val f = feats(0)._2.get
+    assert(math.round(f(0) * 32768) === 1234) // mean |sample| = amplitude, exact
+    assert(math.round(f(3) * 32768) === 1234) // peak = amplitude
+    assert(math.abs(f(2)) < 1e-6f)            // symmetric wave: zero DC offset
+    assert(feats(1)._2.isEmpty && feats(2)._2.isEmpty)
+  }
+
+  test("WavCodec: resize is frame-aligned within budget; clip frames cover the stream") {
+    val wav = WavCodec.squareWav(frames = 4000, sampleRate = 8000f,
+      channels = 1, amplitude = 2000)
+    val small = WavCodec.resize(wav, 1000)
+    assert(small.length <= 1000)
+    assert(WavCodec.sniffFormat(small) === "wav")
+    assert(WavCodec.durationMs(small) > 0)
+    val clips = WavCodec.sampleFrames(wav, 4)
+    assert(clips.length === 4)
+    assert(clips.forall(WavCodec.sniffFormat(_) == "wav"))
+    // slices tile the stream: durations sum to the original 500 ms
+    assert(clips.map(WavCodec.durationMs).sum === 500L)
+    val cf = WavCodec.features(clips.head)
+    assert(math.round(cf(0) * 32768) === 2000) // clips keep the planted amplitude
+  }
+
   test("ImageIoCodec: resize fits the byte budget; strip frames decode to planted colors") {
     val png = ImageIoCodec.constantPng(256, 256, 10, 20, 30)
     val small = ImageIoCodec.resize(png, 500)
