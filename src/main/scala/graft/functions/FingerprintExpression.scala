@@ -119,6 +119,9 @@ object GraftFunctions {
     // q76 edit-distance-1 fuzzy-join candidate kernel)
     descriptor("graft_deletion_neighborhood", classOf[DeletionNeighborhood], c =>
       DeletionNeighborhood(c.head)),
+    // graft_nfc(str): Unicode NFC normalization (the q88 canonical-
+    // text kernel)
+    descriptor("graft_nfc", classOf[NfcNormalize], c => NfcNormalize(c.head)),
   )
 
   def register(spark: SparkSession): Unit =

@@ -29,6 +29,18 @@ object Text {
   def tokensHof(c: Column): Column =
     filter(split(c, " "), t => length(t) > 0)
 
+  /** Canonical text for content identity: Unicode NFC (native
+    * [[NfcNormalize]] kernel) → lowercase → whitespace runs collapsed
+    * to one space → trim. The normalization a multilingual corpus
+    * applies BEFORE hash dedup — precomposed/decomposed accents, case
+    * and spacing variants of the same text all canonicalize to one
+    * byte sequence. Every step is codegen'd (the NFC kernel has a
+    * zero-allocation fast path for already-normalized text); order is
+    * fixed (NFC first) and mirrored by the q88 oracle.
+    */
+  def canonical(c: Column): Column =
+    trim(regexp_replace(lower(NormExpressions.nfc(c)), "[ \\t\\n\\r]+", " "))
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish token count: runs of alphanumerics count 1 per ≤4 chars

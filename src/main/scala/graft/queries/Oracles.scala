@@ -1610,5 +1610,31 @@ object Oracles {
         |       500 + (doc_id * 31) % 30000 AS amp
         |FROM documents WHERE doc_id < 200
         |ORDER BY doc_id""".stripMargin,
+
+    // canonical-text dedup: the oracle rebuilds the SAME three planted
+    // variants (precomposed / decomposed-uppercase / mixed) and
+    // canonicalizes with DuckDB's independent Unicode stack
+    // (utf8proc nfc_normalize + lower) — Spark's java.text.Normalizer
+    // kernel must agree byte-for-byte through the sha256.
+    "q88_textnorm_dedup" -> {
+      val v1 = " café naïve mix"
+      val v2 = " CAFÉ NAÏVE  MIX"
+      val v3 = "  Café Naïve mix "
+      s"""WITH v AS (
+         |  SELECT doc_id + 100000 AS doc_id, text || '$v1' AS text
+         |  FROM documents WHERE doc_id < 300
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || '$v2' FROM documents WHERE doc_id < 300
+         |  UNION ALL
+         |  SELECT doc_id + 300000, text || '$v3' FROM documents WHERE doc_id < 300
+         |), c AS (
+         |  SELECT doc_id,
+         |         sha256(trim(regexp_replace(lower(nfc_normalize(text)),
+         |                                    '[ \\t\\n\\r]+', ' ', 'g'))) AS canon_sha
+         |  FROM v
+         |)
+         |SELECT min(doc_id) AS rep_id, count(*) AS n_variants, canon_sha
+         |FROM c GROUP BY canon_sha ORDER BY rep_id""".stripMargin
+    },
   )
 }

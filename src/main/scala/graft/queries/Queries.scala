@@ -2069,6 +2069,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Canonical-text dedup ([[Text.canonical]]: native NFC kernel →
+    * lower → whitespace collapse → trim) — normalization-before-dedup,
+    * the stage that makes byte-level content hashing work on a
+    * multilingual crawl: the same visible text arrives precomposed
+    * (é = U+00E9), decomposed (e + U+0301), case-shifted and
+    * space-mangled, and raw sha256 dedup (q14/q52) treats every
+    * variant as a distinct document. Three planted variants per doc —
+    * precomposed lowercase, decomposed UPPERCASE double-spaced, mixed
+    * case with edge spaces — must collapse to ONE canonical hash;
+    * the oracle rebuilds the variants and canonicalizes with DuckDB's
+    * independent Unicode machinery (nfc_normalize/utf8proc vs
+    * java.text.Normalizer/ICU), so any divergence in the
+    * normalization itself also fails the gate. Scale shape: the
+    * canonicalization is a map-side codegen'd projection (fast-path
+    * zero-allocation for already-NFC text); the only shuffle is the
+    * hash groupBy — identical to plain exact dedup.
+    */
+  val q88TextnormDedup: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id", "text").filter(col("doc_id") < 300)
+    val v1 = d0.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" café naïve mix")).as("text"))
+    val v2 = d0.select((col("doc_id") + 200000).as("doc_id"),
+      concat(col("text"), lit(" CAFÉ NAÏVE  MIX")).as("text"))
+    val v3 = d0.select((col("doc_id") + 300000).as("doc_id"),
+      concat(col("text"), lit("  Café Naïve mix ")).as("text"))
+    v1.unionByName(v2).unionByName(v3)
+      .select(col("doc_id"), sha2(Text.canonical(col("text")), 256).as("canon_sha"))
+      .groupBy("canon_sha")
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_variants"))
+      .select("rep_id", "n_variants", "canon_sha")
+      .orderBy("rep_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2177,5 +2210,6 @@ object Queries {
     "q85_incremental_neardup" -> q85IncrementalNearDup,
     "q86_imageio_roundtrip" -> q86ImageioRoundtrip,
     "q87_wav_roundtrip" -> q87WavRoundtrip,
+    "q88_textnorm_dedup" -> q88TextnormDedup,
   )
 }

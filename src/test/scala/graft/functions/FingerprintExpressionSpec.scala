@@ -63,6 +63,24 @@ class FingerprintExpressionSpec extends SparkSpec {
     assert(sql === List(3L, 1L, 0L))
   }
 
+  test("graft_nfc + Text.canonical: composed/decomposed/case/space variants collapse") {
+    GraftFunctions.register(spark)
+    // decomposed e + U+0301 → precomposed é through the kernel
+    val sqlNfc = spark.sql("SELECT graft_nfc('café') AS s").as[String].head()
+    assert(sqlNfc === "café")
+    // already-NFC fast path returns the input unchanged
+    assert(spark.sql("SELECT graft_nfc('plain ascii') AS s").as[String].head()
+      === "plain ascii")
+    val variants = Seq(
+      " café naïve mix",
+      " CAFÉ NAÏVE  MIX",
+      "  Café Naïve mix ")
+    val canon = variants.toDF("t").select(Text.canonical($"t").as("c"))
+      .as[String].collect().toSet
+    assert(canon === Set("café naïve mix"),
+      s"all variants must canonicalize to one byte sequence, got $canon")
+  }
+
   test("graft_deletion_neighborhood: SQL form matches the DataFrame form") {
     GraftFunctions.register(spark)
     val sql = spark.sql("SELECT graft_deletion_neighborhood('abc') AS nb")
