@@ -1636,5 +1636,76 @@ object Oracles {
          |SELECT min(doc_id) AS rep_id, count(*) AS n_variants, canon_sha
          |FROM c GROUP BY canon_sha ORDER BY rep_id""".stripMargin
     },
+
+    // line-level boilerplate removal: df computed on exact line
+    // strings (the operator uses 8-byte hashes — collision P
+    // negligible); generate_subscripts/unnest zip to give ordered
+    // lines, string_agg(ORDER BY pos) reassembles
+    "q89_line_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |         text || chr(10) || 'subscribe to our newsletter'
+         |              || chr(10) || 'copyright 2021 example corp' AS text
+         |  FROM documents
+         |),
+         |l AS (
+         |  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus)
+         |),
+         |hot AS (
+         |  SELECT line FROM (
+         |    SELECT line, count(DISTINCT doc_id) AS d FROM l GROUP BY line
+         |  ) WHERE d > 50
+         |),
+         |kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM hot)),
+         |re AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(line, chr(10) ORDER BY pos) AS cleaned
+         |  FROM kept GROUP BY doc_id
+         |),
+         |tot AS (SELECT doc_id, count(*) AS n_total FROM l GROUP BY doc_id)
+         |SELECT c.doc_id,
+         |       coalesce(re.n_kept, 0) AS n_kept,
+         |       tot.n_total - coalesce(re.n_kept, 0) AS n_removed,
+         |       sha256(coalesce(re.cleaned, '')) AS clean_sha
+         |FROM corpus c
+         |JOIN tot USING (doc_id)
+         |LEFT JOIN re USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
+
+    // split-leakage report: exact-Jaccard near-dup pairs × the q35
+    // fingerprint split, rolled up by canonicalized split pair
+    "q90_split_leakage" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents WHERE doc_id % 3 = 0)
+         |),
+         |${shingleCte("corpus")},
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid' ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(list_sum([CAST(ord(substr(text, i, 1)) AS BIGINT) * CAST((i % 31) + 1 AS BIGINT) FOR i IN range(1, length(text) + 1)]) AS BIGINT) % 2147483647 % 100 AS h
+         |    FROM corpus
+         |  )
+         |),
+         |p AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  ) WHERE jaccard >= 0.5
+         |),
+         |j AS (
+         |  SELECT least(sa.split, sb.split) AS split_a,
+         |         greatest(sa.split, sb.split) AS split_b
+         |  FROM p
+         |  JOIN sp sa ON p.id_a = sa.doc_id
+         |  JOIN sp sb ON p.id_b = sb.doc_id
+         |)
+         |SELECT split_a, split_b, count(*) AS n_pairs
+         |FROM j GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin,
   )
 }

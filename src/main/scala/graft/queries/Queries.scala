@@ -2102,6 +2102,59 @@ object Queries {
       .orderBy("rep_id")
   }
 
+  /** Line-level boilerplate removal ([[LineDedup.removeBoilerplate]],
+    * CCNet/RefinedWeb): two boilerplate lines (subscribe prompt,
+    * copyright footer) are planted on EVERY document — document
+    * frequency = corpus size, far above maxDf = 50 — while each doc's
+    * own text stays unique. The operator must strip exactly the
+    * planted lines and reassemble the original text; the oracle
+    * recomputes df on exact line strings (vs the operator's 8-byte
+    * hashes) and gates the per-doc survivor count, removed count and
+    * cleaned-text sha256.
+    */
+  val q89LineDedup: Q = (s, dir) => {
+    val corpus = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit("\nsubscribe to our newsletter\ncopyright 2021 example corp"))
+        .as("text"))
+    LineDedup.removeBoilerplate(corpus, "doc_id", "text", maxDf = 50)
+      .select(col("doc_id"), col("n_kept"), col("n_removed"),
+        sha2(col("cleaned"), 256).as("clean_sha"))
+      .orderBy("doc_id")
+  }
+
+  /** Split-leakage report — the QA query every pretraining corpus
+    * needs after splitting: near-duplicate pairs that STRADDLE
+    * train/valid/test boundaries leak evaluation data into training.
+    * Composes three gated operators: content-fingerprint split (q35),
+    * LSH near-dup pairs (q16), and a canonicalized (least, greatest)
+    * split-pair rollup. The oracle recomputes splits and pairs with
+    * the exact-Jaccard theta join — the q16 recall argument
+    * (1−(1−j⁴)⁸ ≈ 1 at the planted j≈0.95) carries over. Mutants'
+    * fingerprints differ from their base doc, so splits assign
+    * near-dup pairs effectively independently — cross-split rows are
+    * guaranteed to exist and the report is non-trivial.
+    */
+  val q90SplitLeakage: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id", "text")
+    val mutants = d0.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
+    val corpus = d0.unionByName(mutants)
+    val h = pmod(graft.functions.FingerprintExpression.fingerprint(col("text")), lit(100))
+    val assigned = corpus.withColumn("split",
+      when(h < 80, "train").when(h < 90, "valid").otherwise("test"))
+    val pairs = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+    pairs
+      .join(assigned.select(col("doc_id").as("id_a"), col("split").as("_sa")), "id_a")
+      .join(assigned.select(col("doc_id").as("id_b"), col("split").as("_sb")), "id_b")
+      .select(least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2211,5 +2264,7 @@ object Queries {
     "q86_imageio_roundtrip" -> q86ImageioRoundtrip,
     "q87_wav_roundtrip" -> q87WavRoundtrip,
     "q88_textnorm_dedup" -> q88TextnormDedup,
+    "q89_line_dedup" -> q89LineDedup,
+    "q90_split_leakage" -> q90SplitLeakage,
   )
 }
