@@ -78,15 +78,22 @@ object NearDup {
     * band). Callers that know `numHashes` statically enforce this with
     * `require`; [[candidatePairs]]/[[nearDupPairs]] do.
     */
-  def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
-    val sig = col(sigCol)
+  /** The (band, band_hash) array for a signature — ONE derivation
+    * shared by [[lshBands]] (which builds stored indexes) and the
+    * streaming delta path ([[graft.streaming.StreamingNearDup]]): a
+    * stored index is only joinable if every future producer hashes
+    * bands bit-identically.
+    */
+  private[graft] def bandHashes(sig: Column, bands: Int): Column = {
     val rowsPerBand = size(sig) / bands
-    df.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(lit("band"), b,
-            concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))))
-      .as(Seq("band", "band_hash")))
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(lit("band"), b,
+        concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))))
   }
+
+  def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame =
+    df.select(col(idCol), posexplode(bandHashes(col(sigCol), bands))
+      .as(Seq("band", "band_hash")))
 
   /** Candidate near-dup pairs: documents sharing any LSH band bucket.
     * Returns distinct (id_a < id_b) pairs. One self-equi-join on the

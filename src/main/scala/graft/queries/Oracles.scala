@@ -1707,5 +1707,24 @@ object Oracles {
          |)
          |SELECT split_a, split_b, count(*) AS n_pairs
          |FROM j GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin,
+
+    // streaming near-dedup against the stored index: exact-Jaccard
+    // pairs RESTRICTED to history (< 400) × delta (>= 400, mutants at
+    // +100000) — history ids are all below delta ids, so id_a is the
+    // history side under the canonical id_a < id_b ordering
+    "q91_streaming_neardup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents
+         |        WHERE doc_id >= 350 AND doc_id < 450)
+         |),
+         |${shingleCte("corpus")}
+         |SELECT * FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |) WHERE jaccard >= 0.5 AND id_a < 400 AND id_b >= 400
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -2155,6 +2155,48 @@ object Queries {
       .orderBy("split_a", "split_b")
   }
 
+  /** STREAMING near-dedup against the stored band index
+    * ([[graft.streaming.StreamingNearDup.againstIndex]]) — q85's
+    * delta×history path as a continuous crawl: the history band index
+    * is written to parquet once (the stored-state roundtrip), then
+    * the delta batch STREAMS through shingle→minhash→band projection,
+    * a stream-static join against the index, watermarked pair dedup
+    * and exact-Jaccard verification into an append sink. History is
+    * never re-shingled on the stream side for candidates; emission is
+    * in-batch (pair dedup only holds back repeats), so the bounded
+    * run skips the flush batch. Oracle = the exact-Jaccard theta join
+    * RESTRICTED to history×delta pairs (delta×delta is the batch
+    * ingest's job — the streaming contract is "is this new doc a
+    * near-dup of anything indexed").
+    */
+  val q91StreamingNearDup: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q91")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val d = docs(s, dir).select("doc_id", "text")
+    val history = d.filter(col("doc_id") < 400)
+    val mutants = d.filter(col("doc_id") >= 350 && col("doc_id") < 450)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
+    val delta = d.filter(col("doc_id") >= 400).unionByName(mutants)
+      .withColumn("ts", lit("2021-01-01 00:00:00").cast("timestamp"))
+    val bandsDir = memoFixture("q91bands", dir) { p =>
+      val histSigs = history
+        .select(col("doc_id"), NearDup.shingles(col("text"), 3).as("_sh"))
+        .select(col("doc_id"), NearDup.minhashSignature(col("_sh"), 32).as("_sig"))
+      NearDup.lshBands(histSigs, "doc_id", "_sig", 8)
+        .write.mode("overwrite").parquet(p)
+    }
+    val in = memoFixture("q91delta", dir) { p =>
+      delta.write.mode("overwrite").parquet(p)
+    }
+    val pairs = graft.streaming.StreamingNearDup.againstIndex(
+      s.readStream.schema(delta.schema).parquet(in),
+      s.read.parquet(bandsDir), history,
+      "doc_id", "ts", "text", threshold = 0.5)
+    runToSink(pairs, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("id_a", "id_b")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2266,5 +2308,6 @@ object Queries {
     "q88_textnorm_dedup" -> q88TextnormDedup,
     "q89_line_dedup" -> q89LineDedup,
     "q90_split_leakage" -> q90SplitLeakage,
+    "q91_streaming_neardup" -> q91StreamingNearDup,
   )
 }
