@@ -1726,5 +1726,60 @@ object Oracles {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |) WHERE jaccard >= 0.5 AND id_a < 400 AND id_b >= 400
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // URL canonicalization: rebuild the two planted crawls and
+    // canonicalize with regex component extraction — lower scheme+host,
+    // keep path case, strip fragment and tracking params, drop an
+    // emptied '?'. Cross-checks Spark's parse_url component semantics.
+    "q92_url_canonical" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |         'HTTPS://Example.COM/Article/' || (doc_id % 50) || '?id=' || (doc_id % 50) || '&utm_source=feed#top' AS url
+         |  FROM documents WHERE doc_id < 300
+         |  UNION ALL
+         |  SELECT doc_id + 10000,
+         |         'https://example.com/Article/' || (doc_id % 50) || '?id=' || (doc_id % 50) || '&utm_campaign=x&fbclid=abc'
+         |  FROM documents WHERE doc_id < 300
+         |),
+         |c AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://'
+         |      || lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))
+         |      || regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)
+         |      || CASE WHEN fq = '' THEN '' ELSE '?' || fq END AS canonical,
+         |    ls[-2] || '.' || ls[-1] AS domain
+         |  FROM (
+         |    SELECT doc_id, url,
+         |      array_to_string(list_filter(
+         |        string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+         |        p -> NOT (p LIKE 'utm\\_%' ESCAPE '\\' OR p LIKE 'fbclid=%'
+         |                  OR p LIKE 'gclid=%' OR p LIKE 'msclkid=%')), '&') AS fq,
+         |      string_split(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), '.') AS ls
+         |    FROM u
+         |  )
+         |)
+         |SELECT min(doc_id) AS keeper_id, count(*) AS n_urls, canonical, domain
+         |FROM c GROUP BY canonical, domain ORDER BY keeper_id""".stripMargin,
+
+    // bigram rarity: corpus bigram counts on exact strings (operator
+    // uses 8-byte hashes — collision argument as everywhere), per-doc
+    // rollup of bigrams with corpus count < 5
+    "q93_bigram_rarity" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest([toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]) AS b
+         |  FROM t
+         |),
+         |cnt AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+         |per AS (
+         |  SELECT bg.doc_id, count(*) AS n_bigrams,
+         |         sum(CASE WHEN cnt.c < 5 THEN 1 ELSE 0 END) AS n_rare
+         |  FROM bg JOIN cnt USING (b) GROUP BY bg.doc_id
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(per.n_bigrams, 0) AS n_bigrams,
+         |       CAST(coalesce(per.n_rare, 0) AS BIGINT) AS n_rare
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.{AggMethod, ColSpec, Exact, Tables}
-import graft.functions.{Text, ZOrder}
+import graft.functions.{Text, Url, ZOrder}
 import graft.operators._
 import graft.sources.DelimitedSource
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2197,6 +2197,65 @@ object Queries {
     s.read.parquet(out).orderBy("id_a", "id_b")
   }
 
+  /** URL canonicalization + URL-level dedup ([[graft.functions.Url]]):
+    * two crawls of the same 50 articles are planted per corpus slice —
+    * mixed-case scheme/host with utm/fragment noise vs lowercase with
+    * different tracking params — and must collapse to one canonical
+    * URL per article with the full crawl count. Canonicalization is a
+    * pure codegen'd projection (parse_url + HOF filter, no UDF); the
+    * only shuffle is the canonical groupBy, identical to exact dedup.
+    * The oracle rebuilds the URLs and canonicalizes with DuckDB regex
+    * machinery — parse_url's component semantics are cross-checked,
+    * not assumed.
+    */
+  val q92UrlCanonical: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id").filter(col("doc_id") < 300)
+    val art = col("doc_id") % 50
+    val u1 = d0.select(col("doc_id"),
+      concat(lit("HTTPS://Example.COM/Article/"), art,
+        lit("?id="), art, lit("&utm_source=feed#top")).as("url"))
+    val u2 = d0.select((col("doc_id") + 10000).as("doc_id"),
+      concat(lit("https://example.com/Article/"), art,
+        lit("?id="), art, lit("&utm_campaign=x&fbclid=abc")).as("url"))
+    u1.unionByName(u2)
+      .select(col("doc_id"), Url.canonicalize(col("url")).as("canonical"),
+        Url.registrableDomain(col("url")).as("domain"))
+      .groupBy("canonical", "domain")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_urls"))
+      .select("keeper_id", "n_urls", "canonical", "domain")
+      .orderBy("keeper_id")
+  }
+
+  /** Corpus-level bigram rarity (the integer-exact core of CCNet-style
+    * LM quality filtering): a document whose bigrams rarely occur
+    * elsewhere in the corpus is either high-entropy noise or genuinely
+    * novel — either way the signal drives filter thresholds. Corpus
+    * bigram counts are a map-side-combinable groupBy on 8-byte bigram
+    * hashes; each doc's rarity profile is a join back plus one count
+    * rollup. Outputs are pure integers (n_bigrams, n_rare at
+    * corpus-count < 5), so the oracle is exact; docs with < 2 tokens
+    * emit (0, 0) rather than vanishing.
+    */
+  val q93BigramRarity: Q = (s, dir) => {
+    val toks = docs(s, dir).select(col("doc_id"), Text.tokens(col("text")).as("_t"))
+    val bigrams = toks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("_t"), lit(1), greatest(size(col("_t")) - 1, lit(0))),
+        slice(col("_t"), lit(2), greatest(size(col("_t")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("_bg"))
+      .select(col("doc_id"), xxhash64(col("_bg")).as("_bh"))
+    val counts = bigrams.groupBy("_bh").agg(count(lit(1)).as("_c"))
+    val perDoc = bigrams.join(counts, "_bh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("_c") < 5, 1L).otherwise(0L)).as("n_rare"))
+    docs(s, dir).select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .orderBy("doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2309,5 +2368,7 @@ object Queries {
     "q89_line_dedup" -> q89LineDedup,
     "q90_split_leakage" -> q90SplitLeakage,
     "q91_streaming_neardup" -> q91StreamingNearDup,
+    "q92_url_canonical" -> q92UrlCanonical,
+    "q93_bigram_rarity" -> q93BigramRarity,
   )
 }
