@@ -99,6 +99,23 @@ class PlanShapeSpec extends SparkSpec {
       s"df count lacks map-side partial aggregation:\n$plan")
   }
 
+  test("LineDedup: line-df is a partial-agg count on hashes; hot-set removal is a broadcast anti-join") {
+    val docs = (1 to 300).map(i =>
+      (i.toLong, s"unique line $i\nsubscribe to newsletter\nbody text $i"))
+      .toDF("id", "text")
+    val q = LineDedup.removeBoilerplate(docs, "id", "text", maxDf = 20)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"line df computed via per-key window — the boilerplate line funnels to one task:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"line df lacks map-side partial aggregation:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"hot-line removal must be an anti-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the boilerplate-sized hot set should broadcast:\n$plan")
+  }
+
   test("semDedup: no cartesian product; the cell self-join is an equi-join on the cell key") {
     val emb = (0 until 64).map(i =>
       (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat / 13f)))
