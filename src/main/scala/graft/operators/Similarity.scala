@@ -126,6 +126,41 @@ object Similarity {
     }
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for
+    * each anchor, the k most cosine-similar corpus vectors with a
+    * DIFFERENT label — "looks like the anchor but isn't" is exactly
+    * the negative that teaches a contrastive model its decision
+    * boundary (in-batch random negatives are mostly easy and carry
+    * little gradient). Same decimal-exact epsilon-band refine as
+    * [[bruteForceTopK]] exact mode, with the label-mismatch predicate
+    * fused into the pair pass — label filtering AFTER a plain top-k
+    * would under-fill k whenever same-label vectors crowd the
+    * neighborhood (precisely the clustered case hard negatives are
+    * for). This is the |A|×|C| exact baseline; at corpus scale
+    * restrict the pair pass per IVF cell ([[ivfTopKSeeded]]'s probe
+    * machinery) and mine within probed cells.
+    */
+  def hardNegatives(
+      anchors: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      roundDp: Int = 6): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"),
+        col(labelCol).as("_ql"))
+      .persistTracked
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        sqrt(dotExact(col(vecCol), col(vecCol))).as("_cn"),
+        col(labelCol).as("_cl"))
+      .persistTracked
+    val pairs = q.join(c,
+      col("query_id") =!= col("neighbor_id") && col("_ql") =!= col("_cl"))
+    exactTopKRefine(q, c, pairs, k, roundDp)
+  }
+
   /** Decimal-exact top-k over a candidate-pair frame — the staged
     * epsilon-band refine shared by [[bruteForceTopK]] exact mode and
     * [[ivfTopKSeeded]]. Rank with the cheap double cosine, keep

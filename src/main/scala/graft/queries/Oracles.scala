@@ -1781,5 +1781,31 @@ object Oracles {
          |       CAST(coalesce(per.n_rare, 0) AS BIGINT) AS n_rare
          |FROM documents d LEFT JOIN per USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // hard negatives: q17's decimal-exact cosine machinery with the
+    // label-mismatch predicate in the pair pass
+    "q94_hard_negatives" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(${dotX("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotX("q.embedding", "c.embedding")} AS dt,
+         |    q.nrm * c.nrm AS den
+         |  FROM n q JOIN n c ON q.vec_id <> c.vec_id AND q.label <> c.label
+         |  WHERE q.vec_id < 50
+         |),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    CASE WHEN den > 0 THEN dt / den ELSE 0.0 END AS sim
+         |  FROM p
+         |)
+         |SELECT query_id, neighbor_id, sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank"
+         |FROM scored
+         |QUALIFY "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin,
   )
 }

@@ -2256,6 +2256,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): per anchor,
+    * the 5 most cosine-similar embeddings with a DIFFERENT label —
+    * the contrastive-training sampling stage. Exact decimal scoring
+    * (q17's parity machinery), label predicate fused into the pair
+    * pass so same-label crowding can't under-fill k; oracle is the
+    * theta join + rank with the mismatch filter.
+    */
+  val q94HardNegatives: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(
+      emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding", "label",
+      k = 5, roundDp = -1)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2370,5 +2386,6 @@ object Queries {
     "q91_streaming_neardup" -> q91StreamingNearDup,
     "q92_url_canonical" -> q92UrlCanonical,
     "q93_bigram_rarity" -> q93BigramRarity,
+    "q94_hard_negatives" -> q94HardNegatives,
   )
 }

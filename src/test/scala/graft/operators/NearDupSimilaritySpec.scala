@@ -390,6 +390,24 @@ class NearDupSimilaritySpec extends SparkSpec {
     assert(rows.toSet === Set((1L, 1001L)))
   }
 
+  test("hardNegatives: k nearest OTHER-label vectors; same-label crowding cannot under-fill k") {
+    // anchor 0 (label 1) sits in a dense label-1 cluster; the nearest
+    // label-2 vectors are farther — a plain top-k-then-filter would
+    // return fewer than k negatives
+    val emb = Seq(
+      (0L, Array(10f, 0f), 1),
+      (1L, Array(10f, 0.1f), 1), (2L, Array(10f, -0.1f), 1), (3L, Array(9.9f, 0f), 1),
+      (10L, Array(8f, 2f), 2), (11L, Array(8f, -2f), 2), (12L, Array(0f, 10f), 2),
+      (20L, Array(-10f, 0f), 3)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+        emb.filter($"vec_id" === 0), emb, "vec_id", "embedding", "label", k = 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq === Seq(10L, 11L, 12L),
+      s"expected the three nearest label!=1 vectors in similarity order, got ${out.toSeq}")
+    // none of the (closer) same-label vectors leaked in
+    assert(!out.map(_._1).exists(Set(1L, 2L, 3L)))
+  }
+
   test("ivfTopK accepts kmeans-trained centroids") {
     val emb = Seq(
       (0L, Array(10f, 0f)), (1L, Array(0f, 10f)),
