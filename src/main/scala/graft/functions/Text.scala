@@ -29,6 +29,15 @@ object Text {
   def tokensHof(c: Column): Column =
     filter(split(c, " "), t => length(t) > 0)
 
+  /** Characters matching a codepoint-class regex (e.g. a Unicode
+    * script block `[Ѐ-ӿ]`) — length minus the length with
+    * the class removed, all codegen'd built-ins. Both `length`s count
+    * CODEPOINTS (UTF8String.numChars), matching DuckDB's `length`, so
+    * script profiles cross-check engine-exactly for BMP scripts.
+    */
+  def charClassCount(c: Column, classRegex: String): Column =
+    (length(c) - length(regexp_replace(c, classRegex, ""))).cast("long")
+
   /** Canonical text for content identity: Unicode NFC (native
     * [[NfcNormalize]] kernel) → lowercase → whitespace runs collapsed
     * to one space → trim. The normalization a multilingual corpus

@@ -1807,5 +1807,64 @@ object Oracles {
          |FROM scored
          |QUALIFY "rank" <= 5
          |ORDER BY query_id, "rank"""".stripMargin,
+
+    // cluster-aware split: q32's recursive-CTE reachability gives the
+    // canonical (min reachable) id; the q35 fingerprint of the
+    // REPRESENTATIVE's text decides the whole cluster's split
+    "q95_cluster_split" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents WHERE doc_id % 3 = 0)
+         |),
+         |${shingleCte("corpus")},
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  ) WHERE jaccard >= 0.5
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |),
+         |reach(v, m) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.v
+         |),
+         |lab AS (SELECT v, MIN(m) AS comp FROM reach GROUP BY v),
+         |reph AS (
+         |  SELECT doc_id AS comp,
+         |    CAST(list_sum([CAST(ord(substr(text, i, 1)) AS BIGINT) * CAST((i % 31) + 1 AS BIGINT) FOR i IN range(1, length(text) + 1)]) AS BIGINT) % 2147483647 % 100 AS h
+         |  FROM corpus
+         |)
+         |SELECT lab.v AS doc_id, lab.comp AS canonical_id,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'valid' ELSE 'test' END AS split
+         |FROM lab JOIN reph USING (comp)
+         |ORDER BY doc_id""".stripMargin,
+
+    // script profile: same planted suffixes, counts via RE2 codepoint
+    // classes (\x{...} ranges — RE2's spelling of Java's \uXXXX)
+    "q96_script_profile" -> {
+      val cyr = " привет мир"
+      val cjk = " 你好世界"
+      val ara = " مرحبا بالعالم"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 4 = 1 THEN '$cyr'
+         |                 WHEN doc_id % 4 = 2 THEN '$cjk'
+         |                 WHEN doc_id % 4 = 3 THEN '$ara'
+         |                 ELSE '' END AS s
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  length(s) - length(regexp_replace(s, '[A-Za-z]', '', 'g')) AS n_latin,
+         |  length(s) - length(regexp_replace(s, '[\\x{0400}-\\x{04FF}]', '', 'g')) AS n_cyrillic,
+         |  length(s) - length(regexp_replace(s, '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS n_cjk,
+         |  length(s) - length(regexp_replace(s, '[\\x{0600}-\\x{06FF}]', '', 'g')) AS n_arabic
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -2272,6 +2272,61 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Cluster-aware train/valid/test split — the FIX for the leakage
+    * q90 reports: a per-document content-hash split (q35) puts
+    * near-duplicate documents on opposite sides of the eval boundary;
+    * the production remedy assigns every member of a near-dup CLUSTER
+    * the split of its canonical representative, so no near-dup pair
+    * can straddle splits by construction. Composition of three gated
+    * operators: LSH pairs (q16) → [[Dedup.componentsStar]] canonical
+    * labels (q32) → the q35 fingerprint split applied to the
+    * REPRESENTATIVE's text and inherited by the whole cluster. The
+    * oracle recomputes reachability with a recursive CTE and the
+    * fingerprint arithmetic — canonical ids AND inherited splits both
+    * gate.
+    */
+  val q95ClusterSplit: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id", "text")
+    val mutants = d0.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
+    val corpus = d0.unionByName(mutants)
+    val pairs = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+    val labels = Dedup.componentsStar(corpus.select("doc_id"), "doc_id",
+      pairs, "id_a", "id_b")
+    val repH = corpus.select(col("doc_id").as("comp"),
+      pmod(graft.functions.FingerprintExpression.fingerprint(col("text")), lit(100)).as("_h"))
+    labels.join(repH, "comp")
+      .select(col("v").as("doc_id"), col("comp").as("canonical_id"),
+        when(col("_h") < 80, "train").when(col("_h") < 90, "valid")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Script profile ([[Text.charClassCount]]): per-document character
+    * counts by Unicode block (Latin / Cyrillic / CJK / Arabic) — the
+    * script-mix signal multilingual corpus routing and mojibake
+    * detection start from (language-ID alone misroutes mixed-script
+    * spam). Planted non-Latin suffixes exercise each block; counts
+    * are pure map-side codegen'd projections, and the oracle
+    * recomputes them with RE2's independent regex engine — the
+    * codepoint-class semantics are cross-checked, not assumed.
+    */
+  val q96ScriptProfile: Q = (s, dir) => {
+    val planted = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 1, lit(" привет мир"))
+          .when(col("doc_id") % 4 === 2, lit(" 你好世界"))
+          .when(col("doc_id") % 4 === 3, lit(" مرحبا بالعالم"))
+          .otherwise(lit(""))).as("_t"))
+    planted.select(col("doc_id"),
+        Text.charClassCount(col("_t"), "[A-Za-z]").as("n_latin"),
+        Text.charClassCount(col("_t"), "[\\u0400-\\u04FF]").as("n_cyrillic"),
+        Text.charClassCount(col("_t"), "[\\u4E00-\\u9FFF]").as("n_cjk"),
+        Text.charClassCount(col("_t"), "[\\u0600-\\u06FF]").as("n_arabic"))
+      .orderBy("doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2387,5 +2442,7 @@ object Queries {
     "q92_url_canonical" -> q92UrlCanonical,
     "q93_bigram_rarity" -> q93BigramRarity,
     "q94_hard_negatives" -> q94HardNegatives,
+    "q95_cluster_split" -> q95ClusterSplit,
+    "q96_script_profile" -> q96ScriptProfile,
   )
 }
