@@ -1866,5 +1866,47 @@ object Oracles {
          |  length(s) - length(regexp_replace(s, '[\\x{0600}-\\x{06FF}]', '', 'g')) AS n_arabic
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    // count-min point queries: exact counts carry the hash compare;
+    // the sketch's never-undercount and ε·N-overcount guarantees ride
+    // as booleans (q70's gating pattern for probabilistic summaries)
+    "q97_countmin" ->
+      s"""WITH t AS (SELECT unnest($toksExpr) AS tok FROM documents),
+         |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY tok)
+         |SELECT tok, cnt, TRUE AS ok_lower, TRUE AS ok_upper
+         |FROM c ORDER BY cnt DESC, tok LIMIT 10""".stripMargin,
+
+    // integer-exact PageRank: the oracle unrolls the operator's
+    // scaled-BIGINT recurrence verbatim — `//` is DuckDB's truncating
+    // integer division, identical to Spark's `div` on non-negatives
+    "q98_pagerank" -> {
+      val scale = 1000000000000L
+      val base = 15L * scale / 100L
+      val iters = 5
+      val head =
+        s"""WITH seq AS (
+           |  SELECT event_type, ts, event_id, user_id,
+           |    lag(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+           |  FROM events
+           |),
+           |edges AS (
+           |  SELECT DISTINCT CAST(prev AS BIGINT) AS src, CAST(user_id AS BIGINT) AS dst
+           |  FROM seq WHERE prev IS NOT NULL AND prev <> user_id
+           |),
+           |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+           |verts AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+           |r0 AS (SELECT v, CAST($scale AS BIGINT) AS r FROM verts)""".stripMargin
+      val rounds = (1 to iters).map { k =>
+        s"""r$k AS (
+           |  SELECT verts.v,
+           |    CAST($base + (85 * COALESCE(x.inr, 0)) // 100 AS BIGINT) AS r
+           |  FROM verts LEFT JOIN (
+           |    SELECT e.dst AS v, SUM(p.r // g.d) AS inr
+           |    FROM edges e JOIN r${k - 1} p ON p.v = e.src JOIN deg g ON g.src = e.src
+           |    GROUP BY e.dst) x ON x.v = verts.v)""".stripMargin
+      }
+      (Seq(head) ++ rounds).mkString(",\n") +
+        s"\nSELECT v, r AS rank_scaled FROM r$iters ORDER BY v"
+    },
   )
 }

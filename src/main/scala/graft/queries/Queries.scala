@@ -2327,6 +2327,56 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Count-min point queries ([[graft.functions.CountMinSketch]]):
+    * the mergeable frequency matrix beside q70's Misra-Gries — CMS
+    * answers point queries for arbitrary items after the fact, MG
+    * only surfaces the heavy ones. One scan folds every partition
+    * into a 4×512 long matrix (map-side partials, ~16 KB shuffled
+    * total); the top-10 probes then read the BROADCAST sketch with
+    * [[graft.functions.CountMin.estimate]] — pure codegen'd
+    * `xxhash64`/`pmod`/`element_at`, bit-identical to the
+    * aggregator's update hash, no driver lookup. Gated like q70: the
+    * exact count rides the hash compare, the sketch rides as bound
+    * booleans (never-undercount is unconditional; the overcount
+    * bound is ε·N with ε = e/512, deterministic on this data).
+    */
+  val q97CountMin: Q = (s, dir) => {
+    val d = 4; val w = 512
+    val toks = docs(s, dir).select(explode(Text.tokens(col("text"))).as("tok"))
+    val sketch = toks.agg(
+      graft.functions.CountMin.countMin(d, w)(col("tok")).as("_cms"),
+      count(lit(1)).as("_n"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(10)
+    val est = graft.functions.CountMin.estimate(col("_cms"), col("tok"), d, w)
+    top.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("cnt"),
+        (est >= col("cnt")).as("ok_lower"),
+        (est.cast("double") <= col("cnt").cast("double")
+          + col("_n").cast("double") * (math.E / w)).as("ok_upper"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  /** Integer-exact PageRank ([[PageRank.pageRank]]) over the
+    * interaction graph events imply: within each event_type stream
+    * (ordered by ts, event_id — unique, so the order is total), each
+    * event links the previous actor to the current one. Five exact
+    * iterations in scaled-BIGINT arithmetic — deterministic under any
+    * partitioning, so the full rank vector rides the hash gate; the
+    * oracle unrolls the identical recurrence with DuckDB's `//`.
+    * Authority scores like these weight crawl sources and pick
+    * canonical docs inside near-dup clusters.
+    */
+  val q98PageRank: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val edges = events(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
+      .withColumn("_prev", lag(col("user_id"), 1).over(w))
+      .filter(col("_prev").isNotNull && col("_prev") =!= col("user_id"))
+      .select(col("_prev").as("src"), col("user_id").as("dst"))
+    PageRank.pageRank(edges, "src", "dst", iterations = 5).orderBy("v")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2444,5 +2494,7 @@ object Queries {
     "q94_hard_negatives" -> q94HardNegatives,
     "q95_cluster_split" -> q95ClusterSplit,
     "q96_script_profile" -> q96ScriptProfile,
+    "q97_countmin" -> q97CountMin,
+    "q98_pagerank" -> q98PageRank,
   )
 }
