@@ -2377,6 +2377,19 @@ object Queries {
     PageRank.pageRank(edges, "src", "dst", iterations = 5).orderBy("v")
   }
 
+  /** BPE tokenizer training ([[BpeTrainer.train]]): 12 exact merges
+    * learned from the document corpus — the Sennrich ACL'16 algorithm
+    * re-shaped so the corpus collapses once to the distinct-word
+    * frequency table and every round is a map-side pair count plus a
+    * narrow fold. The full merge table (rank, left, right, winning
+    * pair count) rides the hash gate; the oracle unrolls all 12
+    * rounds in DuckDB — pair stats via position self-join, greedy
+    * non-overlapping merge via run-parity windows (odd positions
+    * within each maximal run of consecutive candidate pairs).
+    */
+  val q99BpeTrain: Q = (s, dir) =>
+    BpeTrainer.train(docs(s, dir), "text", numMerges = 12).orderBy("rank")
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2496,5 +2509,6 @@ object Queries {
     "q96_script_profile" -> q96ScriptProfile,
     "q97_countmin" -> q97CountMin,
     "q98_pagerank" -> q98PageRank,
+    "q99_bpe_train" -> q99BpeTrain,
   )
 }
