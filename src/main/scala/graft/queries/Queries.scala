@@ -2390,6 +2390,43 @@ object Queries {
   val q99BpeTrain: Q = (s, dir) =>
     BpeTrainer.train(docs(s, dir), "text", numMerges = 12).orderBy("rank")
 
+  /** Training-export end-to-end: the full raw-corpus →
+    * training-ready-shards pipeline as ONE composed plan — quality
+    * cascade (q82's rules) → exact content dedup (first-wins) →
+    * 32/24 chunking → 256-token greedy packing into 8 shards → a
+    * shard-partitioned parquet sink → read-back. The chunk-level
+    * placement table AFTER the sink roundtrip is what's gated, so
+    * filter semantics, dedup survivors, window arithmetic, every
+    * packing decision, AND sink losslessness all sit under one hash
+    * compare (q49's e2e pattern for the export side of the house).
+    * Scale shape: each stage is the already-plan-locked operator;
+    * composition adds no new shuffle beyond packing's single
+    * exchange, and the write clusters by shard — the layout training
+    * readers consume.
+    */
+  val q100ExportE2e: Q = (s, dir) => {
+    val txt = col("text")
+    val rules = Seq(
+      "min_tokens" -> (Text.tokenCount(txt) >= 20),
+      "lang_en"    -> (Text.langId(txt) === "en"),
+      "stopword"   -> (Text.stopwordRatio(txt) >= 0.04),
+      "punct"      -> (Text.punctRatio(txt) <= 0.2))
+    val passed = QualityCascade.annotate(docs(s, dir).select(col("doc_id"), txt), rules)
+      .filter(col("verdict") === "pass")
+      .select("doc_id", "text")
+    val kept = Dedup.exactByHash(passed, "text", Seq(col("doc_id")))
+    val chunks = Chunker.chunk(kept, "doc_id", "text", window = 32, stride = 24)
+    val packed = Packer.pack(chunks, "doc_id", "chunk_idx", "n_tokens",
+      budget = 256L, shards = 8)
+    val out = Scratch.fresh("q100")
+    packed.write.mode("overwrite").partitionBy("shard").parquet(out)
+    // partition-column inference reads shard back as int — restore long
+    docs(s, dir).sparkSession.read.parquet(out)
+      .select(col("shard").cast("long").as("shard"), col("doc_id"),
+        col("chunk_idx"), col("n_tokens"), col("seq_idx"), col("seq_pos"))
+      .orderBy("shard", "doc_id", "chunk_idx")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2510,5 +2547,6 @@ object Queries {
     "q97_countmin" -> q97CountMin,
     "q98_pagerank" -> q98PageRank,
     "q99_bpe_train" -> q99BpeTrain,
+    "q100_export_e2e" -> q100ExportE2e,
   )
 }
