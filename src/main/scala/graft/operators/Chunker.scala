@@ -55,6 +55,65 @@ object Chunker {
         i => concat_ws(" ", slice(toks, i * stride + 1, lit(window)))))
   }
 
+  /** Content-defined chunk array: boundaries fall AFTER any token
+    * whose 31-bit polynomial fingerprint
+    * ([[graft.functions.FingerprintExpression]], the q19 kernel) is
+    * ≡ 0 mod `divisor` — chunk edges are a pure function of LOCAL
+    * content, so inserting or deleting a prefix shifts which chunk a
+    * token lands in by CONTENT, not by offset, and all chunks after
+    * the edit point are byte-identical to the original's. That
+    * shift-resistance is the content-defined-chunking idea of LBFS
+    * (Muthitacharoen, Chen & Mazières, SOSP 2001) and FastCDC (Xia
+    * et al., USENIX ATC 2016), lifted from bytes+Rabin/gear to
+    * tokens+the repo's SQL-replayable fingerprint: fixed windows
+    * ([[chunkArray]]) share ~zero chunks across a one-token prefix
+    * edit; content-defined chunks share all but the first.
+    *
+    * Expected chunk length is `divisor` tokens (each token is a
+    * boundary with prob 1/divisor). DELIBERATELY no min/max bounds:
+    * the unbounded variant keeps every boundary decision local — a
+    * pure map-side fold, no per-doc sequential cap state — at the
+    * cost of occasional long chunks on boundary-free runs (cap-
+    * sensitive consumers re-split with [[chunkArray]] downstream).
+    *
+    * 100 TB shape: tokenize once, one fold per doc (the greedy
+    * accumulator walks tokens once, closing a chunk at each
+    * boundary), `posexplode` for stable chunk ids. No shuffle.
+    */
+  def chunkArrayContentDefined(text: Column, divisor: Int): Column = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    val toks = Text.tokens(text)
+    val folded = aggregate(
+      toks,
+      struct(
+        array().cast("array<array<string>>").as("done"),
+        array().cast("array<string>").as("cur")),
+      (acc, t) => {
+        val cur = concat(acc.getField("cur"), array(t))
+        val isBoundary =
+          pmod(graft.functions.FingerprintExpression.fingerprint(t), lit(divisor)) === 0
+        when(isBoundary,
+          struct(concat(acc.getField("done"), array(cur)).as("done"),
+            array().cast("array<string>").as("cur")))
+          .otherwise(struct(acc.getField("done").as("done"), cur.as("cur")))
+      },
+      acc => when(size(acc.getField("cur")) > 0,
+        concat(acc.getField("done"), array(acc.getField("cur"))))
+        .otherwise(acc.getField("done")))
+    transform(folded, c => concat_ws(" ", c))
+  }
+
+  /** Explode docs into content-defined (idCol, chunk_idx, chunk,
+    * n_tokens) rows — [[chunk]]'s schema, CDC boundaries.
+    */
+  def chunkContentDefined(df: DataFrame, idCol: String, textCol: String,
+                          divisor: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(chunkArrayContentDefined(col(textCol), divisor))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"), Text.tokenCount(col("chunk")).cast("long").as("n_tokens"))
+
   /** Explode docs into (idCol, chunk_idx, chunk, n_tokens) rows. */
   def chunk(df: DataFrame, idCol: String, textCol: String,
             window: Int, stride: Int): DataFrame =

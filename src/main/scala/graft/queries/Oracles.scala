@@ -2034,5 +2034,35 @@ object Oracles {
          |SELECT shard, doc_id, chunk_idx, n_tokens, seq_idx, seq_pos
          |FROM pk ORDER BY shard, doc_id, chunk_idx""".stripMargin
     },
+
+    // content-defined chunking: the q19/q23 per-token fingerprint
+    // recurrence marks boundaries; chunk index = prefix count of
+    // boundaries strictly before the token
+    "q101_cdc_chunking" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents WHERE doc_id < 300)
+         |),
+         |t AS (SELECT doc_id, $toksExpr AS toks FROM corpus),
+         |p AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM t),
+         |hb AS (
+         |  SELECT doc_id, tok, i,
+         |    (list_sum([CAST(ord(substr(tok, j, 1)) AS BIGINT) * CAST((j % 31) + 1 AS BIGINT) FOR j IN range(1, length(tok) + 1)]) % 2147483647) % 16 = 0 AS b
+         |  FROM p
+         |),
+         |c AS (
+         |  SELECT doc_id, tok, i,
+         |    COALESCE(SUM(CASE WHEN b THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cidx
+         |  FROM hb
+         |)
+         |SELECT doc_id, CAST(cidx AS BIGINT) AS chunk_idx,
+         |  array_to_string(list(tok ORDER BY i), ' ') AS chunk,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY doc_id, cidx
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
   )
 }

@@ -2427,6 +2427,24 @@ object Queries {
       .orderBy("shard", "doc_id", "chunk_idx")
   }
 
+  /** Content-defined chunking ([[Chunker.chunkContentDefined]]):
+    * CDC boundaries (fingerprint ≡ 0 mod 16 → ~16-token chunks) over
+    * the corpus PLUS first-token-dropped mutants — the planted shift
+    * that defeats fixed windows (every q83 window moves by one) but
+    * leaves content-defined chunks identical after the edit point.
+    * The full chunk table is gated: every boundary decision and
+    * reassembled chunk string must match the DuckDB replay of the
+    * same per-token fingerprint recurrence.
+    */
+  val q101CdcChunking: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id", "text").filter(col("doc_id") < 300)
+    val mutants = d0.select((col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
+    Chunker.chunkContentDefined(d0.unionByName(mutants), "doc_id", "text",
+        divisor = 16)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2548,5 +2566,6 @@ object Queries {
     "q98_pagerank" -> q98PageRank,
     "q99_bpe_train" -> q99BpeTrain,
     "q100_export_e2e" -> q100ExportE2e,
+    "q101_cdc_chunking" -> q101CdcChunking,
   )
 }

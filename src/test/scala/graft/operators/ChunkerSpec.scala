@@ -64,4 +64,80 @@ class ChunkerSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Chunker.chunkArray(lit("a"), 4, 5) }
     intercept[IllegalArgumentException] { Chunker.chunkArray(lit("a"), 4, 0) }
   }
+
+  // ── content-defined chunking ──
+
+  /** Driver-side replay of the CDC fold: 31-bit poly fingerprint per
+    * token, boundary when ≡ 0 mod divisor.
+    */
+  private def fp31(tok: String): Long = {
+    var s = 0L
+    var i = 0
+    while (i < tok.length) {
+      s += tok.charAt(i).toLong * ((i + 1) % 31 + 1)
+      i += 1
+    }
+    s % 2147483647L
+  }
+
+  private def cdcRef(text: String, divisor: Int): Seq[String] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (t <- toks) {
+      cur += t
+      if (fp31(t) % divisor == 0) { out += cur.mkString(" "); cur.clear() }
+    }
+    if (cur.nonEmpty) out += cur.mkString(" ")
+    out.toSeq
+  }
+
+  test("CDC: operator ≡ driver replay; cover and order preserved") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4,
+      "x")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = Chunker.chunkContentDefined(df, "id", "text", divisor = 4)
+      .orderBy("id", "chunk_idx")
+      .select("id", "chunk").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    for ((t, i) <- texts.zipWithIndex) {
+      assert(got.getOrElse(i.toLong, Seq.empty) == cdcRef(t, 4),
+        s"doc $i chunks diverge from replay")
+      // reassembly: chunks joined give back the normalized token stream
+      assert(got.getOrElse(i.toLong, Seq.empty).mkString(" ") ==
+        t.split("\\s+").filter(_.nonEmpty).mkString(" "))
+    }
+  }
+
+  test("CDC: shift-resistant — a dropped prefix leaves the tail chunks identical") {
+    val body = (1 to 200).map(i => s"tok$i word$i item$i").mkString(" ")
+    val orig = s"PREFIX $body"
+    val edited = body
+    val df = Seq((1L, orig), (2L, edited)).toDF("id", "text")
+    val chunks = Chunker.chunkContentDefined(df, "id", "text", divisor = 8)
+      .select("id", "chunk").as[(Long, String)].collect()
+    val a = chunks.filter(_._1 == 1L).map(_._2).toSet
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSet
+    val shared = a.intersect(b).size
+    // all but the chunk containing the edited prefix must be shared
+    assert(shared >= b.size - 1,
+      s"CDC must share the unedited tail: shared $shared of ${b.size}")
+    // fixed windows at the same mean size share (almost) nothing
+    val fixed = Chunker.chunk(df, "id", "text", window = 8, stride = 8)
+      .select("id", "chunk").as[(Long, String)].collect()
+    val fa = fixed.filter(_._1 == 1L).map(_._2).toSet
+    val fb = fixed.filter(_._1 == 2L).map(_._2).toSet
+    assert(fa.intersect(fb).size <= 1,
+      "fixed windows should be defeated by the one-token shift (sanity)")
+  }
+
+  test("CDC: expected chunk length tracks the divisor") {
+    val text = (1 to 2000).map(i => s"w$i").mkString(" ")
+    val out = Chunker.chunkContentDefined(Seq((1L, text)).toDF("id", "text"),
+      "id", "text", divisor = 16)
+      .agg(avg("n_tokens")).head().getDouble(0)
+    assert(out > 8 && out < 32, s"mean chunk len $out far from divisor 16")
+  }
 }
