@@ -54,6 +54,74 @@ object Oracles {
 
   private val toksExpr = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
 
+  /** The q99/q102 BPE unroll: `iters` merge rounds as materialized
+    * CTEs (words0 … words`iters`, best1 … best`iters`). Pair stats
+    * are a position self-join (overlapping occurrences, like the
+    * reference get_stats); the greedy non-overlapping merge is the
+    * run-parity selection — in each maximal run of consecutive
+    * candidate positions, greedy takes the 1st, 3rd, 5th… (odd
+    * parity), which is exactly the left-to-right scan.
+    * MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    * reference, and this chain references each table ~5 times per
+    * round — 12 rounds of inlining re-expands the parquet scan
+    * exponentially (observed: fd exhaustion at 20k open files).
+    */
+  private def bpeUnrollCtes(iters: Int): String = {
+    val head =
+      s"""WITH words0 AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, string_split(w, '') AS syms
+         |  FROM (SELECT unnest($toksExpr) AS w FROM documents)
+         |  GROUP BY w
+         |)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""pos$k AS MATERIALIZED (
+         |  SELECT w, freq, unnest(syms) AS s, generate_subscripts(syms, 1) AS i
+         |  FROM words$p
+         |),
+         |pair$k AS MATERIALIZED (
+         |  SELECT p1.s AS l, p2.s AS r, SUM(p1.freq) AS cnt
+         |  FROM pos$k p1 JOIN pos$k p2 ON p1.w = p2.w AND p2.i = p1.i + 1
+         |  GROUP BY 1, 2
+         |),
+         |best$k AS MATERIALIZED (
+         |  SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM pair$k
+         |  ORDER BY cnt DESC, l, r LIMIT 1
+         |),
+         |cand$k AS MATERIALIZED (
+         |  SELECT w, freq, i, s,
+         |    COALESCE(s = (SELECT l FROM best$k)
+         |      AND lead(s) OVER (PARTITION BY w ORDER BY i) = (SELECT r FROM best$k),
+         |      FALSE) AS c
+         |  FROM pos$k
+         |),
+         |runs$k AS MATERIALIZED (
+         |  SELECT w, freq, i, s, c,
+         |    i - ROW_NUMBER() OVER (PARTITION BY w, c ORDER BY i) AS grp
+         |  FROM cand$k
+         |),
+         |sel$k AS MATERIALIZED (
+         |  SELECT w, freq, i, s, c,
+         |    CASE WHEN c THEN (ROW_NUMBER() OVER (
+         |      PARTITION BY w, c, grp ORDER BY i) % 2 = 1)
+         |    ELSE FALSE END AS sel
+         |  FROM runs$k
+         |),
+         |out$k AS MATERIALIZED (
+         |  SELECT w, freq, i,
+         |    CASE WHEN sel THEN s || lead(s) OVER (PARTITION BY w ORDER BY i)
+         |         ELSE s END AS s2,
+         |    COALESCE(lag(sel) OVER (PARTITION BY w ORDER BY i), FALSE) AS dropped
+         |  FROM sel$k
+         |),
+         |words$k AS MATERIALIZED (
+         |  SELECT w, freq, list(s2 ORDER BY i) AS syms
+         |  FROM out$k WHERE NOT dropped GROUP BY w, freq
+         |)""".stripMargin
+    }
+    (Seq(head) ++ rounds).mkString(",\n")
+  }
+
   /** 3-gram shingle CTE over `src` (needs doc_id, text). */
   private def shingleCte(src: String) =
     s"""sh AS (
@@ -1909,71 +1977,23 @@ object Oracles {
         s"\nSELECT v, r AS rank_scaled FROM r$iters ORDER BY v"
     },
 
-    // BPE training: 12 unrolled merge rounds. Pair stats are a
-    // position self-join (overlapping occurrences, like the
-    // reference get_stats); the greedy non-overlapping merge is the
-    // run-parity selection — in each maximal run of consecutive
-    // candidate positions, greedy takes the 1st, 3rd, 5th… (odd
-    // parity), which is exactly the left-to-right scan.
+    // BPE training: the 12-round unroll ([[bpeUnrollCtes]]); the
+    // merge table is the per-round argmax rows
     "q99_bpe_train" -> {
       val iters = 12
-      val head =
-        s"""WITH words0 AS MATERIALIZED (
-           |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, string_split(w, '') AS syms
-           |  FROM (SELECT unnest($toksExpr) AS w FROM documents)
-           |  GROUP BY w
-           |)""".stripMargin
-      val rounds = (1 to iters).map { k =>
-        val p = k - 1
-        s"""pos$k AS MATERIALIZED (
-           |  SELECT w, freq, unnest(syms) AS s, generate_subscripts(syms, 1) AS i
-           |  FROM words$p
-           |),
-           |pair$k AS MATERIALIZED (
-           |  SELECT p1.s AS l, p2.s AS r, SUM(p1.freq) AS cnt
-           |  FROM pos$k p1 JOIN pos$k p2 ON p1.w = p2.w AND p2.i = p1.i + 1
-           |  GROUP BY 1, 2
-           |),
-           |best$k AS MATERIALIZED (
-           |  SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM pair$k
-           |  ORDER BY cnt DESC, l, r LIMIT 1
-           |),
-           |cand$k AS MATERIALIZED (
-           |  SELECT w, freq, i, s,
-           |    COALESCE(s = (SELECT l FROM best$k)
-           |      AND lead(s) OVER (PARTITION BY w ORDER BY i) = (SELECT r FROM best$k),
-           |      FALSE) AS c
-           |  FROM pos$k
-           |),
-           |runs$k AS MATERIALIZED (
-           |  SELECT w, freq, i, s, c,
-           |    i - ROW_NUMBER() OVER (PARTITION BY w, c ORDER BY i) AS grp
-           |  FROM cand$k
-           |),
-           |sel$k AS MATERIALIZED (
-           |  SELECT w, freq, i, s, c,
-           |    CASE WHEN c THEN (ROW_NUMBER() OVER (
-           |      PARTITION BY w, c, grp ORDER BY i) % 2 = 1)
-           |    ELSE FALSE END AS sel
-           |  FROM runs$k
-           |),
-           |out$k AS MATERIALIZED (
-           |  SELECT w, freq, i,
-           |    CASE WHEN sel THEN s || lead(s) OVER (PARTITION BY w ORDER BY i)
-           |         ELSE s END AS s2,
-           |    COALESCE(lag(sel) OVER (PARTITION BY w ORDER BY i), FALSE) AS dropped
-           |  FROM sel$k
-           |),
-           |words$k AS MATERIALIZED (
-           |  SELECT w, freq, list(s2 ORDER BY i) AS syms
-           |  FROM out$k WHERE NOT dropped GROUP BY w, freq
-           |)""".stripMargin
-      }
       val finals = (1 to iters).map(k =>
         s"""SELECT CAST($k AS INTEGER) AS rank, l AS "left", r AS "right", cnt AS freq FROM best$k""")
-      (Seq(head) ++ rounds).mkString(",\n") + "\n" +
+      bpeUnrollCtes(iters) + "\n" +
         finals.mkString("\nUNION ALL\n") + "\nORDER BY rank"
     },
+
+    // train-then-apply: segment = the unroll's final word table;
+    // subword corpus frequency = symbol occurrences × word freq
+    "q102_bpe_vocab" -> (
+      bpeUnrollCtes(12) + "\n" +
+        s"""SELECT s AS subword, CAST(SUM(freq) AS BIGINT) AS freq
+           |FROM (SELECT freq, unnest(syms) AS s FROM words12)
+           |GROUP BY s ORDER BY freq DESC, subword LIMIT 100""".stripMargin),
 
     // export e2e: q82's predicates → first-wins dedup → q83's chunk
     // arithmetic → q84's greedy recurrence, composed over the same

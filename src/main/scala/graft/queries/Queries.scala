@@ -2445,6 +2445,31 @@ object Queries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Train-then-apply BPE: segment the corpus with the 12 merges q99
+    * learns and report the resulting subword vocabulary with corpus
+    * frequencies — the tokenizer-development loop (train → segment →
+    * inspect vocab mass) as one plan. Segmentation runs on the
+    * DISTINCT-word table (a pure function of the word, so the corpus
+    * never re-segments — word freq weights the rollup), via
+    * [[BpeTrainer.applyMerges]]'s nested greedy folds. The oracle
+    * extends q99's 12-round unroll: the final word table's symbols,
+    * unnested and weighted by word frequency. Top-100 subwords by
+    * (freq DESC, subword) are gated — schema-stable while the tail
+    * (ties among hapax fragments) stays out of the sort-order gate.
+    */
+  val q102BpeVocab: Q = (s, dir) => {
+    val model = BpeTrainer.train(docs(s, dir), "text", numMerges = 12)
+      .orderBy("rank").select("left", "right") // rank order matters
+    val merges = model.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val words = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode(BpeTrainer.applyMerges(col("w"), merges)).as("subword"))
+      .groupBy("subword").agg(sum("freq").as("freq"))
+      .orderBy(col("freq").desc, col("subword")).limit(100)
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2567,5 +2592,6 @@ object Queries {
     "q99_bpe_train" -> q99BpeTrain,
     "q100_export_e2e" -> q100ExportE2e,
     "q101_cdc_chunking" -> q101CdcChunking,
+    "q102_bpe_vocab" -> q102BpeVocab,
   )
 }
