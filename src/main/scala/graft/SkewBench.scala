@@ -406,6 +406,26 @@ object SkewBench {
         .agg(sum(col("n"))).head().getLong(0)
     }
 
+    // ---- 7. PageRank mega-hub sweep ----
+    // every vertex links the hub: in-degree(0) = N. The per-round
+    // groupBy(dst) partial-aggregates, so the hub key ships one
+    // partial row per map partition, NOT N contribution rows — max
+    // task shuffle rows must stay flat as N quadruples.
+    val prSweep = sweepNs.take(2).map { n =>
+      val hubEdges = spark.range(1, n)
+        .select(col("id").as("src"), lit(0L).as("dst"))
+        .union(spark.range(1, 100000)
+          .select(col("id").as("src"), (col("id") * 7919 % n).as("dst")))
+      val m = minOf2M(listener) {
+        val r = graft.operators.PageRank.pageRank(hubEdges, "src", "dst",
+          iterations = 2)
+          .agg(sum(col("rank_scaled"))).head().getLong(0)
+        graft.core.OpCache.release(blocking = true)
+        r
+      }
+      (n, m)
+    }
+
     val sweepJson = sweep.map { case (n, c, w) =>
       s"""{"n":$n,"current":${c.json},"legacy_window":${w.json}}"""
     }.mkString("[", ",", "]")
@@ -421,7 +441,9 @@ object SkewBench {
       s""""bm25_hot_term":$bm25Json,""" +
       s""""fuzzy_longkey":$fuzzyJson,""" +
       s""""fuzzy_hot_variant":{"n_hot":$hotN,"meas":${hot.json}},""" +
-      s""""incremental_megakey":{"n":$incN,"meas":${inc.json}}}""")
+      s""""incremental_megakey":{"n":$incN,"meas":${inc.json}},""" +
+      s""""pagerank_hub":${prSweep.map { case (n, m) =>
+        s"""{"n":$n,"meas":${m.json}}""" }.mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }

@@ -13,7 +13,7 @@ class SparkEntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(q === o, s"queries without oracle: ${(q -- o).toSeq.sorted}; " +
       s"oracles without query: ${(o -- q).toSeq.sorted}")
-    assert(q.forall(_.matches("q\\d{2}_[a-z0-9_]+")), "non-conforming query name")
+    assert(q.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), "non-conforming query name")
   }
 
   test("entry: >0 rows, All cell present, first-row null discipline") {

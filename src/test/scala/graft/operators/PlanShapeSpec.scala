@@ -296,4 +296,32 @@ class PlanShapeSpec extends SparkSpec {
       .map(_.group(1)).toSet.size
     assert(shuffles === 1, s"expected 1 clustering exchange, got $shuffles")
   }
+
+  test("CDC chunking: pure map-side fold — zero clustering exchanges") {
+    val df = Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p")).toDF("doc_id", "text")
+    val q = Chunker.chunkContentDefined(df, "doc_id", "text", divisor = 4)
+    q.collect()
+    val shuffles = raw"Exchange hashpartitioning.*?\[plan_id=(\d+)\]".r
+      .findAllMatchIn(q.queryExecution.executedPlan.toString())
+      .map(_.group(1)).toSet.size
+    assert(shuffles === 0,
+      s"content-defined chunking must not shuffle, got $shuffles hash exchanges")
+  }
+
+  test("count-min probe: sketch broadcasts; probes never shuffle to it") {
+    import graft.functions.CountMin
+    val toks = Seq.tabulate(200)(i => s"tok${i % 13}").toDF("tok")
+    val sketch = toks.agg(CountMin.countMin(4, 64)($"tok").as("_cms"))
+    val probes = Seq("tok1", "tok2", "tok3").toDF("tok")
+    val q = probes.crossJoin(broadcast(sketch))
+      .select($"tok", CountMin.estimate($"_cms", $"tok", 4, 64).as("est"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the one-row sketch must broadcast:\n$plan")
+    val shuffles = raw"Exchange hashpartitioning.*?\[plan_id=(\d+)\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(shuffles === 0,
+      s"probing a broadcast sketch must not hash-shuffle the probe side, got $shuffles")
+  }
 }
