@@ -71,49 +71,78 @@ object PageRank {
       dstCol: String,
       iterations: Int = 5,
       scale: Long = 1000000000000L,
+      checkpointEvery: Int = 3,
       reliableCheckpoint: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(scale >= 100L, s"scale must be >= 100, got $scale")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     def cp(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
 
     // canonical edge set: project to two longs, drop dup edges and
-    // self-loops BEFORE the iteration loop — one shuffle, reused K times
+    // self-loops. persistTracked (released at the caller's pipeline
+    // boundary) — the edge-derivation plan upstream (q98's lag
+    // window, a crawl join, …) must run ONCE, not once per derived
+    // frame. NO eager counts: the loop state below materializes
+    // lazily inside the first checkpoint's job — zero extra jobs,
+    // which on short iterative queries is the dominant constant.
     val e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
       .persistTracked
-    val outdeg = e.groupBy("u").agg(count(lit(1)).as("_deg")).persistTracked
-    val vertices = e.select(col("u").as("v")).union(e.select("v"))
-      .distinct().persistTracked
+    // loop state, built once and reused K times:
+    //  - out-degree FOLDED INTO the edge rows (joining a separate
+    //    outdeg frame every round would re-shuffle edges K times)
+    //  - clustered + sorted by u, so each round's rank join reuses
+    //    the cached sort order and only the (small) rank frame moves
+    //  - vertices clustered by v, co-partitioned with the per-round
+    //    contribution aggregate
+    val eDeg = e
+      .join(e.groupBy("u").agg(count(lit(1)).as("_deg")), Seq("u"))
+      .repartition(col("u")).sortWithinPartitions("u")
+      .persistTracked
+    val vertices = e.select(col("u").as("v")).union(e.select("v")).distinct()
+      .repartition(col("v")).sortWithinPartitions("v")
+      .persistTracked
 
     val base = 15L * scale / 100L
-    var ranks = cp(vertices.select(col("v"), lit(scale).as("rank_scaled")))
-    var prevCp = checkpointRdd(ranks)
+    var ranks = vertices.select(col("v"), lit(scale).as("rank_scaled"))
+    var prevCp: Option[RDD[_]] = None
+    var sinceCp = 0
     var iter = 0
     while (iter < iterations) {
-      // contribution shuffle: ranks → edge partitioning (join on u),
-      // then partial-agg sum per dst — the only data motion per round
+      // contribution shuffle: ranks → the cached edge clustering
+      // (join on u), then partial-agg sum per dst — per round, only
+      // rank-frame-sized data moves.
       // `div`, never `/`: Spark's `/` on longs is DOUBLE division —
       // exact only below 2^53, and hub ranks reach deg·scale. `div`
       // is true 64-bit integer division; under ANSI mode the 85×
       // product throws on overflow instead of wrapping (the
       // IncrementalAgg overflow contract: fail loudly, pick a
       // smaller `scale`).
-      val contribs = e
+      val contribs = eDeg
         .join(ranks.withColumnRenamed("v", "u"), Seq("u"))
-        .join(outdeg, Seq("u"))
         .select(col("v"), expr("rank_scaled div _deg").as("_c"))
         .groupBy("v").agg(sum(col("_c")).as("_in"))
-      val next = cp(vertices
+      val nextPlan = vertices
         .join(contribs, Seq("v"), "left")
         .select(col("v"),
-          expr(s"${base}L + (85L * coalesce(_in, 0L)) div 100L").as("rank_scaled")))
-      prevCp.foreach(OpCache.freeRdd(_))
-      prevCp = checkpointRdd(next)
-      ranks = next
+          expr(s"${base}L + (85L * coalesce(_in, 0L)) div 100L").as("rank_scaled"))
       iter += 1
+      sinceCp += 1
+      // checkpoint on a cadence, not per round: a few rounds of
+      // lineage are cheap to recompute, a per-round eager cp is a
+      // per-round materialization barrier. The LAST round always
+      // checkpoints (the returned frame must not recompute through
+      // freed interior state).
+      if (sinceCp >= checkpointEvery || iter == iterations) {
+        val next = cp(nextPlan)
+        prevCp.foreach(OpCache.freeRdd(_))
+        prevCp = checkpointRdd(next)
+        ranks = next
+        sinceCp = 0
+      } else ranks = nextPlan
     }
     // the final round's blocks back the returned frame — caller frees
     // them via the pipeline-boundary OpCache.release()

@@ -2084,5 +2084,25 @@ object Oracles {
          |  CAST(COUNT(*) AS BIGINT) AS n_tokens
          |FROM c GROUP BY doc_id, cidx
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // KMV bottom-64 by the q19 fingerprint over distinct 3-gram
+    // shingles: the sample rows and exact distinct count gate
+    // exactly; the estimator envelope rides as a boolean (q45's
+    // sketch-gating pattern)
+    "q103_kmv_distinct" ->
+      s"""WITH ${shingleCte("documents")},
+         |d AS (SELECT DISTINCT unnest(s) AS sh FROM sh),
+         |h AS (
+         |  SELECT sh,
+         |    CAST(list_sum([
+         |      CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1 AS BIGINT)
+         |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |      FOR i IN range(1, 13)]) AS BIGINT) AS h
+         |  FROM d
+         |),
+         |b AS (SELECT sh, h FROM h ORDER BY h, sh LIMIT 64),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM h)
+         |SELECT sh, h, st.nd AS n_distinct, TRUE AS ok_est
+         |FROM b, st ORDER BY h, sh""".stripMargin,
   )
 }

@@ -2481,6 +2481,49 @@ object Queries {
       .orderBy(col("freq").desc, col("subword")).limit(100)
   }
 
+  /** KMV (k minimum values) distinct-count sketch (Bar-Yossef et al.,
+    * "Counting Distinct Elements in a Data Stream", RANDOM 2002; the
+    * bottom-k estimator of Beyer et al. SIGMOD 2007): keep the k
+    * smallest DISTINCT hash values of the token stream; the k-th
+    * smallest h_k estimates |distinct| ≈ (k−1)·M/h_k for hashes
+    * uniform on [0, M). Deterministic here by construction — the
+    * hash is a 12-hex-digit md5 prefix (bit-identical in every
+    * engine, uniform by design — the poly fingerprint would bias the
+    * estimate 1000×, see the inline note), so the bottom-64
+    * sample itself (shingle + hash) rides the hash gate and doubles as
+    * a content-stable corpus sample (any executor, any order, same
+    * rows — the property that makes bottom-k samples mergeable:
+    * union then re-take the k smallest). The estimator quality gate
+    * is a boolean (±50% envelope, deterministic on this data) beside
+    * the exact distinct count, q45's HLL pattern. Scale shape: the
+    * distinct collapses token duplicates with partial aggregation;
+    * TakeOrdered ships only k rows per partition to the driver-side
+    * merge — no global sort materializes.
+    */
+  val q103KmvDistinct: Q = (s, dir) => {
+    val k = 64
+    val m = math.pow(16.0, 12) // hash space: 12 hex digits = 2^48
+    // domain: 3-gram shingles (the corpus vocabulary is a small token
+    // pool by construction — shingles are the 16k-cardinality stream
+    // a distinct-estimator is FOR). Hash: md5 prefix, NOT the poly
+    // fingerprint — KMV needs uniformity on the hash space, and the
+    // 31-bit polynomial concentrates short strings near zero (its
+    // modulus never wraps), which would bias the estimator by 1000×.
+    val sh = docs(s, dir)
+      .select(explode(NearDup.shingles(col("text"), 3)).as("sh")).distinct()
+      .select(col("sh"),
+        conv(substring(md5(col("sh")), 1, 12), 16, 10).cast("long").as("h"))
+    val stats = sh.agg(countDistinct(col("sh")).as("_nd"))
+    val bottom = sh.orderBy(col("h"), col("sh")).limit(k)
+    val hk = bottom.agg(max(col("h")).as("_hk"))
+    bottom.crossJoin(broadcast(stats)).crossJoin(broadcast(hk))
+      .select(col("sh"), col("h"), col("_nd").as("n_distinct"),
+        (abs(lit((k - 1).toDouble) * lit(m) / col("_hk").cast("double")
+          - col("_nd").cast("double")) <= col("_nd").cast("double") * 0.5)
+          .as("ok_est"))
+      .orderBy("h", "sh")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2604,5 +2647,6 @@ object Queries {
     "q100_export_e2e" -> q100ExportE2e,
     "q101_cdc_chunking" -> q101CdcChunking,
     "q102_bpe_vocab" -> q102BpeVocab,
+    "q103_kmv_distinct" -> q103KmvDistinct,
   )
 }
