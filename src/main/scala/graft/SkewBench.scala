@@ -417,8 +417,11 @@ object SkewBench {
         .union(spark.range(1, 100000)
           .select(col("id").as("src"), (col("id") * 7919 % n).as("dst")))
       val m = minOf2M(listener) {
+        // scale 10^6, per the operator's overflow contract: the hub's
+        // in-degree is N, so 85·N·scale must stay under 2^63 — the
+        // default 10^12 scale correctly THROWS (ANSI) at N=16M
         val r = graft.operators.PageRank.pageRank(hubEdges, "src", "dst",
-          iterations = 2)
+          iterations = 2, scale = 1000000L)
           .agg(sum(col("rank_scaled"))).head().getLong(0)
         graft.core.OpCache.release(blocking = true)
         r

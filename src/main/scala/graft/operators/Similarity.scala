@@ -381,6 +381,78 @@ object Similarity {
     exactTopKRefine(qN, cN, pairs, k, roundDp = -1)
   }
 
+  /** The persistable IVF index: every corpus vector's cell assignment
+    * under the `seeds` coarse centroids — (idCol, cell) rows, exactly
+    * [[assignCells]]. Build ONCE, write to parquet, query forever
+    * with [[ivfTopKFromIndex]]: at 100 TB the assignment pass is a
+    * full-corpus scan, and an ANN service must not pay it per query
+    * batch. The assignment is a pure function of (vector, seeds) —
+    * decimal-exact argmax, ties to the lowest cell — so a stored
+    * index is bit-identical to what [[ivfTopKSeeded]] would assign
+    * inline, and queries through it return IDENTICAL results (q104
+    * gates that equivalence against q29's oracle).
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    assignCells(corpus, seeds, idCol, vecCol)
+
+  /** [[ivfTopKSeeded]] with the corpus-assignment stage replaced by a
+    * STORED index frame ([[buildIvfIndex]] read back from parquet).
+    * Per query batch the work is: probe ranking over the seed
+    * literals (map-side), a join against the index-pruned corpus
+    * slice, and the shared banded exact refine — the corpus is
+    * touched only for vectors in probed cells (at scale: cluster the
+    * corpus file layout by cell — [[graft.operators.Layout]] — and
+    * the candidate read prunes to nProbe/|seeds| of the files).
+    */
+  def ivfTopKFromIndex(
+      queries: DataFrame,
+      corpus: DataFrame,
+      index: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
+
+    val s = seeds.select(col(idCol).as("_cell"), col(vecCol).as("_sv"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_sn"))
+    val model = collectSeeds(s)
+
+    val cN = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_cn"))
+      .persistTracked
+    val qN = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"))
+      .persistTracked
+
+    // the stored assignment replaces assignCellsFromModel — the one
+    // structural difference from the inline operator
+    val withCell = cN.join(
+      index.select(col(idCol).as("neighbor_id"), col("cell").as("_cell")),
+      "neighbor_id")
+
+    def qden(i: Int) = col("_qn") * lit(model(i).norm)
+    val probeArr = array(model.indices.map { i =>
+      struct(
+        (-when(qden(i) > 0, dotExact(col("_qv"), lit(model(i).vec)) / qden(i))
+          .otherwise(0.0)).as("_negs"),
+        lit(model(i).cell).as("_cell"))
+    }.toIndexedSeq: _*)
+    val probes = qN
+      .select(col("query_id"), col("_qv"), col("_qn"),
+        explode(slice(array_sort(probeArr), 1, nProbe)).as("_pc"))
+      .select(col("query_id"), col("_qv"), col("_qn"), col("_pc._cell").as("_cell"))
+
+    val pairs = probes.join(withCell, Seq("_cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "_qv", "_qn", "neighbor_id", "_cv", "_cn")
+    exactTopKRefine(qN, cN, pairs, k, roundDp = -1)
+  }
+
   /** Lloyd's k-means over an embedding column, returning k×dim centroid
     * arrays — the training pass that sharpens [[ivfTopK]]/
     * [[ivfTopKSeeded]] cells. Each iteration: assign every vector to

@@ -54,6 +54,52 @@ object Oracles {
 
   private val toksExpr = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
 
+  /** q29's full IVF oracle — shared verbatim by q104 (the stored-
+    * index roundtrip must reproduce the inline operator exactly).
+    */
+  private lazy val ivfSeededSql =
+    s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
+         |  FROM embeddings
+         |),
+         |s AS (SELECT vec_id AS cell, embedding AS sv, nrm AS sn FROM n WHERE vec_id < 16),
+         |cs AS (
+         |  SELECT v.vec_id, v.embedding, v.nrm, s.cell,
+         |    CASE WHEN v.nrm * s.sn > 0 THEN
+         |      CAST(list_sum([CAST(CAST(v.embedding[i] AS DOUBLE) * CAST(s.sv[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(v.embedding) + 1)]) AS DOUBLE) / (v.nrm * s.sn)
+         |    ELSE 0.0 END AS csim
+         |  FROM n v CROSS JOIN s
+         |),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM cs) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM cs WHERE vec_id < 50) WHERE rn <= 4
+         |),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    CASE WHEN qn.nrm * cn.nrm > 0 THEN
+         |      CAST(list_sum([CAST(CAST(qn.embedding[i] AS DOUBLE) * CAST(cn.embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(qn.embedding) + 1)]) AS DOUBLE) / (qn.nrm * cn.nrm)
+         |    ELSE 0.0 END AS sim
+         |  FROM probes p
+         |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |  JOIN n qn ON qn.vec_id = p.query_id
+         |  JOIN n cn ON cn.vec_id = a.vec_id
+         |)
+         |SELECT query_id, neighbor_id, sim,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank"
+         |FROM scored
+         |QUALIFY "rank" <= 5
+         |ORDER BY query_id, "rank"""".stripMargin
+
+
   /** The q99/q102 BPE unroll: `iters` merge rounds as materialized
     * CTEs (words0 … words`iters`, best1 … best`iters`). Pair stats
     * are a position self-join (overlapping occurrences, like the
@@ -668,47 +714,10 @@ object Oracles {
     // the 16 seed vectors (ties → lowest cell), queries probe their 4
     // nearest cells, candidates re-ranked by the exact cosine. All dot
     // products decimal-exact → bit-identical to the Spark plan.
-    "q29_ivf" ->
-      s"""WITH n AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
-         |  FROM embeddings
-         |),
-         |s AS (SELECT vec_id AS cell, embedding AS sv, nrm AS sn FROM n WHERE vec_id < 16),
-         |cs AS (
-         |  SELECT v.vec_id, v.embedding, v.nrm, s.cell,
-         |    CASE WHEN v.nrm * s.sn > 0 THEN
-         |      CAST(list_sum([CAST(CAST(v.embedding[i] AS DOUBLE) * CAST(s.sv[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(v.embedding) + 1)]) AS DOUBLE) / (v.nrm * s.sn)
-         |    ELSE 0.0 END AS csim
-         |  FROM n v CROSS JOIN s
-         |),
-         |assign AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
-         |    FROM cs) WHERE rn = 1
-         |),
-         |probes AS (
-         |  SELECT vec_id AS query_id, cell FROM (
-         |    SELECT vec_id, cell,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
-         |    FROM cs WHERE vec_id < 50) WHERE rn <= 4
-         |),
-         |scored AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    CASE WHEN qn.nrm * cn.nrm > 0 THEN
-         |      CAST(list_sum([CAST(CAST(qn.embedding[i] AS DOUBLE) * CAST(cn.embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(qn.embedding) + 1)]) AS DOUBLE) / (qn.nrm * cn.nrm)
-         |    ELSE 0.0 END AS sim
-         |  FROM probes p
-         |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
-         |  JOIN n qn ON qn.vec_id = p.query_id
-         |  JOIN n cn ON cn.vec_id = a.vec_id
-         |)
-         |SELECT query_id, neighbor_id, sim,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank"
-         |FROM scored
-         |QUALIFY "rank" <= 5
-         |ORDER BY query_id, "rank"""".stripMargin,
+    "q29_ivf" -> ivfSeededSql,
+
+    // stored-index roundtrip: same oracle as q29 by construction
+    "q104_ivf_index" -> ivfSeededSql,
 
     // sign-pattern LSH with data-derived hyperplanes: bit i of the
     // bucket = [v·seed_i >= 0] with the decimal-exact dot — engine-

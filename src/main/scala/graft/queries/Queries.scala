@@ -2524,6 +2524,28 @@ object Queries {
       .orderBy("h", "sh")
   }
 
+  /** Stored IVF index roundtrip ([[Similarity.buildIvfIndex]] /
+    * [[Similarity.ivfTopKFromIndex]]): the corpus's cell assignments
+    * are computed ONCE, written to parquet, read back, and q29's
+    * exact query batch runs against the stored index — the ANN-
+    * service shape where a 100 TB corpus is indexed offline and
+    * query batches never re-scan it. The oracle is LITERALLY q29's:
+    * the index hop must reproduce the inline operator bit-for-bit.
+    */
+  val q104IvfIndex: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val seeds = emb.filter(col("vec_id") < 16)
+    val tmp = Scratch.fresh("q104")
+    Similarity.buildIvfIndex(emb, seeds, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/index")
+    val index = s.read.parquet(s"$tmp/index")
+    Similarity.ivfTopKFromIndex(
+      emb.filter(col("vec_id") < 50), emb, index, seeds,
+      "vec_id", "embedding", k = 5, nProbe = 4)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2648,5 +2670,6 @@ object Queries {
     "q101_cdc_chunking" -> q101CdcChunking,
     "q102_bpe_vocab" -> q102BpeVocab,
     "q103_kmv_distinct" -> q103KmvDistinct,
+    "q104_ivf_index" -> q104IvfIndex,
   )
 }

@@ -421,4 +421,28 @@ class NearDupSimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(res === Set(0L, 11L)) // same-cell cluster X members
   }
+
+  test("stored IVF index: ivfTopKFromIndex ≡ ivfTopKSeeded on random embeddings") {
+    val rnd = new scala.util.Random(19)
+    val emb = (0L until 120L).map(i =>
+      (i, Array.fill(6)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val seeds = emb.filter($"vec_id" < 8)
+    val queries = emb.filter($"vec_id" % 11 === 0)
+    val inline = Similarity.ivfTopKSeeded(
+        queries, emb, seeds, "vec_id", "embedding", k = 4, nProbe = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.buildIvfIndex(emb, seeds, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val viaIndex = Similarity.ivfTopKFromIndex(
+        queries, emb, spark.read.parquet(dir), seeds,
+        "vec_id", "embedding", k = 4, nProbe = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaIndex === inline,
+      "the stored-index path must reproduce the inline operator exactly")
+    graft.core.OpCache.release(blocking = true)
+  }
 }
