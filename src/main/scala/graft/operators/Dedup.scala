@@ -258,6 +258,45 @@ object Dedup {
       .select(col("v"), coalesce(col("_root"), col("v")).as("comp"))
   }
 
+  /** Incremental connected components: fold a DELTA (new vertices +
+    * new near-dup pairs, e.g. [[NearDup.incrementalNearDupPairs]]'s
+    * output) into a STORED labeling without re-processing history.
+    *
+    * The stored labels are a 1-deep star forest (v → comp, comp =
+    * component min-id) — exactly a converged [[componentsStar]]
+    * state. Re-running the star rounds over (label edges ∪ delta
+    * pairs) therefore (a) never touches the historical PAIR set — the
+    * expensive LSH/verify output, |pairs| ≫ |V| — only the |V|-row
+    * label table, and (b) starts CONVERGED everywhere the delta
+    * didn't touch, so rounds are bounded by the delta's merge depth,
+    * not the full graph's diameter. Labels stay global min-ids:
+    * the union graph's connectivity equals the full graph's (old
+    * components are collapsed stars; delta pairs add the only new
+    * connectivity), so the fixed point is identical to a from-scratch
+    * recompute — q105 gates that equality against q32's own oracle.
+    */
+  def componentsIncremental(
+      labels: DataFrame,
+      vCol: String,
+      compCol: String,
+      newVertices: DataFrame,
+      newVCol: String,
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 60,
+      reliableCheckpoint: Boolean = false): DataFrame = {
+    val vertices = labels.select(col(vCol).as("v"))
+      .union(newVertices.select(col(newVCol).as("v")))
+      .distinct()
+    val seedPairs = labels
+      .select(col(vCol).as("id_a"), col(compCol).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .unionByName(pairs.select(col(aCol).as("id_a"), col(bCol).as("id_b")))
+    componentsStar(vertices, "v", seedPairs, "id_a", "id_b",
+      maxIter, reliableCheckpoint)
+  }
+
   /** Degree at or above which a star-round key is HOT: its minimum is
     * broadcast instead of shuffle-joined. Worst-case broadcast size is
     * 2·|edges| / hotDegree rows of (long, long) — at 2⁶⁰ edges and the

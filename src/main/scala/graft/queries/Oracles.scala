@@ -54,6 +54,36 @@ object Oracles {
 
   private val toksExpr = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
 
+  /** q32's full components oracle — shared verbatim by q105 (the
+    * incremental label fold must equal the from-scratch recompute).
+    */
+  private lazy val componentsSql =
+    s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
+         |),
+         |${shingleCte("corpus")},
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  ) WHERE jaccard >= 0.5
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |),
+         |reach(v, m) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.v
+         |)
+         |SELECT v AS doc_id, MIN(m) AS canonical_id
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
+
+
   /** q29's full IVF oracle — shared verbatim by q104 (the stored-
     * index roundtrip must reproduce the inline operator exactly).
     */
@@ -895,31 +925,10 @@ object Oracles {
     // there), clustered by a recursive-CTE reachability: every vertex's
     // canonical id is the MIN reachable doc_id — integer-only, no FP
     // parity concerns
-    "q32_components" ->
-      s"""WITH RECURSIVE corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
-         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
-         |),
-         |${shingleCte("corpus")},
-         |pairs AS (
-         |  SELECT * FROM (
-         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
-         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  ) WHERE jaccard >= 0.5
-         |),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs
-         |),
-         |reach(v, m) AS (
-         |  SELECT doc_id, doc_id FROM corpus
-         |  UNION
-         |  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.v
-         |)
-         |SELECT v AS doc_id, MIN(m) AS canonical_id
-         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+    "q32_components" -> componentsSql,
+
+    // incremental fold ≡ from-scratch recompute, by contract
+    "q105_incremental_components" -> componentsSql,
 
     // the binned range join is semantically the naive theta join — the
     // oracle states it directly

@@ -2546,6 +2546,40 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Incremental connected components
+    * ([[Dedup.componentsIncremental]]): q32's corpus split into a
+    * HISTORY slice (doc_id mod 100000 < 300, i.e. originals < 300
+    * plus their mutants) labeled first, then the remaining docs
+    * arrive as a delta with only their own near-dup pairs — the
+    * stored labels fold in as a 1-deep star forest, the historical
+    * pair set is never re-processed, and the result must equal the
+    * from-scratch recompute BIT-FOR-BIT: the oracle is literally
+    * q32's. (Delta pairs here come from filtering the full pair set
+    * — producing them incrementally is q85's operator; this query
+    * gates the LABEL-folding contract.)
+    */
+  val q105IncrementalComponents: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id", "text")
+    val mutated = d0.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
+    val corpus = d0.unionByName(mutated)
+    val isHistory = pmod(col("doc_id"), lit(100000L)) < 300
+    val history = corpus.filter(isHistory)
+    val delta = corpus.filter(!isHistory)
+    val histLabels = Dedup.componentsStar(
+      history.select("doc_id"), "doc_id",
+      NearDup.nearDupPairs(history, "doc_id", "text", threshold = 0.5),
+      "id_a", "id_b")
+    val deltaPairs = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .filter(pmod(col("id_a"), lit(100000L)) >= 300 ||
+        pmod(col("id_b"), lit(100000L)) >= 300)
+    Dedup.componentsIncremental(histLabels, "v", "comp",
+        delta.select("doc_id"), "doc_id", deltaPairs, "id_a", "id_b")
+      .select(col("v").as("doc_id"), col("comp").as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2671,5 +2705,6 @@ object Queries {
     "q102_bpe_vocab" -> q102BpeVocab,
     "q103_kmv_distinct" -> q103KmvDistinct,
     "q104_ivf_index" -> q104IvfIndex,
+    "q105_incremental_components" -> q105IncrementalComponents,
   )
 }

@@ -189,4 +189,28 @@ class SpineDedupRollupSpec extends SparkSpec {
     // lock consistent ISO year + ISO week = '2020-53'
     assert(out === (("2020-53", "2021-Jan", "Fri", "Jan")))
   }
+
+  test("componentsIncremental: folding a delta into stored labels ≡ from-scratch recompute") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 4) {
+      val n = 40 + rnd.nextInt(40)
+      val all = Seq.fill(3 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // history = pairs among the first 60% of vertex ids; the rest
+      // arrive as a delta (including pairs that BRIDGE old components)
+      val cut = (n * 6) / 10
+      val (hist, delta) = all.partition { case (a, b) => a < cut && b < cut }
+      val histVerts = (0L until cut.toLong).toDF("id")
+      val allVerts = (0L until n.toLong).toDF("id")
+      val histLabels = Dedup.componentsStar(
+        histVerts, "id", hist.toDF("a", "b"), "a", "b")
+      val inc = Dedup.componentsIncremental(histLabels, "v", "comp",
+          allVerts, "id", delta.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = Dedup.componentsStar(allVerts, "id", all.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc === full, s"trial $trial: incremental labels diverge from recompute")
+      graft.core.OpCache.release(blocking = true)
+    }
+  }
 }
