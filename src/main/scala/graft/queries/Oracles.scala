@@ -54,6 +54,16 @@ object Oracles {
 
   private val toksExpr = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
 
+  /** q70's heavy-hitters oracle — shared verbatim by q106 (the
+    * streamed sketch satisfies the same bound booleans).
+    */
+  private lazy val heavyHittersSql =
+    s"""WITH t AS (SELECT unnest($toksExpr) AS tok FROM documents),
+         |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY tok)
+         |SELECT tok, cnt, TRUE AS ok_lower, TRUE AS ok_upper
+         |FROM c ORDER BY cnt DESC, tok LIMIT 10""".stripMargin
+
+
   /** q32's full components oracle — shared verbatim by q105 (the
     * incremental label fold must equal the from-scratch recompute).
     */
@@ -1378,11 +1388,10 @@ object Oracles {
     // Misra-Gries bound holds for ANY processing order, so the
     // booleans are deterministic even though the raw estimates are
     // not; the exact top-10 identities and counts are fully gated
-    "q70_heavy_hitters" ->
-      s"""WITH t AS (SELECT unnest($toksExpr) AS tok FROM documents),
-         |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY tok)
-         |SELECT tok, cnt, TRUE AS ok_lower, TRUE AS ok_upper
-         |FROM c ORDER BY cnt DESC, tok LIMIT 10""".stripMargin,
+    "q70_heavy_hitters" -> heavyHittersSql,
+
+    // streamed Misra-Gries: same exact-count oracle by the mergeable bound
+    "q106_streaming_heavyhitters" -> heavyHittersSql,
 
     // session_window semantics: a NEW session starts when the gap is
     // >= 30 min (STRICT — q34's batch lag-flag splits only at > 30

@@ -2580,6 +2580,45 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Streaming heavy hitters: the Misra-Gries typed Aggregator (q70)
+    * under the REAL micro-batch runtime — a watermarked one-day
+    * window over the token stream, sentinel-flushed (the q60
+    * pattern), emitting one mergeable ≤16-entry summary through a
+    * file sink. The PODS'12 bound holds for ANY chunking — including
+    * the runtime's trigger boundaries — which is exactly why the q70
+    * boolean gate stays deterministic when the same sketch is fed by
+    * micro-batches instead of one batch scan. Oracle: literally
+    * q70's (exact counts + TRUE bounds).
+    */
+  val q106StreamingHeavyHitters: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q106")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val toks = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+    val in = memoFixture("q106in", dir) { p =>
+      toks.unionByName(s.range(1).select(lit("__sentinel").as("tok"),
+          lit("2030-01-01 00:00:00").cast("timestamp").as("ts")))
+        .write.mode("overwrite").parquet(p)
+    }
+    val agg = s.readStream.schema(toks.schema).parquet(in)
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(graft.functions.HeavyHitters.misraGries(16)(col("tok")).as("_mg"),
+        count(lit(1)).as("_n"))
+    runToSink(agg, in, out, chk, dropInput = false)
+    val sketch = s.read.parquet(out).select("_mg", "_n")
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(10)
+    top.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("cnt"),
+        ((col("cnt") - coalesce(try_element_at(col("_mg"), col("tok")), lit(0L)))
+          .cast("double") <= col("_n").cast("double") / 17.0).as("ok_lower"),
+        (coalesce(try_element_at(col("_mg"), col("tok")), lit(0L)) <= col("cnt"))
+          .as("ok_upper"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2706,5 +2745,6 @@ object Queries {
     "q103_kmv_distinct" -> q103KmvDistinct,
     "q104_ivf_index" -> q104IvfIndex,
     "q105_incremental_components" -> q105IncrementalComponents,
+    "q106_streaming_heavyhitters" -> q106StreamingHeavyHitters,
   )
 }
