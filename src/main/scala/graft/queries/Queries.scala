@@ -2463,8 +2463,9 @@ object Queries {
     * frequencies — the tokenizer-development loop (train → segment →
     * inspect vocab mass) as one plan. Segmentation runs on the
     * DISTINCT-word table (a pure function of the word, so the corpus
-    * never re-segments — word freq weights the rollup), via
-    * [[BpeTrainer.applyMerges]]'s nested greedy folds. The oracle
+    * never re-segments — word freq weights the rollup), via the
+    * native [[graft.functions.BpeSegment]] kernel (codegen'd single
+    * pass; ≡ [[BpeTrainer.applyMerges]]'s fold, property-tested). The oracle
     * extends q99's 12-round unroll: the final word table's symbols,
     * unnested and weighted by word frequency. Top-100 subwords by
     * (freq DESC, subword) are gated — schema-stable while the tail
@@ -2476,7 +2477,9 @@ object Queries {
       .select(explode(Text.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
     words
-      .select(col("freq"), explode(BpeTrainer.applyMerges(col("w"), merges)).as("subword"))
+      .select(col("freq"),
+        explode(graft.functions.BpeExpressions.bpeSegment(col("w"), merges))
+          .as("subword"))
       .groupBy("subword").agg(sum("freq").as("freq"))
       .orderBy(col("freq").desc, col("subword")).limit(100)
   }

@@ -102,4 +102,27 @@ class BpeTrainerSpec extends SparkSpec {
     assert(alive.isEmpty,
       s"BPE training state must not outlive train(), saw $alive")
   }
+
+  test("native BpeSegment kernel ≡ applyMerges fold on random words and merge lists") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new Random(31)
+    for (trial <- 1 to 5) {
+      val alphabet = "abc"
+      val words = Seq.fill(60)(
+        Seq.fill(1 + rnd.nextInt(10))(alphabet(rnd.nextInt(3))).mkString)
+      // random (possibly cascading) merge list, in "rank order"
+      val merges = Seq.fill(6)((
+        Seq.fill(1 + rnd.nextInt(2))(alphabet(rnd.nextInt(3))).mkString,
+        Seq.fill(1 + rnd.nextInt(2))(alphabet(rnd.nextInt(3))).mkString))
+      val df = words.toDF("w")
+      val both = df.select(
+          BpeTrainer.applyMerges(col("w"), merges).as("fold"),
+          graft.functions.BpeExpressions.bpeSegment(col("w"), merges).as("kernel"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"trial $trial: kernel diverges from fold on merges $merges")
+      }
+    }
+  }
 }
