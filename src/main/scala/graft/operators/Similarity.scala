@@ -453,6 +453,47 @@ object Similarity {
     exactTopKRefine(qN, cN, pairs, k, roundDp = -1)
   }
 
+  /** Database-friendly random projection (Achlioptas, "Database-
+    * friendly random projections: Johnson-Lindenstrauss with binary
+    * coins", JCSS 2003): project `inDim`-dim embeddings to `outDim`
+    * dims with a ±1 sign matrix — the JL guarantee preserves pairwise
+    * distances within (1±ε) w.h.p. at outDim = O(log n / ε²), which
+    * is the cheap pre-step before ANN/clustering when the raw
+    * embedding width dominates shuffle volume (a 64→16 projection
+    * cuts every downstream vector shuffle 4×).
+    *
+    * Deterministic and ORACLE-REPLAYABLE by construction: sign(i,j) =
+    * +1 iff the first hex digit of md5("i:j") is even (md5 is
+    * bit-identical in every engine), and each output component is
+    * the decimal-exact signed sum ([[dotExact]] against the ±1f
+    * literal row — the q17 parity mechanism), so projected vectors
+    * are bit-identical at any parallelism and across engines. Scale
+    * shape: pure map-side projection, sign rows are plan literals
+    * (outDim×inDim bytes of model, not data).
+    */
+  def randomProjectExact(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDim: Int,
+      outDim: Int): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, s"dims must be positive: $inDim → $outDim")
+    val cols = (0 until outDim).map { j =>
+      dotExact(col(vecCol), lit(projectionSignRow(inDim, j))).as(s"p$j")
+    }
+    df.select(col(idCol) +: cols: _*)
+  }
+
+  /** Row j of the ±1 projection matrix: sign(i,j) from md5("i:j"). */
+  private[graft] def projectionSignRow(inDim: Int, j: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(inDim) { i =>
+      val h = md.digest(s"$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first hex digit = high nibble of byte 0; +1 when even
+      if ((((h(0) >> 4) & 0xF) & 1) == 0) 1.0f else -1.0f
+    }
+  }
+
   /** Lloyd's k-means over an embedding column, returning k×dim centroid
     * arrays — the training pass that sharpens [[ivfTopK]]/
     * [[ivfTopKSeeded]] cells. Each iteration: assign every vector to

@@ -2131,5 +2131,20 @@ object Oracles {
          |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM h)
          |SELECT sh, h, st.nd AS n_distinct, TRUE AS ok_est
          |FROM b, st ORDER BY h, sh""".stripMargin,
+
+    // random projection: sign(i,j) = +1 iff md5("i:j")'s first hex
+    // digit is even (strpos is 1-based: even digit ⇔ strpos odd);
+    // each component is the decimal-exact signed sum — the q17
+    // dot-product parity mechanism with b = ±1
+    "q107_random_projection" -> {
+      val comps = (0 until 16).map { j =>
+        s"""  ROUND(CAST(list_sum([
+           |    CAST(CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(i - 1 AS VARCHAR) || ':$j'), 1, 1)) % 2 = 1
+           |         THEN CAST(embedding[i] AS DOUBLE) ELSE -CAST(embedding[i] AS DOUBLE) END AS DECIMAL(38,12))
+           |    FOR i IN range(1, 65)]) AS DOUBLE), 6) AS p$j""".stripMargin
+      }
+      "SELECT vec_id,\n" + comps.mkString(",\n") +
+        "\nFROM embeddings ORDER BY vec_id"
+    },
   )
 }

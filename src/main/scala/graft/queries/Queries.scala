@@ -2622,6 +2622,27 @@ object Queries {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** Random projection ([[Similarity.randomProjectExact]]): 64→16
+    * dims with the Achlioptas ±1 matrix, every component a
+    * decimal-exact signed sum — the full projected table rides the
+    * hash gate, and the oracle rebuilds the sign matrix from the
+    * same md5 parity rule per component. Components are rounded to
+    * 6 dp for the gate (q17's ranking precedent): ±1·x passes the
+    * RAW float through the scale-12 quantizer, where Spark's
+    * shortest-repr HALF_UP and DuckDB's binary-value rounding can
+    * split an exact tie (observed: one element, 1e-12) — a product
+    * of two floats (the dot-product case) has ~17 significant
+    * digits and never tied, but a bare float can.
+    */
+  val q107RandomProjection: Q = (s, dir) => {
+    val proj = Similarity.randomProjectExact(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      inDim = 64, outDim = 16)
+    proj.select(col("vec_id") +:
+        (0 until 16).map(j => round(col(s"p$j"), 6).as(s"p$j")): _*)
+      .orderBy("vec_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2749,5 +2770,6 @@ object Queries {
     "q104_ivf_index" -> q104IvfIndex,
     "q105_incremental_components" -> q105IncrementalComponents,
     "q106_streaming_heavyhitters" -> q106StreamingHeavyHitters,
+    "q107_random_projection" -> q107RandomProjection,
   )
 }

@@ -445,4 +445,32 @@ class NearDupSimilaritySpec extends SparkSpec {
       "the stored-index path must reproduce the inline operator exactly")
     graft.core.OpCache.release(blocking = true)
   }
+
+  test("randomProjectExact: partitioning-invariant; JL distances roughly preserved") {
+    val rnd = new scala.util.Random(41)
+    val emb = (0L until 60L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2f - 1f)))
+    val df = emb.toDF("vec_id", "embedding")
+    def runP(parts: Int) = Similarity.randomProjectExact(
+        df.repartition(parts), "vec_id", "embedding", inDim = 32, outDim = 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getDouble).toVector).toMap
+    val a = runP(1); val b = runP(7)
+    assert(a === b, "projection must be bit-identical at any parallelism")
+    // JL sanity: scaled pairwise distances within a loose band (fixed
+    // seed ⇒ deterministic outcome). E[||Px||²] = inDim·||x||²... with
+    // ±1 entries, E over signs of ||Px||² = outDim·||x||²? No: each
+    // component p_j = Σ s_ij x_i has E[p_j²] = ||x||², so
+    // E[||Px||²] = outDim·||x||² — compare dist²(P)/outDim to dist².
+    val raw = emb.toMap
+    def d2(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (u, v) => (u - v).toDouble * (u - v) }.sum
+    def d2p(x: Vector[Double], y: Vector[Double]) =
+      x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum
+    val ratios = for (i <- 0L until 20L; j <- (i + 1) until 20L) yield {
+      val o = d2(raw(i), raw(j))
+      val pq = d2p(a(i), a(j)) / 8.0
+      pq / o
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean distortion off: $mean")
+  }
 }
