@@ -2146,5 +2146,12 @@ object Oracles {
       "SELECT vec_id,\n" + comps.mkString(",\n") +
         "\nFROM embeddings ORDER BY vec_id"
     },
+
+    // schema evolution: v1 rows (even ids) carry NULL for the column
+    // they predate; v2 rows (odd ids) carry the computed value
+    "q108_schema_evolution" ->
+      s"""SELECT event_id, user_id, value,
+         |  CASE WHEN event_id % 2 = 1 THEN ROUND(value * 2, 6) ELSE NULL END AS quality
+         |FROM events ORDER BY event_id""".stripMargin,
   )
 }

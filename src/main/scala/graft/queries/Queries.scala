@@ -2643,6 +2643,28 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Schema evolution: a corpus directory written by TWO generations
+    * of a pipeline — v1 files carry (event_id, user_id, value), v2
+    * files add a `quality` column — read back as ONE table with
+    * parquet `mergeSchema` (footer-union schema reconciliation, the
+    * data-lake reality where historical files are never rewritten).
+    * Gated: every v1 row surfaces NULL quality, every v2 row its
+    * value, and no row is lost or duplicated across generations.
+    */
+  val q108SchemaEvolution: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q108")
+    val e = ev(s, dir).select("event_id", "user_id", "value")
+    e.filter(col("event_id") % 2 === 0)
+      .write.mode("append").parquet(s"$tmp/t")
+    e.filter(col("event_id") % 2 === 1)
+      .withColumn("quality", round(col("value") * 2, 6))
+      .write.mode("append").parquet(s"$tmp/t")
+    docs(s, dir).sparkSession.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/t")
+      .select("event_id", "user_id", "value", "quality")
+      .orderBy("event_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2771,5 +2793,6 @@ object Queries {
     "q105_incremental_components" -> q105IncrementalComponents,
     "q106_streaming_heavyhitters" -> q106StreamingHeavyHitters,
     "q107_random_projection" -> q107RandomProjection,
+    "q108_schema_evolution" -> q108SchemaEvolution,
   )
 }
