@@ -122,6 +122,15 @@ object GraftFunctions {
     // graft_nfc(str): Unicode NFC normalization (the q88 canonical-
     // text kernel)
     descriptor("graft_nfc", classOf[NfcNormalize], c => NfcNormalize(c.head)),
+    // graft_bpe_segment(word, l1, r1, l2, r2, ...): BPE segmentation
+    // under a literal merge list in rank order (the q102 kernel)
+    descriptor("graft_bpe_segment", classOf[BpeSegment], c => {
+      val flat = c.drop(1)
+      require(flat.nonEmpty && flat.size % 2 == 0,
+        "graft_bpe_segment needs merge pairs: (word, left1, right1, ...)")
+      BpeSegment(c.head,
+        flat.map(_.eval().toString).grouped(2).map(p => (p(0), p(1))).toSeq)
+    }),
   )
 
   def register(spark: SparkSession): Unit =

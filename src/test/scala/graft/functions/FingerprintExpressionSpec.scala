@@ -91,4 +91,16 @@ class FingerprintExpressionSpec extends SparkSpec {
     assert(sql === api)
     assert(sql.contains("bc") && sql.contains("ac") && sql.contains("ab"))
   }
+
+  test("graft_bpe_segment: SQL form matches the Column API") {
+    GraftFunctions.register(spark)
+    val sql = spark.sql(
+      "SELECT graft_bpe_segment('lowest', 'l', 'o', 'lo', 'w') AS s")
+      .as[Seq[String]].head()
+    val api = Seq("lowest").toDF("w")
+      .select(BpeExpressions.bpeSegment($"w", Seq(("l", "o"), ("lo", "w"))).as("s"))
+      .as[Seq[String]].head()
+    assert(sql === api)
+    assert(sql === Seq("low", "e", "s", "t"))
+  }
 }
