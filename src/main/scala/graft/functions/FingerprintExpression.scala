@@ -122,6 +122,10 @@ object GraftFunctions {
     // graft_nfc(str): Unicode NFC normalization (the q88 canonical-
     // text kernel)
     descriptor("graft_nfc", classOf[NfcNormalize], c => NfcNormalize(c.head)),
+    // graft_cdc_chunks(text, divisor): content-defined chunking (the
+    // q101 kernel)
+    descriptor("graft_cdc_chunks", classOf[CdcChunks], c =>
+      CdcChunks(c.head, c(1).eval().asInstanceOf[Int])),
     // graft_bpe_segment(word, l1, r1, l2, r2, ...): BPE segmentation
     // under a literal merge list in rank order (the q102 kernel)
     descriptor("graft_bpe_segment", classOf[BpeSegment], c => {

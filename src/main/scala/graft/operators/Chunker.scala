@@ -104,12 +104,17 @@ object Chunker {
   }
 
   /** Explode docs into content-defined (idCol, chunk_idx, chunk,
-    * n_tokens) rows — [[chunk]]'s schema, CDC boundaries.
+    * n_tokens) rows — [[chunk]]'s schema, CDC boundaries. Runs on
+    * the native [[graft.functions.CdcChunks]] kernel (one linear
+    * pass per doc); [[chunkArrayContentDefined]] is the composable
+    * spec it is property-tested against — the fold form copies its
+    * accumulator per token (O(tokens²)/doc), wrong for the multi-KB
+    * documents CDC exists for.
     */
   def chunkContentDefined(df: DataFrame, idCol: String, textCol: String,
                           divisor: Int): DataFrame =
     df.select(col(idCol),
-        posexplode(chunkArrayContentDefined(col(textCol), divisor))
+        posexplode(graft.functions.ChunkExpressions.cdcChunks(col(textCol), divisor))
           .as(Seq("chunk_idx", "chunk")))
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         col("chunk"), Text.tokenCount(col("chunk")).cast("long").as("n_tokens"))

@@ -140,4 +140,23 @@ class ChunkerSpec extends SparkSpec {
       .agg(avg("n_tokens")).head().getDouble(0)
     assert(out > 8 && out < 32, s"mean chunk len $out far from divisor 16")
   }
+
+  test("CDC: native kernel ≡ HOF fold on random texts (incl. unicode and empties)") {
+    val rnd = new scala.util.Random(53)
+    val pool = Seq("alpha", "βeta", "γ", "x", "longtokenvalue", "日本語", "z9")
+    val texts = Seq.fill(40)(
+      Seq.fill(rnd.nextInt(30))(pool(rnd.nextInt(pool.size))).mkString(" ")) ++
+      Seq("", "   ", "single")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (div <- Seq(2, 4, 16)) {
+      val both = df.select(
+          Chunker.chunkArrayContentDefined(col("text"), div).as("hof"),
+          graft.functions.ChunkExpressions.cdcChunks(col("text"), div).as("kernel"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"kernel diverges from HOF at divisor $div")
+      }
+    }
+  }
 }

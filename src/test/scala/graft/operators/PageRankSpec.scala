@@ -78,4 +78,21 @@ class PageRankSpec extends SparkSpec {
     val after = spark.sparkContext.getPersistentRDDs.keySet.toSet -- base
     assert(after.isEmpty, s"release must free every PageRank block, saw $after")
   }
+
+  test("overflow contract: a hub larger than the scale's headroom throws, never wraps") {
+    // scale 10^17: a 200-in-degree hub makes 85·Σcontrib exceed 2^63 —
+    // the ANSI multiply must throw SparkArithmeticException (callers
+    // pick a smaller scale per the scaladoc), not wrap silently
+    val edges = (1L to 200L).map(i => (i, 0L))
+    val e = intercept[Exception] {
+      PageRank.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iterations = 2, scale = 100000000000000000L).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getClass.getSimpleName == "SparkArithmeticException"
+        || Option(c.getMessage).exists(_.contains("ARITHMETIC_OVERFLOW"))),
+      s"expected ARITHMETIC_OVERFLOW in the cause chain, got $e")
+    graft.core.OpCache.release(blocking = true)
+  }
 }
