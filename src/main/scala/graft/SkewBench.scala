@@ -429,6 +429,24 @@ object SkewBench {
       (n, m)
     }
 
+    // ---- 8. BPE corpus-size sweep ----
+    // vocab FIXED at 1000 words, corpus grows 4× by repetition: the
+    // trainer's per-round work is a function of the DISTINCT-word
+    // table, so 6-merge training pays the corpus only once (the
+    // words0 collapse scan) — wall time must grow far sub-linearly
+    // while corpus tokens quadruple.
+    val bpeSweep = Seq(1000000L, 4000000L).map { n =>
+      val docsDf = spark.range(0, n / 50).select(
+        concat_ws(" ", transform(sequence(lit(0), lit(49)),
+          i => concat(lit("w"), pmod(col("id") * 53 + i.cast("long") * 17, lit(1000L)))))
+          .as("text"))
+      val m = minOf2M(listener) {
+        val model = graft.operators.BpeTrainer.train(docsDf, "text", numMerges = 6)
+        model.agg(sum(col("freq"))).head().getLong(0)
+      }
+      (n, m)
+    }
+
     val sweepJson = sweep.map { case (n, c, w) =>
       s"""{"n":$n,"current":${c.json},"legacy_window":${w.json}}"""
     }.mkString("[", ",", "]")
@@ -446,7 +464,9 @@ object SkewBench {
       s""""fuzzy_hot_variant":{"n_hot":$hotN,"meas":${hot.json}},""" +
       s""""incremental_megakey":{"n":$incN,"meas":${inc.json}},""" +
       s""""pagerank_hub":${prSweep.map { case (n, m) =>
-        s"""{"n":$n,"meas":${m.json}}""" }.mkString("[", ",", "]")}}""")
+        s"""{"n":$n,"meas":${m.json}}""" }.mkString("[", ",", "]")},""" +
+      s""""bpe_corpus_sweep":${bpeSweep.map { case (n, m) =>
+        s"""{"n_tokens":$n,"meas":${m.json}}""" }.mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }

@@ -54,6 +54,37 @@ object Oracles {
 
   private val toksExpr = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
 
+  /** q101's CDC-chunking oracle — shared verbatim by q109 (the
+    * streamed kernel must emit the identical chunk table).
+    */
+  private lazy val cdcChunkingSql =
+    s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents WHERE doc_id < 300)
+         |),
+         |t AS (SELECT doc_id, $toksExpr AS toks FROM corpus),
+         |p AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM t),
+         |hb AS (
+         |  SELECT doc_id, tok, i,
+         |    (list_sum([CAST(ord(substr(tok, j, 1)) AS BIGINT) * CAST((j % 31) + 1 AS BIGINT) FOR j IN range(1, length(tok) + 1)]) % 2147483647) % 16 = 0 AS b
+         |  FROM p
+         |),
+         |c AS (
+         |  SELECT doc_id, tok, i,
+         |    COALESCE(SUM(CASE WHEN b THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cidx
+         |  FROM hb
+         |)
+         |SELECT doc_id, CAST(cidx AS BIGINT) AS chunk_idx,
+         |  array_to_string(list(tok ORDER BY i), ' ') AS chunk,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY doc_id, cidx
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+
+
   /** q70's heavy-hitters oracle — shared verbatim by q106 (the
     * streamed sketch satisfies the same bound booleans).
     */
@@ -2085,32 +2116,10 @@ object Oracles {
     // content-defined chunking: the q19/q23 per-token fingerprint
     // recurrence marks boundaries; chunk index = prefix count of
     // boundaries strictly before the token
-    "q101_cdc_chunking" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id < 300
-         |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
-         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents WHERE doc_id < 300)
-         |),
-         |t AS (SELECT doc_id, $toksExpr AS toks FROM corpus),
-         |p AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM t),
-         |hb AS (
-         |  SELECT doc_id, tok, i,
-         |    (list_sum([CAST(ord(substr(tok, j, 1)) AS BIGINT) * CAST((j % 31) + 1 AS BIGINT) FOR j IN range(1, length(tok) + 1)]) % 2147483647) % 16 = 0 AS b
-         |  FROM p
-         |),
-         |c AS (
-         |  SELECT doc_id, tok, i,
-         |    COALESCE(SUM(CASE WHEN b THEN 1 ELSE 0 END) OVER (
-         |      PARTITION BY doc_id ORDER BY i
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cidx
-         |  FROM hb
-         |)
-         |SELECT doc_id, CAST(cidx AS BIGINT) AS chunk_idx,
-         |  array_to_string(list(tok ORDER BY i), ' ') AS chunk,
-         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
-         |FROM c GROUP BY doc_id, cidx
-         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q101_cdc_chunking" -> cdcChunkingSql,
+
+    // streamed CDC: stateless projection ≡ batch, same oracle
+    "q109_streaming_cdc" -> cdcChunkingSql,
 
     // KMV bottom-64 by the q19 fingerprint over distinct 3-gram
     // shingles: the sample rows and exact distinct count gate

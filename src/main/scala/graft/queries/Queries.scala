@@ -2665,6 +2665,35 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Streaming CDC chunking: q101's exact pipeline with the corpus
+    * arriving as a STREAM — the chunk kernel is a stateless map-side
+    * projection, so it runs unchanged under the micro-batch runtime
+    * (no watermark, no state store; append mode is legal for pure
+    * projections), and the emitted chunk table must match the batch
+    * operator file-for-file. Oracle: literally q101's. This is the
+    * general claim made concrete: every map-side operator in the
+    * library is automatically streaming-capable.
+    */
+  val q109StreamingCdc: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q109")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val d0 = docs(s, dir).select("doc_id", "text").filter(col("doc_id") < 300)
+    val in = memoFixture("q109in", dir) { p =>
+      d0.unionByName(d0.select((col("doc_id") + 100000).as("doc_id"),
+          concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text")))
+        .write.mode("overwrite").parquet(p)
+    }
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(in)
+    val chunks = Chunker.chunkContentDefined(stream, "doc_id", "text", divisor = 16)
+    runToSink(chunks, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out)
+      .select("doc_id", "chunk_idx", "chunk", "n_tokens")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2794,5 +2823,6 @@ object Queries {
     "q106_streaming_heavyhitters" -> q106StreamingHeavyHitters,
     "q107_random_projection" -> q107RandomProjection,
     "q108_schema_evolution" -> q108SchemaEvolution,
+    "q109_streaming_cdc" -> q109StreamingCdc,
   )
 }
