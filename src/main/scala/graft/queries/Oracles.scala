@@ -2156,6 +2156,23 @@ object Oracles {
         "\nFROM embeddings ORDER BY vec_id"
     },
 
+    // grouped bottom-k sample: the window replay of the mergeable
+    // aggregate — same md5-prefix hash arithmetic as q103
+    "q110_grouped_sample" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id,
+         |    CAST(list_sum([
+         |      CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT)
+         |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |      FOR i IN range(1, 13)]) AS BIGINT) AS h
+         |  FROM documents
+         |)
+         |SELECT lang, h, doc_id FROM (
+         |  SELECT lang, h, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+         |  FROM h) WHERE rn <= 5
+         |ORDER BY lang, h, doc_id""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

@@ -2694,6 +2694,27 @@ object Queries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Grouped deterministic sampling ([[graft.functions.BottomKByHash]]):
+    * per-language 5-doc sample as a MERGEABLE bottom-k-by-content-hash
+    * aggregate — map-side partials reduce each (partition, lang) to
+    * ≤5 pairs before the shuffle, where the window formulation
+    * (`row_number` over lang) would shuffle the whole corpus to its
+    * group partitions first. The sample is a pure function of group
+    * content (md5 keys, q103's uniform-hash rationale), so the full
+    * sample table rides the hash gate against the window-replay
+    * oracle.
+    */
+  val q110GroupedSample: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("lang"),
+      conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long").as("h"),
+      col("doc_id"))
+    d.groupBy("lang")
+      .agg(graft.functions.BottomK.bottomK(5)(col("h"), col("doc_id")).as("_s"))
+      .select(col("lang"), explode(col("_s")).as("pair"))
+      .select(col("lang"), col("pair._1").as("h"), col("pair._2").as("doc_id"))
+      .orderBy("lang", "h", "doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2824,5 +2845,6 @@ object Queries {
     "q107_random_projection" -> q107RandomProjection,
     "q108_schema_evolution" -> q108SchemaEvolution,
     "q109_streaming_cdc" -> q109StreamingCdc,
+    "q110_grouped_sample" -> q110GroupedSample,
   )
 }
