@@ -2173,6 +2173,23 @@ object Oracles {
          |  FROM h) WHERE rn <= 5
          |ORDER BY lang, h, doc_id""".stripMargin,
 
+    // adaptive per-language length filter: interpolated [p5, p95]
+    // band per lang (quantile_cont ≡ Spark percentile, both Type-7),
+    // survivors + their band edges gated
+    "q111_adaptive_length_filter" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST(len($toksExpr) AS BIGINT) AS tok FROM documents
+         |),
+         |b AS (
+         |  SELECT lang, ROUND(quantile_cont(tok, 0.05), 6) AS lo,
+         |    ROUND(quantile_cont(tok, 0.95), 6) AS hi
+         |  FROM d GROUP BY lang
+         |)
+         |SELECT d.doc_id, d.lang, d.tok, b.lo, b.hi
+         |FROM d JOIN b ON d.lang = b.lang
+         |WHERE CAST(d.tok AS DOUBLE) >= b.lo AND CAST(d.tok AS DOUBLE) <= b.hi
+         |ORDER BY d.doc_id""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

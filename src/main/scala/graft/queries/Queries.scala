@@ -2715,6 +2715,30 @@ object Queries {
       .orderBy("lang", "h", "doc_id")
   }
 
+  /** Adaptive per-language length filter: the percentile-band version
+    * of a fixed min-token rule (Gopher's C4-style length filters are
+    * absolute; multilingual corpora need PER-LANGUAGE bands because
+    * token-length distributions differ by language). Each language's
+    * exact interpolated [p5, p95] band is computed once (model-sized
+    * per-group aggregate, broadcast back), then docs outside their
+    * own language's band are dropped. Gated on the survivor set plus
+    * per-language band edges — the oracle recomputes the same
+    * interpolated percentiles (DuckDB `quantile_cont` ≡ Spark
+    * `percentile`, both Type-7).
+    */
+  val q111AdaptiveLengthFilter: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), col("lang"),
+      Text.tokenCount(col("text")).cast("long").as("tok"))
+    val bands = d.groupBy("lang").agg(
+      round(expr("percentile(tok, 0.05)"), 6).as("lo"),
+      round(expr("percentile(tok, 0.95)"), 6).as("hi"))
+    d.join(broadcast(bands), "lang")
+      .filter(col("tok").cast("double") >= col("lo") &&
+        col("tok").cast("double") <= col("hi"))
+      .select(col("doc_id"), col("lang"), col("tok"), col("lo"), col("hi"))
+      .orderBy("doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2846,5 +2870,6 @@ object Queries {
     "q108_schema_evolution" -> q108SchemaEvolution,
     "q109_streaming_cdc" -> q109StreamingCdc,
     "q110_grouped_sample" -> q110GroupedSample,
+    "q111_adaptive_length_filter" -> q111AdaptiveLengthFilter,
   )
 }
