@@ -22,6 +22,22 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Exact {
 
+  /** Assert the session is in ANSI mode. The integer-exact iterative
+    * operators ([[graft.operators.PageRank]],
+    * [[graft.operators.BpeTrainer]]) document a fail-loud contract —
+    * a long overflow THROWS rather than wrapping, which is what makes
+    * their bit-exact oracle guarantee trustworthy — but that contract
+    * is enforced by `spark.sql.ansi.enabled` (Spark 4's default), not
+    * by the operators' own arithmetic. A session with ANSI disabled
+    * would wrap silently and break the guarantee without any error,
+    * so the operators check HERE, at entry, once per call.
+    */
+  def requireAnsi(spark: org.apache.spark.sql.SparkSession, op: String): Unit =
+    require(spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean,
+      s"$op requires spark.sql.ansi.enabled=true: its integer-exact " +
+        "overflow-throws contract silently degrades to wraparound under " +
+        "non-ANSI arithmetic")
+
   /** Exact sum of a double column: decimal-cast, sum, back to double.
     * Matches DuckDB `CAST(SUM(CAST(c AS DECIMAL(38,s))) AS DOUBLE)`.
     * DECIMAL(38,6) holds ±10^32 — no overflow headroom issue at 100 TB

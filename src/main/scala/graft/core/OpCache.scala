@@ -166,6 +166,30 @@ object OpCache {
     if (scope != null) scope.rdds.add(rdd)
   }
 
+  /** The RDD backing a frame that was JUST checkpointed (the lifecycle
+    * helper shared by [[graft.operators.Dedup]],
+    * [[graft.operators.PageRank]] and [[graft.operators.BpeTrainer]]):
+    * the analyzed plan of `df.checkpoint(true)` /
+    * `df.localCheckpoint(true)` is a `LogicalRDD` scan over exactly
+    * the persisted blocks — that RDD, not `queryExecution.toRdd` (a
+    * fresh MapPartitionsRDD over it), is what [[freeRdd]] must target.
+    *
+    * The match is a reflection-based class-name probe (LogicalRDD is
+    * `private[sql]`), so it THROWS when no LogicalRDD is found: on a
+    * just-checkpointed frame that can only mean a Spark-internal
+    * rename, and failing loud here beats silently degrading the
+    * per-round checkpoint-freeing discipline back into the block leak
+    * it exists to kill.
+    */
+  def checkpointRdd(df: DataFrame): RDD[_] =
+    df.queryExecution.analyzed.collect {
+      case p if p.getClass.getName == "org.apache.spark.sql.execution.LogicalRDD" =>
+        p.getClass.getMethod("rdd").invoke(p).asInstanceOf[RDD[_]]
+    }.headOption.getOrElse(throw new IllegalStateException(
+      "OpCache.checkpointRdd: no LogicalRDD in the analyzed plan of a frame that " +
+        "was just checkpointed — Spark internals renamed? Without it the " +
+        "checkpoint-freeing discipline silently leaks every round's blocks."))
+
   /** Free one checkpoint-backing RDD now: drop its storage blocks and,
     * for reliable checkpoints, delete the checkpoint files. The RDD
     * (and any frame scanning it) is unusable afterwards. Exposed so

@@ -34,9 +34,27 @@ case class BottomKByHash(k: Int)
   override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
     b.foldLeft(a)(insert)
 
-  private def insert(b: Seq[(Long, Long)], in: (Long, Long)): Seq[(Long, Long)] =
-    if (b.size >= k && implicitly[Ordering[(Long, Long)]].gteq(in, b.last)) b
-    else ((in +: b).distinct.sorted: Seq[(Long, Long)]).take(k)
+  /** Insert into the SORTED-DISTINCT buffer in O(log k) compares +
+    * one O(k) copy (only when the element is actually kept): binary
+    * search the insertion point instead of re-sorting and
+    * distinct-scanning the whole buffer per accepted row — behavior
+    * is unchanged because the buffer invariant is sorted-distinct.
+    */
+  private def insert(b: Seq[(Long, Long)], in: (Long, Long)): Seq[(Long, Long)] = {
+    val ord = implicitly[Ordering[(Long, Long)]]
+    if (b.size >= k && ord.gteq(in, b.last)) b
+    else {
+      val arr = b.toIndexedSeq
+      var lo = 0
+      var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lt(arr(mid), in)) lo = mid + 1 else hi = mid
+      }
+      if (lo < arr.length && arr(lo) == in) b // already present
+      else ((arr.take(lo) :+ in) ++ arr.drop(lo)).take(k)
+    }
+  }
 
   override def finish(b: Seq[(Long, Long)]): Seq[(Long, Long)] = b
 

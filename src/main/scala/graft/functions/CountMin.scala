@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.{col, element_at, least, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{col, concat, element_at, least, lit, pmod, raise_error, size, when, xxhash64}
 import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -56,6 +56,9 @@ case class CountMinSketch(depth: Int, width: Int)
   override def zero: Array[Long] = new Array[Long](depth * width)
 
   override def reduce(b: Array[Long], item: String): Array[Long] = {
+    // SQL aggregate semantics: NULL inputs are skipped, not counted
+    // (and UTF8String.fromString would NPE) — nullable columns are fine
+    if (item == null) return b
     val u = UTF8String.fromString(item)
     var i = 0
     while (i < depth) {
@@ -91,14 +94,30 @@ object CountMin {
     * `sketch[i][xxhash64(i, item) mod width]` — pure built-in
     * expressions (codegen'd), bit-identical to the aggregator's
     * update path. `sketch` is typically a broadcast one-row frame.
+    *
+    * `(depth, width)` MUST match the values the sketch was built with
+    * — a mismatched probe would silently return garbage (wrong row
+    * indices into a differently-shaped matrix), so the generated
+    * expression asserts the sketch's actual shape and raises at the
+    * first probed row on mismatch. The guard is two `size()` calls on
+    * a (typically broadcast) literal — free next to the hash chain.
     */
   def estimate(sketch: Column, item: Column, depth: Int, width: Int): Column = {
     require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
     val perRow = (0 until depth).map { i =>
       // element_at is 1-based; pmod keeps the index in [0, width)
       element_at(element_at(sketch, i + 1),
         (pmod(xxhash64(lit(i), item), lit(width.toLong)) + 1).cast("int"))
     }
-    if (perRow.size == 1) perRow.head else least(perRow: _*)
+    val est = if (perRow.size == 1) perRow.head else least(perRow: _*)
+    when(size(sketch) === lit(depth) &&
+        size(element_at(sketch, 1)) === lit(width), est)
+      .otherwise(raise_error(concat(
+        lit(s"CountMin.estimate: probe shape (depth=$depth, width=$width) does " +
+          "not match the sketch's actual ("),
+        size(sketch).cast("string"), lit(", "),
+        size(element_at(sketch, 1)).cast("string"),
+        lit(") — (depth, width) must equal the builder's"))))
   }
 }

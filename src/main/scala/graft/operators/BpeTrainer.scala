@@ -56,11 +56,9 @@ import org.apache.spark.sql.types._
   */
 object BpeTrainer {
 
+  /** See [[OpCache.checkpointRdd]] — the shared fail-loud helper. */
   private def checkpointRdd(df: DataFrame): Option[RDD[_]] =
-    df.queryExecution.analyzed.collect {
-      case p if p.getClass.getName == "org.apache.spark.sql.execution.LogicalRDD" =>
-        p.getClass.getMethod("rdd").invoke(p).asInstanceOf[RDD[_]]
-    }.headOption
+    Some(OpCache.checkpointRdd(df))
 
   /** One greedy merge pass over a symbol array: the reference
     * algorithm's left-to-right non-overlapping rewrite as a fold.
@@ -96,6 +94,7 @@ object BpeTrainer {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val spark = docs.sparkSession
+    graft.core.Exact.requireAnsi(spark, "BpeTrainer.train")
     def cp(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
 

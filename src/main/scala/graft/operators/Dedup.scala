@@ -19,23 +19,18 @@ import graft.core.OpCache.TrackedPersist
   */
 object Dedup {
 
-  /** The RDD whose blocks back an eagerly checkpointed frame — the
-    * `LogicalRDD` scan node's `rdd`, fetched reflectively because
-    * `LogicalRDD` is `private[sql]` (the accessor is public in
-    * bytecode, so no `setAccessible` games). Both components operators
-    * need the handle to free round N−1's checkpoint the moment round N
-    * materializes: `Dataset.unpersist` only touches CacheManager
-    * entries, never checkpoint blocks, so without this every round of
-    * every call pins |edges|-sized lineage-truncated blocks until the
-    * session dies — the round-11 leak that broke `OpCacheSpec` and
-    * would exhaust storage memory in a long-lived incremental-dedup
-    * service.
+  /** The RDD whose blocks back an eagerly checkpointed frame — see
+    * [[OpCache.checkpointRdd]] (the shared, fail-loud implementation).
+    * Both components operators need the handle to free round N−1's
+    * checkpoint the moment round N materializes: `Dataset.unpersist`
+    * only touches CacheManager entries, never checkpoint blocks, so
+    * without this every round of every call pins |edges|-sized
+    * lineage-truncated blocks until the session dies — the round-11
+    * leak that broke `OpCacheSpec` and would exhaust storage memory in
+    * a long-lived incremental-dedup service.
     */
   private def checkpointRdd(df: DataFrame): Option[RDD[_]] =
-    df.queryExecution.analyzed.collect {
-      case p if p.getClass.getName == "org.apache.spark.sql.execution.LogicalRDD" =>
-        p.getClass.getMethod("rdd").invoke(p).asInstanceOf[RDD[_]]
-    }.headOption
+    Some(OpCache.checkpointRdd(df))
 
   /** Keep exactly one row per `keys`, the first by `order`. */
   def firstWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {

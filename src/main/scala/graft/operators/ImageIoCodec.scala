@@ -82,6 +82,99 @@ object ImageIoCodec extends Multimodal.MediaCodec {
     encodePng(img)
   }
 
+  /** A 9·cellW × 8·cellH grayscale PNG whose (cy, cx) cell is the
+    * constant gray `cells(cy*9 + cx)` — the deterministic fixture for
+    * perceptual-hash queries: [[luma9x8]] recovers `cells` EXACTLY
+    * (each grid cell area-averages identical pixels, and gray r=g=b=v
+    * makes the integer luma (299+587+114)·v/1000 = v), so the dHash of
+    * the decoded image is a closed-form integer function of `cells`.
+    */
+  def grayGridPng(cells: Array[Int], cellW: Int, cellH: Int): Array[Byte] = {
+    require(cells.length == 72, s"need 9x8 = 72 cells, got ${cells.length}")
+    val img = new BufferedImage(9 * cellW, 8 * cellH, BufferedImage.TYPE_INT_RGB)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val v = cells(cy * 9 + cx) & 0xFF
+        val px = (v << 16) | (v << 8) | v
+        var y = cy * cellH
+        while (y < (cy + 1) * cellH) {
+          var x = cx * cellW
+          while (x < (cx + 1) * cellW) { img.setRGB(x, y, px); x += 1 }
+          y += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    encodePng(img)
+  }
+
+  /** 9×8 integer luma grid by EXACT integer area-averaging: cell
+    * (cy, cx) covers pixel rows [h·cy/8, h·(cy+1)/8) × cols
+    * [w·cx/9, w·(cx+1)/9), and its value is
+    * floor(Σ (299R + 587G + 114B) / (pixels · 1000)) — all integer
+    * arithmetic, so the grid is bit-identical on any JVM and
+    * recomputable in closed form for planted fixtures. For dims that
+    * are multiples of (9, 8) every cell is the exact block mean.
+    */
+  def luma9x8(bytes: Array[Byte]): Array[Int] = {
+    val img = decode(bytes)
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](72)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = (h.toLong * cy / 8).toInt
+      val y1 = math.max(y0 + 1, (h.toLong * (cy + 1) / 8).toInt)
+      var cx = 0
+      while (cx < 9) {
+        val x0 = (w.toLong * cx / 9).toInt
+        val x1 = math.max(x0 + 1, (w.toLong * (cx + 1) / 9).toInt)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val px = img.getRGB(x, y)
+            s += 299L * ((px >> 16) & 0xFF) + 587L * ((px >> 8) & 0xFF) +
+              114L * (px & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        out(cy * 9 + cx) = (s / ((y1 - y0).toLong * (x1 - x0) * 1000L)).toInt
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** 64-bit difference hash (dHash — Krawetz's "Kind of Like That"
+    * gradient hash, 2013; the standard cheap perceptual image
+    * fingerprint): bit (cy·8 + cx) is set iff the 9×8 luma grid has
+    * cell (cy, cx) strictly brighter than its right neighbor. Robust
+    * to re-encoding, scaling and global brightness shifts (all
+    * preserve left-vs-right ordering); integer-exact end to end, so a
+    * planted fixture's hash is recomputable arithmetically.
+    */
+  def dHash64(bytes: Array[Byte]): Long = {
+    val g = luma9x8(bytes)
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (g(cy * 9 + cx) > g(cy * 9 + cx + 1)) hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
   def sniffFormat(bytes: Array[Byte]): String =
     withReader(bytes)(_.getFormatName.toLowerCase).getOrElse("bin")
 

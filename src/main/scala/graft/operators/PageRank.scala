@@ -60,10 +60,7 @@ object PageRank {
     * what unpersist must target.
     */
   private def checkpointRdd(df: DataFrame): Option[RDD[_]] =
-    df.queryExecution.analyzed.collect {
-      case p if p.getClass.getName == "org.apache.spark.sql.execution.LogicalRDD" =>
-        p.getClass.getMethod("rdd").invoke(p).asInstanceOf[RDD[_]]
-    }.headOption
+    Some(OpCache.checkpointRdd(df))
 
   def pageRank(
       edges: DataFrame,
@@ -76,6 +73,7 @@ object PageRank {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(scale >= 100L, s"scale must be >= 100, got $scale")
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
+    graft.core.Exact.requireAnsi(edges.sparkSession, "PageRank.pageRank")
     def cp(df: DataFrame): DataFrame =
       if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
 

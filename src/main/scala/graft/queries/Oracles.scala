@@ -2190,6 +2190,48 @@ object Oracles {
          |WHERE CAST(d.tok AS DOUBLE) >= b.lo AND CAST(d.tok AS DOUBLE) <= b.hi
          |ORDER BY d.doc_id""".stripMargin,
 
+    // perceptual image near-dup: the Spark side PNG-encodes planted
+    // 9x8-cell gray grids, decodes them through ImageIO, area-averages
+    // back to the exact integer cell values, dHashes, and finds all
+    // pairs within Hamming 3 via 4-band pigeonhole (EXACT recall, so
+    // the pair set is a pure function of the planted cells). The
+    // oracle replays the cell formula (Queries.dhashFixtureCells) and
+    // the 64 left-right comparisons arithmetically — no image stack.
+    "q112_perceptual_neardup" ->
+      """WITH ids AS MATERIALIZED (
+        |  SELECT doc_id, doc_id % 100000 AS i, doc_id // 100000 AS tier FROM (
+        |    SELECT doc_id FROM documents WHERE doc_id < 200
+        |    UNION ALL SELECT doc_id + 100000 FROM documents WHERE doc_id < 100
+        |    UNION ALL SELECT doc_id + 200000 FROM documents WHERE doc_id < 50)
+        |),
+        |grid AS (
+        |  SELECT cy.g AS cy, cx.g AS cx
+        |  FROM generate_series(0, 7) cy(g), generate_series(0, 8) cx(g)
+        |),
+        |cells AS MATERIALIZED (
+        |  SELECT d.doc_id, g.cy, g.cx,
+        |    CASE WHEN d.tier = 2 AND g.cy = 0 AND g.cx = 0 THEN
+        |      CASE WHEN 20 + (d.i*37) % 200 <= 20 + (d.i*37 + 12 + d.i%13) % 200
+        |           THEN 240 ELSE 10 END
+        |    ELSE 20 + (d.i*37 + (g.cy*9+g.cx)*(g.cy*9+g.cx+11) + (d.i%13)*g.cx) % 200
+        |         + CASE WHEN d.tier = 1 THEN 5 ELSE 0 END
+        |    END AS v
+        |  FROM ids d CROSS JOIN grid g
+        |),
+        |bits AS MATERIALIZED (
+        |  SELECT a.doc_id, a.cy, a.cx, (a.v > b.v) AS bit
+        |  FROM cells a JOIN cells b
+        |    ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b
+        |  ON a.cy = b.cy AND a.cx = b.cx AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

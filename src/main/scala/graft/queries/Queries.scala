@@ -2550,18 +2550,26 @@ object Queries {
   }
 
   /** Incremental connected components
-    * ([[Dedup.componentsIncremental]]): q32's corpus split into a
+    * ([[Dedup.componentsIncremental]] fed by
+    * [[NearDup.incrementalNearDupPairs]]): q32's corpus split into a
     * HISTORY slice (doc_id mod 100000 < 300, i.e. originals < 300
-    * plus their mutants) labeled first, then the remaining docs
-    * arrive as a delta with only their own near-dup pairs — the
-    * stored labels fold in as a 1-deep star forest, the historical
-    * pair set is never re-processed, and the result must equal the
-    * from-scratch recompute BIT-FOR-BIT: the oracle is literally
-    * q32's. (Delta pairs here come from filtering the full pair set
-    * — producing them incrementally is q85's operator; this query
-    * gates the LABEL-folding contract.)
+    * plus their mutants) that is labeled AND band-indexed once at
+    * ingest (the parquet roundtrip is the stored-state hop), then the
+    * remaining docs arrive as a delta whose near-dup pairs come from
+    * the STORED band index — history is never re-shingled (its text
+    * is re-read only for band-colliding candidates, semi-join
+    * pruned), the stored labels fold in as a 1-deep star forest, and
+    * the result must equal the from-scratch recompute BIT-FOR-BIT:
+    * the oracle is literally q32's. Band hashes are deterministic
+    * functions of each doc's text alone, so the incremental
+    * delta×history + delta×delta candidate set is identical to the
+    * delta-touching slice of the full-corpus self-join — which is why
+    * the exact-recompute oracle holds. This is the composition to
+    * imitate at 100 TB: per-batch cost ∝ delta + collisions, never
+    * ∝ history.
     */
   val q105IncrementalComponents: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q105")
     val d0 = docs(s, dir).select("doc_id", "text")
     val mutated = d0.select(
       (col("doc_id") + 100000).as("doc_id"),
@@ -2570,13 +2578,20 @@ object Queries {
     val isHistory = pmod(col("doc_id"), lit(100000L)) < 300
     val history = corpus.filter(isHistory)
     val delta = corpus.filter(!isHistory)
+    // ingest time: history labeled and its band index persisted once
     val histLabels = Dedup.componentsStar(
       history.select("doc_id"), "doc_id",
       NearDup.nearDupPairs(history, "doc_id", "text", threshold = 0.5),
       "id_a", "id_b")
-    val deltaPairs = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
-      .filter(pmod(col("id_a"), lit(100000L)) >= 300 ||
-        pmod(col("id_b"), lit(100000L)) >= 300)
+    val histSigs = history
+      .select(col("doc_id"), NearDup.shingles(col("text"), 3).as("_sh"))
+      .select(col("doc_id"), NearDup.minhashSignature(col("_sh"), 32).as("_sig"))
+    NearDup.lshBands(histSigs, "doc_id", "_sig", 8)
+      .write.mode("overwrite").parquet(s"$tmp/bands")
+    val bandState = s.read.parquet(s"$tmp/bands")
+    // delta arrival: pairs via the stored index, labels folded in
+    val (deltaPairs, _) = NearDup.incrementalNearDupPairs(
+      bandState, history, delta, "doc_id", "text", threshold = 0.5)
     Dedup.componentsIncremental(histLabels, "v", "comp",
         delta.select("doc_id"), "doc_id", deltaPairs, "id_a", "id_b")
       .select(col("v").as("doc_id"), col("comp").as("canonical_id"))
@@ -2739,6 +2754,69 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The (cy, cx) luma cell of q112's planted fixture image for a doc
+    * id: tier = id/100000 (0 base, 1 = +5 global brightness shift, 2 =
+    * one flipped gradient at (0,0)), base value
+    * 20 + (i·37 + k(k+11) + (i mod 13)·cx) mod 200 with k = cy·9+cx.
+    * The oracle (Oracles.scala q112) recomputes exactly this in SQL.
+    */
+  private def dhashFixtureCells(id: Long): Array[Int] = {
+    val i = (id % 100000).toInt
+    val tier = (id / 100000).toInt
+    val cells = new Array[Int](72)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val k = cy * 9 + cx
+        var v = 20 + ((i * 37 + k * (k + 11) + (i % 13) * cx) % 200)
+        if (tier == 1) v += 5
+        cells(k) = v
+        cx += 1
+      }
+      cy += 1
+    }
+    if (tier == 2) {
+      val b00 = 20 + ((i * 37) % 200)
+      val b01 = 20 + ((i * 37 + 12 + (i % 13)) % 200)
+      cells(0) = if (b00 <= b01) 240 else 10
+    }
+    cells
+  }
+
+  /** Perceptual image near-dup ([[PerceptualHash]] over real
+    * [[ImageIoCodec]] rasters): deterministic 18×16 grayscale PNGs
+    * are planted in three tiers — base images, brightness-shifted
+    * re-encodes (+5 gray everywhere: the classic
+    * same-picture-different-encode near-dup, dHash distance 0), and
+    * single-gradient-flip variants (exactly one of the 64 left-right
+    * comparisons inverted, distance 1) — then every image runs the
+    * REAL pipeline: PNG encode → ImageIO decode → exact-integer 9×8
+    * luma grid → dHash → 4-band Hamming self-join → XOR/popcount
+    * verify at radius 3. Recall is EXACT by pigeonhole (3 < 4 bands),
+    * so the oracle can recompute the full ≤3-bit pair set
+    * arithmetically from the planted cell formula — any decode or
+    * banding bug (channel order, row stride, block boundaries, band
+    * masks) breaks the hash gate.
+    */
+  val q112PerceptualNearDup: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir).select("doc_id")
+    val ids = d.filter(col("doc_id") < 200).select(col("doc_id"))
+      .unionByName(d.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 100000).as("doc_id")))
+      .unionByName(d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 200000).as("doc_id")))
+      .as[Long]
+    val imgs = ids.mapPartitions(_.map { id =>
+      (id, ImageIoCodec.grayGridPng(dhashFixtureCells(id), 2, 2))
+    }).toDF("doc_id", "payload")
+    val hashed = PerceptualHash.withDHash(imgs, "payload")
+    PerceptualHash.nearDupPairs(hashed, "doc_id", "dhash",
+        maxHamming = 3, bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2871,5 +2949,6 @@ object Queries {
     "q109_streaming_cdc" -> q109StreamingCdc,
     "q110_grouped_sample" -> q110GroupedSample,
     "q111_adaptive_length_filter" -> q111AdaptiveLengthFilter,
+    "q112_perceptual_neardup" -> q112PerceptualNearDup,
   )
 }
