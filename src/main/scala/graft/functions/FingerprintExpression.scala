@@ -126,6 +126,10 @@ object GraftFunctions {
     // q101 kernel)
     descriptor("graft_cdc_chunks", classOf[CdcChunks], c =>
       CdcChunks(c.head, c(1).eval().asInstanceOf[Int])),
+    // graft_psl_domain(host): Public-Suffix-List registrable domain
+    // (the q113 kernel; embedded snapshot table)
+    descriptor("graft_psl_domain", classOf[PslDomain], c =>
+      PslDomain(c.head, Psl.snapshot)),
     // graft_bpe_segment(word, l1, r1, l2, r2, ...): BPE segmentation
     // under a literal merge list in rank order (the q102 kernel)
     descriptor("graft_bpe_segment", classOf[BpeSegment], c => {

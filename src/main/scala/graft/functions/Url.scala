@@ -35,13 +35,22 @@ object Url {
   }
 
   /** Last two host labels — the per-site rollup key (docs per domain,
-    * domain quality priors). SIMPLIFIED: a real pipeline consults the
-    * Public Suffix List so `bbc.co.uk` is one site, not `co.uk`; with
-    * zero-egress and no bundled PSL this takes the two-label
-    * approximation and says so.
+    * domain quality priors). SIMPLIFIED: `bbc.co.uk` collapses to
+    * `co.uk`. Kept as the dependency-free approximation; use
+    * [[registrableDomainPsl]] (the Public-Suffix-List-backed form)
+    * wherever multi-label registries matter — i.e. any real crawl.
     */
   def registrableDomain(url: Column): Column = {
     val labels = split(lower(parse_url(url, lit("HOST"))), "\\.")
     concat(element_at(labels, -2), lit("."), element_at(labels, -1))
   }
+
+  /** PSL-backed registrable domain (eTLD+1) of a URL: `bbc.co.uk` and
+    * `news.bbc.co.uk` both map to `bbc.co.uk`, `user.github.io` stays
+    * a distinct site. See [[Psl]] for the embedded snapshot table and
+    * the swap path to the full published list. NULL when the host is
+    * itself a public suffix or malformed.
+    */
+  def registrableDomainPsl(url: Column): Column =
+    Psl.registrableDomain(lower(parse_url(url, lit("HOST"))))
 }

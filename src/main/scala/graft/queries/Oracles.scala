@@ -2232,6 +2232,71 @@ object Oracles {
         |HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // PSL registrable domain: the oracle re-runs the publicsuffix.org
+    // matching algorithm IN SQL against the same rule entries the
+    // planted hosts exercise (kind n=normal, w=wildcard base,
+    // e=exception) — longest-match p, wildcard via the parent suffix,
+    // exception priority, implicit default rule p=1, NULL when the
+    // host IS a public suffix. Rule subset of Psl.snapshotLines.
+    "q113_psl_domain" ->
+      """WITH hosts AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE doc_id % 14
+        |      WHEN 0 THEN 'example.com'
+        |      WHEN 1 THEN 'www.example' || (doc_id % 7) || '.com'
+        |      WHEN 2 THEN 'news.bbc.co.uk'
+        |      WHEN 3 THEN 'a' || (doc_id % 5) || '.b.co.uk'
+        |      WHEN 4 THEN 'user' || (doc_id % 11) || '.github.io'
+        |      WHEN 5 THEN 'deep.sub.site' || (doc_id % 7) || '.com.au'
+        |      WHEN 6 THEN 'www.ck'
+        |      WHEN 7 THEN 'foo.www.ck'
+        |      WHEN 8 THEN 'shop.bar' || (doc_id % 3) || '.ck'
+        |      WHEN 9 THEN 'city.kawasaki.jp'
+        |      WHEN 10 THEN 'sub.city.kawasaki.jp'
+        |      WHEN 11 THEN 'blog.w' || (doc_id % 4) || '.kawasaki.jp'
+        |      WHEN 12 THEN 'github.io'
+        |      ELSE 'unknown' || (doc_id % 6) || '.zz'
+        |    END AS host
+        |  FROM documents WHERE doc_id < 400
+        |),
+        |rules(rule, kind) AS (VALUES
+        |  ('com','n'), ('uk','n'), ('co.uk','n'), ('io','n'),
+        |  ('github.io','n'), ('au','n'), ('com.au','n'), ('jp','n'),
+        |  ('ck','w'), ('kawasaki.jp','w'),
+        |  ('www.ck','e'), ('city.kawasaki.jp','e')
+        |),
+        |lab AS MATERIALIZED (
+        |  SELECT doc_id, host, string_split(host, '.') AS ls,
+        |         len(string_split(host, '.')) AS n
+        |  FROM hosts
+        |),
+        |cand AS MATERIALIZED (
+        |  SELECT l.doc_id, k.g AS k,
+        |    array_to_string(list_slice(l.ls, l.n - k.g + 1, l.n), '.') AS sfx,
+        |    array_to_string(list_slice(l.ls, l.n - k.g + 2, l.n), '.') AS parent
+        |  FROM lab l JOIN generate_series(1, 6) k(g) ON k.g <= l.n
+        |),
+        |m AS MATERIALIZED (
+        |  SELECT c.doc_id,
+        |    COALESCE(MAX(CASE WHEN r.kind = 'e' AND r.rule = c.sfx
+        |                      THEN c.k END), 0) AS exc_k,
+        |    GREATEST(1,
+        |      COALESCE(MAX(CASE WHEN r.kind = 'n' AND r.rule = c.sfx
+        |                        THEN c.k END), 1),
+        |      COALESCE(MAX(CASE WHEN r.kind = 'w' AND r.rule = c.parent
+        |                        THEN c.k END), 1)) AS p
+        |  FROM cand c LEFT JOIN rules r ON r.rule IN (c.sfx, c.parent)
+        |  GROUP BY c.doc_id
+        |)
+        |SELECT l.doc_id, l.host,
+        |  CASE WHEN m.exc_k > 0
+        |         THEN array_to_string(list_slice(l.ls, l.n - m.exc_k + 1, l.n), '.')
+        |       WHEN l.n <= m.p THEN NULL
+        |       ELSE array_to_string(list_slice(l.ls, l.n - m.p, l.n), '.')
+        |  END AS domain
+        |FROM lab l JOIN m ON m.doc_id = l.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

@@ -2817,6 +2817,44 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** PSL-backed registrable domain ([[Url.registrableDomainPsl]] /
+    * the [[graft.functions.Psl]] kernel): planted URLs cover every
+    * rule class of the publicsuffix.org algorithm — flat gTLD,
+    * multi-label registry (co.uk, com.au, github.io), wildcard
+    * (*.ck, *.kawasaki.jp), exception (!www.ck, !city.kawasaki.jp),
+    * a bare public suffix (NULL domain), and an unknown TLD (the
+    * implicit default rule). The oracle re-runs the SAME matching
+    * algorithm in SQL against the same rule entries (longest match,
+    * wildcard via parent suffix, exception priority), so a kernel bug
+    * in any branch — or a drifted rule table — breaks the hash gate.
+    * The two-label q92 key would collapse tiers 2/3 into `co.uk`;
+    * this one keeps sites distinct, which is the whole point.
+    */
+  val q113PslDomain: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id").filter(col("doc_id") < 400)
+    val i = col("doc_id")
+    val t = i % 14
+    val host = when(t === 0, lit("example.com"))
+      .when(t === 1, concat(lit("www.example"), i % 7, lit(".com")))
+      .when(t === 2, lit("news.bbc.co.uk"))
+      .when(t === 3, concat(lit("a"), i % 5, lit(".b.co.uk")))
+      .when(t === 4, concat(lit("user"), i % 11, lit(".github.io")))
+      .when(t === 5, concat(lit("deep.sub.site"), i % 7, lit(".com.au")))
+      .when(t === 6, lit("www.ck"))
+      .when(t === 7, lit("foo.www.ck"))
+      .when(t === 8, concat(lit("shop.bar"), i % 3, lit(".ck")))
+      .when(t === 9, lit("city.kawasaki.jp"))
+      .when(t === 10, lit("sub.city.kawasaki.jp"))
+      .when(t === 11, concat(lit("blog.w"), i % 4, lit(".kawasaki.jp")))
+      .when(t === 12, lit("github.io"))
+      .otherwise(concat(lit("unknown"), i % 6, lit(".zz")))
+    d0.select(col("doc_id"), host.as("host"),
+        concat(lit("https://"), host, lit("/p"), i % 5, lit("?x=1")).as("url"))
+      .select(col("doc_id"), col("host"),
+        graft.functions.Url.registrableDomainPsl(col("url")).as("domain"))
+      .orderBy("doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2950,5 +2988,6 @@ object Queries {
     "q110_grouped_sample" -> q110GroupedSample,
     "q111_adaptive_length_filter" -> q111AdaptiveLengthFilter,
     "q112_perceptual_neardup" -> q112PerceptualNearDup,
+    "q113_psl_domain" -> q113PslDomain,
   )
 }
