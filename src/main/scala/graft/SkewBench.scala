@@ -447,6 +447,26 @@ object SkewBench {
       (n, m)
     }
 
+    // ---- 9. Hybrid BPE at a production-shaped vocab ----
+    // 1000 merges over a 20k-distinct-word corpus: the all-distributed
+    // loop would pay ~1000 sequential argmax jobs (minutes of pure
+    // scheduling); trainHybrid runs 4 distributed rounds then collects
+    // the model-sized word table and finishes driver-local — the
+    // SkewBench claim is "1k merges in seconds", and the merge table
+    // is bit-identical to the distributed loop's by the
+    // BpeTrainerSpec property.
+    val bpeHybrid = {
+      val docsDf = spark.range(0, 40000L).select(
+        concat_ws(" ", transform(sequence(lit(0), lit(49)),
+          i => concat(lit("w"), pmod(col("id") * 53 + i.cast("long") * 17, lit(20000L)))))
+          .as("text"))
+      minOf2M(listener) {
+        val model = graft.operators.BpeTrainer.trainHybrid(
+          docsDf, "text", numMerges = 1000, distributedRounds = 4)
+        model.agg(sum(col("freq"))).head().getLong(0)
+      }
+    }
+
     val sweepJson = sweep.map { case (n, c, w) =>
       s"""{"n":$n,"current":${c.json},"legacy_window":${w.json}}"""
     }.mkString("[", ",", "]")
@@ -466,7 +486,8 @@ object SkewBench {
       s""""pagerank_hub":${prSweep.map { case (n, m) =>
         s"""{"n":$n,"meas":${m.json}}""" }.mkString("[", ",", "]")},""" +
       s""""bpe_corpus_sweep":${bpeSweep.map { case (n, m) =>
-        s"""{"n_tokens":$n,"meas":${m.json}}""" }.mkString("[", ",", "]")}}""")
+        s"""{"n_tokens":$n,"meas":${m.json}}""" }.mkString("[", ",", "]")},""" +
+      s""""bpe_hybrid_1k":${bpeHybrid.json}}""")
     spark.stop()
   }
 }

@@ -85,6 +85,46 @@ class BpeTrainerSpec extends SparkSpec {
     }
   }
 
+  private def runHybrid(texts: Seq[String], numMerges: Int,
+      distRounds: Int): Seq[(Int, String, String, Long)] =
+    BpeTrainer.trainHybrid(texts.toDF("text"), "text", numMerges,
+        distributedRounds = distRounds, checkpointEvery = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("property: hybrid ≡ all-distributed at every split point") {
+    val rnd = new Random(19)
+    for (trial <- 1 to 3) {
+      val alphabet = "abcd"
+      val texts = Seq.fill(25)(
+        Seq.fill(3 + rnd.nextInt(5))(
+          Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(4))).mkString
+        ).mkString(" "))
+      val exp = run(texts, 10)
+      for (split <- Seq(0, 1, 4, 10)) {
+        val got = runHybrid(texts, 10, split)
+        assert(got == exp,
+          s"trial $trial split $split diverged:\n got $got\n exp $exp")
+      }
+    }
+  }
+
+  test("hybrid: local rounds keep UTF-8 byte tie-break on non-ASCII") {
+    // U+E000 (3-byte UTF-8: EE 80 80) sorts BEFORE U+1F600 (F0 9F 98
+    // 80) in UTF-8 bytes but AFTER its surrogate-led UTF-16 form —
+    // a Java-String-ordered local argmax would flip this tie
+    val texts = Seq("x x y😀 y😀")
+    val exp = run(texts, 3)
+    val got = runHybrid(texts, 3, 0)
+    assert(got == exp, s"non-ASCII tie diverged:\n got $got\n exp $exp")
+  }
+
+  test("hybrid: early exhaustion inside the local phase stops cleanly") {
+    // only one mergeable pair exists; asking for 5 merges must stop
+    val got = runHybrid(Seq("ab ab c c"), 5, 0)
+    assert(got == Seq((1, "a", "b", 2L)))
+  }
+
   test("applyMerges segments with the learned model") {
     val merges = run(Seq("low low low lower"), 3).map(m => (m._2, m._3))
     val seg = Seq("lowest").toDF("w")
