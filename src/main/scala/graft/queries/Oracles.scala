@@ -2297,6 +2297,52 @@ object Oracles {
         |FROM lab l JOIN m ON m.doc_id = l.doc_id
         |ORDER BY l.doc_id""".stripMargin,
 
+    // CCNet-style perplexity filter: replay of bigram training
+    // (Laplace add-one, context-normalized), 9-dp-rounded log-prob
+    // scoring with exact DECIMAL sums, and the per-language p75 band
+    // (quantile_cont ≡ Spark percentile)
+    "q114_perplexity_filter" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, lang, $toksExpr AS t FROM documents
+         |),
+         |bg AS MATERIALIZED (
+         |  SELECT doc_id, lang,
+         |    unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+         |    unnest(list_slice(t, 2, len(t))) AS w2
+         |  FROM d WHERE len(t) >= 2
+         |),
+         |bgc AS MATERIALIZED (
+         |  SELECT w1, w2, COUNT(*) AS cnt FROM bg
+         |  WHERE doc_id % 10 < 8 GROUP BY w1, w2
+         |),
+         |ctx AS MATERIALIZED (SELECT w1, SUM(cnt) AS ctx FROM bgc GROUP BY w1),
+         |v AS (
+         |  SELECT COUNT(DISTINCT tok) AS v
+         |  FROM (SELECT unnest(t) AS tok FROM d WHERE doc_id % 10 < 8)
+         |),
+         |ll AS MATERIALIZED (
+         |  SELECT b.doc_id, b.lang,
+         |    ROUND(ln(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) /
+         |             CAST(COALESCE(x.ctx, 0) + (SELECT v FROM v) AS DOUBLE)), 9) AS ll
+         |  FROM bg b
+         |  LEFT JOIN bgc c ON b.w1 = c.w1 AND b.w2 = c.w2
+         |  LEFT JOIN ctx x ON b.w1 = x.w1
+         |),
+         |scored AS MATERIALIZED (
+         |  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+         |    ROUND(exp(-(CAST(SUM(CAST(ll AS DECIMAL(38,9))) AS DOUBLE)
+         |                / COUNT(*))), 6) AS ppl
+         |  FROM ll GROUP BY doc_id, lang
+         |),
+         |bands AS (
+         |  SELECT lang, ROUND(quantile_cont(ppl, 0.75), 6) AS p75
+         |  FROM scored GROUP BY lang
+         |)
+         |SELECT s.doc_id, s.lang, s.n_bigrams, s.ppl, b.p75
+         |FROM scored s JOIN bands b ON s.lang = b.lang
+         |WHERE s.ppl <= b.p75
+         |ORDER BY s.doc_id""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

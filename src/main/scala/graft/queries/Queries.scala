@@ -2855,6 +2855,29 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style LM perplexity filter ([[LanguageModel]]): a bigram
+    * LM with Laplace smoothing trains on the doc_id%10<8 slice (the
+    * q35 split shape), every doc is scored, and docs above their
+    * language's p75 perplexity band are dropped (CCNet's
+    * tertile-on-Wikipedia-LM stage, Wenzek et al. LREC 2020). Exact
+    * by the q98/Exact discipline — integer counts, 9-dp-rounded
+    * per-bigram log-probs, DECIMAL sums — so the oracle replays
+    * training, scoring, and the quantile band verbatim.
+    */
+  val q114PerplexityFilter: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "lang", "text")
+    val train = d.filter(col("doc_id") % 10 < 8)
+    val (bg, vocab) = LanguageModel.trainBigram(train, "text")
+    val scored = LanguageModel.perplexity(d, "doc_id", "text", bg, vocab)
+      .join(d.select("doc_id", "lang"), "doc_id")
+    val bands = scored.groupBy("lang")
+      .agg(round(expr("percentile(ppl, 0.75)"), 6).as("p75"))
+    scored.join(broadcast(bands), "lang")
+      .filter(col("ppl") <= col("p75"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("ppl"), col("p75"))
+      .orderBy("doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -2989,5 +3012,6 @@ object Queries {
     "q111_adaptive_length_filter" -> q111AdaptiveLengthFilter,
     "q112_perceptual_neardup" -> q112PerceptualNearDup,
     "q113_psl_domain" -> q113PslDomain,
+    "q114_perplexity_filter" -> q114PerplexityFilter,
   )
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver replay of the exact pipeline (counts, Laplace, 9-dp log
+    * rounding, exact mean, exp) for arbitrary corpora.
+    */
+  private def replay(train: Seq[String], score: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+    def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+    def bgs(s: String) = toks(s).sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))).toSeq
+    val counts = train.flatMap(bgs).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx = counts.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val v = train.flatMap(toks).distinct.size.toLong
+    score.flatMap { case (id, text) =>
+      val b = bgs(text)
+      if (b.isEmpty) None
+      else {
+        val lls = b.map { p =>
+          val c = counts.getOrElse(p, 0L)
+          val cx = ctx.getOrElse(p._1, 0L)
+          BigDecimal(math.log((c + 1).toDouble / (cx + v).toDouble))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }
+        val avg = lls.sum.toDouble / lls.size // decimal-exact sum, ONE fp divide
+        val ppl = BigDecimal(math.exp(-avg))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some(id -> (b.size.toLong, ppl))
+      }
+    }.toMap
+  }
+
+  private def run(train: Seq[String], score: Seq[(Long, String)],
+      parts: Int): Map[Long, (Long, Double)] = {
+    val (bg, vocab) = LanguageModel.trainBigram(
+      train.toDF("text").repartition(parts), "text")
+    LanguageModel.perplexity(
+        score.toDF("doc_id", "text").repartition(parts), "doc_id", "text", bg, vocab)
+      .select("doc_id", "n_bigrams", "ppl")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, p) => id -> (n, p) }.toMap
+  }
+
+  test("property: operator ≡ driver replay on random corpora, any partitioning") {
+    val rnd = new Random(11)
+    val vocabulary = Vector("the", "cat", "sat", "on", "mat", "dog", "ran", "far")
+    for (trial <- 1 to 3) {
+      val train = Seq.fill(40)(
+        Seq.fill(2 + rnd.nextInt(10))(vocabulary(rnd.nextInt(8))).mkString(" "))
+      val score = (0L until 25L).map(i =>
+        (i, Seq.fill(rnd.nextInt(8))(vocabulary(rnd.nextInt(8))).mkString(" ")))
+      val exp = replay(train, score)
+      for (parts <- Seq(1, 7)) {
+        val got = run(train, score, parts)
+        assert(got === exp, s"trial $trial parts $parts diverged")
+      }
+      graft.core.OpCache.release()
+    }
+  }
+
+  test("fluent text scores lower perplexity than shuffled text") {
+    val train = Seq.fill(30)("the cat sat on the mat")
+    val score = Seq((1L, "the cat sat on the mat"), (2L, "mat the on cat the sat"))
+    val got = run(train, score, 2)
+    assert(got(1L)._2 < got(2L)._2,
+      s"in-domain text must score lower ppl: $got")
+  }
+
+  test("unseen context falls back to the uniform Laplace mass") {
+    val train = Seq("a b a b")
+    val score = Seq((1L, "zz qq"))          // both words OOV
+    val got = run(train, score, 1)
+    // p = (0+1)/(0+V) with V=2 → ppl = exp(ln 2) = 2
+    assert(got(1L) === ((1L, 2.0)), s"got $got")
+  }
+
+  test("sub-2-token docs are absent (no LM evidence)") {
+    val got = run(Seq("a b"), Seq((1L, "a"), (2L, ""), (3L, "a b")), 1)
+    assert(got.keySet === Set(3L))
+  }
+}
