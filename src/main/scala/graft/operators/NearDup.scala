@@ -91,6 +91,17 @@ object NearDup {
         concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))))
   }
 
+  /** The stored VERIFICATION-side table written beside a band index:
+    * (idCol, shingles). A continuous near-dup deployment stores this
+    * at ingest so no later batch or micro-batch ever re-shingles
+    * history text — see [[graft.streaming.StreamingNearDup
+    * .againstIndex]]'s `historyShingles` and the storage-for-scan
+    * trade documented on [[incrementalNearDupPairs]].
+    */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol), shingles(col(textCol), n).as("shingles"))
+
   def lshBands(df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame =
     df.select(col(idCol), posexplode(bandHashes(col(sigCol), bands))
       .as(Seq("band", "band_hash")))

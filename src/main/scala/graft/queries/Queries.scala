@@ -2186,13 +2186,21 @@ object Queries {
       NearDup.lshBands(histSigs, "doc_id", "_sig", 8)
         .write.mode("overwrite").parquet(p)
     }
+    // the stored verification side (written at ingest, like the band
+    // index): without it the stream-static verify join re-shingles
+    // all of history EVERY micro-batch
+    val shinglesDir = memoFixture("q91shingles", dir) { p =>
+      NearDup.shingleTable(history, "doc_id", "text")
+        .write.mode("overwrite").parquet(p)
+    }
     val in = memoFixture("q91delta", dir) { p =>
       delta.write.mode("overwrite").parquet(p)
     }
     val pairs = graft.streaming.StreamingNearDup.againstIndex(
       s.readStream.schema(delta.schema).parquet(in),
       s.read.parquet(bandsDir), history,
-      "doc_id", "ts", "text", threshold = 0.5)
+      "doc_id", "ts", "text", threshold = 0.5,
+      historyShingles = s.read.parquet(shinglesDir))
     runToSink(pairs, in, out, chk, dropInput = false, needsFlushBatch = false)
     s.read.parquet(out).orderBy("id_a", "id_b")
   }
@@ -2626,7 +2634,10 @@ object Queries {
         count(lit(1)).as("_n"))
     runToSink(agg, in, out, chk, dropInput = false)
     val sketch = s.read.parquet(out).select("_mg", "_n")
-    val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // exact counts from the memoized fixture (same token stream, one
+    // parquet scan) instead of re-tokenizing the whole corpus
+    val top = s.read.parquet(in).filter(col("tok") =!= "__sentinel")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(10)
     top.crossJoin(broadcast(sketch))
       .select(col("tok"), col("cnt"),

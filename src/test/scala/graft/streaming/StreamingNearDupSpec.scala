@@ -68,6 +68,16 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stored shingle table path ≡ derived-from-text path") {
+    val stored = NearDup.shingleTable(
+      history.toDF("doc_id", "text"), "doc_id", "text")
+    val viaStored = StreamingNearDup.againstIndex(
+        delta.toDF(), bandState, history.toDF("doc_id", "text"),
+        "doc_id", "ts", "text", threshold = 0.5, historyShingles = stored)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaStored === expectedPairs)
+  }
+
   test("batch fallback produces the same pair set") {
     val out = StreamingNearDup.againstIndex(
         delta.toDF(), bandState, history.toDF("doc_id", "text"),
