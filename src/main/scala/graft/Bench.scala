@@ -71,15 +71,24 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
-    // also persist the full line as an artifact: the driver captures
-    // stdout through a bounded tail buffer that has truncated past
-    // rounds' per-query maps (BENCH_r10 lost q01-q13) — a file written
-    // here is the durable record
+    // persist the full line as an artifact: the driver captures stdout
+    // through a bounded tail buffer that has truncated past rounds'
+    // per-query maps (BENCH_r10 lost q01-q13; BENCH_r12 wasn't even
+    // parseable) — a file written here is the durable record
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // and END stdout with a line SHORT enough to survive any tail
+    // buffer whole: the headline numbers plus the slowest queries,
+    // with a pointer to the full per-query map. Tail-grabbers parse
+    // this; humans and the driver lift `out` verbatim.
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""failed":$failed,"sf":"$sfDir","slowest":$slow,"queries_file":"$out"}""")
     spark.stop()
   }
 }

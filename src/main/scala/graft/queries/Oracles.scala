@@ -2343,6 +2343,42 @@ object Oracles {
          |WHERE s.ppl <= b.p75
          |ORDER BY s.doc_id""".stripMargin,
 
+    // streaming LM perplexity: q114's scored table verbatim (no band
+    // filter) — the stream's plan-constant kernel must be numerically
+    // identical to the batch DECIMAL aggregation
+    "q115_streaming_perplexity" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, $toksExpr AS t FROM documents
+         |),
+         |bg AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+         |    unnest(list_slice(t, 2, len(t))) AS w2
+         |  FROM d WHERE len(t) >= 2
+         |),
+         |bgc AS MATERIALIZED (
+         |  SELECT w1, w2, COUNT(*) AS cnt FROM bg
+         |  WHERE doc_id % 10 < 8 GROUP BY w1, w2
+         |),
+         |ctx AS MATERIALIZED (SELECT w1, SUM(cnt) AS ctx FROM bgc GROUP BY w1),
+         |v AS (
+         |  SELECT COUNT(DISTINCT tok) AS v
+         |  FROM (SELECT unnest(t) AS tok FROM d WHERE doc_id % 10 < 8)
+         |),
+         |ll AS MATERIALIZED (
+         |  SELECT b.doc_id,
+         |    ROUND(ln(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) /
+         |             CAST(COALESCE(x.ctx, 0) + (SELECT v FROM v) AS DOUBLE)), 9) AS ll
+         |  FROM bg b
+         |  LEFT JOIN bgc c ON b.w1 = c.w1 AND b.w2 = c.w2
+         |  LEFT JOIN ctx x ON b.w1 = x.w1
+         |)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(exp(-(CAST(SUM(CAST(ll AS DECIMAL(38,9))) AS DOUBLE)
+         |              / COUNT(*))), 6) AS ppl
+         |FROM ll GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->
