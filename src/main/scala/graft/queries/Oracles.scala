@@ -2156,6 +2156,30 @@ object Oracles {
         "\nFROM embeddings ORDER BY vec_id"
     },
 
+    // weighted grouped sample: the window replay of the mergeable
+    // bottom-k over Efraimidis-Spirakis keys — same md5-prefix
+    // uniform as q103/q110, key integer-scaled so the gate is exact
+    "q116_weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id, GREATEST(n_chars, 1) AS w,
+         |    CAST(list_sum([
+         |      CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT)
+         |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |      FOR i IN range(1, 13)]) AS BIGINT) AS h
+         |  FROM documents
+         |),
+         |k AS (
+         |  SELECT lang, doc_id,
+         |    CAST(ROUND(-ln((CAST(h AS DOUBLE) + 1.0) / 281474976710656.0)
+         |               / CAST(w AS DOUBLE) * 1000000000.0) AS BIGINT) AS k
+         |  FROM h
+         |)
+         |SELECT lang, k, doc_id FROM (
+         |  SELECT lang, k, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+         |  FROM k) WHERE rn <= 5
+         |ORDER BY lang, k, doc_id""".stripMargin,
+
     // grouped bottom-k sample: the window replay of the mergeable
     // aggregate — same md5-prefix hash arithmetic as q103
     "q110_grouped_sample" ->

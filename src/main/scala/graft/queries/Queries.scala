@@ -2946,6 +2946,32 @@ object Queries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** WEIGHTED grouped sampling without replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006:
+    * the k items with the smallest exponential keys −ln(u)/w are a
+    * weighted sample) on the q110 mergeable bottom-k machinery — the
+    * 100 TB shape for "sample 5 docs per language, proportional to
+    * length": map-side partials reduce each (partition, lang) to ≤5
+    * keys before the shuffle, NO per-key window. u is the q103
+    * md5-prefix uniform (deterministic, content-keyed), the key is
+    * 9-dp-scaled to an exact BIGINT so the gate is integer-exact, and
+    * the weight is the doc's character count — long docs are sampled
+    * proportionally more often, which a quality-biased export wants.
+    */
+  val q116WeightedSample: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("lang"), col("doc_id"),
+      conv(substring(md5(col("text")), 1, 12), 16, 10).cast("double").as("_h"),
+      greatest(col("n_chars"), lit(1L)).cast("double").as("_w"))
+    val u = (col("_h") + 1.0) / lit(281474976710656.0) // 2^48 → u ∈ (0,1]
+    val key = bround(-log(u) / col("_w") * 1e9).cast("long")
+    d.select(col("lang"), key.as("k"), col("doc_id"))
+      .groupBy("lang")
+      .agg(graft.functions.BottomK.bottomK(5)(col("k"), col("doc_id")).as("_s"))
+      .select(col("lang"), explode(col("_s")).as("pair"))
+      .select(col("lang"), col("pair._1").as("k"), col("pair._2").as("doc_id"))
+      .orderBy("lang", "k", "doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3082,5 +3108,6 @@ object Queries {
     "q113_psl_domain" -> q113PslDomain,
     "q114_perplexity_filter" -> q114PerplexityFilter,
     "q115_streaming_perplexity" -> q115StreamingPerplexity,
+    "q116_weighted_sample" -> q116WeightedSample,
   )
 }
