@@ -324,4 +324,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles === 0,
       s"probing a broadcast sketch must not hash-shuffle the probe side, got $shuffles")
   }
+
+  test("streaming near-dup banding: the minhash chain runs ONCE per row") {
+    // the round-13 generator-shape regression lock: an expensive chain
+    // inlined where bandHashes' lambda references it (3×/band) or
+    // re-inlined by InferFiltersFromGenerate's size()>0 filter would
+    // surface as extra graft_minhash occurrences in the optimized plan
+    val docs = Seq((1L, new java.sql.Timestamp(0L), "a b c d e f g"))
+      .toDF("doc_id", "ts", "text")
+    val sigs = docs.select($"doc_id",
+      NearDup.minhashSignature(NearDup.shingles($"text", 3), 32).as("_sig"))
+    val state = NearDup.lshBands(sigs, "doc_id", "_sig", 8)
+    val q = graft.streaming.StreamingNearDup.againstIndex(
+      docs, state, docs, "doc_id", "ts", "text", threshold = 0.5)
+    val plan = q.queryExecution.optimizedPlan.toString()
+    // occurrences attributable to the DELTA side: total minus the two
+    // static-side chains (index build + history verify shingles)
+    val minhashCount = raw"graft_minhash".r.findAllIn(plan).size
+    assert(minhashCount <= 2,
+      s"delta minhash chain must be projected once, found $minhashCount " +
+        s"graft_minhash nodes:\n${plan.take(4000)}")
+  }
 }
