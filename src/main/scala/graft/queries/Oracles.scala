@@ -2403,6 +2403,53 @@ object Oracles {
          |FROM ll GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    // video near-dup: q112's arithmetic replay extended with the
+    // frame dimension — per-frame dHash bits from the planted cell
+    // formula, aligned-frame Hamming, clips matching on >=3 of 4
+    // frames within radius 3 (per-frame recall is exact by pigeonhole)
+    "q117_video_neardup" ->
+      """WITH ids AS MATERIALIZED (
+        |  SELECT doc_id, doc_id % 100000 AS i, doc_id // 100000 AS tier FROM (
+        |    SELECT doc_id FROM documents WHERE doc_id < 120
+        |    UNION ALL SELECT doc_id + 100000 FROM documents WHERE doc_id < 60
+        |    UNION ALL SELECT doc_id + 200000 FROM documents WHERE doc_id < 30)
+        |),
+        |grid AS (
+        |  SELECT f.g AS f, cy.g AS cy, cx.g AS cx
+        |  FROM generate_series(0, 3) f(g), generate_series(0, 7) cy(g),
+        |       generate_series(0, 8) cx(g)
+        |),
+        |cells AS MATERIALIZED (
+        |  SELECT d.doc_id, g.f, g.cy, g.cx,
+        |    CASE WHEN d.tier = 2 AND g.f = 0 AND g.cy = 0 AND g.cx = 0 THEN
+        |      CASE WHEN 20 + (d.i*37) % 200 <= 20 + (d.i*37 + 12 + d.i%13) % 200
+        |           THEN 240 ELSE 10 END
+        |    ELSE 20 + (d.i*37 + g.f*17 + (g.cy*9+g.cx)*(g.cy*9+g.cx+11)
+        |               + (d.i%13)*g.cx) % 200
+        |         + CASE WHEN d.tier = 1 THEN 5 ELSE 0 END
+        |    END AS v
+        |  FROM ids d CROSS JOIN grid g
+        |),
+        |bits AS MATERIALIZED (
+        |  SELECT a.doc_id, a.f, a.cy, a.cx, (a.v > b.v) AS bit
+        |  FROM cells a JOIN cells b
+        |    ON b.doc_id = a.doc_id AND b.f = a.f AND b.cy = a.cy
+        |       AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8
+        |),
+        |fh AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.f,
+        |         SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS ham
+        |  FROM bits a JOIN bits b
+        |    ON a.f = b.f AND a.cy = b.cy AND a.cx = b.cx AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS frames_matched
+        |FROM fh WHERE ham <= 3
+        |GROUP BY id_a, id_b
+        |HAVING COUNT(*) >= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

@@ -2978,6 +2978,78 @@ object Queries {
       .orderBy("lang", "k", "doc_id")
   }
 
+  /** q117's planted frame grid: q112's cell formula with a frame
+    * term (f·17). Tier 1 (+100000): +5 brightness on EVERY frame —
+    * a re-encoded clip. Tier 2 (+200000): one flipped gradient in
+    * frame 0 only — a lightly edited clip. The oracle replays this
+    * exactly in SQL.
+    */
+  private def videoFixtureCells(id: Long, f: Int): Array[Int] = {
+    val i = (id % 100000).toInt
+    val tier = (id / 100000).toInt
+    val cells = new Array[Int](72)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val k = cy * 9 + cx
+        var v = 20 + ((i * 37 + f * 17 + k * (k + 11) + (i % 13) * cx) % 200)
+        if (tier == 1) v += 5
+        cells(k) = v
+        cx += 1
+      }
+      cy += 1
+    }
+    if (tier == 2 && f == 0) {
+      val b00 = 20 + ((i * 37) % 200)
+      val b01 = 20 + ((i * 37 + 12 + (i % 13)) % 200)
+      cells(0) = if (b00 <= b01) 240 else 10
+    }
+    cells
+  }
+
+  /** VIDEO near-dup ([[GvidCodec]] + [[PerceptualHash]]): clips ride
+    * as real container payloads (GRAFTVID: length-prefixed PNG
+    * frames, demuxed and frame-decoded by the production ImageIO
+    * stack — only real-world inter-frame codecs stay behind the
+    * seam), frames are sampled through the [[Multimodal]] explode,
+    * each frame dHashes, and clips match when ≥3 of 4 aligned frames
+    * are within Hamming 3 — the standard shot-level video
+    * fingerprinting shape (per-frame perceptual hash + temporal
+    * voting). Planted: whole-clip re-encodes (brightness shift,
+    * distance 0 every frame) and single-frame edits (one gradient
+    * flip in frame 0 — still matches 4/4 at radius 3). Per-frame
+    * recall is EXACT (pigeonhole banding), so the oracle recomputes
+    * the full answer arithmetically from the planted cell formula.
+    */
+  val q117VideoNearDup: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir).select("doc_id")
+    val ids = d.filter(col("doc_id") < 120).select(col("doc_id"))
+      .unionByName(d.filter(col("doc_id") < 60)
+        .select((col("doc_id") + 100000).as("doc_id")))
+      .unionByName(d.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 200000).as("doc_id")))
+      .as[Long]
+    val vids = ids.mapPartitions(_.map { id =>
+      (id, GvidCodec.encode((0 until 4).map(f =>
+        ImageIoCodec.grayGridPng(videoFixtureCells(id, f), 2, 2))))
+    }).toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(vids, "doc_id", "payload", 4, GvidCodec)
+    val hashed = PerceptualHash.withDHash(frames, "frame")
+      // composite id aligns the per-frame band join: same-position
+      // frames compare, vid order is preserved (frame_idx < 16)
+      .select((col("doc_id") * 16 + col("frame_idx")).as("fid"), col("dhash"))
+    PerceptualHash.nearDupPairs(hashed, "fid", "dhash", maxHamming = 3, bands = 4)
+      .filter(pmod(col("id_a"), lit(16L)) === pmod(col("id_b"), lit(16L)))
+      .select(expr("id_a div 16").as("id_a"), expr("id_b div 16").as("id_b"),
+        pmod(col("id_a"), lit(16L)).as("_f"))
+      .groupBy("id_a", "id_b")
+      .agg(count_distinct(col("_f")).as("frames_matched"))
+      .filter(col("frames_matched") >= 3)
+      .orderBy("id_a", "id_b")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3115,5 +3187,6 @@ object Queries {
     "q114_perplexity_filter" -> q114PerplexityFilter,
     "q115_streaming_perplexity" -> q115StreamingPerplexity,
     "q116_weighted_sample" -> q116WeightedSample,
+    "q117_video_neardup" -> q117VideoNearDup,
   )
 }
