@@ -325,6 +325,39 @@ class PlanShapeSpec extends SparkSpec {
       s"probing a broadcast sketch must not hash-shuffle the probe side, got $shuffles")
   }
 
+  test("LM perplexity scoring: model-sized sides broadcast; vocab is a broadcast scalar") {
+    val docs = Seq.tabulate(300)(i => (i.toLong, s"w${i % 5} w${(i + 1) % 5} w${(i + 2) % 5}"))
+      .toDF("doc_id", "text")
+    val (bg, vocab) = LanguageModel.trainBigram(docs, "text")
+    val q = LanguageModel.perplexity(docs, "doc_id", "text",
+      broadcast(bg), broadcast(vocab))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bigram count join must broadcast when model-sized:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the one-row vocab scalar must broadcast:\n${plan.take(3000)}")
+  }
+
+  test("weighted sample: bottom-k partials reduce before the ONE group shuffle") {
+    import graft.functions.BottomK
+    val d = Seq.tabulate(500)(i => (s"lang${i % 3}", i.toLong * 37 % 1000, i.toLong))
+      .toDF("lang", "k", "doc_id")
+    val q = d.groupBy("lang").agg(BottomK.bottomK(5)($"k", $"doc_id").as("_s"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    // ObjectHashAggregate partial -> exchange -> final: the partial
+    // aggregation keyword must appear BELOW the single exchange
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed bottom-k must run as an (object) hash aggregate:\n${plan.take(3000)}")
+    // count distinct exchange nodes — AQE's toString repeats the
+    // initial plan below the final one
+    val shuffles = raw"Exchange hashpartitioning.*?\[plan_id=(\d+)\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(shuffles === 1,
+      s"grouped sampling must shuffle once (≤k rows per partition-group), got $shuffles")
+  }
+
   test("streaming near-dup banding: the minhash chain runs ONCE per row") {
     // the round-13 generator-shape regression lock: an expensive chain
     // inlined where bandHashes' lambda references it (3×/band) or
