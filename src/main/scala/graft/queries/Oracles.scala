@@ -2450,6 +2450,77 @@ object Oracles {
         |HAVING COUNT(*) >= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // DSIR importance resampling: full replay — hashed unigram+bigram
+    // buckets (md5-48 % 1024), Laplace-smoothed log ratios (one
+    // 9-dp-rounded ln over exact integer products), DECIMAL(38,9)
+    // per-doc sums, md5-derived Gumbel keys, exact top-100
+    "q118_dsir_select" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, source, $toksExpr AS t FROM documents
+         |),
+         |bi AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+         |    unnest(list_slice(t, 2, len(t))) AS w2
+         |  FROM d WHERE len(t) >= 2
+         |),
+         |ng AS (
+         |  SELECT doc_id, source, ng FROM
+         |    (SELECT doc_id, source, unnest(t) AS ng FROM d)
+         |  UNION ALL
+         |  SELECT doc_id, source, w1 || ' ' || w2 AS ng FROM bi
+         |),
+         |bk AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CAST(list_sum([
+         |      CAST(strpos('0123456789abcdef', substr(md5(ng), i, 1)) - 1 AS BIGINT)
+         |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |      FOR i IN range(1, 13)]) % 1024 AS BIGINT) AS bucket
+         |  FROM ng
+         |),
+         |tc AS MATERIALIZED (
+         |  SELECT bucket, COUNT(*) AS tc FROM bk
+         |  WHERE source IN ('src0', 'src1') GROUP BY bucket
+         |),
+         |rc AS MATERIALIZED (
+         |  SELECT bucket, COUNT(*) AS rc FROM bk
+         |  WHERE source NOT IN ('src0', 'src1') GROUP BY bucket
+         |),
+         |tot AS (
+         |  SELECT (SELECT SUM(tc) FROM tc) AS tt, (SELECT SUM(rc) FROM rc) AS rt
+         |),
+         |lam AS MATERIALIZED (
+         |  SELECT b.doc_id,
+         |    ROUND(ln(CAST((COALESCE(t.tc, 0) + 1) * (tot.rt + 1024) AS DOUBLE) /
+         |             CAST((COALESCE(r.rc, 0) + 1) * (tot.tt + 1024) AS DOUBLE)), 9) AS lam
+         |  FROM bk b LEFT JOIN tc t ON b.bucket = t.bucket
+         |  LEFT JOIN rc r ON b.bucket = r.bucket, tot
+         |  WHERE b.source NOT IN ('src0', 'src1')
+         |),
+         |w AS MATERIALIZED (
+         |  SELECT doc_id, COUNT(*) AS n_ngrams,
+         |    ROUND(CAST(SUM(CAST(lam AS DECIMAL(38,9))) AS DOUBLE), 6) AS logw
+         |  FROM lam GROUP BY doc_id
+         |),
+         |uu AS (
+         |  SELECT doc_id,
+         |    (CAST(list_sum([
+         |      CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT)
+         |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |      FOR i IN range(1, 13)]) AS DOUBLE) + 0.5) / 281474976710656.0 AS u
+         |  FROM documents WHERE source NOT IN ('src0', 'src1')
+         |),
+         |keyed AS (
+         |  SELECT w.doc_id, w.n_ngrams, w.logw,
+         |    -CAST(ROUND((w.logw - ln(-ln(uu.u))) * 1000000.0) AS BIGINT) AS key
+         |  FROM w JOIN uu ON w.doc_id = uu.doc_id
+         |)
+         |SELECT k.doc_id, d2.source, k.n_ngrams, k.logw, k.key FROM (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS rn FROM keyed) k
+         |JOIN documents d2 ON k.doc_id = d2.doc_id
+         |WHERE k.rn <= 100
+         |ORDER BY k.key, k.doc_id""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

@@ -3050,6 +3050,34 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** DSIR data selection ([[Dsir]]): the curated target slice is
+    * sources src0+src1, the raw pool is everything else; hashed
+    * unigram+bigram bucket models (B = 1024) fit on each corpus, every
+    * raw doc scores Σ c_b·λ_b, and Gumbel-top-k draws 100 docs without
+    * replacement ∝ exp(logw) (Xie et al., NeurIPS 2023 — the standard
+    * pretraining data-selection stage; Kool et al., ICML 2019 for the
+    * Gumbel machinery). Exact end-to-end — integer bucket counts, one
+    * 9-dp-rounded ln per occurrence, DECIMAL(38,9) sums, md5-derived
+    * uniform strictly inside (0,1) — so the oracle replays feature
+    * hashing, both models, scoring, and the exact top-k.
+    */
+  val q118DsirSelect: Q = (s, dir) => {
+    val b = 1024
+    val d = docs(s, dir).select("doc_id", "source", "text")
+    val isTarget = col("source").isin("src0", "src1")
+    val raw = d.filter(!isTarget)
+    val tc = Dsir.fitBucketCounts(d.filter(isTarget), "text", b)
+    val rc = Dsir.fitBucketCounts(raw, "text", b)
+    val u = (conv(substring(md5(col("text")), 1, 12), 16, 10).cast("double") + 0.5) /
+      lit(281474976710656.0) // (h48 + 0.5) / 2^48 ∈ (0,1), exact in double
+    val w = Dsir.importanceWeights(raw, "doc_id", "text", tc, rc, b)
+      .join(raw.select(col("doc_id"), col("source"), u.as("_u")), "doc_id")
+    Dsir.resample(w, "doc_id", "logw", col("_u"), 100)
+      .join(w.select("doc_id", "source", "n_ngrams", "logw"), "doc_id")
+      .select("doc_id", "source", "n_ngrams", "logw", "key")
+      .orderBy("key", "doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3188,5 +3216,6 @@ object Queries {
     "q115_streaming_perplexity" -> q115StreamingPerplexity,
     "q116_weighted_sample" -> q116WeightedSample,
     "q117_video_neardup" -> q117VideoNearDup,
+    "q118_dsir_select" -> q118DsirSelect,
   )
 }

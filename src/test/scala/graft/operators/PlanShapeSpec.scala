@@ -378,4 +378,21 @@ class PlanShapeSpec extends SparkSpec {
       s"delta minhash chain must be projected once, found $minhashCount " +
         s"graft_minhash nodes:\n${plan.take(4000)}")
   }
+
+  test("DSIR scoring: bucket models and totals broadcast; corpus n-grams never shuffle to the model") {
+    val docs = Seq.tabulate(400)(i =>
+      (i.toLong, s"w${i % 7} w${(i + 1) % 7} w${(i + 3) % 7} w${(i + 5) % 7}"))
+      .toDF("doc_id", "text")
+    val tc = Dsir.fitBucketCounts(docs.filter($"doc_id" % 4 === 0), "text", 256)
+    val rc = Dsir.fitBucketCounts(docs.filter($"doc_id" % 4 =!= 0), "text", 256)
+    val q = Dsir.importanceWeights(docs, "doc_id", "text", tc, rc, 256)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket-count model joins must broadcast (model-sized, ≤ buckets rows):\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the one-row totals frame must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus n-gram occurrences were shuffled to the model:\n${plan.take(3000)}")
+  }
 }
