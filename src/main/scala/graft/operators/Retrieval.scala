@@ -90,4 +90,113 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** BATCH multi-query BM25: all `queries` scored in ONE corpus pass.
+    * Per-query `bm25TopK` calls pay a full scan each — a curation
+    * workload with hundreds of standing queries cannot afford Q scans
+    * of 100 TB. Here the union of all query terms feeds one native
+    * tf-vector kernel pass (O(dl + |terms|) per doc), the corpus
+    * stats stay ONE mergeable row (df per distinct term), scoring is
+    * a projection that fans each doc out to its Q (query_id, score)
+    * pairs, and the per-query top-k is the MERGEABLE grouped bottom-k
+    * (q110 machinery) on the negated 6-dp-scaled score — map-side
+    * partials reduce every partition to ≤k rows per query, so the
+    * one shuffle carries ≤ Q·k·partitions rows, never the corpus. No
+    * window, no global sort.
+    *
+    * Scores are identical to [[bm25TopK]] on the same terms: same
+    * Lucene idf, same fixed left-associative per-term sum, same 6-dp
+    * round before ranking, ties on ascending id.
+    *
+    * Output: (query_id BIGINT, rank BIGINT, idCol BIGINT, score).
+    */
+  def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "each query needs at least one term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
+      .withColumn("_dl", size(col("_toks")).cast("long"))
+      .withColumn("_tfs", TextExpressions.termTfs(col("_toks"), allTerms))
+    val statAggs: Seq[Column] =
+      Seq(count(lit(1)).as("_n"), sum(col("_dl")).as("_len")) ++
+        allTerms.indices.map { i =>
+          sum(when(element_at(col("_tfs"), i + 1) > lit(0L), 1L)
+            .otherwise(0L)).as(s"_df$i")
+        }
+    val stats = toks.agg(statAggs.head, statAggs.tail: _*)
+    val scored = toks.crossJoin(broadcast(stats))
+    val dlD = col("_dl").cast("double")
+    val nD = col("_n").cast("double")
+    val avgdl = col("_len").cast("double") / nD
+    def termScore(i: Int): Column = {
+      val tf = element_at(col("_tfs"), i + 1).cast("double")
+      val dfD = col(s"_df$i").cast("double")
+      val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+      when(tf > lit(0.0),
+        (idf * (tf * (lit(k1) + lit(1.0)))) /
+          (tf + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (dlD / avgdl))))
+        .otherwise(lit(0.0))
+    }
+    // fan out to (query_id, score) structs — generator input is an
+    // array over ALREADY-PROJECTED cheap expressions (the tf vector
+    // is an attribute), so nothing expensive re-inlines (the r13
+    // generator-shape rule)
+    val qStructs = queries.map { case (qid, terms) =>
+      val sc = terms.map(t => termScore(allTerms.indexOf(t))).reduce(_ + _)
+      struct(lit(qid).as("q"), round(sc, 6).as("s"))
+    }
+    scored
+      .select(col(idCol), explode(array(qStructs: _*)).as("_e"))
+      .filter(col("_e.s") > lit(0.0))
+      .select(col("_e.q").as("query_id"),
+        (-round(col("_e.s") * 1e6)).cast("long").as("_k"),
+        col(idCol).cast("long").as("_id"))
+      .groupBy("query_id")
+      .agg(graft.functions.BottomK.bottomK(k)(col("_k"), col("_id")).as("_s"))
+      .select(col("query_id"), posexplode(col("_s")))
+      .select(col("query_id"), (col("pos") + 1L).cast("long").as("rank"),
+        col("col._2").as(idCol),
+        (-col("col._1").cast("double") / 1e6).as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse N ranked lists by score(q, d) = Σ_lists 1/(c + rank_list(d))
+    * — the standard hybrid-retrieval combiner (sparse BM25 ⊕ dense
+    * ANN) precisely because it needs no score calibration between
+    * modalities, only ranks. Contributions are EXACT integers
+    * (10^12 div (c + rank) — integer division, no floats anywhere),
+    * so fusion sums, ordering, and ties are engine-exact by
+    * construction; the quantization cannot reorder single-list
+    * contributions (monotone in rank) and cross-list ties break on
+    * ascending id.
+    *
+    * At scale: each input list is already top-k (≤ Q·k rows), the
+    * fusion groupBy is map-side combinable, and the per-query top-k
+    * is the mergeable grouped bottom-k — the whole fuse never
+    * shuffles more than the lists themselves.
+    *
+    * Output: (queryCol, rank, idCol, rrf BIGINT — the 10^12-scaled
+    * fused score, n_lists BIGINT — how many input lists ranked it).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, idCol: String,
+      rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "RRF needs at least one ranking")
+    val unioned = rankings.map(_.select(
+        col(queryCol).cast("long").as("_q"),
+        col(idCol).cast("long").as("_id"),
+        expr(s"1000000000000L div ($c + cast(`$rankCol` as bigint))").as("_c")))
+      .reduce(_ unionByName _)
+    val fused = unioned.groupBy("_q", "_id")
+      .agg(sum(col("_c")).as("rrf"), count(lit(1)).as("n_lists"))
+    fused
+      .groupBy("_q")
+      .agg(graft.functions.BottomK.bottomK(k)(-col("rrf"), col("_id")).as("_s"))
+      .select(col("_q"), posexplode(col("_s")))
+      .select(col("_q"), (col("pos") + 1L).cast("long").as("rank"), col("col._2").as("_id"))
+      .join(fused, Seq("_q", "_id"))
+      .select(col("_q").as(queryCol), col("rank"), col("_id").as(idCol),
+        col("rrf"), col("n_lists"))
+  }
 }

@@ -327,6 +327,83 @@ object Oracles {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Hybrid-RRF oracle generator: per-query BM25 replays (q75 score
+    * tree over the UNION term list's tf/df columns, ranked top-kList),
+    * the q17 decimal-exact dense top-kList, and the integer RRF
+    * fusion (10^12 // (c + rank), BIGINT sums) — the whole q119
+    * pipeline restated in SQL.
+    */
+  private def hybridRrfSql(queries: Seq[(Long, Seq[String])],
+      kList: Int, kFused: Int, c: Int): String = {
+    val allTerms = queries.flatMap(_._2).distinct
+    val dfCols = allTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(",\n    ")
+    val tfCols = allTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n      ")
+    def scoreExpr(terms: Seq[String]) = terms.map { t =>
+      val i = allTerms.indexOf(t)
+      s"(CASE WHEN tf$i > 0.0 THEN (ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * (1.2 + 1.0))) / (tf$i + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (total_len / n)))) ELSE 0.0 END)"
+    }.mkString("\n      + ")
+    val perQuery = queries.map { case (qid, terms) =>
+      s"""  SELECT $qid AS query_id, doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+         |  FROM (SELECT doc_id, ROUND(
+         |      ${scoreExpr(terms)}
+         |    , 6) AS score FROM tfs CROSS JOIN st)
+         |  WHERE score > 0.0
+         |  QUALIFY r <= $kList""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, $toksExpr AS toks, len($toksExpr) AS dl
+       |  FROM documents
+       |),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS total_len,
+       |    $dfCols
+       |  FROM d
+       |),
+       |tfs AS MATERIALIZED (
+       |  SELECT doc_id, dl,
+       |      $tfCols
+       |  FROM d
+       |),
+       |bm AS MATERIALIZED (
+       |$perQuery
+       |),
+       |nn AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
+       |  FROM embeddings
+       |),
+       |dn AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      CASE WHEN q.nrm * c.nrm > 0
+       |        THEN ${dotX("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |        ELSE 0.0 END DESC, c.vec_id) AS r
+       |  FROM nn q JOIN nn c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < ${queries.size}
+       |  QUALIFY r <= $kList
+       |),
+       |lists AS (
+       |  SELECT query_id, doc_id, CAST(1000000000000 // ($c + r) AS BIGINT) AS cc FROM bm
+       |  UNION ALL
+       |  SELECT query_id, doc_id, CAST(1000000000000 // ($c + r) AS BIGINT) AS cc FROM dn
+       |),
+       |fused AS MATERIALIZED (
+       |  SELECT query_id, doc_id, CAST(SUM(cc) AS BIGINT) AS rrf,
+       |    CAST(COUNT(*) AS BIGINT) AS n_lists
+       |  FROM lists GROUP BY query_id, doc_id
+       |)
+       |SELECT query_id, CAST(rn AS BIGINT) AS "rank", doc_id, rrf, n_lists FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+       |  FROM fused)
+       |WHERE rn <= $kFused
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "q01_catalog" ->
@@ -2520,6 +2597,11 @@ object Oracles {
          |JOIN documents d2 ON k.doc_id = d2.doc_id
          |WHERE k.rn <= 100
          |ORDER BY k.key, k.doc_id""".stripMargin,
+
+    // hybrid RRF: batch BM25 + exact dense top-30 fused with integer
+    // reciprocal-rank contributions — see hybridRrfSql
+    "q119_hybrid_rrf" ->
+      hybridRrfSql(graft.queries.Queries.HybridQueries, kList = 30, kFused = 20, c = 60),
 
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value

@@ -3078,6 +3078,37 @@ object Queries {
       .orderBy("key", "doc_id")
   }
 
+  /** The 8 standing queries of [[q119HybridRrf]] — shared with the
+    * oracle generator: query i uses 3 consecutive terms of the q79
+    * list, and its dense twin is embedding vec_id = i.
+    */
+  val HybridQueries: Seq[(Long, Seq[String])] =
+    (0 until 8).map(i => (i.toLong, Bm25MultiTerms.slice(i, i + 3)))
+
+  /** Hybrid retrieval with reciprocal-rank fusion
+    * ([[Retrieval.bm25TopKBatch]] ⊕ [[Similarity.bruteForceTopK]] →
+    * [[Retrieval.rrfFuse]]): 8 standing queries, each with a sparse
+    * form (3 BM25 terms) and a dense form (its embedding), retrieve
+    * top-30 per modality and fuse with RRF c=60 into a top-20 — the
+    * standard hybrid-search stack (Cormack et al., SIGIR 2009).
+    * BATCH sparse scoring: ONE corpus pass for all 8 queries (union
+    * tf-vector kernel + one mergeable stats row + grouped bottom-k),
+    * never 8 scans. Fusion is integer-exact (10^12 div (c + rank)),
+    * so the oracle replays both retrievers and the fusion bit-for-bit.
+    */
+  val q119HybridRrf: Q = (s, dir) => {
+    val sparse = Retrieval.bm25TopKBatch(
+      docs(s, dir), "doc_id", "text", HybridQueries, k = 30)
+      .select("query_id", "doc_id", "rank")
+    val emb = Tables.embeddings(s, dir)
+    val dense = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+      k = 30, roundDp = -1, exact = true)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(sparse, dense), "query_id", "doc_id", "rank", k = 20)
+      .orderBy("query_id", "rank")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3217,5 +3248,6 @@ object Queries {
     "q116_weighted_sample" -> q116WeightedSample,
     "q117_video_neardup" -> q117VideoNearDup,
     "q118_dsir_select" -> q118DsirSelect,
+    "q119_hybrid_rrf" -> q119HybridRrf,
   )
 }
