@@ -245,8 +245,13 @@ object BpeTrainer {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val spark = docs.sparkSession
     graft.core.Exact.requireAnsi(spark, "BpeTrainer.train")
+    // lazy local checkpoint: the next round's argmax (or the hybrid
+    // collect) is the action that materializes it — one job per
+    // cadence point, not two (see componentsStar). Reliable stays
+    // eager (checkpoint files are written after the first action,
+    // which would recompute).
     def cp(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(false)
 
     var words = cp(docs
       .select(explode(graft.functions.Text.tokens(col(textCol))).as("w"))
@@ -254,6 +259,10 @@ object BpeTrainer {
       .select(col("w"), col("freq"), split(col("w"), "").as("syms")))
     var prevCp = checkpointRdd(words)
     var sinceCp = 0
+    // a superseded checkpoint must outlive its successor's FIRST
+    // action (the successor's lazy-cp plan reads its blocks) — free it
+    // only after the next argmax/collect has materialized the successor
+    var pendingFree: Option[RDD[_]] = None
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
@@ -270,6 +279,10 @@ object BpeTrainer {
         .groupBy(col("p.l"), col("p.r")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
+      // the argmax just materialized `words` — its superseded
+      // predecessor is now safe to free
+      pendingFree.foreach(OpCache.freeRdd(_))
+      pendingFree = None
       if (best.isEmpty) done = true
       else {
         val Row(l: String, r: String, cnt: Long) = best(0)
@@ -278,7 +291,7 @@ object BpeTrainer {
         sinceCp += 1
         if (sinceCp >= checkpointEvery || rank == distBound) {
           val next = cp(nextPlan)
-          prevCp.foreach(OpCache.freeRdd(_))
+          pendingFree = prevCp // still backs `next` until its first action
           prevCp = checkpointRdd(next)
           words = next
           sinceCp = 0
@@ -292,12 +305,15 @@ object BpeTrainer {
       // the strings the distributed rounds operated on), then
       // driver-local rounds with incremental pair stats
       val rows = words.select(col("freq"), col("syms")).collect()
+      pendingFree.foreach(OpCache.freeRdd(_))
+      pendingFree = None
       val freqs = rows.map(_.getLong(0))
       val syms = rows.map(_.getSeq[String](1).toArray)
       localRounds(freqs, syms, rank, numMerges, merges)
     }
     // the word table is training state, not the result — the model
     // is driver-sized by construction (numMerges rows). Free it now.
+    pendingFree.foreach(OpCache.freeRdd(_))
     prevCp.foreach(OpCache.freeRdd(_))
 
     spark.createDataFrame(

@@ -74,8 +74,12 @@ object Dedup {
       maxIter: Int = 10,
       reliableCheckpoint: Boolean = false,
       requireConvergence: Boolean = true): DataFrame = {
+    // lazy local checkpoint: the round's changed-count is the action
+    // that materializes it — one job per round, not two (see
+    // componentsStar). Reliable stays eager (checkpoint files are
+    // written after the first action, which would recompute).
     def cp(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(false)
     val edges = pairs.select(col(aCol).as("_src"), col(bCol).as("_dst"))
       .union(pairs.select(col(bCol).as("_src"), col(aCol).as("_dst")))
       .persistTracked
@@ -194,8 +198,16 @@ object Dedup {
       maxIter: Int = 60,
       reliableCheckpoint: Boolean = false,
       hotDegree: Long = HotDegree): DataFrame = {
+    // ONE job per round, not two: the local checkpoint is LAZY and the
+    // round's fingerprint aggregate is the action that materializes it
+    // (localCheckpoint persists partitions as the job computes them,
+    // then truncates lineage — same blocks, same semantics, minus a
+    // whole materialization barrier per round; on short graphs the
+    // per-job constant IS the runtime). The reliable path stays eager:
+    // checkpoint(false) would recompute the frame when the checkpoint
+    // files are written after the first action.
     def cp(df: DataFrame): DataFrame =
-      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(true)
+      if (reliableCheckpoint) df.checkpoint(true) else df.localCheckpoint(false)
 
     def fingerprint(edges: DataFrame): (Long, Long) = {
       val r = edges.agg(
@@ -212,7 +224,8 @@ object Dedup {
     var prevCp = checkpointRdd(edges)
     var fp = fingerprint(edges)
     var iter = 0
-    var converged = edges.isEmpty
+    // emptiness is FREE from the fingerprint count — never a separate job
+    var converged = fp._1 == 0L
     while (!converged && iter < maxIter) {
       // Per-round split decision, FREE from the fingerprint count: a
       // key's degree in the symmetrized frame is at most 2·|edges| (and
