@@ -84,4 +84,90 @@ object LanguageModel {
       .select(col(idCol), col("n_bigrams"),
         bround(exp(-col("_avg")), 6).as("ppl"))
   }
+
+  private def trigrams(df: DataFrame, textCol: String, keep: Column*): DataFrame = {
+    val t = Text.tokens(col(textCol))
+    val n = greatest(size(t) - 2, lit(0))
+    df.select(keep :+ explode(zip_with(
+        zip_with(
+          slice(t, lit(1), n),
+          slice(t, lit(2), n),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(t, lit(3), n),
+        (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"),
+          c.as("w3")))).as("_p"): _*)
+      .select(keep :+ col("_p.w1") :+ col("_p.w2") :+ col("_p.w3"): _*)
+  }
+
+  /** Train the INTERPOLATED TRIGRAM model (Jelinek & Mercer, 1980 —
+    * the λ-mixture of MLE orders that KenLM-class LMs generalize;
+    * CCNet's 5-gram is this machinery at order 5). Returns
+    * (trigram counts (w1,w2,w3,cnt3), bigram counts (w1,w2,cnt2),
+    * unigram counts (w,cnt1), totals — ONE ROW (t tokens, v distinct)).
+    * Three map-side-combinable groupBys over the same token stream —
+    * shuffle ∝ distinct n-grams, never the corpus; all four frames
+    * are model-sized and broadcast at scoring time.
+    */
+  def trainTrigram(train: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val tri = trigrams(train, textCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt3"))
+    val bi = bigrams(train, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+    val uniStream = train.select(explode(Text.tokens(col(textCol))).as("w"))
+    val uni = uniStream.groupBy("w").agg(count(lit(1)).as("cnt1"))
+    val totals = uniStream.agg(count(lit(1)).as("t"), count_distinct(col("w")).as("v"))
+    (tri, bi, uni, totals)
+  }
+
+  /** Per-doc perplexity under the interpolated trigram model:
+    *
+    *   p(w3|w1,w2) = λ3·c3(w1,w2,w3)/ctx3(w1,w2)
+    *               + λ2·c2(w2,w3)/ctx2(w2)
+    *               + λ1·(c1(w3)+1)/(T+V)
+    *
+    * with ctx3/ctx2 the row-sums of the next-lower-order tables (so
+    * each conditional sums to 1 over the vocabulary), unseen higher
+    * orders contributing 0, and the Laplace-floored unigram keeping
+    * every probability positive. λ = (0.6, 0.3, 0.1) — the standard
+    * held-out-tuned shape (higher orders trusted more when present).
+    *
+    * Exactness (the q114 discipline, one order up): every count is an
+    * exact integer; each division is ONE IEEE op over exact inputs;
+    * the λ-mix is a fixed expression tree; ln is the only libm call,
+    * rounded to 9 dp BEFORE the exact DECIMAL aggregation. Docs with
+    * fewer than three tokens have no trigrams and are absent.
+    *
+    * Output: (idCol, n_trigrams BIGINT, ppl DOUBLE rounded 6 dp).
+    */
+  def perplexityTrigram(docs: DataFrame, idCol: String, textCol: String,
+      tri: DataFrame, bi: DataFrame, uni: DataFrame, totals: DataFrame,
+      l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1): DataFrame = {
+    val ctx3 = tri.groupBy("w1", "w2").agg(sum(col("cnt3")).as("_ctx3"))
+    val ctx2 = bi.groupBy("w1").agg(sum(col("cnt2")).as("_ctx2"))
+    val db = trigrams(docs, textCol, col(idCol))
+    val p3 = when(col("_ctx3").isNotNull,
+      col("cnt3").cast("double") / col("_ctx3").cast("double")).otherwise(lit(0.0))
+    val p2 = when(col("_ctx2w2").isNotNull,
+      col("cnt2").cast("double") / col("_ctx2w2").cast("double")).otherwise(lit(0.0))
+    val p1 = (coalesce(col("cnt1"), lit(0L)) + 1L).cast("double") /
+      (col("t") + col("v")).cast("double")
+    val ll = db
+      .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(ctx3), Seq("w1", "w2"), "left")
+      .join(broadcast(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cnt2"))), Seq("w2", "w3"), "left")
+      .join(broadcast(ctx2.select(col("w1").as("w2"),
+        col("_ctx2").as("_ctx2w2"))), Seq("w2"), "left")
+      .join(broadcast(uni.withColumnRenamed("w", "w3")), Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("_ll", round(log(
+        lit(l3) * coalesce(p3, lit(0.0)) + lit(l2) * coalesce(p2, lit(0.0)) +
+          lit(l1) * p1), 9))
+    ll.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        Exact.davg(col("_ll"), scale = 9).as("_avg"))
+      .select(col(idCol), col("n_trigrams"),
+        round(exp(-col("_avg")), 6).as("ppl"))
+  }
 }

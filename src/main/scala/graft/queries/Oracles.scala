@@ -2603,6 +2603,68 @@ object Oracles {
     "q119_hybrid_rrf" ->
       hybridRrfSql(graft.queries.Queries.HybridQueries, kList = 30, kFused = 20, c = 60),
 
+    // interpolated trigram perplexity: q114's replay one order up —
+    // tri/bi/uni counts + context row-sums, five left joins, the
+    // fixed 0.6/0.3/0.1 λ-mix tree, 9-dp ln, DECIMAL(38,9) sums
+    "q120_trigram_perplexity" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, $toksExpr AS t FROM documents
+         |),
+         |tg AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(list_slice(t, 1, len(t) - 2)) AS w1,
+         |    unnest(list_slice(t, 2, len(t) - 1)) AS w2,
+         |    unnest(list_slice(t, 3, len(t))) AS w3
+         |  FROM d WHERE len(t) >= 3
+         |),
+         |tri AS MATERIALIZED (
+         |  SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg
+         |  WHERE doc_id % 10 < 8 GROUP BY w1, w2, w3
+         |),
+         |bg AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+         |    unnest(list_slice(t, 2, len(t))) AS w2
+         |  FROM d WHERE len(t) >= 2
+         |),
+         |bi AS MATERIALIZED (
+         |  SELECT w1, w2, COUNT(*) AS c2 FROM bg
+         |  WHERE doc_id % 10 < 8 GROUP BY w1, w2
+         |),
+         |uni AS MATERIALIZED (
+         |  SELECT w, COUNT(*) AS c1
+         |  FROM (SELECT doc_id, unnest(t) AS w FROM d) WHERE doc_id % 10 < 8
+         |  GROUP BY w
+         |),
+         |tot AS (
+         |  SELECT COUNT(*) AS t, COUNT(DISTINCT w) AS v
+         |  FROM (SELECT unnest(t) AS w FROM d WHERE doc_id % 10 < 8)
+         |),
+         |ctx3 AS MATERIALIZED (SELECT w1, w2, SUM(c3) AS x3 FROM tri GROUP BY w1, w2),
+         |ctx2 AS MATERIALIZED (SELECT w1, SUM(c2) AS x2 FROM bi GROUP BY w1),
+         |ll AS MATERIALIZED (
+         |  SELECT g.doc_id,
+         |    ROUND(ln(
+         |      0.6 * (CASE WHEN x.x3 IS NOT NULL
+         |        THEN CAST(COALESCE(t3.c3, 0) AS DOUBLE) / CAST(x.x3 AS DOUBLE)
+         |        ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN y.x2 IS NOT NULL
+         |        THEN CAST(COALESCE(b2.c2, 0) AS DOUBLE) / CAST(y.x2 AS DOUBLE)
+         |        ELSE 0.0 END)
+         |      + 0.1 * (CAST(COALESCE(u.c1, 0) + 1 AS DOUBLE) / CAST(tot.t + tot.v AS DOUBLE))
+         |    ), 9) AS ll
+         |  FROM tg g
+         |  LEFT JOIN tri t3 ON g.w1 = t3.w1 AND g.w2 = t3.w2 AND g.w3 = t3.w3
+         |  LEFT JOIN ctx3 x ON g.w1 = x.w1 AND g.w2 = x.w2
+         |  LEFT JOIN bi b2 ON g.w2 = b2.w1 AND g.w3 = b2.w2
+         |  LEFT JOIN ctx2 y ON g.w2 = y.w1
+         |  LEFT JOIN uni u ON g.w3 = u.w, tot
+         |)
+         |SELECT doc_id, COUNT(*) AS n_trigrams,
+         |  ROUND(exp(-(CAST(SUM(CAST(ll AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*))), 6) AS ppl
+         |FROM ll GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

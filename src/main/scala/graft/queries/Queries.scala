@@ -3109,6 +3109,23 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Interpolated trigram perplexity
+    * ([[LanguageModel.trainTrigram]]/[[LanguageModel.perplexityTrigram]]):
+    * the q114 CCNet stage one n-gram order up — a Jelinek–Mercer
+    * λ-mixture (0.6·p₃ + 0.3·p₂ + 0.1·p₁-Laplace) trained on the
+    * doc_id%10<8 slice scores every doc. Context tables are row-sums
+    * of the next order down (conditionals sum to 1); all four model
+    * frames broadcast; the oracle replays training, the five model
+    * joins, and the fixed λ-mix expression tree verbatim.
+    */
+  val q120TrigramPerplexity: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val train = d.filter(col("doc_id") % 10 < 8)
+    val (tri, bi, uni, tot) = LanguageModel.trainTrigram(train, "text")
+    LanguageModel.perplexityTrigram(d, "doc_id", "text", tri, bi, uni, tot)
+      .orderBy("doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3249,5 +3266,6 @@ object Queries {
     "q117_video_neardup" -> q117VideoNearDup,
     "q118_dsir_select" -> q118DsirSelect,
     "q119_hybrid_rrf" -> q119HybridRrf,
+    "q120_trigram_perplexity" -> q120TrigramPerplexity,
   )
 }

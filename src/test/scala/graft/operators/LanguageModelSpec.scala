@@ -84,4 +84,81 @@ class LanguageModelSpec extends SparkSpec {
     val got = run(Seq("a b"), Seq((1L, "a"), (2L, ""), (3L, "a b")), 1)
     assert(got.keySet === Set(3L))
   }
+
+  // ---- interpolated trigram ----
+
+  /** Driver replay of the trigram λ-mix pipeline. */
+  private def replay3(train: Seq[String], score: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+    def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+    def tgs(s: String) = toks(s).sliding(3).filter(_.size == 3)
+      .map(p => (p(0), p(1), p(2))).toSeq
+    def bgs(s: String) = toks(s).sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))).toSeq
+    val c3 = train.flatMap(tgs).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2 = train.flatMap(bgs).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = train.flatMap(toks).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val x3 = c3.toSeq.groupBy(e => (e._1._1, e._1._2)).view.mapValues(_.map(_._2).sum).toMap
+    val x2 = c2.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val t = train.map(toks(_).size.toLong).sum
+    val v = train.flatMap(toks).distinct.size.toLong
+    score.flatMap { case (id, text) =>
+      val g = tgs(text)
+      if (g.isEmpty) None
+      else {
+        val lls = g.map { case (w1, w2, w3) =>
+          val p3 = x3.get((w1, w2)).map(x => c3.getOrElse((w1, w2, w3), 0L).toDouble / x).getOrElse(0.0)
+          val p2 = x2.get(w2).map(x => c2.getOrElse((w2, w3), 0L).toDouble / x).getOrElse(0.0)
+          val p1 = (c1.getOrElse(w3, 0L) + 1).toDouble / (t + v).toDouble
+          BigDecimal(math.log(0.6 * p3 + 0.3 * p2 + 0.1 * p1))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }
+        val avg = lls.sum.toDouble / lls.size
+        val ppl = BigDecimal(math.exp(-avg))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some(id -> (g.size.toLong, ppl))
+      }
+    }.toMap
+  }
+
+  private def run3(train: Seq[String], score: Seq[(Long, String)],
+      parts: Int): Map[Long, (Long, Double)] = {
+    val (tri, bi, uni, tot) = LanguageModel.trainTrigram(
+      train.toDF("text").repartition(parts), "text")
+    LanguageModel.perplexityTrigram(
+        score.toDF("doc_id", "text").repartition(parts), "doc_id", "text",
+        tri, bi, uni, tot)
+      .select("doc_id", "n_trigrams", "ppl")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, p) => id -> (n, p) }.toMap
+  }
+
+  test("trigram property: operator ≡ driver replay on random corpora, any partitioning") {
+    val rnd = new Random(23)
+    val vocabulary = Vector("the", "cat", "sat", "on", "mat", "dog", "ran", "far")
+    for (trial <- 1 to 3) {
+      val train = Seq.fill(40)(
+        Seq.fill(3 + rnd.nextInt(10))(vocabulary(rnd.nextInt(8))).mkString(" "))
+      val score = (0L until 25L).map(i =>
+        (i, Seq.fill(rnd.nextInt(9))(vocabulary(rnd.nextInt(8))).mkString(" ")))
+      val exp = replay3(train, score)
+      for (parts <- Seq(1, 7)) {
+        val got = run3(train, score, parts)
+        assert(got === exp, s"trial $trial parts $parts diverged")
+      }
+      graft.core.OpCache.release()
+    }
+  }
+
+  test("trigram beats bigram on in-domain text (higher orders carry more evidence)") {
+    val train = Seq.fill(30)("the cat sat on the mat while the dog ran far")
+    val doc = Seq((1L, "the cat sat on the mat"))
+    val tri = run3(train, doc, 2)(1L)._2
+    val bg = run(train, doc, 2)(1L)._2
+    assert(tri < bg, s"trigram ppl $tri should beat bigram ppl $bg in-domain")
+  }
+
+  test("sub-3-token docs are absent from the trigram scorer") {
+    val got = run3(Seq("a b c"), Seq((1L, "a b"), (2L, ""), (3L, "a b c")), 1)
+    assert(got.keySet === Set(3L))
+  }
 }
