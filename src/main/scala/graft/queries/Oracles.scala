@@ -2665,6 +2665,57 @@ object Oracles {
          |FROM ll GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    // streaming DSIR scoring: q118's scored table verbatim (no
+    // resampling) — the stream's plan-constant kernel must be
+    // numerically identical to the batch DECIMAL(38,9) aggregation
+    "q121_streaming_dsir" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, source, $toksExpr AS t FROM documents
+         |),
+         |bi AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+         |    unnest(list_slice(t, 2, len(t))) AS w2
+         |  FROM d WHERE len(t) >= 2
+         |),
+         |ng AS (
+         |  SELECT doc_id, source, ng FROM
+         |    (SELECT doc_id, source, unnest(t) AS ng FROM d)
+         |  UNION ALL
+         |  SELECT doc_id, source, w1 || ' ' || w2 AS ng FROM bi
+         |),
+         |bk AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CAST(list_sum([
+         |      CAST(strpos('0123456789abcdef', substr(md5(ng), i, 1)) - 1 AS BIGINT)
+         |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |      FOR i IN range(1, 13)]) % 1024 AS BIGINT) AS bucket
+         |  FROM ng
+         |),
+         |tc AS MATERIALIZED (
+         |  SELECT bucket, COUNT(*) AS tc FROM bk
+         |  WHERE source IN ('src0', 'src1') GROUP BY bucket
+         |),
+         |rc AS MATERIALIZED (
+         |  SELECT bucket, COUNT(*) AS rc FROM bk
+         |  WHERE source NOT IN ('src0', 'src1') GROUP BY bucket
+         |),
+         |tot AS (
+         |  SELECT (SELECT SUM(tc) FROM tc) AS tt, (SELECT SUM(rc) FROM rc) AS rt
+         |),
+         |lam AS MATERIALIZED (
+         |  SELECT b.doc_id,
+         |    ROUND(ln(CAST((COALESCE(t.tc, 0) + 1) * (tot.rt + 1024) AS DOUBLE) /
+         |             CAST((COALESCE(r.rc, 0) + 1) * (tot.tt + 1024) AS DOUBLE)), 9) AS lam
+         |  FROM bk b LEFT JOIN tc t ON b.bucket = t.bucket
+         |  LEFT JOIN rc r ON b.bucket = r.bucket, tot
+         |  WHERE b.source NOT IN ('src0', 'src1')
+         |)
+         |SELECT doc_id, COUNT(*) AS n_ngrams,
+         |  ROUND(CAST(SUM(CAST(lam AS DECIMAL(38,9))) AS DOUBLE), 6) AS logw
+         |FROM lam GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

@@ -3126,6 +3126,54 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Process-level memo of the q118/q121 fitted DSIR bucket model:
+    * two model-sized collects (≤ B rows each) per corpus dir — the
+    * model-file deployment shape (see [[graft.functions.DsirLm]]).
+    */
+  private val dsirMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.DsirLm]()
+  private def dsirLmFor(s: SparkSession, dir: String): graft.functions.DsirLm =
+    dsirMemo.computeIfAbsent(dir, _ => {
+      val d = docs(s, dir).select("doc_id", "source", "text")
+      val isTarget = col("source").isin("src0", "src1")
+      def rows(df: DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      graft.functions.DsirLm(
+        rows(Dsir.fitBucketCounts(d.filter(isTarget), "text", 1024)),
+        rows(Dsir.fitBucketCounts(d.filter(!isTarget), "text", 1024)), 1024)
+    })
+
+  /** STREAMING DSIR scoring ([[graft.functions.DsirLogWeight]]):
+    * q118's importance-weight stage on a document stream — the fitted
+    * bucket model rides the plan as a reference constant (80 KB of
+    * dense λ longs), so scoring a live crawl is a stateless map-side
+    * projection: no shuffle, no watermark, no state store, no flush
+    * batch (the q115 model-as-plan-constant claim, holding for a
+    * SECOND model family). The kernel's scaled-long arithmetic is
+    * numerically identical to the batch operator's DECIMAL(38,9)
+    * aggregation, so the oracle is q118's scored table verbatim
+    * (no resampling step).
+    */
+  val q121StreamingDsir: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q121")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val raw = docs(s, dir).filter(!col("source").isin("src0", "src1"))
+      .select("doc_id", "text")
+    val lm = dsirLmFor(s, dir)
+    val in = memoFixture("q121in", dir) { p =>
+      raw.write.mode("overwrite").parquet(p)
+    }
+    val scored = s.readStream.schema(raw.schema).parquet(in)
+      .select(col("doc_id"),
+        graft.functions.DsirExpressions.dsirLogWeight(
+          Text.tokens(col("text")), lm).as("_s"))
+      .filter(col("_s").isNotNull)
+      .select(col("doc_id"), col("_s.n_ngrams").as("n_ngrams"),
+        col("_s.logw").as("logw"))
+    runToSink(scored, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3267,5 +3315,6 @@ object Queries {
     "q118_dsir_select" -> q118DsirSelect,
     "q119_hybrid_rrf" -> q119HybridRrf,
     "q120_trigram_perplexity" -> q120TrigramPerplexity,
+    "q121_streaming_dsir" -> q121StreamingDsir,
   )
 }

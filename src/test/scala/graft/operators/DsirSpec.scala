@@ -72,6 +72,25 @@ class DsirSpec extends SparkSpec {
     assert(curatedPicks === 20, s"expected all picks curated-like, got $curatedPicks/20")
   }
 
+  test("plan-constant kernel ≡ batch operator (bit-identical logw) on random corpora") {
+    val (target, raw) = corpus(29)
+    val tc = Dsir.fitBucketCounts(target, "text", B)
+    val rc = Dsir.fitBucketCounts(raw, "text", B)
+    val batch = Dsir.importanceWeights(raw, "doc_id", "text", tc, rc, B)
+      .select("doc_id", "n_ngrams", "logw")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lm = graft.functions.DsirLm(rows(tc), rows(rc), B)
+    val kernel = raw.select(col("doc_id"),
+        graft.functions.DsirExpressions.dsirLogWeight(
+          graft.functions.Text.tokens(col("text")), lm).as("_s"))
+      .filter(col("_s").isNotNull)
+      .select(col("doc_id"), col("_s.n_ngrams"), col("_s.logw"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(kernel === batch)
+  }
+
   test("n_ngrams = 2*tokens - 1; token-less docs are absent") {
     val docs = Seq((1L, "a b c"), (2L, "solo"), (3L, "   ")).toDF("doc_id", "text")
     val m = Dsir.fitBucketCounts(docs, "text", B)
