@@ -2716,6 +2716,48 @@ object Oracles {
          |FROM lam GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    // temperature mixing: alpha-scaled shares (one POW per domain,
+    // 9-dp scaled BIGINT), largest-remainder integer allocation,
+    // md5-bottom-k draw — all replayed step for step
+    "q122_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         |w AS (
+         |  SELECT lang, n,
+         |    CAST(ROUND(POW(CAST(n AS DOUBLE), 0.3) * 1000000000.0) AS BIGINT) AS w
+         |  FROM c
+         |),
+         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+         |q AS (
+         |  SELECT lang, n, w, (100 * w) // tw AS q,
+         |    100 * w - ((100 * w) // tw) * tw AS r
+         |  FROM w, t
+         |),
+         |qs AS (SELECT CAST(SUM(q) AS BIGINT) AS qsum FROM q),
+         |al AS (
+         |  SELECT lang, n,
+         |    CAST(LEAST(n, q + CASE WHEN ROW_NUMBER() OVER (ORDER BY r DESC, lang)
+         |      <= 100 - (SELECT qsum FROM qs) THEN 1 ELSE 0 END) AS BIGINT) AS quota
+         |  FROM q
+         |),
+         |h AS (
+         |  SELECT lang, doc_id,
+         |    CAST(list_sum([
+         |      CAST(strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1 AS BIGINT)
+         |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |      FOR i IN range(1, 13)]) AS BIGINT) AS h
+         |  FROM documents
+         |),
+         |rk AS (
+         |  SELECT lang, doc_id, h,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS pick
+         |  FROM h
+         |)
+         |SELECT rk.lang, al.n, al.quota, CAST(rk.pick AS BIGINT) AS pick,
+         |  rk.doc_id, rk.h
+         |FROM rk JOIN al ON rk.lang = al.lang
+         |WHERE rk.pick <= al.quota
+         |ORDER BY rk.lang, pick""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

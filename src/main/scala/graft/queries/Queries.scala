@@ -3174,6 +3174,23 @@ object Queries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** Temperature-based domain mixing ([[Mixing]]): per-language α=0.3
+    * sampling shares (the XLM-R low-resource-upweighting stage),
+    * largest-remainder integer allocation of a 100-doc budget, and
+    * the deterministic md5-bottom-k draw of each quota. One libm pow
+    * per domain rounded to an exact scaled BIGINT; everything after
+    * is integer arithmetic, so the oracle replays allocation and
+    * draw bit-for-bit.
+    */
+  val q122TemperatureMix: Q = (s, dir) => {
+    val d = docs(s, dir).select("lang", "doc_id", "text")
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val quotas = Mixing.alphaQuotas(counts, "lang", alpha = 0.3, budget = 100)
+    val h = conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long")
+    Mixing.sampleQuotas(d, "lang", "doc_id", h, quotas, maxQuota = 100)
+      .orderBy("lang", "pick")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3316,5 +3333,6 @@ object Queries {
     "q119_hybrid_rrf" -> q119HybridRrf,
     "q120_trigram_perplexity" -> q120TrigramPerplexity,
     "q121_streaming_dsir" -> q121StreamingDsir,
+    "q122_temperature_mix" -> q122TemperatureMix,
   )
 }
