@@ -2758,6 +2758,64 @@ object Oracles {
          |WHERE rk.pick <= al.quota
          |ORDER BY rk.lang, pick""".stripMargin,
 
+    // WordPiece greedy segmentation: re-derive the char-ngram piece
+    // inventory, replay every longest-match decision with a recursive
+    // CTE walking each distinct word, roll up piece frequencies
+    "q123_wordpiece_vocab" ->
+      s"""WITH RECURSIVE words AS MATERIALIZED (
+         |  SELECT w, COUNT(*) AS freq
+         |  FROM (SELECT unnest($toksExpr) AS w FROM documents) GROUP BY w
+         |),
+         |g1 AS (
+         |  SELECT DISTINCT p FROM (
+         |    SELECT unnest([substr(w, i, 1) FOR i IN range(1, len(w) + 1)]) AS p
+         |    FROM words)
+         |),
+         |g2 AS (
+         |  SELECT p FROM (
+         |    SELECT p, ROW_NUMBER() OVER (ORDER BY f DESC, p) AS rn FROM (
+         |      SELECT p, SUM(freq) AS f FROM (
+         |        SELECT freq, unnest([substr(w, i, 2) FOR i IN range(1, len(w))]) AS p
+         |        FROM words WHERE len(w) >= 2) GROUP BY p))
+         |  WHERE rn <= 150
+         |),
+         |g3 AS (
+         |  SELECT p FROM (
+         |    SELECT p, ROW_NUMBER() OVER (ORDER BY f DESC, p) AS rn FROM (
+         |      SELECT p, SUM(freq) AS f FROM (
+         |        SELECT freq, unnest([substr(w, i, 3) FOR i IN range(1, len(w) - 1)]) AS p
+         |        FROM words WHERE len(w) >= 3) GROUP BY p))
+         |  WHERE rn <= 100
+         |),
+         |g4 AS (
+         |  SELECT p FROM (
+         |    SELECT p, ROW_NUMBER() OVER (ORDER BY f DESC, p) AS rn FROM (
+         |      SELECT p, SUM(freq) AS f FROM (
+         |        SELECT freq, unnest([substr(w, i, 4) FOR i IN range(1, len(w) - 2)]) AS p
+         |        FROM words WHERE len(w) >= 4) GROUP BY p))
+         |  WHERE rn <= 50
+         |),
+         |vlist AS MATERIALIZED (
+         |  SELECT list(p) AS v FROM (
+         |    SELECT DISTINCT p FROM (
+         |      SELECT p FROM g1 UNION ALL SELECT p FROM g2
+         |      UNION ALL SELECT p FROM g3 UNION ALL SELECT p FROM g4))
+         |),
+         |seg AS (
+         |  SELECT w, freq, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces FROM words
+         |  UNION ALL
+         |  SELECT w, freq, pos + ln_take, list_append(pieces, substr(w, pos + 1, ln_take))
+         |  FROM (
+         |    SELECT w, freq, pos, pieces,
+         |      COALESCE(list_max([l FOR l IN [1, 2, 3, 4]
+         |        IF pos + l <= len(w)
+         |        AND list_contains(vl.v, substr(w, pos + 1, l))]), 1) AS ln_take
+         |    FROM seg, vlist vl WHERE pos < len(w))
+         |)
+         |SELECT subword, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+         |  SELECT freq, unnest(pieces) AS subword FROM seg WHERE pos = len(w))
+         |GROUP BY subword ORDER BY freq DESC, subword LIMIT 100""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

@@ -3191,6 +3191,42 @@ object Queries {
       .orderBy("lang", "pick")
   }
 
+  /** WordPiece greedy segmentation ([[graft.functions.WordPieceSegment]]):
+    * derive a subword inventory from corpus character statistics (all
+    * single chars + top-150 char bigrams + top-100 trigrams + top-50
+    * 4-grams, frequency-weighted), segment the DISTINCT-word table
+    * with greedy longest-match-first (Song et al., EMNLP 2021 — the
+    * BERT tokenizer family), and gate the corpus-frequency-weighted
+    * piece rollup (q102's shape for a SECOND tokenizer family). The
+    * oracle re-derives the inventory and replays the greedy walk with
+    * a recursive CTE — every longest-match decision is under the gate.
+    */
+  val q123WordpieceVocab: Q = (s, dir) => {
+    import graft.core.OpCache.TrackedPersist
+    val words = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .persistTracked
+    def grams(n: Int, k: Int): DataFrame = {
+      val g = words.filter(length(col("w")) >= n)
+        .select(col("freq"), explode(expr(
+          s"transform(sequence(1, length(w) - ${n - 1}), i -> substring(w, i, $n))")).as("p"))
+        .groupBy("p").agg(sum(col("freq")).as("f"))
+      if (k <= 0) g.select("p")
+      else g.orderBy(col("f").desc, col("p")).limit(k).select("p")
+    }
+    val pieces = grams(1, 0).unionByName(grams(2, 150))
+      .unionByName(grams(3, 100)).unionByName(grams(4, 50))
+      .distinct().collect().map(_.getString(0))
+    val vocab = new graft.functions.WordPieceVocab(pieces)
+    words
+      .select(col("freq"),
+        explode(graft.functions.WordPieceExpressions.wordPiece(col("w"), vocab))
+          .as("subword"))
+      .groupBy("subword").agg(sum("freq").as("freq"))
+      .orderBy(col("freq").desc, col("subword")).limit(100)
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3334,5 +3370,6 @@ object Queries {
     "q120_trigram_perplexity" -> q120TrigramPerplexity,
     "q121_streaming_dsir" -> q121StreamingDsir,
     "q122_temperature_mix" -> q122TemperatureMix,
+    "q123_wordpiece_vocab" -> q123WordpieceVocab,
   )
 }
