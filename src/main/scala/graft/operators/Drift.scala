@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Exact
+import graft.functions.Text
+
+/** Corpus drift detection between two snapshots (e.g. last month's
+  * crawl vs this month's): the Kullback–Leibler divergence of their
+  * Laplace-smoothed token distributions, with per-token
+  * contributions — KL(p‖q) = Σ_w p_w·ln(p_w/q_w) tells you HOW MUCH
+  * the corpus moved, and the top contributors tell you WHAT moved
+  * (surging topics, new boilerplate, template churn). The standard
+  * distribution-shift monitor for ingestion pipelines.
+  *
+  * Determinism contract (the q114/q118 discipline): token counts are
+  * exact integers; each token's ln(p_w/q_w) is ONE ln over an
+  * exact-integer product ratio rounded to 9 dp; the contribution
+  * multiplies that by the exact rational p_w in two IEEE ops and
+  * rounds at 12 dp; the total is an exact DECIMAL(38,12) sum. A SQL
+  * oracle replays every step.
+  *
+  * Execution shape at 100 TB: two map-side-combinable token counts
+  * (shuffle ∝ vocabulary), a full-outer model-sized join, one
+  * broadcast totals row, and a TakeOrdered top-k — the corpus is
+  * read once per snapshot and nothing vocabulary-sized ever windows.
+  */
+object Drift {
+
+  /** Per-token drift contributions + the corpus-level KL total.
+    *
+    * p_w = (a_w+1)/(A+V), q_w = (b_w+1)/(B+V) over the UNION
+    * vocabulary V (Laplace — both distributions cover both vocabs).
+    * Output: the `k` largest positive contributors (tokens surging in
+    * snapshot A relative to B) by (contrib DESC, token), each row
+    * carrying (token, cnt_a, cnt_b, contrib, kl_total).
+    */
+  def klDrift(snapA: DataFrame, snapB: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    def counts(df: DataFrame, name: String) = df
+      .select(explode(Text.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(name))
+    val joined = counts(snapA, "cnt_a")
+      .join(counts(snapB, "cnt_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(
+      sum(col("cnt_a")).as("_ta"), sum(col("cnt_b")).as("_tb"),
+      count(lit(1)).as("_v"))
+    val scored = joined.crossJoin(broadcast(totals))
+      // ln over exact integer products (the q118 λ shape), 9 dp
+      .withColumn("_lnr", round(log(
+        ((col("cnt_a") + 1L) * (col("_tb") + col("_v"))).cast("double") /
+          ((col("cnt_b") + 1L) * (col("_ta") + col("_v"))).cast("double")), 9))
+      // contribution p_w · lnr: two IEEE ops over exact inputs, 12 dp
+      .withColumn("contrib", round(
+        (col("cnt_a") + 1L).cast("double") / (col("_ta") + col("_v")).cast("double") *
+          col("_lnr"), 12))
+    val kl = scored.agg(Exact.dsum(col("contrib"), scale = 12).as("kl_total"))
+    scored
+      .select(col("token"), col("cnt_a"), col("cnt_b"), col("contrib"))
+      .orderBy(col("contrib").desc, col("token")).limit(k)
+      .crossJoin(broadcast(kl.select(round(col("kl_total"), 12).as("kl_total"))))
+  }
+}

@@ -2816,6 +2816,73 @@ object Oracles {
          |  SELECT freq, unnest(pieces) AS subword FROM seg WHERE pos = len(w))
          |GROUP BY subword ORDER BY freq DESC, subword LIMIT 100""".stripMargin,
 
+    // duplication profile: q32's reachability clustering rolled up
+    // into the cluster-size histogram
+    "q124_dup_profile" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
+         |),
+         |${shingleCte("corpus")},
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  ) WHERE jaccard >= 0.5
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |),
+         |reach(v, m) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.v
+         |),
+         |comp AS (SELECT v, MIN(m) AS comp FROM reach GROUP BY v),
+         |sizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM comp GROUP BY comp)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+
+    // corpus drift: Laplace-smoothed KL over the union vocabulary,
+    // 9-dp ln over integer products, 12-dp contributions, exact total
+    "q125_drift_report" ->
+      s"""WITH ta AS MATERIALIZED (
+         |  SELECT tok AS token, COUNT(*) AS cnt_a
+         |  FROM (SELECT unnest($toksExpr) AS tok FROM documents) GROUP BY tok
+         |),
+         |tb AS MATERIALIZED (
+         |  SELECT tok AS token, COUNT(*) AS cnt_b
+         |  FROM (SELECT unnest($toksExpr) AS tok FROM documents WHERE lang <> 'zh')
+         |  GROUP BY tok
+         |),
+         |j AS MATERIALIZED (
+         |  SELECT COALESCE(ta.token, tb.token) AS token,
+         |    COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b
+         |  FROM ta FULL OUTER JOIN tb ON ta.token = tb.token
+         |),
+         |tot AS (
+         |  SELECT CAST(SUM(cnt_a) AS BIGINT) AS t_a, CAST(SUM(cnt_b) AS BIGINT) AS t_b,
+         |    CAST(COUNT(*) AS BIGINT) AS v
+         |  FROM j
+         |),
+         |sc AS MATERIALIZED (
+         |  SELECT token, cnt_a, cnt_b,
+         |    ROUND(CAST(cnt_a + 1 AS DOUBLE) / CAST(t_a + v AS DOUBLE) *
+         |      ROUND(ln(CAST((cnt_a + 1) * (t_b + v) AS DOUBLE) /
+         |               CAST((cnt_b + 1) * (t_a + v) AS DOUBLE)), 9), 12) AS contrib
+         |  FROM j, tot
+         |),
+         |kl AS (
+         |  SELECT ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38,12))) AS DOUBLE), 12) AS kl_total
+         |  FROM sc
+         |)
+         |SELECT token, cnt_a, cnt_b, contrib, (SELECT kl_total FROM kl) AS kl_total
+         |FROM sc ORDER BY contrib DESC, token LIMIT 25""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

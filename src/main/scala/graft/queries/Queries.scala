@@ -3227,6 +3227,45 @@ object Queries {
       .orderBy(col("freq").desc, col("subword")).limit(100)
   }
 
+  /** Corpus duplication profile: q32's near-dup clustering taken to
+    * the curation deliverable every dedup decision starts from — the
+    * cluster-size histogram ("how much of the corpus is duplicated,
+    * and in what cluster sizes?"). Two map-side-combinable groupBys
+    * over the label table (size per component, then histogram per
+    * size) — nothing corpus-sized moves after the clustering itself.
+    * The oracle replays the full reachability clustering plus the
+    * same two rollups.
+    */
+  val q124DupProfile: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id", "text")
+    val mutated = d0.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
+    val corpus = d0.unionByName(mutated)
+    val pairs = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+    val labels = Dedup.componentsStar(corpus.select("doc_id"), "doc_id",
+      pairs, "id_a", "id_b")
+    labels.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
+  /** Corpus drift report ([[Drift.klDrift]]): KL divergence between
+    * two crawl snapshots' token distributions with per-token
+    * contributions — planted drift: snapshot B lost every zh document
+    * (a crawler regression), so the top contributors surging in A
+    * relative to B are the Chinese tokens. Exact end-to-end (integer
+    * counts, 9-dp ln over integer products, 12-dp contributions,
+    * DECIMAL(38,12) total); the oracle replays counts, smoothing,
+    * and the top-25.
+    */
+  val q125DriftReport: Q = (s, dir) => {
+    val d = docs(s, dir).select("lang", "text")
+    Drift.klDrift(d, d.filter(col("lang") =!= "zh"), "text", k = 25)
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3371,5 +3410,7 @@ object Queries {
     "q121_streaming_dsir" -> q121StreamingDsir,
     "q122_temperature_mix" -> q122TemperatureMix,
     "q123_wordpiece_vocab" -> q123WordpieceVocab,
+    "q124_dup_profile" -> q124DupProfile,
+    "q125_drift_report" -> q125DriftReport,
   )
 }
