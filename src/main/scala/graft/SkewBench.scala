@@ -467,6 +467,47 @@ object SkewBench {
       }
     }
 
+    // ---- 10. DSIR scoring corpus sweep ----
+    // bucket models are broadcast, so the ONLY shuffle in scoring is
+    // the per-doc partial aggregation: as the corpus quadruples, max
+    // task shuffle rows track docs/partitions (one partial row per
+    // doc), never n-gram occurrences (~40×docs here) — the claim that
+    // the model join adds zero shuffle.
+    val dsirSweep = Seq(25000L, 100000L).map { n =>
+      val docsDf = spark.range(0, n).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(19)),
+          i => concat(lit("t"), pmod(col("id") * 31 + i.cast("long") * 13, lit(5000L)))))
+          .as("text"))
+      val target = docsDf.filter(col("doc_id") % 10 === 0)
+      val m = minOf2M(listener) {
+        val tc = graft.operators.Dsir.fitBucketCounts(target, "text", 1024)
+        val rc = graft.operators.Dsir.fitBucketCounts(docsDf, "text", 1024)
+        graft.operators.Dsir.importanceWeights(docsDf, "doc_id", "text", tc, rc, 1024)
+          .agg(sum(col("n_ngrams"))).head().getLong(0)
+      }
+      (n, m)
+    }
+
+    // ---- 11. batch BM25 query-count sweep ----
+    // one corpus pass for ALL standing queries: wall at Q=32 must sit
+    // far below 8× the Q=4 wall (the per-query-scan loop's slope) —
+    // the union tf-vector kernel and single stats row amortize the
+    // scan, and the grouped bottom-k adds only Q·k-row shuffles.
+    val bmqSweep = Seq(4, 32).map { q =>
+      val corpusDf = spark.range(0, 200000L).select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)),
+          i => concat(lit("t"), pmod(col("id") * 37 + i.cast("long") * 11, lit(2000L)))))
+          .as("text"))
+      val queries = (0 until q).map(i =>
+        (i.toLong, Seq(s"t${i * 13 % 2000}", s"t${(i * 13 + 7) % 2000}")))
+      val m = minOf2M(listener) {
+        graft.operators.Retrieval.bm25TopKBatch(
+          corpusDf, "doc_id", "text", queries, k = 10)
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      (q, m)
+    }
+
     val sweepJson = sweep.map { case (n, c, w) =>
       s"""{"n":$n,"current":${c.json},"legacy_window":${w.json}}"""
     }.mkString("[", ",", "]")
@@ -487,7 +528,11 @@ object SkewBench {
         s"""{"n":$n,"meas":${m.json}}""" }.mkString("[", ",", "]")},""" +
       s""""bpe_corpus_sweep":${bpeSweep.map { case (n, m) =>
         s"""{"n_tokens":$n,"meas":${m.json}}""" }.mkString("[", ",", "]")},""" +
-      s""""bpe_hybrid_1k":${bpeHybrid.json}}""")
+      s""""bpe_hybrid_1k":${bpeHybrid.json},""" +
+      s""""dsir_corpus_sweep":${dsirSweep.map { case (n, m) =>
+        s"""{"n_docs":$n,"meas":${m.json}}""" }.mkString("[", ",", "]")},""" +
+      s""""bm25_batch_queries":${bmqSweep.map { case (q, m) =>
+        s"""{"n_queries":$q,"meas":${m.json}}""" }.mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }

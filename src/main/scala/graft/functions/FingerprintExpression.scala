@@ -139,6 +139,14 @@ object GraftFunctions {
       BpeSegment(c.head,
         flat.map(_.eval().toString).grouped(2).map(p => (p(0), p(1))).toSeq)
     }),
+    // graft_wordpiece(word, piece1, piece2, ...): greedy longest-
+    // match-first segmentation under a literal piece inventory (the
+    // q123 kernel)
+    descriptor("graft_wordpiece", classOf[WordPieceSegment], c => {
+      require(c.size >= 2, "graft_wordpiece needs (word, piece1, ...)")
+      WordPieceSegment(c.head,
+        new WordPieceVocab(c.drop(1).map(_.eval().toString).toArray))
+    }),
   )
 
   def register(spark: SparkSession): Unit =

@@ -2883,6 +2883,73 @@ object Oracles {
          |SELECT token, cnt_a, cnt_b, contrib, (SELECT kl_total FROM kl) AS kl_total
          |FROM sc ORDER BY contrib DESC, token LIMIT 25""".stripMargin,
 
+    // classifier calibration: q118's scoring machinery on an
+    // even/odd train/held-out split, swept over five thresholds into
+    // confusion counts + 6-dp precision/recall
+    "q126_classifier_eval" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, source, $toksExpr AS t FROM documents
+         |),
+         |bi AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+         |    unnest(list_slice(t, 2, len(t))) AS w2
+         |  FROM d WHERE len(t) >= 2
+         |),
+         |ng AS (
+         |  SELECT doc_id, source, ng FROM
+         |    (SELECT doc_id, source, unnest(t) AS ng FROM d)
+         |  UNION ALL
+         |  SELECT doc_id, source, w1 || ' ' || w2 AS ng FROM bi
+         |),
+         |bk AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    CAST(list_sum([
+         |      CAST(strpos('0123456789abcdef', substr(md5(ng), i, 1)) - 1 AS BIGINT)
+         |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |      FOR i IN range(1, 13)]) % 1024 AS BIGINT) AS bucket
+         |  FROM ng
+         |),
+         |tc AS MATERIALIZED (
+         |  SELECT bucket, COUNT(*) AS tc FROM bk
+         |  WHERE doc_id % 2 = 0 AND source IN ('src0', 'src1') GROUP BY bucket
+         |),
+         |rc AS MATERIALIZED (
+         |  SELECT bucket, COUNT(*) AS rc FROM bk
+         |  WHERE doc_id % 2 = 0 AND source NOT IN ('src0', 'src1') GROUP BY bucket
+         |),
+         |tot AS (
+         |  SELECT (SELECT SUM(tc) FROM tc) AS tt, (SELECT SUM(rc) FROM rc) AS rt
+         |),
+         |lam AS MATERIALIZED (
+         |  SELECT b.doc_id,
+         |    ROUND(ln(CAST((COALESCE(t.tc, 0) + 1) * (tot.rt + 1024) AS DOUBLE) /
+         |             CAST((COALESCE(r.rc, 0) + 1) * (tot.tt + 1024) AS DOUBLE)), 9) AS lam
+         |  FROM bk b LEFT JOIN tc t ON b.bucket = t.bucket
+         |  LEFT JOIN rc r ON b.bucket = r.bucket, tot
+         |  WHERE b.doc_id % 2 = 1
+         |),
+         |w AS MATERIALIZED (
+         |  SELECT l.doc_id,
+         |    ROUND(CAST(SUM(CAST(l.lam AS DECIMAL(38,9))) AS DOUBLE), 6) AS logw,
+         |    MAX(CASE WHEN d2.source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS pos
+         |  FROM lam l JOIN documents d2 ON l.doc_id = d2.doc_id
+         |  GROUP BY l.doc_id
+         |),
+         |thr AS (SELECT unnest([-20.0, -15.0, -10.0, -5.0, 0.0]) AS thr),
+         |cm AS (
+         |  SELECT thr,
+         |    CAST(SUM(CASE WHEN pos = 1 AND logw >= thr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN pos = 0 AND logw >= thr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN pos = 1 AND logw < thr THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN pos = 0 AND logw < thr THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM w, thr GROUP BY thr
+         |)
+         |SELECT thr, tp, fp, fn, tn,
+         |  ROUND(CAST(tp AS DOUBLE) / CAST(GREATEST(tp + fp, 1) AS DOUBLE), 6) AS precision,
+         |  ROUND(CAST(tp AS DOUBLE) / CAST(GREATEST(tp + fn, 1) AS DOUBLE), 6) AS recall
+         |FROM cm ORDER BY thr""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

@@ -3266,6 +3266,42 @@ object Queries {
     Drift.klDrift(d, d.filter(col("lang") =!= "zh"), "text", k = 25)
   }
 
+  /** Quality-classifier calibration report: the DSIR log-odds score
+    * IS a naive-Bayes "looks like the curated corpus" classifier —
+    * train the bucket models on the even-id half, score the held-out
+    * odd-id half, and sweep five thresholds into a confusion-matrix /
+    * precision-recall table (the calibration step every production
+    * quality filter ships with — GPT-3's LR-filter methodology).
+    * Exact: counts are conditional integer sums; the two ratios are
+    * one IEEE division each, 6-dp rounded. One threshold-exploded
+    * map-side-combinable aggregate over the held-out scores.
+    */
+  val q126ClassifierEval: Q = (s, dir) => {
+    val b = 1024
+    val d = docs(s, dir).select("doc_id", "source", "text")
+    val isTarget = col("source").isin("src0", "src1")
+    val train = d.filter(col("doc_id") % 2 === 0)
+    val held = d.filter(col("doc_id") % 2 === 1)
+    val tc = Dsir.fitBucketCounts(train.filter(isTarget), "text", b)
+    val rc = Dsir.fitBucketCounts(train.filter(!isTarget), "text", b)
+    val w = Dsir.importanceWeights(held, "doc_id", "text", tc, rc, b)
+      .join(held.select(col("doc_id"), isTarget.as("_pos")), "doc_id")
+    val thrs = Seq(-20.0, -15.0, -10.0, -5.0, 0.0)
+    w.select(col("_pos"), col("logw"),
+        explode(array(thrs.map(lit): _*)).as("thr"))
+      .groupBy("thr").agg(
+        sum(when(col("_pos") && col("logw") >= col("thr"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("_pos") && col("logw") >= col("thr"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("_pos") && col("logw") < col("thr"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("_pos") && col("logw") < col("thr"), 1L).otherwise(0L)).as("tn"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp").cast("double") /
+          greatest(col("tp") + col("fp"), lit(1L)).cast("double"), 6).as("precision"),
+        round(col("tp").cast("double") /
+          greatest(col("tp") + col("fn"), lit(1L)).cast("double"), 6).as("recall"))
+      .orderBy("thr")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3412,5 +3448,6 @@ object Queries {
     "q123_wordpiece_vocab" -> q123WordpieceVocab,
     "q124_dup_profile" -> q124DupProfile,
     "q125_drift_report" -> q125DriftReport,
+    "q126_classifier_eval" -> q126ClassifierEval,
   )
 }

@@ -103,4 +103,17 @@ class FingerprintExpressionSpec extends SparkSpec {
     assert(sql === api)
     assert(sql === Seq("low", "e", "s", "t"))
   }
+
+  test("graft_wordpiece: SQL form matches the Column API") {
+    GraftFunctions.register(spark)
+    val sql = spark.sql(
+      "SELECT graft_wordpiece('abcbc', 'a', 'b', 'ab', 'abc', 'bc') AS s")
+      .as[Seq[String]].head()
+    val api = Seq("abcbc").toDF("w")
+      .select(WordPieceExpressions.wordPiece($"w",
+        new WordPieceVocab(Array("a", "b", "ab", "abc", "bc"))).as("s"))
+      .as[Seq[String]].head()
+    assert(sql === api)
+    assert(sql === Seq("abc", "bc"))
+  }
 }
