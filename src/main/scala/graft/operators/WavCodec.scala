@@ -165,6 +165,46 @@ object WavCodec extends Multimodal.MediaCodec {
       (c0sum.toDouble / math.max(1, frames) / 32768.0).toFloat)
   }
 
+  /** 64-bit energy-delta audio fingerprint — the perceptual-hash
+    * shape of classic audio fingerprinting (Haitsma & Kalker, "A
+    * Highly Robust Audio Fingerprint System", ISMIR 2002: sign of
+    * energy differences between adjacent time/frequency bands),
+    * reduced to the time axis: the decoded stream splits into 65
+    * equal slices, slice energy is the EXACT integer Σ sample²
+    * (longs — no FP anywhere), and bit f (0..63, at position `1L<<f`)
+    * is set iff energy(f+1) > energy(f). Amplitude scaling multiplies
+    * every energy by the same constant, so re-encodes/volume changes
+    * hash to distance 0; a localized edit flips only its
+    * neighborhood's bits — feed [[PerceptualHash.nearDupPairs]]'s
+    * banded Hamming join via `withDHash(hasher = WavCodec.energyHash64)`.
+    * Trailing samples beyond 65·⌊n/65⌋ are ignored; streams shorter
+    * than 65 samples throw (no evidence → NULL hash upstream).
+    */
+  def energyHash64(bytes: Array[Byte]): Long = {
+    val (s, _) = samples(bytes)
+    val spf = s.length / 65
+    if (spf == 0)
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        s"need >= 65 samples for the 65-slice energy hash, got ${s.length}")
+    val e = new Array[Long](65)
+    var f = 0
+    while (f < 65) {
+      var acc = 0L
+      var i = f * spf
+      val end = i + spf
+      while (i < end) { acc += s(i).toLong * s(i); i += 1 }
+      e(f) = acc
+      f += 1
+    }
+    var h = 0L
+    f = 0
+    while (f < 64) {
+      if (e(f + 1) > e(f)) h |= 1L << f
+      f += 1
+    }
+    h
+  }
+
   /** Truncate to a byte budget: keep the longest frame-aligned prefix
     * whose WAV re-encode fits (header is 44 bytes + 2·ch per frame —
     * exact arithmetic, no trial loop). Payloads inside the budget

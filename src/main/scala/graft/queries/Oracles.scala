@@ -2950,6 +2950,49 @@ object Oracles {
          |  ROUND(CAST(tp AS DOUBLE) / CAST(GREATEST(tp + fn, 1) AS DOUBLE), 6) AS recall
          |FROM cm ORDER BY thr""".stripMargin,
 
+    // audio near-dup: the q112/q117 arithmetic-replay pattern for the
+    // third modality — slice energies from the planted sample
+    // formula, adjacent-delta sign bits, exact Hamming pair set
+    "q127_audio_neardup" ->
+      """WITH ids AS MATERIALIZED (
+        |  SELECT doc_id, doc_id % 100000 AS i, doc_id // 100000 AS tier FROM (
+        |    SELECT doc_id FROM documents WHERE doc_id < 150
+        |    UNION ALL SELECT doc_id + 100000 FROM documents WHERE doc_id < 75
+        |    UNION ALL SELECT doc_id + 200000 FROM documents WHERE doc_id < 40)
+        |),
+        |grid AS (
+        |  SELECT f.g AS f, k.g AS k
+        |  FROM generate_series(0, 64) f(g), generate_series(0, 15) k(g)
+        |),
+        |samp AS MATERIALIZED (
+        |  SELECT d.doc_id, g.f, g.k,
+        |    CASE WHEN d.tier = 2 AND g.f = 64 THEN 1
+        |         WHEN g.f = 64 THEN (200 + d.i % 50)
+        |           * (CASE WHEN d.tier = 1 THEN 2 ELSE 1 END)
+        |         ELSE (40 + ((d.i * 29 + g.f * 13 + g.k * (g.k + 7)
+        |           + (d.i % 11) * g.k) % 160))
+        |           * (CASE WHEN d.tier = 1 THEN 2 ELSE 1 END)
+        |    END AS v
+        |  FROM ids d, grid g
+        |),
+        |en AS MATERIALIZED (
+        |  SELECT doc_id, f, SUM(CAST(v AS BIGINT) * v) AS e
+        |  FROM samp GROUP BY doc_id, f
+        |),
+        |bits AS MATERIALIZED (
+        |  SELECT a.doc_id, a.f AS bit, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bv
+        |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64
+        |),
+        |fh AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    SUM(CASE WHEN x.bv <> y.bv THEN 1 ELSE 0 END) AS hamming
+        |  FROM bits x JOIN bits y ON x.bit = y.bit AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM fh
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

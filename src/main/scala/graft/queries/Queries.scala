@@ -3302,6 +3302,66 @@ object Queries {
       .orderBy("thr")
   }
 
+  /** q127's planted PCM grid: 65 slices × 16 samples. Slice 64 is
+    * deliberately the loudest (200+i%50 vs ≤199 elsewhere) so bit 63
+    * is always set for base clips. Tier 1 (+100000): every sample ×2
+    * — a volume re-encode; all energy DELTAS keep their sign →
+    * distance 0. Tier 2 (+200000): slice 64 silenced to 1 — a
+    * localized edit flipping exactly bit 63 → distance 1. The oracle
+    * replays this arithmetic with no audio stack.
+    */
+  private def audioFixtureSamples(id: Long): Array[Short] = {
+    val i = (id % 100000).toInt
+    val tier = (id / 100000).toInt
+    val out = new Array[Short](65 * 16)
+    var f = 0
+    while (f < 65) {
+      var k = 0
+      while (k < 16) {
+        val v0 = if (f == 64) 200 + (i % 50)
+        else 40 + ((i * 29 + f * 13 + k * (k + 7) + (i % 11) * k) % 160)
+        val v = if (tier == 2 && f == 64) 1
+        else if (tier == 1) v0 * 2
+        else v0
+        out(f * 16 + k) = v.toShort
+        k += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** AUDIO perceptual near-dup ([[WavCodec.energyHash64]] +
+    * [[PerceptualHash]]): clips ride as real WAV payloads, decode
+    * through the production javax.sound stack, fingerprint as the
+    * 64-bit energy-delta hash (Haitsma & Kalker ISMIR 2002 reduced to
+    * the time axis — exact integer Σ sample² per slice, sign of
+    * adjacent-slice deltas), and pair up through the same 4-band
+    * Hamming pigeonhole join as images (q112) and video (q117) — the
+    * third modality on one near-dup machinery. Planted: volume
+    * re-encodes (distance 0) and one-slice edits (distance 1); recall
+    * is exact, so the oracle recomputes the full pair set
+    * arithmetically from the planted sample formula.
+    */
+  val q127AudioNearDup: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir).select("doc_id")
+    val ids = d.filter(col("doc_id") < 150).select(col("doc_id"))
+      .unionByName(d.filter(col("doc_id") < 75)
+        .select((col("doc_id") + 100000).as("doc_id")))
+      .unionByName(d.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 200000).as("doc_id")))
+      .as[Long]
+    val wavs = ids.mapPartitions(_.map { id =>
+      (id, WavCodec.encodePcm16Wav(audioFixtureSamples(id), 8000f, 1))
+    }).toDF("doc_id", "payload")
+    val hashed = PerceptualHash.withDHash(wavs, "payload",
+      hasher = WavCodec.energyHash64)
+    PerceptualHash.nearDupPairs(hashed, "doc_id", "dhash",
+        maxHamming = 3, bands = 4)
+      .orderBy("id_a", "id_b")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3449,5 +3509,6 @@ object Queries {
     "q124_dup_profile" -> q124DupProfile,
     "q125_drift_report" -> q125DriftReport,
     "q126_classifier_eval" -> q126ClassifierEval,
+    "q127_audio_neardup" -> q127AudioNearDup,
   )
 }

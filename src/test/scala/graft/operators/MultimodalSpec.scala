@@ -131,4 +131,23 @@ class MultimodalSpec extends SparkSpec {
     val f0 = ImageIoCodec.features(frames.head)
     assert(math.round(f0(0) * 255) === 99 && math.round(f0(1) * 255) === 0)
   }
+
+  test("WavCodec.energyHash64: volume-invariant, localized edits flip only their bits") {
+    val rnd = new scala.util.Random(19)
+    val base = Array.fill(65 * 20)((rnd.nextInt(400) - 200).toShort)
+    def wav(s: Array[Short]) = WavCodec.encodePcm16Wav(s, 8000f, 1)
+    val h0 = WavCodec.energyHash64(wav(base))
+    // volume re-encode: every sample ×2 → every energy ×4 → same signs
+    val loud = base.map(v => (v * 2).toShort)
+    assert(WavCodec.energyHash64(wav(loud)) === h0)
+    // silence the LAST slice: only bit 63 (the e(64)>e(63) comparison)
+    // can change
+    val cut = base.clone()
+    (64 * 20 until 65 * 20).foreach(i => cut(i) = 0)
+    val h1 = WavCodec.energyHash64(wav(cut))
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 1)
+    assert(((h0 ^ h1) & ~(1L << 63)) === 0L) // edit localized to bit 63
+    // streams too short for 65 slices throw → NULL through withDHash
+    intercept[Exception](WavCodec.energyHash64(wav(Array.fill(10)(5.toShort))))
+  }
 }
