@@ -3070,8 +3070,15 @@ object Queries {
     val rc = Dsir.fitBucketCounts(raw, "text", b)
     val u = (conv(substring(md5(col("text")), 1, 12), 16, 10).cast("double") + 0.5) /
       lit(281474976710656.0) // (h48 + 0.5) / 2^48 ∈ (0,1), exact in double
-    val w = Dsir.importanceWeights(raw, "doc_id", "text", tc, rc, b)
-      .join(raw.select(col("doc_id"), col("source"), u.as("_u")), "doc_id")
+    // the scored frame feeds BOTH the resample and the output
+    // decoration join — materialize once (the bruteForceTopK persist
+    // rationale)
+    val w = {
+      import graft.core.OpCache.TrackedPersist
+      Dsir.importanceWeights(raw, "doc_id", "text", tc, rc, b)
+        .join(raw.select(col("doc_id"), col("source"), u.as("_u")), "doc_id")
+        .persistTracked
+    }
     Dsir.resample(w, "doc_id", "logw", col("_u"), 100)
       .join(w.select("doc_id", "source", "n_ngrams", "logw"), "doc_id")
       .select("doc_id", "source", "n_ngrams", "logw", "key")
