@@ -2993,6 +2993,65 @@ object Oracles {
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM fh
         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
+    // quality-aware survivor selection: the q32 clustering + q18
+    // quality score + max-quality-then-min-id selection, all replayed
+    "q128_quality_survivors" -> {
+      val stop = graft.functions.Text.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
+         |),
+         |${shingleCte("corpus")},
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  ) WHERE jaccard >= 0.5
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |),
+         |reach(v, m) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.v
+         |),
+         |comp AS (SELECT v, MIN(m) AS comp FROM reach GROUP BY v),
+         |qm AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+         |      / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS sr,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         |      / CAST(GREATEST(length(text), 1) AS DOUBLE) AS pr,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |      / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS mwl,
+         |    length(text) AS nc
+         |  FROM (SELECT doc_id, text, $toksExpr AS toks FROM corpus)
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |    ROUND(LEAST(1.0, GREATEST(0.0, 0.2 + 2.0 * sr - 3.0 * pr
+         |      + 0.05 * LEAST(mwl, 8.0)
+         |      + CASE WHEN nc >= 200 THEN 0.1 ELSE 0.0 END)), 6) AS quality
+         |  FROM qm
+         |),
+         |lab AS (
+         |  SELECT c.comp, c.v AS doc_id, q.quality
+         |  FROM comp c JOIN q ON q.doc_id = c.v
+         |),
+         |best AS (SELECT comp, MAX(quality) AS quality FROM lab GROUP BY comp),
+         |sizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM lab GROUP BY comp)
+         |SELECT b.comp, s.cluster_size, MIN(l.doc_id) AS survivor_id, b.quality
+         |FROM best b
+         |JOIN lab l ON l.comp = b.comp AND l.quality = b.quality
+         |JOIN sizes s ON s.comp = b.comp
+         |GROUP BY b.comp, b.quality, s.cluster_size
+         |ORDER BY b.comp""".stripMargin
+    },
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

@@ -3369,6 +3369,39 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Quality-aware survivor selection: per near-dup cluster, keep the
+    * HIGHEST-QUALITY copy (ties → lowest id) instead of q49's min-id
+    * policy — what a curation pipeline actually wants ("keep the best
+    * copy, not the first crawled"). Survivor = two map-side-combinable
+    * groupBys + an equi-join back (max quality per component, then
+    * min id among the maxima) — NO per-component window, the same
+    * anti-window discipline as the star rounds. Quality is the q18
+    * rule score (6-dp rounded, replayable); the oracle replays
+    * clustering, scoring, and both selection steps.
+    */
+  val q128QualitySurvivors: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id", "text")
+    val mutated = d0.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
+    val corpus = d0.unionByName(mutated)
+    val pairs = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+    val labels = Dedup.componentsStar(corpus.select("doc_id"), "doc_id",
+      pairs, "id_a", "id_b")
+    val scored = corpus.select(col("doc_id"),
+      round(Text.qualityScore(col("text")), 6).as("quality"))
+    val lab = labels.join(scored, labels("v") === scored("doc_id"))
+      .select(col("comp"), col("doc_id"), col("quality"))
+    val best = lab.groupBy("comp").agg(max(col("quality")).as("quality"))
+    val sizes = lab.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    lab.join(best, Seq("comp", "quality"))
+      .groupBy("comp", "quality")
+      .agg(min(col("doc_id")).as("survivor_id"))
+      .join(sizes, Seq("comp"))
+      .select(col("comp"), col("cluster_size"), col("survivor_id"), col("quality"))
+      .orderBy("comp")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3517,5 +3550,6 @@ object Queries {
     "q125_drift_report" -> q125DriftReport,
     "q126_classifier_eval" -> q126ClassifierEval,
     "q127_audio_neardup" -> q127AudioNearDup,
+    "q128_quality_survivors" -> q128QualitySurvivors,
   )
 }
