@@ -438,6 +438,47 @@ object Dedup {
       .agg(count(lit(1)).as("shared_windows"))
   }
 
+  /** Per-document duplicated-window ratio — the SUB-document
+    * duplication diagnostic of Lee et al. 2022 ("what fraction of
+    * each document's n-gram windows also occur in other documents?"):
+    * the number that tells a curation team whether to dedup at
+    * document, paragraph, or substring granularity, and which docs
+    * are mostly boilerplate. Windows are the distinct
+    * `windowTokens`-grams ([[NearDup.shingles]] semantics — short
+    * docs contribute their whole text); a window is DUPLICATED when
+    * ≥2 documents contain it.
+    *
+    * 100 TB shape (the [[substringWindowPairs]] discipline): windows
+    * ride as 8-byte xxhash64 keys; the document frequency is a
+    * partial-aggregated groupBy (a boilerplate window reduces to one
+    * partial row per partition, never a hot single task); the
+    * duplicated-set membership is an AQE-splittable semi-join; both
+    * per-doc counts are map-side combinable.
+    *
+    * Output: (idCol, n_windows, dup_windows, dup_ratio 6-dp).
+    */
+  def duplicatedWindowRatio(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val wins = df
+      .select(col(idCol).as("_id"),
+        explode(NearDup.shingles(col(textCol), windowTokens)).as("_win"))
+      .select(col("_id"), xxhash64(col("_win")).as("_wh"))
+    val dup = wins.groupBy("_wh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2).select("_wh")
+    val perDoc = wins.groupBy("_id").agg(count(lit(1)).as("n_windows"))
+    val dupPerDoc = wins.join(dup, Seq("_wh"), "left_semi")
+      .groupBy("_id").agg(count(lit(1)).as("dup_windows"))
+    perDoc.join(dupPerDoc, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        round(coalesce(col("dup_windows"), lit(0L)).cast("double") /
+          col("n_windows").cast("double"), 6).as("dup_ratio"))
+  }
+
   /** Benchmark-contamination scan (Brown et al. 2020 App. C / GPT-3
     * style n-gram overlap): flag corpus documents that contain any
     * exact `windowTokens`-token window occurring in a benchmark/eval

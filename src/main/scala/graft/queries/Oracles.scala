@@ -3052,6 +3052,38 @@ object Oracles {
          |ORDER BY b.comp""".stripMargin
     },
 
+    // sub-document duplication: per-doc duplicated-window ratio over
+    // the corpus + mutants, replayed with window strings
+    "q129_dup_window_ratio" ->
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
+         |),
+         |t AS (SELECT doc_id, $toksExpr AS toks FROM corpus),
+         |w AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([array_to_string(toks[i:i+9], ' ')
+         |      FOR i IN range(1, greatest(len(toks) - 9, 1) + 1)])) AS win
+         |  FROM t
+         |),
+         |dfq AS (
+         |  SELECT win FROM (SELECT win, COUNT(*) AS c FROM w GROUP BY win)
+         |  WHERE c >= 2
+         |),
+         |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM w GROUP BY doc_id),
+         |d AS (
+         |  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS dup_windows
+         |  FROM w JOIN dfq ON w.win = dfq.win GROUP BY w.doc_id
+         |)
+         |SELECT n.doc_id, n.n_windows,
+         |  COALESCE(d.dup_windows, 0) AS dup_windows,
+         |  ROUND(CAST(COALESCE(d.dup_windows, 0) AS DOUBLE)
+         |    / CAST(n.n_windows AS DOUBLE), 6) AS dup_ratio
+         |FROM n LEFT JOIN d ON d.doc_id = n.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

@@ -3402,6 +3402,25 @@ object Queries {
       .orderBy("comp")
   }
 
+  /** Sub-document duplication diagnostic
+    * ([[Dedup.duplicatedWindowRatio]]): per-doc fraction of 10-token
+    * windows shared with other documents, over the corpus plus its
+    * first-token-dropped mutants (planted heavy overlap — each
+    * mutant shares almost every window with its source). The oracle
+    * replays window extraction, document frequencies, and the ratio
+    * with window STRINGS (the engine rides 8-byte hashes — the q42
+    * collision argument).
+    */
+  val q129DupWindowRatio: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id", "text")
+    val mutated = d0.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
+    Dedup.duplicatedWindowRatio(d0.unionByName(mutated), "doc_id", "text",
+        windowTokens = 10)
+      .orderBy("doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3551,5 +3570,6 @@ object Queries {
     "q126_classifier_eval" -> q126ClassifierEval,
     "q127_audio_neardup" -> q127AudioNearDup,
     "q128_quality_survivors" -> q128QualitySurvivors,
+    "q129_dup_window_ratio" -> q129DupWindowRatio,
   )
 }
