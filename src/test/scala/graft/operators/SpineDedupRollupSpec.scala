@@ -67,6 +67,22 @@ class SpineDedupRollupSpec extends SparkSpec {
     assert(out === Seq((1L, 2L, 1L)))
   }
 
+  test("duplicatedWindowRatio: shared windows count, unique docs score 0, short docs whole-text") {
+    // doc 1/2 share "w x y" (their only window overlap); doc 3 is
+    // unique; docs 4/5 are short exact duplicates (whole-text window)
+    val df = Seq(
+      (1L, "a b w x y"),   // windows: "a b w","b w x","w x y" → 1 of 3 dup
+      (2L, "c d w x y"),   // same shape
+      (3L, "p q r s t"),   // all unique
+      (4L, "tiny"), (5L, "tiny"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedWindowRatio(df, "doc_id", "text", windowTokens = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 1L, 0.333333), (2L, 3L, 1L, 0.333333),
+      (3L, 3L, 0L, 0.0), (4L, 1L, 1L, 1.0), (5L, 1L, 1L, 1.0)))
+  }
+
   test("components: min-id canonical per cluster, chain needs >1 round, singleton maps to self") {
     // chain 1-2-3 (diameter 2 forces label propagation through rounds),
     // pair 10-11, singleton 20
