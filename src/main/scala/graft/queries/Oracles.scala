@@ -3084,6 +3084,66 @@ object Oracles {
          |FROM n LEFT JOIN d ON d.doc_id = n.doc_id
          |ORDER BY n.doc_id""".stripMargin,
 
+    // KMV set-operation overlap: both snapshot sketches, the merged
+    // k-set, and every estimate replayed with the md5-prefix hashes
+    "q130_corpus_overlap" ->
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |shl AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ')
+         |      FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)]) AS s
+         |  FROM d
+         |),
+         |a AS MATERIALIZED (SELECT DISTINCT unnest(s) AS sh FROM shl WHERE doc_id % 2 = 0),
+         |b AS MATERIALIZED (SELECT DISTINCT unnest(s) AS sh FROM shl WHERE doc_id % 2 = 1),
+         |ha AS (
+         |  SELECT DISTINCT CAST(list_sum([
+         |    CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1 AS BIGINT)
+         |      * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |    FOR i IN range(1, 13)]) AS BIGINT) AS h
+         |  FROM a
+         |),
+         |hb AS (
+         |  SELECT DISTINCT CAST(list_sum([
+         |    CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1 AS BIGINT)
+         |      * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |    FOR i IN range(1, 13)]) AS BIGINT) AS h
+         |  FROM b
+         |),
+         |ska AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT 128),
+         |skb AS MATERIALIZED (SELECT h FROM hb ORDER BY h LIMIT 128),
+         |mg AS MATERIALIZED (
+         |  SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+         |  ORDER BY h LIMIT 128
+         |),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_merged, MAX(h) AS h_k FROM mg),
+         |nb AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+         |  FROM mg WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
+         |),
+         |eu AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_union
+         |  FROM (SELECT sh FROM a UNION SELECT sh FROM b)
+         |),
+         |ei AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter
+         |  FROM (SELECT sh FROM a INTERSECT SELECT sh FROM b)
+         |),
+         |base AS (
+         |  SELECT CAST(128 AS BIGINT) AS k, st.h_k,
+         |    ROUND(CASE WHEN st.n_merged < 128 THEN CAST(st.n_merged AS DOUBLE)
+         |      ELSE 127e0 * 281474976710656e0 / CAST(st.h_k AS DOUBLE) END, 6) AS union_est,
+         |    ROUND(CAST(nb.n_both AS DOUBLE) / CAST(st.n_merged AS DOUBLE), 6) AS jaccard_est,
+         |    eu.exact_union, ei.exact_inter
+         |  FROM st, nb, eu, ei
+         |)
+         |SELECT k, h_k, union_est, jaccard_est,
+         |  ROUND(jaccard_est * union_est, 6) AS intersection_est,
+         |  exact_union, exact_inter,
+         |  ABS(union_est - exact_union) <= exact_union * 0.25 AS union_within,
+         |  ABS(ROUND(jaccard_est * union_est, 6) - exact_inter) <= exact_inter * 0.35 AS inter_within
+         |FROM base""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

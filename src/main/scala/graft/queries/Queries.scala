@@ -3434,6 +3434,41 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Cross-corpus overlap estimation ([[KmvSetOps]], Beyer et al.
+    * SIGMOD 2007): "how much does this crawl overlap the last one?"
+    * answered from two 128-hash KMV sketches of the snapshots'
+    * 3-gram shingle sets — union cardinality from the merged k-th
+    * minimum, Jaccard from the merged-set membership fraction,
+    * intersection from their product — beside the exact counts and
+    * ±envelope booleans. Deterministic end-to-end (md5-prefix
+    * hashing), so every estimate rides the hash gate; sketch build is
+    * distinct-collapse + TakeOrdered (per-partition k, k-row merge).
+    */
+  val q130CorpusOverlap: Q = (s, dir) => {
+    val k = 128
+    val d = docs(s, dir).select("doc_id", "text")
+    def sh(pred: Column) = d.filter(pred)
+      .select(explode(NearDup.shingles(col("text"), 3)).as("sh"))
+    val a = sh(col("doc_id") % 2 === 0)
+    val b = sh(col("doc_id") % 2 === 1)
+    val est = KmvSetOps.overlapEstimate(
+      KmvSetOps.kmvSketch(a, col("sh"), k),
+      KmvSetOps.kmvSketch(b, col("sh"), k), k)
+    val da = a.distinct()
+    val db = b.distinct()
+    val exact = da.unionByName(db).distinct()
+      .agg(count(lit(1)).as("exact_union"))
+      .crossJoin(da.join(db, Seq("sh"), "left_semi")
+        .agg(count(lit(1)).as("exact_inter")))
+    est.crossJoin(broadcast(exact))
+      .select(col("k"), col("h_k"), col("union_est"), col("jaccard_est"),
+        col("intersection_est"), col("exact_union"), col("exact_inter"),
+        (abs(col("union_est") - col("exact_union")) <=
+          col("exact_union") * 0.25).as("union_within"),
+        (abs(col("intersection_est") - col("exact_inter")) <=
+          col("exact_inter") * 0.35).as("inter_within"))
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3584,5 +3619,6 @@ object Queries {
     "q127_audio_neardup" -> q127AudioNearDup,
     "q128_quality_survivors" -> q128QualitySurvivors,
     "q129_dup_window_ratio" -> q129DupWindowRatio,
+    "q130_corpus_overlap" -> q130CorpusOverlap,
   )
 }
