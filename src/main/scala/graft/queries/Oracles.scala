@@ -3144,6 +3144,35 @@ object Oracles {
          |  ABS(ROUND(jaccard_est * union_est, 6) - exact_inter) <= exact_inter * 0.35 AS inter_within
          |FROM base""".stripMargin,
 
+    // triangle counting: the naive canonical three-way join over the
+    // same planted modular graph — exact integer twin of the
+    // degree-ordered plan
+    "q131_triangles" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS x, (doc_id * 7 + 3) % n.n AS y FROM documents, n
+        |  UNION ALL SELECT doc_id, (doc_id * 13 + 5) % n.n FROM documents, n
+        |  UNION ALL SELECT (doc_id * 7 + 3) % n.n, (doc_id * 13 + 5) % n.n
+        |    FROM documents, n
+        |),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT LEAST(x, y) AS a, GREATEST(x, y) AS b
+        |  FROM raw WHERE x <> y
+        |),
+        |v AS (
+        |  SELECT COUNT(DISTINCT vv) AS n_vertices
+        |  FROM (SELECT a AS vv FROM e UNION ALL SELECT b FROM e)
+        |),
+        |t AS (
+        |  SELECT COUNT(*) AS n_triangles
+        |  FROM e ab JOIN e bc ON ab.b = bc.a
+        |  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+        |)
+        |SELECT CAST(v.n_vertices AS BIGINT) AS n_vertices,
+        |  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST(t.n_triangles AS BIGINT) AS n_triangles
+        |FROM v, t""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

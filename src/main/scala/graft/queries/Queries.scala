@@ -3469,6 +3469,25 @@ object Queries {
           col("exact_inter") * 0.35).as("inter_within"))
   }
 
+  /** Triangle counting ([[Triangles.triangleCount]], Suri &
+    * Vassilvitskii WWW 2011): degree-ordered node iteration over a
+    * deterministic planted graph (each doc wires a 3-cycle through
+    * two modular neighbors, so triangles exist by construction and
+    * overlap across docs). Integer-only; the oracle counts the same
+    * graph with the naive canonical three-way join, which the
+    * skew-proof degree-ordered plan must equal exactly.
+    */
+  val q131Triangles: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id")
+    val base = d.crossJoin(broadcast(d.agg(count(lit(1)).as("_n"))))
+    val v1 = (col("doc_id") * 7 + 3) % col("_n")
+    val v2 = (col("doc_id") * 13 + 5) % col("_n")
+    val edges = base.select(col("doc_id").as("x"), v1.as("y"))
+      .unionByName(base.select(col("doc_id").as("x"), v2.as("y")))
+      .unionByName(base.select(v1.as("x"), v2.as("y")))
+    Triangles.triangleCount(edges, "x", "y")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3620,5 +3639,6 @@ object Queries {
     "q128_quality_survivors" -> q128QualitySurvivors,
     "q129_dup_window_ratio" -> q129DupWindowRatio,
     "q130_corpus_overlap" -> q130CorpusOverlap,
+    "q131_triangles" -> q131Triangles,
   )
 }
