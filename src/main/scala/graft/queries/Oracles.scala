@@ -3173,6 +3173,75 @@ object Oracles {
         |  CAST(t.n_triangles AS BIGINT) AS n_triangles
         |FROM v, t""".stripMargin,
 
+    // ANN recall report: the q17 exact retriever and the q29 seeded
+    // IVF retriever as CTEs, recall@5 per query + corpus mean
+    "q132_ann_recall" ->
+      s"""WITH n AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
+         |  FROM embeddings
+         |),
+         |ex AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        CASE WHEN q.nrm * c.nrm > 0
+         |          THEN ${dotX("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+         |          ELSE 0.0 END DESC, c.vec_id) AS rn
+         |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < 50)
+         |  WHERE rn <= 5
+         |),
+         |s AS (SELECT vec_id AS cell, embedding AS sv, nrm AS sn FROM n WHERE vec_id < 16),
+         |cs AS MATERIALIZED (
+         |  SELECT v.vec_id, v.nrm, s.cell,
+         |    CASE WHEN v.nrm * s.sn > 0 THEN
+         |      ${dotX("v.embedding", "s.sv")} / (v.nrm * s.sn)
+         |    ELSE 0.0 END AS csim
+         |  FROM n v CROSS JOIN s
+         |),
+         |assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM cs) WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM cs WHERE vec_id < 50) WHERE rn <= 4
+         |),
+         |iv AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, a.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+         |        CASE WHEN qn.nrm * cn.nrm > 0
+         |          THEN ${dotX("qn.embedding", "cn.embedding")} / (qn.nrm * cn.nrm)
+         |          ELSE 0.0 END DESC, a.vec_id) AS rn
+         |    FROM probes p
+         |    JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |    JOIN n qn ON qn.vec_id = p.query_id
+         |    JOIN n cn ON cn.vec_id = a.vec_id)
+         |  WHERE rn <= 5
+         |),
+         |m AS (
+         |  SELECT ex.query_id,
+         |    CAST(SUM(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         |    CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM ex LEFT JOIN iv
+         |    ON iv.query_id = ex.query_id AND iv.neighbor_id = ex.neighbor_id
+         |  GROUP BY ex.query_id
+         |),
+         |mr AS (
+         |  SELECT ROUND(CAST(SUM(n_matched) AS DOUBLE)
+         |    / CAST(COUNT(*) * 5 AS DOUBLE), 6) AS mean_recall FROM m
+         |)
+         |SELECT query_id, n_matched,
+         |  ROUND(CAST(n_matched AS DOUBLE) / CAST(k AS DOUBLE), 6) AS recall,
+         |  (SELECT mean_recall FROM mr) AS mean_recall
+         |FROM m ORDER BY query_id""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

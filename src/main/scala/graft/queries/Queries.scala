@@ -3488,6 +3488,36 @@ object Queries {
     Triangles.triangleCount(edges, "x", "y")
   }
 
+  /** ANN index-quality report: recall@5 of the seeded IVF index (the
+    * q29 configuration) against the exact brute-force top-5 (the q17
+    * gold), per query plus the corpus mean — the eval every
+    * production ANN deployment ships with ("is nProbe=4 good
+    * enough?"). Membership is a semi-join of the two top-k lists;
+    * ratios are exact-integer counts over one 6-dp division. Both
+    * retrievers and the recall arithmetic replay in the oracle.
+    */
+  val q132AnnRecall: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        k = 5, roundDp = -1, exact = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopKSeeded(q, emb, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+    val matched = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
+    val perQ = exact.groupBy("query_id").agg(count(lit(1)).as("_k"))
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(coalesce(col("n_matched"), lit(0L)).cast("double") /
+          col("_k").cast("double"), 6).as("recall"))
+    val mean = perQ.agg(round(sum(col("n_matched")).cast("double") /
+      (count(lit(1)) * lit(5L)).cast("double"), 6).as("mean_recall"))
+    perQ.crossJoin(broadcast(mean)).orderBy("query_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3640,5 +3670,6 @@ object Queries {
     "q129_dup_window_ratio" -> q129DupWindowRatio,
     "q130_corpus_overlap" -> q130CorpusOverlap,
     "q131_triangles" -> q131Triangles,
+    "q132_ann_recall" -> q132AnnRecall,
   )
 }
