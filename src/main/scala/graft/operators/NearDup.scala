@@ -21,6 +21,39 @@ import graft.core.OpCache.TrackedPersist
   */
 object NearDup {
 
+  /** LSH banding parameter analysis — the S-curve table behind every
+    * (bands, rows) choice (Leskovec, Rajaraman & Ullman, "Mining of
+    * Massive Datasets" ch. 3; the datasketch-style optimizer): for
+    * each factorization b·r = `signatureSize`, the probability a pair
+    * with Jaccard j shares ≥1 band is 1 − (1 − j^r)^b. The table
+    * reports, per factorization, the catch probability at the target
+    * threshold, the false-positive mass at `jLow`, the false-negative
+    * mass at `jHigh`, and the S-curve midpoint (1/b)^(1/r) — what a
+    * curation team reads to pick banding for a dedup campaign.
+    *
+    * Pure closed-form arithmetic on a |divisors|-row frame (driver
+    * lists the factorizations; everything else is one projection) —
+    * probabilities rounded 6 dp, engine-exact up to libm pow (margins
+    * auditable: a handful of values).
+    */
+  def lshTuningTable(spark: org.apache.spark.sql.SparkSession,
+      signatureSize: Int, jHigh: Double, jLow: Double): DataFrame = {
+    require(signatureSize >= 1, s"signatureSize must be >= 1, got $signatureSize")
+    require(jLow < jHigh, s"need jLow < jHigh, got $jLow >= $jHigh")
+    import spark.implicits._
+    val facts = (1 to signatureSize)
+      .filter(signatureSize % _ == 0)
+      .map(b => (b.toLong, (signatureSize / b).toLong))
+      .toDF("bands", "rows_per_band")
+    def catchP(j: Double) = round(
+      lit(1.0) - pow(lit(1.0) - pow(lit(j), col("rows_per_band")), col("bands")), 6)
+    facts.select(col("bands"), col("rows_per_band"),
+      catchP(jHigh).as("p_catch_high"),
+      catchP(jLow).as("p_catch_low"),
+      round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")), 6)
+        .as("s_midpoint"))
+  }
+
   /** Word n-gram shingles (distinct), from single-space tokens —
     * native kernel; [[shinglesHof]] is its executable spec.
     */

@@ -3242,6 +3242,40 @@ object Oracles {
          |  (SELECT mean_recall FROM mr) AS mean_recall
          |FROM m ORDER BY query_id""".stripMargin,
 
+    // LSH tuning: the closed-form S-curve per 32-hash factorization
+    // plus the empirical expected recall over the q15 pair set,
+    // binned 2 dp with scaled-integer expectation arithmetic
+    "q133_lsh_tuning" ->
+      s"""WITH ${shingleCte("(SELECT doc_id, text FROM documents WHERE doc_id < 200)")},
+         |pj AS (
+         |  SELECT ROUND(jaccard, 2) AS jb FROM (
+         |    SELECT ${jaccardExpr("a.s", "b.s")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  ) WHERE jaccard >= 0.02
+         |),
+         |bins AS (SELECT jb, CAST(COUNT(*) AS BIGINT) AS cnt FROM pj GROUP BY jb),
+         |f AS (
+         |  SELECT CAST(b AS BIGINT) AS bands, CAST(32 // b AS BIGINT) AS rows_per_band
+         |  FROM (SELECT unnest([1, 2, 4, 8, 16, 32]) AS b)
+         |),
+         |tp AS (
+         |  SELECT f.bands, f.rows_per_band, bins.cnt,
+         |    CAST(ROUND((1e0 - POW(1e0 - POW(jb, rows_per_band), bands)) * 1e9) AS BIGINT) AS ps
+         |  FROM f, bins
+         |),
+         |agg AS (
+         |  SELECT bands, rows_per_band, CAST(SUM(cnt * ps) AS BIGINT) AS s,
+         |    CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM tp GROUP BY bands, rows_per_band
+         |)
+         |SELECT bands, rows_per_band,
+         |  ROUND(1e0 - POW(1e0 - POW(8e-1, rows_per_band), bands), 6) AS p_catch_high,
+         |  ROUND(1e0 - POW(1e0 - POW(3e-1, rows_per_band), bands), 6) AS p_catch_low,
+         |  ROUND(POW(1e0 / bands, 1e0 / rows_per_band), 6) AS s_midpoint,
+         |  ROUND(CAST(s AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE), 6) AS expected_catch,
+         |  n AS n_pairs
+         |FROM agg ORDER BY bands""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

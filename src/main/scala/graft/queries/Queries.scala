@@ -3518,6 +3518,41 @@ object Queries {
     perQ.crossJoin(broadcast(mean)).orderBy("query_id")
   }
 
+  /** LSH banding auto-tuning ([[NearDup.lshTuningTable]]): the
+    * S-curve table for every factorization of the production 32-hash
+    * signature, PLUS the empirical expected recall each banding
+    * would achieve on THIS corpus — the q15 exact pair set binned at
+    * 2 dp, Σ cnt·p_catch(j) as exact scaled-integer arithmetic. What
+    * a curation team reads before a dedup campaign ("8×4 catches
+    * 99.8% of j≥0.8 pairs and 41% of the j≈0.3 noise; 4×8 flips
+    * that"). Oracle replays the S-curve, the binning, and the
+    * expectation; pow boundary margins audited.
+    */
+  val q133LshTuning: Q = (s, dir) => {
+    val sh = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), NearDup.shingles(col("text"), 3).as("sh"))
+    val pairs = sh.select(col("doc_id").as("id_a"), col("sh").as("sha"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")),
+        col("id_a") < col("id_b"))
+      .withColumn("jaccard", NearDup.jaccard(col("sha"), col("shb")))
+      .filter(col("jaccard") >= 0.02)
+    val bins = pairs.select(round(col("jaccard"), 2).as("jb"))
+      .groupBy("jb").agg(count(lit(1)).as("cnt"))
+    val table = NearDup.lshTuningTable(s, 32, jHigh = 0.8, jLow = 0.3)
+    table.crossJoin(bins)
+      .withColumn("_ps", round((lit(1.0) -
+        pow(lit(1.0) - pow(col("jb"), col("rows_per_band")), col("bands"))) * 1e9)
+        .cast("long"))
+      .groupBy("bands", "rows_per_band", "p_catch_high", "p_catch_low", "s_midpoint")
+      .agg(sum(col("cnt") * col("_ps")).as("_s"), sum(col("cnt")).as("n_pairs"))
+      .select(col("bands"), col("rows_per_band"), col("p_catch_high"),
+        col("p_catch_low"), col("s_midpoint"),
+        round(col("_s").cast("double") / lit(1e9) /
+          col("n_pairs").cast("double"), 6).as("expected_catch"),
+        col("n_pairs"))
+      .orderBy("bands")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3671,5 +3706,6 @@ object Queries {
     "q130_corpus_overlap" -> q130CorpusOverlap,
     "q131_triangles" -> q131Triangles,
     "q132_ann_recall" -> q132AnnRecall,
+    "q133_lsh_tuning" -> q133LshTuning,
   )
 }

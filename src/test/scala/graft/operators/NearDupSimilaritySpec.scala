@@ -473,4 +473,21 @@ class NearDupSimilaritySpec extends SparkSpec {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.7 && mean < 1.3, s"JL mean distortion off: $mean")
   }
+
+  test("lshTuningTable: all factorizations, closed-form S-curve, monotone in bands") {
+    val t = NearDup.lshTuningTable(spark, 32, jHigh = 0.8, jLow = 0.3)
+      .orderBy("bands")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(t.map(r => (r._1, r._2)).toSeq ===
+      Seq((1L, 32L), (2L, 16L), (4L, 8L), (8L, 4L), (16L, 2L), (32L, 1L)))
+    // closed form at b=8, r=4: 1-(1-0.8^4)^8
+    val p84 = t.find(_._1 == 8).get._3
+    assert(math.abs(p84 - (1 - math.pow(1 - math.pow(0.8, 4), 8))) < 1e-6)
+    // more bands (shorter rows) catch MORE at every j: both columns
+    // monotone non-decreasing in bands
+    assert(t.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+    assert(t.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    // 32x1 banding catches everything with j>0 almost surely at j=0.8
+    assert(t.last._3 > 0.999999 || t.last._3 === 1.0)
+  }
 }
