@@ -3276,6 +3276,50 @@ object Oracles {
          |  n AS n_pairs
          |FROM agg ORDER BY bands""".stripMargin,
 
+    // ensemble dedup: text-jaccard pairs UNION decimal-exact cosine
+    // pairs feed the same reachability fold
+    "q134_ensemble_dedup" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
+         |),
+         |${shingleCte("corpus")},
+         |tpairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  ) WHERE jaccard >= 0.5
+         |),
+         |nv AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
+         |  FROM embeddings WHERE vec_id < 300
+         |),
+         |epairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      CASE WHEN a.nrm * b.nrm > 0 THEN
+         |        ${dotX("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+         |      ELSE 0.0 END AS sim
+         |    FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+         |  ) WHERE sim >= 0.4
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM tpairs
+         |  UNION ALL SELECT id_b, id_a FROM tpairs
+         |  UNION ALL SELECT id_a, id_b FROM epairs
+         |  UNION ALL SELECT id_b, id_a FROM epairs
+         |),
+         |reach(v, m) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.v
+         |)
+         |SELECT v AS doc_id, MIN(m) AS comp
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

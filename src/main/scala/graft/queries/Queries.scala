@@ -3553,6 +3553,40 @@ object Queries {
       .orderBy("bands")
   }
 
+  /** Multi-signal ensemble dedup: text near-dup pairs (MinHash LSH,
+    * j ≥ 0.5, over the mutant corpus) UNION embedding-similarity
+    * pairs (decimal-exact cosine ≥ 0.4, the q26 signal on the
+    * aligned vec_id space) feed ONE componentsStar — the production
+    * pattern where lexical and semantic evidence jointly decide
+    * cluster membership (a doc and its mutant chain lexically; two
+    * paraphrases chain semantically; the union transitively merges
+    * both). Labels are global min-ids as everywhere; the oracle
+    * replays both pair generators and the reachability fold.
+    */
+  val q134EnsembleDedup: Q = (s, dir) => {
+    val corpus = mutantCorpus(s, dir)
+    val textPairs = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b")
+    val n = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(Similarity.dotExact(col("embedding"), col("embedding"))).as("nrm"))
+    val a = n.select(col("vec_id").as("id_a"), col("embedding").as("_va"), col("nrm").as("_na"))
+    val b = n.select(col("vec_id").as("id_b"), col("embedding").as("_vb"), col("nrm").as("_nb"))
+    val den = col("_na") * col("_nb")
+    val embPairs = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("_fast", when(den > 0,
+        Similarity.dot(col("_va"), col("_vb")) / den).otherwise(0.0))
+      .filter(col("_fast") >= 0.4 - 1e-6)
+      .withColumn("sim", when(den > 0,
+        Similarity.dotExact(col("_va"), col("_vb")) / den).otherwise(0.0))
+      .filter(col("sim") >= 0.4)
+      .select("id_a", "id_b")
+    Dedup.componentsStar(corpus.select("doc_id"), "doc_id",
+        textPairs.unionByName(embPairs), "id_a", "id_b")
+      .select(col("v").as("doc_id"), col("comp"))
+      .orderBy("doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3707,5 +3741,6 @@ object Queries {
     "q131_triangles" -> q131Triangles,
     "q132_ann_recall" -> q132AnnRecall,
     "q133_lsh_tuning" -> q133LshTuning,
+    "q134_ensemble_dedup" -> q134EnsembleDedup,
   )
 }
