@@ -379,6 +379,48 @@ class PlanShapeSpec extends SparkSpec {
         s"graft_minhash nodes:\n${plan.take(4000)}")
   }
 
+  test("KL drift: totals broadcast; top-k is TakeOrdered, never a global sort") {
+    val a = Seq.tabulate(300)(i => s"tok${i % 40} tok${(i + 1) % 40}").toDF("text")
+    val b = Seq.tabulate(300)(i => s"tok${i % 35} tok${(i + 2) % 35}").toDF("text")
+    val q = Drift.klDrift(a, b, "text", k = 10)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"drift top-k must be TakeOrdered (per-partition k + driver merge):\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the one-row totals/KL frames must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"), s"no window belongs in drift:\n${plan.take(3000)}")
+  }
+
+  test("duplicatedWindowRatio: window df is partial-agg; membership is a semi-join, no window") {
+    val docs = Seq.tabulate(200)(i =>
+      (i.toLong, s"w${i % 9} w${(i + 1) % 9} w${(i + 2) % 9} w${(i + 3) % 9} w${(i + 4) % 9}"))
+      .toDF("doc_id", "text")
+    val q = Dedup.duplicatedWindowRatio(docs, "doc_id", "text", windowTokens = 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"df must be a partial-agg groupBy, never a per-key window:\n${plan.take(3000)}")
+    assert(plan.contains("LeftSemi"),
+      s"duplicated-set membership must be a semi-join:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"),
+      s"window df lacks map-side partial aggregation:\n${plan.take(3000)}")
+  }
+
+  test("triangles: wedge generation and closing are joins over partial-agg degrees, no window") {
+    val edges = (0L until 200L).flatMap(i => Seq((i, (i * 7 + 3) % 200), (i, (i + 1) % 200)))
+      .toDF("a", "b")
+    val q = Triangles.triangleCount(edges, "a", "b")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"degree-ordered counting needs no window:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"),
+      s"degrees lack map-side partial aggregation:\n${plan.take(3000)}")
+    assert(plan.contains("LeftSemi"),
+      s"closing edges must resolve via a semi-join:\n${plan.take(3000)}")
+  }
+
   test("DSIR scoring: bucket models and totals broadcast; corpus n-grams never shuffle to the model") {
     val docs = Seq.tabulate(400)(i =>
       (i.toLong, s"w${i % 7} w${(i + 1) % 7} w${(i + 3) % 7} w${(i + 5) % 7}"))
