@@ -404,6 +404,64 @@ object Oracles {
        |ORDER BY query_id, "rank"""".stripMargin
   }
 
+  /** The q100 export pipeline (cascade → dedup → chunk → pack) as a
+    * CTE chain ending in `pk` — shared by the q100 per-chunk gate and
+    * the q135 shard manifest.
+    */
+  private lazy val exportPkCtes: String = {
+    def swCount(words: Seq[String]) =
+      s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+    val en = swCount(Seq("the", "and", "of", "is", "to"))
+    val de = swCount(Seq("der", "und", "die", "ist", "das"))
+    val fr = swCount(Seq("le", "la", "et", "est", "les"))
+    val es = swCount(Seq("el", "los", "y", "es", "las"))
+    val stop = swCount(graft.functions.Text.Stopwords)
+    s"""WITH RECURSIVE t0 AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, toks,
+       |    CAST(len(toks) AS BIGINT) AS tc,
+       |    CAST($stop AS DOUBLE) / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS sr,
+       |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE) AS pr,
+       |    $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es
+       |  FROM t0
+       |),
+       |pass AS (
+       |  SELECT doc_id, text, toks FROM m
+       |  WHERE tc >= 20
+       |    AND (s_en + s_de + s_fr + s_es > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es)
+       |    AND sr >= 0.04 AND pr <= 0.2
+       |),
+       |keep AS (
+       |  SELECT doc_id, toks FROM (
+       |    SELECT doc_id, toks,
+       |      ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+       |    FROM pass) WHERE rn = 1
+       |),
+       |n AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 32 THEN 1 ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS nch FROM keep WHERE len(toks) > 0),
+       |iv AS (SELECT unnest(range(0, (SELECT max(nch) FROM n))) AS i),
+       |ch AS (
+       |  SELECT doc_id, iv.i AS chunk_idx,
+       |    CAST(len(list_filter(string_split(array_to_string(toks[iv.i*24+1 : iv.i*24+32], ' '), ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM n CROSS JOIN iv WHERE iv.i < nch
+       |),
+       |o AS (
+       |  SELECT doc_id % 8 AS shard, doc_id, chunk_idx, n_tokens,
+       |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM ch
+       |),
+       |pk AS (
+       |  SELECT shard, rn, doc_id, chunk_idx, n_tokens,
+       |    CAST(0 AS BIGINT) AS seq_idx, CAST(0 AS BIGINT) AS seq_pos, n_tokens AS used
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT c.shard, c.rn, c.doc_id, c.chunk_idx, c.n_tokens,
+       |    CASE WHEN pk.used > 0 AND pk.used + c.n_tokens > 256 THEN pk.seq_idx + 1 ELSE pk.seq_idx END,
+       |    CASE WHEN pk.used > 0 AND pk.used + c.n_tokens > 256 THEN 0 ELSE pk.seq_pos + 1 END,
+       |    CASE WHEN pk.used > 0 AND pk.used + c.n_tokens > 256 THEN c.n_tokens ELSE pk.used + c.n_tokens END
+       |  FROM o c JOIN pk ON c.shard = pk.shard AND c.rn = pk.rn + 1
+       |)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
 
     "q01_catalog" ->
@@ -2134,61 +2192,32 @@ object Oracles {
     // arithmetic → q84's greedy recurrence, composed over the same
     // corpus the Spark pipeline filters — the sink roundtrip on the
     // Spark side must be lossless for the tables to hash-match
-    "q100_export_e2e" -> {
-      def swCount(words: Seq[String]) =
-        s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
-      val en = swCount(Seq("the", "and", "of", "is", "to"))
-      val de = swCount(Seq("der", "und", "die", "ist", "das"))
-      val fr = swCount(Seq("le", "la", "et", "est", "les"))
-      val es = swCount(Seq("el", "los", "y", "es", "las"))
-      val stop = swCount(graft.functions.Text.Stopwords)
-      s"""WITH RECURSIVE t0 AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
-         |m AS (
-         |  SELECT doc_id, text, toks,
-         |    CAST(len(toks) AS BIGINT) AS tc,
-         |    CAST($stop AS DOUBLE) / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS sr,
-         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE) AS pr,
-         |    $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es
-         |  FROM t0
-         |),
-         |pass AS (
-         |  SELECT doc_id, text, toks FROM m
-         |  WHERE tc >= 20
-         |    AND (s_en + s_de + s_fr + s_es > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es)
-         |    AND sr >= 0.04 AND pr <= 0.2
-         |),
-         |keep AS (
-         |  SELECT doc_id, toks FROM (
-         |    SELECT doc_id, toks,
-         |      ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-         |    FROM pass) WHERE rn = 1
-         |),
-         |n AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 32 THEN 1 ELSE CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1 END AS nch FROM keep WHERE len(toks) > 0),
-         |iv AS (SELECT unnest(range(0, (SELECT max(nch) FROM n))) AS i),
-         |ch AS (
-         |  SELECT doc_id, iv.i AS chunk_idx,
-         |    CAST(len(list_filter(string_split(array_to_string(toks[iv.i*24+1 : iv.i*24+32], ' '), ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
-         |  FROM n CROSS JOIN iv WHERE iv.i < nch
-         |),
-         |o AS (
-         |  SELECT doc_id % 8 AS shard, doc_id, chunk_idx, n_tokens,
-         |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_idx) AS rn
-         |  FROM ch
-         |),
-         |pk AS (
-         |  SELECT shard, rn, doc_id, chunk_idx, n_tokens,
-         |    CAST(0 AS BIGINT) AS seq_idx, CAST(0 AS BIGINT) AS seq_pos, n_tokens AS used
-         |  FROM o WHERE rn = 1
-         |  UNION ALL
-         |  SELECT c.shard, c.rn, c.doc_id, c.chunk_idx, c.n_tokens,
-         |    CASE WHEN pk.used > 0 AND pk.used + c.n_tokens > 256 THEN pk.seq_idx + 1 ELSE pk.seq_idx END,
-         |    CASE WHEN pk.used > 0 AND pk.used + c.n_tokens > 256 THEN 0 ELSE pk.seq_pos + 1 END,
-         |    CASE WHEN pk.used > 0 AND pk.used + c.n_tokens > 256 THEN c.n_tokens ELSE pk.used + c.n_tokens END
-         |  FROM o c JOIN pk ON c.shard = pk.shard AND c.rn = pk.rn + 1
-         |)
+    "q100_export_e2e" ->
+      s"""$exportPkCtes
          |SELECT shard, doc_id, chunk_idx, n_tokens, seq_idx, seq_pos
-         |FROM pk ORDER BY shard, doc_id, chunk_idx""".stripMargin
-    },
+         |FROM pk ORDER BY shard, doc_id, chunk_idx""".stripMargin,
+
+    // training-export shard manifest: the same pipeline replay, rolled
+    // up per shard with the order-independent md5-48 XOR digest
+    "q135_export_manifest" ->
+      s"""$exportPkCtes,
+         |hh AS (
+         |  SELECT shard,
+         |    CAST(list_sum([
+         |      CAST(strpos('0123456789abcdef', substr(md5(
+         |        CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR) || ':' ||
+         |        CAST(n_tokens AS VARCHAR) || ':' || CAST(seq_idx AS VARCHAR) || ':' ||
+         |        CAST(seq_pos AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+         |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |      FOR i IN range(1, 13)]) AS BIGINT) AS h,
+         |    doc_id, n_tokens
+         |  FROM pk
+         |)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  bit_xor(h) AS content_fp
+         |FROM hh GROUP BY shard ORDER BY shard""".stripMargin,
 
     // content-defined chunking: the q19/q23 per-token fingerprint
     // recurrence marks boundaries; chunk index = prefix count of

@@ -2425,7 +2425,11 @@ object Queries {
     * exchange, and the write clusters by shard — the layout training
     * readers consume.
     */
-  val q100ExportE2e: Q = (s, dir) => {
+  /** The q100 export pipeline's packed chunk table (cascade → dedup →
+    * chunk → pack), shared by the e2e sink roundtrip (q100) and the
+    * shard manifest (q135).
+    */
+  private def exportPacked(s: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
     val rules = Seq(
       "min_tokens" -> (Text.tokenCount(txt) >= 20),
@@ -2437,8 +2441,12 @@ object Queries {
       .select("doc_id", "text")
     val kept = Dedup.exactByHash(passed, "text", Seq(col("doc_id")))
     val chunks = Chunker.chunk(kept, "doc_id", "text", window = 32, stride = 24)
-    val packed = Packer.pack(chunks, "doc_id", "chunk_idx", "n_tokens",
+    Packer.pack(chunks, "doc_id", "chunk_idx", "n_tokens",
       budget = 256L, shards = 8)
+  }
+
+  val q100ExportE2e: Q = (s, dir) => {
+    val packed = exportPacked(s, dir)
     val out = Scratch.fresh("q100")
     packed.write.mode("overwrite").partitionBy("shard").parquet(out)
     // partition-column inference reads shard back as int — restore long
@@ -3594,6 +3602,29 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Training-export shard manifest: the per-shard statistics table
+    * every export ships beside its data — chunk/doc/token counts plus
+    * an ORDER-INDEPENDENT content fingerprint (bit_xor of md5-48 row
+    * digests — any lost, duplicated, or altered row flips it; XOR
+    * commutes, so the manifest is identical at any write
+    * parallelism). One map-side-combinable groupBy over the q100
+    * packed table; the oracle replays the whole pipeline plus the
+    * digest arithmetic.
+    */
+  val q135ExportManifest: Q = (s, dir) => {
+    val rowKey = concat_ws(":", col("doc_id"), col("chunk_idx"),
+      col("n_tokens"), col("seq_idx"), col("seq_pos"))
+    exportPacked(s, dir)
+      .withColumn("_h",
+        conv(substring(md5(rowKey), 1, 12), 16, 10).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        bit_xor(col("_h")).as("content_fp"))
+      .orderBy("shard")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3749,5 +3780,6 @@ object Queries {
     "q132_ann_recall" -> q132AnnRecall,
     "q133_lsh_tuning" -> q133LshTuning,
     "q134_ensemble_dedup" -> q134EnsembleDedup,
+    "q135_export_manifest" -> q135ExportManifest,
   )
 }
