@@ -3349,6 +3349,59 @@ object Oracles {
          |SELECT v AS doc_id, MIN(m) AS comp
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
 
+    // Poisson-bootstrap CI: md5-uniform CDF inversion (thresholds are
+    // the SAME Scala-printed doubles), weighted replicate means over
+    // exact DECIMAL sums, order-statistic interval — full replay
+    "q136_bootstrap_ci" -> {
+      val stop = graft.functions.Text.Stopwords.map(w => s"'$w'").mkString(", ")
+      val cdf = graft.operators.Bootstrap.PoissonCdf
+      val wCase = cdf.zipWithIndex.reverse.foldLeft("6") {
+        case (rest, (c, k)) => s"CASE WHEN u < $c THEN $k ELSE $rest END"
+      }
+      s"""WITH qm AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+         |      / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS sr,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         |      / CAST(GREATEST(length(text), 1) AS DOUBLE) AS pr,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |      / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS mwl,
+         |    length(text) AS nc
+         |  FROM (SELECT doc_id, text, $toksExpr AS toks FROM documents)
+         |),
+         |sc AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    ROUND(LEAST(1.0, GREATEST(0.0, 0.2 + 2.0 * sr - 3.0 * pr
+         |      + 0.05 * LEAST(mwl, 8.0)
+         |      + CASE WHEN nc >= 200 THEN 0.1 ELSE 0.0 END)), 6) AS q
+         |  FROM qm
+         |),
+         |reps AS (
+         |  SELECT sc.doc_id, sc.q, r.g AS r,
+         |    (CAST(list_sum([
+         |      CAST(strpos('0123456789abcdef', substr(md5(
+         |        CAST(sc.doc_id AS VARCHAR) || ':' || CAST(r.g AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+         |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |      FOR i IN range(1, 13)]) AS DOUBLE) + 0.5) / 281474976710656.0 AS u
+         |  FROM sc, generate_series(0, 31) r(g)
+         |),
+         |wm AS MATERIALIZED (
+         |  SELECT r, CAST(SUM(CAST(q * CAST(($wCase) AS DOUBLE) AS DECIMAL(38,9))) AS DOUBLE)
+         |    / CAST(SUM($wCase) AS DOUBLE) AS m
+         |  FROM reps GROUP BY r
+         |),
+         |rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rk FROM wm),
+         |base AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    ROUND(CAST(SUM(CAST(q AS DECIMAL(38,9))) AS DOUBLE) / COUNT(q), 6) AS mean
+         |  FROM sc
+         |)
+         |SELECT base.n, base.mean,
+         |  (SELECT ROUND(m, 6) FROM rk WHERE rk = 2) AS ci_lo,
+         |  (SELECT ROUND(m, 6) FROM rk WHERE rk = 31) AS ci_hi
+         |FROM base""".stripMargin
+    },
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

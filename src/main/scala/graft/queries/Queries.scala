@@ -3625,6 +3625,21 @@ object Queries {
       .orderBy("shard")
   }
 
+  /** Poisson-bootstrap CI ([[Bootstrap.meanCi]]): a 90% confidence
+    * interval for the corpus mean quality score from 32 deterministic
+    * Poisson(1)-weighted replicates in ONE corpus pass (Chamandy et
+    * al. 2012 — the bootstrap at scale). Every replicate weight
+    * inverts the Poisson CDF on an md5-derived uniform, so the whole
+    * interval is a pure function of corpus content and the oracle
+    * replays weights, replicate means, and the order statistics.
+    */
+  val q136BootstrapCi: Q = (s, dir) => {
+    val scored = docs(s, dir).select(col("doc_id"),
+      round(Text.qualityScore(col("text")), 6).as("q"))
+    Bootstrap.meanCi(scored, col("doc_id"), col("q"),
+      replicates = 32, alpha = 0.05)
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3781,5 +3796,6 @@ object Queries {
     "q133_lsh_tuning" -> q133LshTuning,
     "q134_ensemble_dedup" -> q134EnsembleDedup,
     "q135_export_manifest" -> q135ExportManifest,
+    "q136_bootstrap_ci" -> q136BootstrapCi,
   )
 }
