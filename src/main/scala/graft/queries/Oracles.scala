@@ -3402,6 +3402,52 @@ object Oracles {
          |FROM base""".stripMargin
     },
 
+    // cluster-aware k-folds: clustering replay + md5-48(comp) % 5
+    // fold assignment + the spanning-cluster guarantee column
+    "q137_cluster_folds" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
+         |),
+         |${shingleCte("corpus")},
+         |pairs AS (
+         |  SELECT * FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  ) WHERE jaccard >= 0.5
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |),
+         |reach(v, m) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.v
+         |),
+         |lab AS MATERIALIZED (
+         |  SELECT v, comp,
+         |    CAST(list_sum([
+         |      CAST(strpos('0123456789abcdef', substr(md5(CAST(comp AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+         |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |      FOR i IN range(1, 13)]) % 5 AS BIGINT) AS fold
+         |  FROM (SELECT v, MIN(m) AS comp FROM reach GROUP BY v)
+         |),
+         |pf AS (
+         |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(DISTINCT comp) AS BIGINT) AS n_clusters
+         |  FROM lab GROUP BY fold
+         |),
+         |sp AS (
+         |  SELECT CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS clusters_spanning_folds
+         |  FROM (SELECT comp, COUNT(DISTINCT fold) AS nf FROM lab GROUP BY comp)
+         |)
+         |SELECT pf.fold, pf.n_docs, pf.n_clusters, sp.clusters_spanning_folds
+         |FROM pf, sp ORDER BY pf.fold""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

@@ -3640,6 +3640,30 @@ object Queries {
       replicates = 32, alpha = 0.05)
   }
 
+  /** Cluster-aware k-fold assignment: every near-dup cluster lands
+    * WHOLLY in one of 5 cross-validation folds (fold = md5-48(comp)
+    * % 5 — content-keyed, so folds are stable across runs and
+    * re-crawls), the q95 leakage-free-split guarantee generalized
+    * from one holdout to k folds. The output's
+    * `clusters_spanning_folds` column is the guarantee made
+    * measurable: 0 by construction, and the oracle recomputes it
+    * from its own replayed clustering — a partitioner bug that split
+    * a cluster would flip the gate.
+    */
+  val q137ClusterFolds: Q = (s, dir) => {
+    val labels = clusterLabelsFor(s, dir)
+      .withColumn("fold",
+        pmod(conv(substring(md5(col("comp").cast("string")), 1, 12), 16, 10)
+          .cast("long"), lit(5L)))
+    val perFold = labels.groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("comp")).as("n_clusters"))
+    val spanning = labels.groupBy("comp")
+      .agg(count_distinct(col("fold")).as("_nf"))
+      .agg(sum(when(col("_nf") > 1, 1L).otherwise(0L)).as("clusters_spanning_folds"))
+    perFold.crossJoin(broadcast(spanning)).orderBy("fold")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3797,5 +3821,6 @@ object Queries {
     "q134_ensemble_dedup" -> q134EnsembleDedup,
     "q135_export_manifest" -> q135ExportManifest,
     "q136_bootstrap_ci" -> q136BootstrapCi,
+    "q137_cluster_folds" -> q137ClusterFolds,
   )
 }
