@@ -3448,6 +3448,155 @@ object Oracles {
          |SELECT pf.fold, pf.n_docs, pf.n_clusters, sp.clusters_spanning_folds
          |FROM pf, sp ORDER BY pf.fold""".stripMargin,
 
+    // snapshot diff: hash-only full-outer join over the derived
+    // crawl-N+1 (drop %7, mutate %5 survivors, re-add %3 under new
+    // ids), exact counts + one 6-dp share division
+    "q138_snapshot_diff" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT doc_id, text, $toksExpr AS toks FROM documents
+         |),
+         |a AS (SELECT doc_id, md5(text) AS h FROM base),
+         |b AS (
+         |  SELECT doc_id,
+         |    md5(CASE WHEN doc_id % 5 = 0
+         |      THEN array_to_string(toks[2:len(toks)], ' ') ELSE text END) AS h
+         |  FROM base WHERE doc_id % 7 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, md5(text) AS h FROM base
+         |  WHERE doc_id % 3 = 0
+         |),
+         |d AS MATERIALIZED (
+         |  SELECT CASE WHEN a.h IS NULL THEN 'added'
+         |    WHEN b.h IS NULL THEN 'removed'
+         |    WHEN a.h = b.h THEN 'unchanged' ELSE 'changed' END AS status
+         |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         |)
+         |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE)
+         |    / CAST((SELECT COUNT(*) FROM d) AS DOUBLE), 6) AS pct
+         |FROM d GROUP BY status ORDER BY status""".stripMargin,
+
+    // Zipf fit: top-300 token head, 9-dp ln, DECIMAL-exact OLS sums
+    // and closed-form numerator/denominator; three final double
+    // divisions mirrored cast-for-cast
+    "q139_zipf_fit" ->
+      s"""WITH t AS (SELECT unnest($toksExpr) AS tok FROM documents),
+         |c AS MATERIALIZED (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY tok
+         |),
+         |top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 300),
+         |r AS (
+         |  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank FROM top
+         |),
+         |xy AS (
+         |  SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+         |         CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+         |  FROM r
+         |),
+         |a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+         |  FROM xy
+         |),
+         |f AS (
+         |  SELECT n,
+         |    CAST(CAST(sxy AS DECIMAL(24,18)) * CAST(n AS DECIMAL(7,0))
+         |      - CAST(sx AS DECIMAL(18,9)) * CAST(sy AS DECIMAL(18,9)) AS DOUBLE) AS num,
+         |    CAST(CAST(sxx AS DECIMAL(24,18)) * CAST(n AS DECIMAL(7,0))
+         |      - CAST(sx AS DECIMAL(18,9)) * CAST(sx AS DECIMAL(18,9)) AS DOUBLE) AS denx,
+         |    CAST(CAST(syy AS DECIMAL(24,18)) * CAST(n AS DECIMAL(7,0))
+         |      - CAST(sy AS DECIMAL(18,9)) * CAST(sy AS DECIMAL(18,9)) AS DOUBLE) AS deny,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+         |  FROM a
+         |)
+         |SELECT n AS n_fit, ROUND(num / denx, 6) AS slope,
+         |  ROUND((syd - (num / denx) * sxd) / CAST(n AS DOUBLE), 6) AS intercept,
+         |  ROUND((num * num) / (denx * deny), 6) AS r2
+         |FROM f""".stripMargin,
+
+    // token entropy: H = ln n - (sum c*ln c)/n per doc; c*ln c as
+    // DECIMAL(18,9)*DECIMAL(12,0) exact products, zero-token docs
+    // absent on both engines
+    "q142_token_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksExpr) AS tok FROM documents),
+         |tc AS MATERIALIZED (
+         |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM t GROUP BY doc_id, tok
+         |),
+         |e AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |    SUM(CAST(ROUND(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9))
+         |      * CAST(c AS DECIMAL(12,0))) AS sc
+         |  FROM tc GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens, n_distinct, entropy,
+         |  entropy < 3.0 AS low_entropy
+         |FROM (
+         |  SELECT doc_id, n_tokens, n_distinct,
+         |    ROUND(ROUND(ln(CAST(n_tokens AS DOUBLE)), 9)
+         |      - CAST(sc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS entropy
+         |  FROM e
+         |) ORDER BY doc_id""".stripMargin,
+
+    // PMI collocations: exact counts, 9-dp ln of a ratio of exact
+    // long products, min-count floor 5, top-40 with pair tie-break
+    "q143_pmi_collocations" ->
+      s"""WITH d AS MATERIALIZED (SELECT doc_id, $toksExpr AS t FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+         |         unnest(list_slice(t, 2, len(t))) AS w2
+         |  FROM d WHERE len(t) >= 2
+         |),
+         |bc AS MATERIALIZED (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 5
+         |),
+         |u AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(t) AS w FROM d) GROUP BY w
+         |),
+         |tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS t
+         |  FROM (SELECT unnest(t) AS w FROM d)
+         |)
+         |SELECT w1, w2, cnt,
+         |  ROUND(ln(CAST(cnt * tot.t AS DOUBLE)
+         |    / CAST(u1.c * u2.c AS DOUBLE)), 9) AS pmi
+         |FROM bc JOIN u u1 ON bc.w1 = u1.w JOIN u u2 ON bc.w2 = u2.w, tot
+         |ORDER BY pmi DESC, w1, w2 LIMIT 40""".stripMargin,
+
+    // skew report: key histogram, frequency-of-frequencies exact
+    // p99, TakeOrdered top-10, integer ceil-div salt suggestion
+    "q145_skew_report" ->
+      s"""WITH t AS (SELECT unnest($toksExpr) AS tok FROM documents),
+         |c AS MATERIALIZED (
+         |  SELECT tok AS key, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY tok
+         |),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |    CAST(SUM(cnt) AS BIGINT) AS total_rows, MAX(cnt) AS max_cnt
+         |  FROM c
+         |),
+         |ff AS (SELECT cnt, COUNT(*) AS nk FROM c GROUP BY cnt),
+         |cum AS (
+         |  SELECT cnt, SUM(nk) OVER (ORDER BY cnt
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM ff
+         |),
+         |p99 AS (
+         |  SELECT MIN(cnt) AS p99_cnt FROM cum, st
+         |  WHERE cum * 100 >= st.n_keys * 99
+         |),
+         |top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 10)
+         |SELECT top.key, top.cnt,
+         |  ROUND(CAST(top.cnt AS DOUBLE) / CAST(st.total_rows AS DOUBLE), 6) AS share,
+         |  CAST((top.cnt + 999) // 1000 AS BIGINT) AS suggested_salt,
+         |  st.n_keys, st.total_rows, st.max_cnt, p99.p99_cnt,
+         |  ROUND(CAST(st.max_cnt AS DOUBLE) * CAST(st.n_keys AS DOUBLE)
+         |    / CAST(st.total_rows AS DOUBLE), 6) AS skew_factor
+         |FROM top, st, p99 ORDER BY top.cnt DESC, top.key""".stripMargin,
+
     // schema evolution: v1 rows (even ids) carry NULL for the column
     // they predate; v2 rows (odd ids) carry the computed value
     "q108_schema_evolution" ->

@@ -3664,6 +3664,76 @@ object Queries {
     perFold.crossJoin(broadcast(spanning)).orderBy("fold")
   }
 
+  /** Corpus snapshot diff ([[Snapshot.diffReport]]): the churn ledger
+    * between crawl N and crawl N+1 — a deterministic new snapshot is
+    * derived from `documents` (every 7th doc dropped, every 5th
+    * surviving doc re-crawled with its first token lost, every 3rd
+    * doc re-appearing under a new id) and diffed against the
+    * original by content hash. Only (id, md5) pairs ever shuffle —
+    * the text column dies at the scan — and the report is exact
+    * counts plus one 6-dp share division, so the whole query rides
+    * the hash gate.
+    */
+  val q138SnapshotDiff: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id", "text")
+    val mutated = concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000))
+    val b = d0.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, mutated).otherwise(col("text")).as("text"))
+      .unionByName(d0.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    Snapshot.diffReport(d0, b, "doc_id", "text")
+  }
+
+  /** Zipf's-law fit ([[CorpusStats.zipfFit]]): OLS of ln(freq) on
+    * ln(rank) over the 300 most frequent tokens — slope ≈ −1 is the
+    * signature of natural language (Zipf 1949), and a corpus whose
+    * slope drifts toward 0 (flat head = template spam) or −2
+    * (keyword stuffing) fails the cheapest health check in the
+    * curation playbook. One map-side-combinable count, a TakeOrdered
+    * head, and a DECIMAL-exact OLS whose only floating-point ops are
+    * the three final divisions — the oracle replays every cast.
+    */
+  val q139ZipfFit: Q = (s, dir) =>
+    CorpusStats.zipfFit(
+      docs(s, dir).select(explode(Text.tokens(col("text"))).as("tok")),
+      "tok", topK = 300)
+
+  /** Per-doc unigram entropy ([[CorpusStats.tokenEntropy]]): the
+    * keyword-stuffing detector — H = ln n − (Σ c·ln c)/n in nats
+    * over each document's token counts, with the low-entropy flag a
+    * curation cascade would gate on. The c·ln c products are
+    * DECIMAL-exact (never double products — 17-significant-digit
+    * quantization would tie-split engines); docs with no tokens are
+    * absent by construction on both engines.
+    */
+  val q142TokenEntropy: Q = (s, dir) =>
+    CorpusStats.tokenEntropy(docs(s, dir), "doc_id", "text")
+      .withColumn("low_entropy", col("entropy") < 3.0)
+      .orderBy("doc_id")
+
+  /** PMI collocations ([[CorpusStats.pmiCollocations]], Church &
+    * Hanks 1990): the 40 strongest adjacent-pair associations with
+    * count ≥ 5 — the corpus's phrasebook, and a drift probe when
+    * diffed across snapshots. Counts exact, PMI a 9-dp ln of a
+    * ratio of exact long products, ties broken on the pair.
+    */
+  val q143PmiCollocations: Q = (s, dir) =>
+    CorpusStats.pmiCollocations(docs(s, dir), "text", minCount = 5L, topK = 40)
+
+  /** Shuffle-skew diagnosis ([[SkewReport.keyProfile]]): the top-10
+    * hottest tokens of the corpus token stream with share, suggested
+    * salt factor at 1000 rows/sub-key, and the distribution columns
+    * (n_keys, total, max, exact p99, skew factor) — the report an
+    * engineer reads before shipping a token-keyed join, computed
+    * without ever sorting the key table (the p99 runs on the
+    * frequency-of-frequencies table; the head is TakeOrdered).
+    */
+  val q145SkewReport: Q = (s, dir) =>
+    SkewReport.keyProfile(
+      docs(s, dir).select(explode(Text.tokens(col("text"))).as("tok")),
+      "tok", topN = 10, targetRowsPerKey = 1000L)
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3822,5 +3892,10 @@ object Queries {
     "q135_export_manifest" -> q135ExportManifest,
     "q136_bootstrap_ci" -> q136BootstrapCi,
     "q137_cluster_folds" -> q137ClusterFolds,
+    "q138_snapshot_diff" -> q138SnapshotDiff,
+    "q139_zipf_fit" -> q139ZipfFit,
+    "q142_token_entropy" -> q142TokenEntropy,
+    "q143_pmi_collocations" -> q143PmiCollocations,
+    "q145_skew_report" -> q145SkewReport,
   )
 }
