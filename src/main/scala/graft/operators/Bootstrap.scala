@@ -51,6 +51,16 @@ object Bootstrap {
     * [α, 1−α] empirical CI. `keyCol` must be a stable row identity.
     * Output: ONE row (n BIGINT, mean, ci_lo, ci_hi — 6-dp doubles;
     * mean is the UNWEIGHTED exact mean, the point estimate).
+    *
+    * Degenerate-replicate discipline: a replicate whose Poisson
+    * weights are ALL zero (probability e^−n per replicate — real for
+    * tiny corpora) has no resample evidence; its 0/0 mean is nulled
+    * via a zero-guarded divide and DROPPED before ranking rather than
+    * letting NULL sort first and shift the order statistics. If so
+    * many replicates drop that the upper rank is unreachable, or the
+    * input frame is EMPTY, the output is ZERO rows (no CI is
+    * representable) — callers needing a row-always contract should
+    * pre-check corpus size (n ≥ ~30 makes a drop < 1e-11·R).
     */
   def meanCi(df: DataFrame, keyCol: Column, valueCol: Column,
       replicates: Int, alpha: Double): DataFrame = {
@@ -66,9 +76,10 @@ object Bootstrap {
             .cast("double") + 0.5) / lit(281474976710656.0)).as("_w"))
       .groupBy("r")
       .agg((Exact.dsum(col("_v") * col("_w").cast("double"), scale = 9) /
-        sum(col("_w")).cast("double")).as("_m"))
-    // exact order statistics over the R-row replicate frame
-    val ranked = reps.select(col("_m"),
+        nullif(sum(col("_w")).cast("double"), lit(0.0))).as("_m"))
+    // exact order statistics over the R-row replicate frame; all-zero-
+    // weight replicates (null mean) carry no evidence and are dropped
+    val ranked = reps.filter(col("_m").isNotNull).select(col("_m"),
       row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("_m"), col("r"))).as("_rk"))
     val ciLo = ranked.filter(col("_rk") === lo + 1).select(round(col("_m"), 6).as("ci_lo"))
     val ciHi = ranked.filter(col("_rk") === hi + 1).select(round(col("_m"), 6).as("ci_hi"))

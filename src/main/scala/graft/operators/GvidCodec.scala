@@ -41,36 +41,48 @@ object GvidCodec extends Multimodal.MediaCodec {
     out.toByteArray
   }
 
-  /** Demux: the embedded frame payloads, or Nil on a corrupt/foreign
-    * container (truncated length prefix, frame running past the end).
+  /** Demux: Some(embedded frame payloads) — possibly empty for a
+    * structurally valid zero-frame container — or None on a
+    * corrupt/foreign container (bad magic, truncated length prefix,
+    * frame running past the end). Separating 'empty' from 'corrupt'
+    * is what lets [[sniffFormat]] classify encode(Nil) correctly.
     */
-  def frames(bytes: Array[Byte]): Seq[Array[Byte]] = {
-    if (bytes.length < Magic.length + 4) return Nil
+  def demux(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes.length < Magic.length + 4) return None
     var i = 0
     while (i < Magic.length) {
-      if (bytes(i) != Magic(i)) return Nil
+      if (bytes(i) != Magic(i)) return None
       i += 1
     }
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     buf.position(Magic.length)
     val n = buf.getInt
-    if (n < 0 || n > 1000000) return Nil
+    if (n < 0 || n > 1000000) return None
     val out = Seq.newBuilder[Array[Byte]]
     var k = 0
     while (k < n) {
-      if (buf.remaining() < 4) return Nil
+      if (buf.remaining() < 4) return None
       val len = buf.getInt
-      if (len < 0 || len > buf.remaining()) return Nil
+      if (len < 0 || len > buf.remaining()) return None
       val f = new Array[Byte](len)
       buf.get(f)
       out += f
       k += 1
     }
-    out.result()
+    Some(out.result())
   }
 
+  /** The embedded frame payloads, or Nil on a corrupt/foreign OR
+    * zero-frame container (callers that need the distinction use
+    * [[demux]]).
+    */
+  def frames(bytes: Array[Byte]): Seq[Array[Byte]] = demux(bytes).getOrElse(Nil)
+
+  /** Magic + header structure decide the format — a valid zero-frame
+    * container IS a gvid (empty ≠ corrupt).
+    */
   def sniffFormat(bytes: Array[Byte]): String =
-    if (frames(bytes).nonEmpty) "gvid" else "bin"
+    if (demux(bytes).isDefined) "gvid" else "bin"
 
   /** Header-only: demux walks length prefixes (no raster decode) and
     * the first frame's dims come from its PNG header via the

@@ -38,6 +38,9 @@ object Mixing {
   def alphaQuotas(counts: DataFrame, keyCol: String,
       alpha: Double, budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    // budget·_w products can exceed Long.MaxValue for huge domains —
+    // integer-exact operators require ANSI so overflow is loud
+    graft.core.Exact.requireAnsi(counts.sparkSession, "Mixing.alphaQuotas")
     // one pow per DOMAIN (model-sized), rounded 9 dp → exact scaled long
     val w = counts.withColumn("_w",
       round(pow(col("n").cast("double"), lit(alpha)) * 1e9).cast("long"))
