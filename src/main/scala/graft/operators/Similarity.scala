@@ -720,6 +720,45 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
+    val (withCell, pairs) = cellPairsWithAssign(corpus, seeds, idCol, vecCol, threshold)
+    val dropped = pairs
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("_dropped", lit(true))
+
+    withCell.select(col(idCol), col("cell"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("_dropped").isNull.as("is_kept"))
+  }
+
+  /** The SemDeDup pair pass as a standalone generator: every
+    * (id_a < id_b) pair that shares a cell AND clears the exact-cosine
+    * threshold — the SCALE-SAFE semantic-pair source for ensemble
+    * pipelines (candidate volume ∝ Σ|cell|², never |C|²; the q134
+    * composition). Double-prefiltered at threshold−1e-6, decimal-exact
+    * on survivors; same persist/cache lifetime policy as [[semDedup]].
+    * Recall caveat BY DESIGN (Abbas et al. 2023): cross-cell pairs are
+    * not candidates — the cell pass trades bounded work for a bounded
+    * miss rate at the cell boundary, tuned via the seed count.
+    */
+  def cellPairs(
+      corpus: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame =
+    cellPairsWithAssign(corpus, seeds, idCol, vecCol, threshold)._2
+
+  /** Shared engine of [[semDedup]]/[[cellPairs]]: (withCell frame —
+    * (`idCol`, _cv, _cn, cell), persisted; qualifying pairs —
+    * (id_a, id_b, cell)). Both outputs are lazy; `withCell` backs both
+    * sides of the cell self-join so it materializes once.
+    */
+  private def cellPairsWithAssign(
+      corpus: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): (DataFrame, DataFrame) = {
     require(!threshold.isNaN, "threshold must not be NaN (every comparison would be false)")
 
     val s = seeds.select(col(idCol).as("_cell"), col(vecCol).as("_sv"),
@@ -733,23 +772,19 @@ object Similarity {
     // both sides of the cell self-join read this — materialize once
     val withCell = cN.join(assign, idCol)
       .persistTracked
-    val a = withCell.select(col(idCol).as("_ida"), col("cell"),
+    val a = withCell.select(col(idCol).as("id_a"), col("cell"),
       col("_cv").as("_va"), col("_cn").as("_na"))
-    val b = withCell.select(col(idCol).as("_idb"), col("cell"),
+    val b = withCell.select(col(idCol).as("id_b"), col("cell"),
       col("_cv").as("_vb"), col("_cn").as("_nb"))
     val den = col("_na") * col("_nb")
-    val dropped = a.join(b, Seq("cell"))
-      .filter(col("_ida") < col("_idb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("_fast", when(den > 0, dot(col("_va"), col("_vb")) / den).otherwise(0.0))
       .filter(col("_fast") >= threshold - 1e-6)
       .withColumn("_sim", when(den > 0, dotExact(col("_va"), col("_vb")) / den).otherwise(0.0))
       .filter(col("_sim") >= threshold)
-      .select(col("_idb").as(idCol)).distinct()
-      .withColumn("_dropped", lit(true))
-
-    withCell.select(col(idCol), col("cell"))
-      .join(dropped, Seq(idCol), "left")
-      .select(col(idCol), col("cell"), col("_dropped").isNull.as("is_kept"))
+      .select(col("id_a"), col("id_b"), col("cell"))
+    (withCell, pairs)
   }
 
   /** ORACLE-PARITY Lloyd's k-means: same contract as

@@ -183,6 +183,120 @@ object Oracles {
     * round — 12 rounds of inlining re-expands the parquet scan
     * exponentially (observed: fd exhaustion at 20k open files).
     */
+  /** Unigram-LM head CTEs (q141/q144): distinct-word table, seed
+    * inventory (all chars + top-300 multi-char substrings ≤ 4,
+    * occurrence-weighted), and the initial model m0 as 9-dp scaled
+    * BIGINT neg-log-probs — the q133 scaled-integer discipline.
+    */
+  private def unigramHeadCtes: String =
+    s"""WITH RECURSIVE uwords AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($toksExpr) AS w FROM documents) GROUP BY w
+       |),
+       |uchars AS (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS f FROM (
+       |    SELECT freq, unnest([substr(w, i, 1) FOR i IN range(1, length(w) + 1)]) AS piece
+       |    FROM uwords
+       |  ) GROUP BY piece
+       |),
+       |umulti AS (
+       |  SELECT piece, f FROM (
+       |    SELECT piece, CAST(SUM(freq) AS BIGINT) AS f FROM (
+       |      SELECT freq, unnest(
+       |        [substr(w, i, 2) FOR i IN range(1, length(w))] ||
+       |        [substr(w, i, 3) FOR i IN range(1, length(w) - 1)] ||
+       |        [substr(w, i, 4) FOR i IN range(1, length(w) - 2)]) AS piece
+       |      FROM uwords
+       |    ) GROUP BY piece
+       |  ) ORDER BY f DESC, piece LIMIT 300
+       |),
+       |useed AS MATERIALIZED (
+       |  SELECT piece, f FROM uchars UNION ALL SELECT piece, f FROM umulti
+       |),
+       |m0 AS MATERIALIZED (
+       |  SELECT piece, CAST(ROUND(-ln(CAST(f AS DOUBLE)
+       |    / CAST((SELECT SUM(f) FROM useed) AS DOUBLE)) * 1e9) AS BIGINT) AS nlp
+       |  FROM useed
+       |)""".stripMargin
+
+  /** One unigram hard-EM round as CTEs: full Viterbi DP per distinct
+    * word — the cost recurrence as a `list_reduce` fold over the
+    * per-position nlp matrix (integer-exact scaled-long costs), the
+    * argmin-length vector with ties to the LONGEST piece (l = 4
+    * checked first — mirrors the kernel's descending-l strict
+    * improvement), a fold-based backtrack, piece extraction, and the
+    * add-one M-step. Absent pieces cost 1e15 (the
+    * [[graft.functions.UnigramLmModel.Big]] literal).
+    */
+  private def unigramRoundCtes(r: Int, model: String): String =
+    s"""cand$r AS (
+       |  SELECT w, freq, j, l, substr(w, CAST(j - l + 1 AS INTEGER), CAST(l AS INTEGER)) AS sub
+       |  FROM (SELECT w, freq, unnest(generate_series(1, length(w))) AS j FROM uwords)
+       |  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS l) ll
+       |  WHERE l <= j
+       |),
+       |nl$r AS (
+       |  SELECT c.w, c.j, c.l, COALESCE(m.nlp, 1000000000000000) AS nlp
+       |  FROM cand$r c LEFT JOIN $model m ON m.piece = c.sub
+       |),
+       |mat$r AS MATERIALIZED (
+       |  SELECT w, list(vec ORDER BY j) AS mat FROM (
+       |    SELECT w, j,
+       |      [COALESCE(MAX(CASE WHEN l = 1 THEN nlp END), 1000000000000000),
+       |       COALESCE(MAX(CASE WHEN l = 2 THEN nlp END), 1000000000000000),
+       |       COALESCE(MAX(CASE WHEN l = 3 THEN nlp END), 1000000000000000),
+       |       COALESCE(MAX(CASE WHEN l = 4 THEN nlp END), 1000000000000000)] AS vec
+       |    FROM nl$r GROUP BY w, j
+       |  ) GROUP BY w
+       |),
+       |dp$r AS MATERIALIZED (
+       |  SELECT w, mat,
+       |    list_reduce(list_prepend(CAST([0] AS BIGINT[]), mat),
+       |      (acc, x) -> list_append(acc,
+       |        least(COALESCE(acc[-1], 4000000000000000000) + x[1],
+       |              COALESCE(acc[-2], 4000000000000000000) + x[2],
+       |              COALESCE(acc[-3], 4000000000000000000) + x[3],
+       |              COALESCE(acc[-4], 4000000000000000000) + x[4]))) AS cost
+       |  FROM mat$r
+       |),
+       |bt$r AS MATERIALIZED (
+       |  SELECT w, cost,
+       |    [CASE WHEN j >= 4 AND cost[j - 3] + mat[j][4] = cost[j + 1] THEN 4
+       |          WHEN j >= 3 AND cost[j - 2] + mat[j][3] = cost[j + 1] THEN 3
+       |          WHEN j >= 2 AND cost[j - 1] + mat[j][2] = cost[j + 1] THEN 2
+       |          ELSE 1 END FOR j IN range(1, len(mat) + 1)] AS bl
+       |  FROM dp$r
+       |),
+       |bkt$r(w, j) AS (
+       |  -- backtrack as a RECURSIVE walk (plain list indexing, no
+       |  -- lambda: DuckDB 1.0's list_reduce mixes rows when the
+       |  -- lambda references an outer column under parallelism)
+       |  SELECT w, CAST(len(bl) AS BIGINT) AS j FROM bt$r
+       |  UNION ALL
+       |  SELECT b.w, r.j - b.bl[CAST(r.j AS INTEGER)]
+       |  FROM bkt$r r JOIN bt$r b USING (w) WHERE r.j > 0
+       |),
+       |seg$r AS MATERIALIZED (
+       |  SELECT w, list(j ORDER BY j DESC) AS bnd FROM bkt$r GROUP BY w
+       |),
+       |pieces$r AS MATERIALIZED (
+       |  SELECT s.w, uw.freq,
+       |    unnest([substr(s.w, CAST(s.bnd[i + 1] AS INTEGER) + 1,
+       |        CAST(s.bnd[i] - s.bnd[i + 1] AS INTEGER))
+       |      FOR i IN range(len(s.bnd) - 1, 0, -1)]) AS piece
+       |  FROM seg$r s JOIN uwords uw ON uw.w = s.w
+       |),
+       |cnt$r AS MATERIALIZED (
+       |  SELECT s.piece, CAST(COALESCE(SUM(p.freq), 0) AS BIGINT) AS c_raw
+       |  FROM useed s LEFT JOIN pieces$r p ON p.piece = s.piece
+       |  GROUP BY s.piece
+       |),
+       |m$r AS MATERIALIZED (
+       |  SELECT piece, CAST(ROUND(-ln(CAST(c_raw + 1 AS DOUBLE)
+       |    / CAST((SELECT SUM(c_raw + 1) FROM cnt$r) AS DOUBLE)) * 1e9) AS BIGINT) AS nlp
+       |  FROM cnt$r
+       |)""".stripMargin
+
   private def bpeUnrollCtes(iters: Int): String = {
     val head =
       s"""WITH words0 AS MATERIALIZED (
@@ -3113,6 +3227,57 @@ object Oracles {
          |FROM n LEFT JOIN d ON d.doc_id = n.doc_id
          |ORDER BY n.doc_id""".stripMargin,
 
+    // ExactSubstr removal: q129's window-df replay extended to
+    // POSITIONAL coverage — removed token set = union of [pos,
+    // pos+10) over duplicated windows, cleaned string rebuilt token
+    // by token, span count = removed tokens with no removed
+    // predecessor (window STRINGS here; the engine rides 8-byte
+    // hashes — the q42 collision argument)
+    "q146_exact_substr" ->
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
+         |),
+         |t AS MATERIALIZED (SELECT doc_id, $toksExpr AS toks FROM corpus),
+         |w AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([array_to_string(toks[i:i+9], ' ')
+         |      FOR i IN range(1, greatest(len(toks) - 9, 1) + 1)])) AS win
+         |  FROM t
+         |),
+         |dfq AS MATERIALIZED (
+         |  SELECT win FROM (SELECT win, COUNT(*) AS c FROM w GROUP BY win)
+         |  WHERE c >= 2
+         |),
+         |pw AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, greatest(len(toks) - 10, 0))) AS pos,
+         |    unnest([array_to_string(toks[i:i+9], ' ')
+         |      FOR i IN range(1, greatest(len(toks) - 9, 1) + 1)]) AS win
+         |  FROM t
+         |),
+         |dp AS MATERIALIZED (SELECT pw.doc_id, pw.pos FROM pw JOIN dfq USING (win)),
+         |rem AS MATERIALIZED (
+         |  SELECT DISTINCT dp.doc_id, dp.pos + o.off AS j
+         |  FROM dp JOIN t USING (doc_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS off) o
+         |  WHERE dp.pos + o.off < len(t.toks)
+         |),
+         |rl AS (SELECT doc_id, list(j ORDER BY j) AS rj FROM rem GROUP BY doc_id),
+         |sel AS (
+         |  SELECT t.doc_id, t.toks, COALESCE(rl.rj, []) AS rj
+         |  FROM t LEFT JOIN rl USING (doc_id)
+         |)
+         |SELECT doc_id,
+         |  COALESCE(array_to_string([toks[j + 1] FOR j IN range(0, len(toks))
+         |    IF NOT list_contains(rj, j)], ' '), '') AS clean_text,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(rj) AS BIGINT) AS n_removed,
+         |  CAST(len([j FOR j IN rj IF NOT list_contains(rj, j - 1)]) AS BIGINT) AS n_spans
+         |FROM sel ORDER BY doc_id""".stripMargin,
+
     // KMV set-operation overlap: both snapshot sketches, the merged
     // k-set, and every estimate replayed with the md5-prefix hashes
     "q130_corpus_overlap" ->
@@ -3305,8 +3470,10 @@ object Oracles {
          |  n AS n_pairs
          |FROM agg ORDER BY bands""".stripMargin,
 
-    // ensemble dedup: text-jaccard pairs UNION decimal-exact cosine
-    // pairs feed the same reachability fold
+    // ensemble dedup: text-jaccard pairs UNION SemDeDup cell-bounded
+    // cosine pairs (q47's argmax cell assignment replayed — ties →
+    // lowest cell; pairs only WITHIN a cell) feed the same
+    // reachability fold
     "q134_ensemble_dedup" ->
       s"""WITH RECURSIVE corpus AS (
          |  SELECT doc_id, text FROM documents
@@ -3321,18 +3488,29 @@ object Oracles {
          |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  ) WHERE jaccard >= 0.5
          |),
-         |nv AS (
+         |nv AS MATERIALIZED (
          |  SELECT vec_id, embedding,
-         |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
-         |  FROM embeddings WHERE vec_id < 300
+         |    sqrt(${dotX("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
          |),
+         |sd AS (SELECT vec_id AS cell, embedding AS sv, nrm AS sn FROM nv WHERE vec_id < 8),
+         |cassign AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, sd.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CASE WHEN v.nrm * sd.sn > 0 THEN ${dotX("v.embedding", "sd.sv")} / (v.nrm * sd.sn)
+         |        ELSE 0.0 END DESC, sd.cell) AS rn
+         |    FROM nv v CROSS JOIN sd) WHERE rn = 1
+         |),
+         |wc AS (SELECT c.vec_id, c.cell, n.embedding, n.nrm
+         |       FROM cassign c JOIN nv n USING (vec_id)),
          |epairs AS (
          |  SELECT id_a, id_b FROM (
          |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |      CASE WHEN a.nrm * b.nrm > 0 THEN
          |        ${dotX("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
          |      ELSE 0.0 END AS sim
-         |    FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+         |    FROM wc a JOIN wc b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  ) WHERE sim >= 0.4
          |),
          |edges AS (
@@ -3513,6 +3691,46 @@ object Oracles {
          |  ROUND((syd - (num / denx) * sxd) / CAST(n AS DOUBLE), 6) AS intercept,
          |  ROUND((num * num) / (denx * deny), 6) AS r2
          |FROM f""".stripMargin,
+
+    // ORC pruned-scan interchange: the oracle aggregates the ORIGINAL
+    // parquet under the same partition + data predicates — the ORC hop
+    // plus directory/stripe pruning must lose and invent nothing (the
+    // md5-48 XOR fingerprint flips on any row delta)
+    "q140_orc_pruned_scan" ->
+      s"""WITH f AS (
+         |  SELECT lang, n_chars,
+         |    CAST(list_sum([
+         |      CAST(strpos('0123456789abcdef', substr(md5(
+         |        CAST(doc_id AS VARCHAR) || ':' || text), i, 1)) - 1 AS BIGINT)
+         |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |      FOR i IN range(1, 13)]) AS BIGINT) AS h
+         |  FROM documents
+         |  WHERE lang IN ('en', 'de') AND n_chars >= 200
+         |)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+         |  bit_xor(h) AS content_fp
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // unigram-LM training: seed inventory + 2 hard-EM rounds fully
+    // replayed — per-word Viterbi DP as a list_reduce fold over
+    // integer-exact scaled costs, argmin ties to the longest piece,
+    // add-one M-step; output = round-2 raw counts + final model
+    "q141_unigram_train" ->
+      (unigramHeadCtes + ",\n" + unigramRoundCtes(1, "m0") + ",\n" +
+        unigramRoundCtes(2, "m1") + "\n" +
+        s"""SELECT c.piece, c.c_raw AS freq, m.nlp AS nlp9
+           |FROM cnt2 c JOIN m2 m USING (piece)
+           |ORDER BY piece""".stripMargin),
+
+    // train-then-apply: a THIRD Viterbi pass under the replayed
+    // round-2 model, rolled up corpus-frequency-weighted
+    "q144_unigram_segment" ->
+      (unigramHeadCtes + ",\n" + unigramRoundCtes(1, "m0") + ",\n" +
+        unigramRoundCtes(2, "m1") + ",\n" + unigramRoundCtes(3, "m2") + "\n" +
+        s"""SELECT piece AS subword, CAST(SUM(freq) AS BIGINT) AS freq
+           |FROM pieces3 GROUP BY piece
+           |ORDER BY freq DESC, subword LIMIT 100""".stripMargin),
 
     // token entropy: H = ln n - (sum c*ln c)/n per doc; c*ln c as
     // DECIMAL(18,9)*DECIMAL(12,0) exact products, zero-token docs

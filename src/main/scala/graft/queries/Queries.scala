@@ -3570,31 +3570,26 @@ object Queries {
 
   /** Multi-signal ensemble dedup: text near-dup pairs (MinHash LSH,
     * j ≥ 0.5, over the mutant corpus) UNION embedding-similarity
-    * pairs (decimal-exact cosine ≥ 0.4, the q26 signal on the
-    * aligned vec_id space) feed ONE componentsStar — the production
+    * pairs (SemDeDup cell-bounded generator — [[Similarity.cellPairs]]
+    * over the FULL embeddings table, decimal-exact cosine ≥ 0.4 on
+    * the cell sliver) feed ONE componentsStar — the production
     * pattern where lexical and semantic evidence jointly decide
     * cluster membership (a doc and its mutant chain lexically; two
     * paraphrases chain semantically; the union transitively merges
-    * both). Labels are global min-ids as everywhere; the oracle
-    * replays both pair generators and the reachability fold.
+    * both). BOTH pair generators are bounded: LSH candidates ∝
+    * colliding bands, semantic candidates ∝ Σ|cell|² — no all-pairs
+    * join anywhere (PlanShapeSpec locks no-BroadcastNestedLoopJoin).
+    * Labels are global min-ids as everywhere; the oracle replays both
+    * pair generators (including the cell argmax assignment) and the
+    * reachability fold.
     */
   val q134EnsembleDedup: Q = (s, dir) => {
     val corpus = mutantCorpus(s, dir)
     val textPairs = NearDup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b")
-    val n = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(Similarity.dotExact(col("embedding"), col("embedding"))).as("nrm"))
-    val a = n.select(col("vec_id").as("id_a"), col("embedding").as("_va"), col("nrm").as("_na"))
-    val b = n.select(col("vec_id").as("id_b"), col("embedding").as("_vb"), col("nrm").as("_nb"))
-    val den = col("_na") * col("_nb")
-    val embPairs = a.join(b, col("id_a") < col("id_b"))
-      .withColumn("_fast", when(den > 0,
-        Similarity.dot(col("_va"), col("_vb")) / den).otherwise(0.0))
-      .filter(col("_fast") >= 0.4 - 1e-6)
-      .withColumn("sim", when(den > 0,
-        Similarity.dotExact(col("_va"), col("_vb")) / den).otherwise(0.0))
-      .filter(col("sim") >= 0.4)
+    val emb = Tables.embeddings(s, dir)
+    val embPairs = Similarity.cellPairs(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", threshold = 0.4)
       .select("id_a", "id_b")
     Dedup.componentsStar(corpus.select("doc_id"), "doc_id",
         textPairs.unionByName(embPairs), "id_a", "id_b")
@@ -3699,6 +3694,74 @@ object Queries {
       docs(s, dir).select(explode(Text.tokens(col("text"))).as("tok")),
       "tok", topK = 300)
 
+  /** Lake-format interchange with a PRUNED read-back
+    * ([[Interchange]]): docs → lang-partitioned ORC → read with a
+    * partition filter (lang ∈ {en, de} — 2 of 5 directories even
+    * touched) AND a data filter (n_chars ≥ 200) pushed into the ORC
+    * stripe min-max index, aggregated per lang with an
+    * order-independent md5-48 XOR content fingerprint. q66 gates ORC
+    * LOSSLESSNESS; this query gates the SCAN-TIME PRUNING that makes
+    * a 100 TB lake read viable — PlanShapeSpec plan-locks
+    * PartitionFilters, PushedFilters and the pruned ReadSchema on
+    * exactly this shape. The oracle aggregates the ORIGINAL parquet
+    * under the same predicates: a dropped partition directory, a
+    * mis-typed partition value, or an over-eager stripe skip all
+    * flip the fingerprint.
+    */
+  val q140OrcPrunedScan: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q140")
+    Interchange.writeOrc(
+      docs(s, dir).select("doc_id", "lang", "n_chars", "text"), tmp, Seq("lang"))
+    Interchange.readOrc(s, tmp)
+      .filter(col("lang").isin("en", "de") && col("n_chars") >= 200)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        bit_xor(conv(substring(md5(concat_ws(":", col("doc_id"), col("text"))), 1, 12), 16, 10)
+          .cast("long")).as("content_fp"))
+      .orderBy("lang")
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING
+    * ([[UnigramTrainer]], Kudo ACL 2018) — the third production
+    * tokenizer family beside BPE (q99) and WordPiece (q123): seed
+    * inventory (all corpus chars + top-300 substrings ≤ 4 chars,
+    * occurrence-weighted), then 2 hard-EM rounds of Viterbi
+    * segmentation over the distinct-word table with add-one
+    * re-estimation. Output = the full final piece table (piece, raw
+    * round-2 Viterbi count, re-estimated 9-dp-scaled neg-log-prob).
+    * Costs are integer-exact scaled longs, so the oracle replays
+    * seeding, BOTH rounds' DP (a `list_reduce` Viterbi fold per
+    * word), the argmin backtrack (ties → longest piece), and the
+    * M-step arithmetic — every EM decision is under the gate.
+    */
+  val q141UnigramTrain: Q = (s, dir) =>
+    UnigramTrainer.train(
+      UnigramTrainer.distinctWords(docs(s, dir), "text"),
+      maxPieceLen = 4, topKMulti = 300, emRounds = 2)
+      .orderBy("piece")
+
+  /** Unigram-LM tokenizer APPLICATION (q141's train-then-apply twin,
+    * the q102/q123 rollup shape): Viterbi-segment the distinct-word
+    * table under the TRAINED 2-round model ([[UnigramTrainer
+    * .trainModel]] — a plan-reference constant, so application is
+    * map-side and streaming-capable) and gate the corpus-frequency-
+    * weighted piece rollup. The oracle unrolls a THIRD Viterbi pass
+    * under its replayed round-2 model; UnigramSpec locks the
+    * kernel's minimize-total-neg-log-prob property against a driver
+    * replay and its divergence from WordPiece's greedy walk.
+    */
+  val q144UnigramSegment: Q = (s, dir) => {
+    val words = UnigramTrainer.distinctWords(docs(s, dir), "text")
+    val model = UnigramTrainer.trainModel(words,
+      maxPieceLen = 4, topKMulti = 300, emRounds = 2)
+    words.select(col("freq"),
+        explode(graft.functions.UnigramExpressions.unigramSegment(col("w"), model))
+          .as("subword"))
+      .groupBy("subword").agg(sum("freq").as("freq"))
+      .orderBy(col("freq").desc, col("subword")).limit(100)
+  }
+
   /** Per-doc unigram entropy ([[CorpusStats.tokenEntropy]]): the
     * keyword-stuffing detector — H = ln n − (Σ c·ln c)/n in nats
     * over each document's token counts, with the low-entropy flag a
@@ -3733,6 +3796,23 @@ object Queries {
     SkewReport.keyProfile(
       docs(s, dir).select(explode(Text.tokens(col("text"))).as("tok")),
       "tok", topN = 10, targetRowsPerKey = 1000L)
+
+  /** ExactSubstr duplicated-span REMOVAL
+    * ([[ExactSubstr.removeDuplicatedSpans]], Lee et al. ACL 2022):
+    * the curation step q129's duplication report feeds — over the
+    * same doc∪mutant corpus, delete every token covered by a
+    * duplicated 10-token window and re-emit cleaned text + removal
+    * stats. Mutant-twinned docs lose their shared spans on BOTH
+    * sides (only the mutant-unique seam tokens survive); dup-free
+    * docs pass through byte-identical at token granularity. The
+    * oracle replays window df, positional coverage, the interval
+    * union, and every cleaned string; ExactSubstrSpec adds the
+    * construction property (no duplicated window survives intact).
+    */
+  val q146ExactSubstr: Q = (s, dir) =>
+    ExactSubstr.removeDuplicatedSpans(
+      mutantCorpus(s, dir), "doc_id", "text", windowTokens = 10)
+      .orderBy("doc_id")
 
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
@@ -3894,8 +3974,12 @@ object Queries {
     "q137_cluster_folds" -> q137ClusterFolds,
     "q138_snapshot_diff" -> q138SnapshotDiff,
     "q139_zipf_fit" -> q139ZipfFit,
+    "q140_orc_pruned_scan" -> q140OrcPrunedScan,
+    "q141_unigram_train" -> q141UnigramTrain,
     "q142_token_entropy" -> q142TokenEntropy,
     "q143_pmi_collocations" -> q143PmiCollocations,
+    "q144_unigram_segment" -> q144UnigramSegment,
     "q145_skew_report" -> q145SkewReport,
+    "q146_exact_substr" -> q146ExactSubstr,
   )
 }

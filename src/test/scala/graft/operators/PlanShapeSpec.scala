@@ -437,4 +437,65 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus n-gram occurrences were shuffled to the model:\n${plan.take(3000)}")
   }
+
+  test("ORC interchange (q140 shape): partition filter prunes directories, data filter pushes to stripes, scan schema pruned") {
+    val base = java.nio.file.Files.createTempDirectory("orc_prune").toString + "/t"
+    Interchange.writeOrc(
+      (1 to 500).map(i => (i.toLong, i.toLong % 100, s"lang${i % 5}"))
+        .toDF("id", "n", "lang"),
+      base, Seq("lang"))
+    val q = Interchange.readOrc(spark, base)
+      .filter($"lang".isin("lang0", "lang1") && $"n" >= 50)
+      .groupBy("lang").agg(sum("n").as("total"))
+    q.collect()
+    // AQE query stages hide subtrees from collect() — assert on the
+    // printed plan (the established style in this suite)
+    val plan = q.queryExecution.executedPlan.toString()
+    val scanLine = plan.linesIterator.find(_.contains("FileScan orc"))
+    assert(scanLine.isDefined, s"no ORC file scan in the plan:\n${plan.take(3000)}")
+    val sl = scanLine.get
+    // the lang predicate must prune at the DIRECTORY level (before a
+    // byte is read)…
+    assert(raw"PartitionFilters: \[[^\]]*lang".r.findFirstIn(sl).isDefined,
+      s"lang filter did not become a partition filter:\n$sl")
+    // …the n predicate must reach the ORC reader (stripe min-max skip)…
+    assert(sl.contains("GreaterThanOrEqual(n,50)"),
+      s"n >= 50 missing from PushedFilters:\n$sl")
+    // …and the scan schema must exclude the unused id column
+    assert(sl.contains("ReadSchema: struct<n:bigint>"),
+      s"scan schema not pruned to the aggregated column:\n$sl")
+  }
+
+  test("q134 ensemble dedup: both pair generators bounded — no all-pairs join anywhere") {
+    // the round-13 weak: the semantic side was a vec_id<300-capped
+    // BroadcastNestedLoopJoin over ALL vector pairs — O(n²) with the
+    // cap removed. Recomposed on the SemDeDup cell pass; this assert
+    // locks the recomposition: candidates come from the cell equi-join
+    // (∝ Σ|cell|²) and the LSH band equi-join (∝ colliding bands).
+    // componentsStar checkpoints between rounds (lineage truncates at
+    // LogicalRDD), so the assert runs on the PAIR-GENERATION frames —
+    // the subtrees where an all-pairs join could hide
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val embPairs = Similarity.cellPairs(emb, emb.filter($"vec_id" < 8),
+      "vec_id", "embedding", threshold = 0.4)
+    embPairs.collect()
+    val ePlan = embPairs.queryExecution.executedPlan.toString()
+    assert(!ePlan.contains("BroadcastNestedLoopJoin"),
+      s"semantic pairs regained an all-pairs join:\n${ePlan.take(4000)}")
+    assert(!ePlan.contains("CartesianProduct"),
+      s"semantic pairs contain a cartesian product:\n${ePlan.take(4000)}")
+    assert(raw"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell#".r
+        .findFirstIn(ePlan).isDefined,
+      s"semantic pairs must come from the cell equi-join:\n${ePlan.take(4000)}")
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val textPairs = NearDup.nearDupPairs(docsDf, "doc_id", "text", threshold = 0.5)
+    textPairs.collect()
+    val tPlan = textPairs.queryExecution.executedPlan.toString()
+    assert(!tPlan.contains("BroadcastNestedLoopJoin") && !tPlan.contains("CartesianProduct"),
+      s"text pairs degenerated to an all-pairs join:\n${tPlan.take(4000)}")
+    spark.catalog.clearCache() // cellPairs/nearDupPairs persist intermediates
+    graft.core.OpCache.release(blocking = true)
+  }
 }
