@@ -63,10 +63,28 @@ object Fixtures {
   * instead: `File.deleteOnExit` cannot remove non-empty directories,
   * and repeated harness runs would otherwise accumulate unbounded
   * /tmp.
+  *
+  * PLACEMENT: tmpfs (`/dev/shm`) when present and writable, else
+  * `java.io.tmpdir`. Everything here is ephemeral BY CONTRACT (dies
+  * with the JVM), and the streaming checkpoint commit protocol is
+  * rename/fsync-heavy — on ext4 each micro-batch pays offset-log +
+  * commit-log journal latency that measures the local filesystem,
+  * not the engine (a real deployment checkpoints to HDFS/S3, where
+  * the committer's semantics, not ext4's journal, set the floor).
+  * `SPARK_GRAFT_SCRATCH` overrides the base dir explicitly.
   */
 object Scratch {
   private lazy val root: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    import java.nio.file.{Files, Paths}
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH").map(Paths.get(_))
+      .orElse {
+        val shm = Paths.get("/dev/shm")
+        if (Files.isDirectory(shm) && Files.isWritable(shm)) Some(shm) else None
+      }
+    val p = base match {
+      case Some(b) => Files.createTempDirectory(b, "graft_scratch_")
+      case None    => Files.createTempDirectory("graft_scratch_")
+    }
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try drop(p) catch { case _: Throwable => () }))
     p
