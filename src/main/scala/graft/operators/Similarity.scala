@@ -642,7 +642,7 @@ object Similarity {
     * the assignment.
     */
   private def assignCellsFrom(cN: DataFrame, s: DataFrame, idCol: String): DataFrame =
-    assignCellsFromModel(cN, collectSeeds(s), idCol)
+    assignCellsFromModel(cN, collectSeeds(s), idCol).select(col(idCol), col("cell"))
 
   /** The assignment engine: seeds enter the plan as LITERALS (they are
     * model-sized and already on the driver), so the per-vector fast
@@ -691,8 +691,29 @@ object Similarity {
       .select(col(idCol), csimByPos.as("_csim"), cellByPos.as("_cell"))
       .groupBy(idCol)
       .agg(max(struct(col("_csim").as("_s"), (-col("_cell")).as("_negc"))).as("_m"))
-      .select(col(idCol), (-col("_m._negc")).as("cell"))
+      .select(col(idCol), (-col("_m._negc")).as("cell"), col("_m._s").as("_sim"))
   }
+
+  /** Nearest seed WITH its exact cosine: (`idCol`, cell, sim DOUBLE —
+    * the decimal-exact cosine, bit-identical cross-engine). The
+    * [[assignCells]] machinery with the winning similarity kept —
+    * the shape behind semantic benchmark decontamination (q147):
+    * eval sets are MODEL-sized, so they ride as plan literals and
+    * the whole nearest-benchmark scan is map-side until the one slim
+    * argmax exchange.
+    */
+  def nearestSeed(
+      corpus: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    assignCellsFromModel(
+      corpus.select(col(idCol), col(vecCol).as("_cv"),
+        sqrt(dotExact(col(vecCol), col(vecCol))).as("_cn")),
+      collectSeeds(seeds.select(col(idCol).as("_cell"), col(vecCol).as("_sv"),
+        sqrt(dotExact(col(vecCol), col(vecCol))).as("_sn"))),
+      idCol)
+      .select(col(idCol), col("cell"), col("_sim").as("sim"))
 
   /** SemDeDup (Abbas et al. 2023): assign every vector to its nearest
     * seed cell, then within each cell drop any vector that has a

@@ -3278,6 +3278,33 @@ object Oracles {
          |  CAST(len([j FOR j IN rj IF NOT list_contains(rj, j - 1)]) AS BIGINT) AS n_spans
          |FROM sel ORDER BY doc_id""".stripMargin,
 
+    // semantic contamination: nearest-benchmark argmax (exact cosine,
+    // ties -> lowest bench id — q47's assignment recurrence) over the
+    // corpus/eval split, thresholded at the exact >= 0.4; sim is the
+    // raw exact-arithmetic double (bit-identical, no rounding)
+    "q147_semantic_contamination" ->
+      s"""WITH n AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotX("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |),
+         |bench AS (SELECT vec_id AS cell, embedding AS sv, nrm AS sn FROM n WHERE vec_id % 50 = 0),
+         |corpus AS (SELECT vec_id, embedding, nrm FROM n WHERE vec_id % 50 <> 0),
+         |cs AS (
+         |  SELECT c.vec_id, b.cell,
+         |    CASE WHEN c.nrm * b.sn > 0 THEN ${dotX("c.embedding", "b.sv")} / (c.nrm * b.sn)
+         |    ELSE 0.0 END AS sim
+         |  FROM corpus c CROSS JOIN bench b
+         |),
+         |best AS (
+         |  SELECT vec_id, cell, sim FROM (
+         |    SELECT vec_id, cell, sim,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+         |    FROM cs) WHERE rn = 1
+         |)
+         |SELECT vec_id, cell AS bench_id, sim
+         |FROM best WHERE sim >= 0.4 ORDER BY vec_id""".stripMargin,
+
     // KMV set-operation overlap: both snapshot sketches, the merged
     // k-set, and every estimate replayed with the md5-prefix hashes
     "q130_corpus_overlap" ->

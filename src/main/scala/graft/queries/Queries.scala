@@ -3832,6 +3832,32 @@ object Queries {
       mutantCorpus(s, dir), "doc_id", "text", windowTokens = 10)
       .orderBy("doc_id")
 
+  /** SEMANTIC benchmark decontamination ([[Similarity.nearestSeed]]):
+    * the embedding-side complement of q46/q63's exact-window
+    * contamination scan — paraphrased eval leakage shares no 10-token
+    * window but sits close in embedding space. Every held-out "eval"
+    * vector (vec_id % 50 == 0 — model-sized by construction, the
+    * benchmark contract) becomes a plan literal; each corpus vector's
+    * nearest benchmark + decimal-exact cosine computes MAP-SIDE (the
+    * q47 argmax machinery), and vectors at cosine ≥ 0.4 are flagged
+    * with their contaminating benchmark id. Sim is the raw
+    * exact-arithmetic double — bit-identical cross-engine, no
+    * rounding. The oracle replays the full |corpus|×|bench| argmax
+    * (fine at oracle scale; the ENGINE never materializes that
+    * product — seeds are literals, vectors never leave their map
+    * task).
+    */
+  val q147SemanticContamination: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.nearestSeed(
+        emb.filter(col("vec_id") % 50 =!= 0),
+        emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding")
+      .filter(col("sim") >= 0.4)
+      .select(col("vec_id"), col("cell").as("bench_id"), col("sim"))
+      .orderBy("vec_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -3999,5 +4025,6 @@ object Queries {
     "q144_unigram_segment" -> q144UnigramSegment,
     "q145_skew_report" -> q145SkewReport,
     "q146_exact_substr" -> q146ExactSubstr,
+    "q147_semantic_contamination" -> q147SemanticContamination,
   )
 }

@@ -225,6 +225,33 @@ class NearDupSimilaritySpec extends SparkSpec {
     Similarity.clearSeedModels()
   }
 
+  test("nearestSeed: argmax id + exact cosine equal a driver-side brute force; ties to lowest seed") {
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(6)(d => ((i * 11 + d * 5) % 17).toFloat / 17f - 0.3f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.nearestSeed(
+        emb.filter($"vec_id" >= 5), emb.filter($"vec_id" < 5), "vec_id", "embedding")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val vecs = (0 until 40).map(i =>
+      i.toLong -> Array.tabulate(6)(d =>
+        (((i * 11 + d * 5) % 17).toFloat / 17f - 0.3f).toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb > 0) dot / (na * nb) else 0.0
+    }
+    for (id <- 5L until 40L) {
+      // double-precision replay: argmax must agree (the engine's
+      // decimal-exact sims differ from the replay by ~1e-12 — far
+      // from any argmax boundary in this construction)
+      val sims = (0L until 5L).map(s => s -> cos(vecs(id), vecs(s)))
+      val best = sims.maxBy { case (s, v) => (v, -s) }
+      assert(out(id)._1 === best._1, s"vec $id: wrong nearest seed")
+      assert(math.abs(out(id)._2 - best._2) < 1e-9, s"vec $id: sim off")
+    }
+  }
+
   test("contamination: seeded-random equivalence vs a driver-side naive reference") {
     val rnd = new scala.util.Random(4242)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
