@@ -86,4 +86,80 @@ object ExactSubstr {
         col("_r.n_removed").as("n_removed"),
         col("_r.n_spans").as("n_spans"))
   }
+
+  /** The INGEST-TIME state for [[removeDuplicatedSpansIncremental]]:
+    * per-window document frequency, hash-keyed — (wh BIGINT, df
+    * BIGINT). 8 + 8 bytes per distinct window; written once when a
+    * corpus generation is ingested, merged additively across
+    * generations (df is a count — `union → groupBy sum` refreshes
+    * it, the [[graft.operators.IncrementalAgg]] shape).
+    */
+  def windowDfTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    df.select(col(idCol).as("_id"),
+        explode(ShingleExpressions.shingles(
+          Text.tokens(col(textCol)), windowTokens)).as("_win"))
+      .select(xxhash64(col("_win")).as("wh"))
+      .groupBy("wh").agg(count(lit(1)).as("df"))
+  }
+
+  /** Incremental ExactSubstr: clean ONLY the delta against everything
+    * seen so far — history text is immutable (published shards don't
+    * get rewritten; new data is cleaned against the union). A delta
+    * window is duplicated when history-df + delta-df ≥ 2 — EXACTLY
+    * the batch rule over history ∪ delta, restricted to delta docs
+    * (the q105/q85 incremental ≡ from-scratch contract; the oracle
+    * replays the batch form).
+    *
+    * 100 TB shape: history is touched ONLY through the stored
+    * 16-byte/window df index — never re-tokenized, never re-hashed
+    * (the q85 band-index discipline); the delta's windows equi-join
+    * it on the uniform 8-byte hash (no skew), and everything
+    * downstream is delta-sized.
+    */
+  def removeDuplicatedSpansIncremental(
+      historyDf: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val toks = delta
+      .select(col(idCol).as("_id"), Text.tokens(col(textCol)).as("_toks"))
+      .persistTracked
+
+    val wins = toks
+      .select(col("_id"),
+        explode(ShingleExpressions.shingles(col("_toks"), windowTokens)).as("_win"))
+      .select(col("_id"), xxhash64(col("_win")).as("_wh"))
+    val dup = wins.groupBy("_wh").agg(count(lit(1)).as("_ddf"))
+      .join(historyDf.select(col("wh").as("_wh"), col("df").as("_hdf")), Seq("_wh"), "left")
+      .filter(col("_ddf") + coalesce(col("_hdf"), lit(0L)) >= 2)
+      .select("_wh")
+
+    val posWins = toks.select(col("_id"),
+      posexplode(transform(
+        sequence(lit(0), greatest(size(col("_toks")) - windowTokens, lit(0))),
+        i => xxhash64(concat_ws(" ",
+          slice(col("_toks"), i + 1, lit(windowTokens)))))).as(Seq("_pos", "_wh")))
+
+    val dupPos = posWins
+      .join(dup, Seq("_wh"), "left_semi")
+      .groupBy("_id")
+      .agg(sort_array(collect_list(col("_pos"))).as("_dps"))
+
+    toks.join(dupPos, Seq("_id"), "left")
+      .select(col("_id"),
+        SpanExpressions.removeDupSpans(col("_toks"),
+          coalesce(col("_dps"), array().cast("array<int>")), windowTokens).as("_r"))
+      .select(col("_id").as(idCol),
+        col("_r.clean_text").as("clean_text"),
+        col("_r.n_tokens").as("n_tokens"),
+        col("_r.n_removed").as("n_removed"),
+        col("_r.n_spans").as("n_spans"))
+  }
 }

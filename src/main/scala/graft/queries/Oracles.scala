@@ -183,6 +183,53 @@ object Oracles {
     * round — 12 rounds of inlining re-expands the parquet scan
     * exponentially (observed: fd exhaustion at 20k open files).
     */
+  /** ExactSubstr batch replay tail (q146/q148): expects a `corpus`
+    * CTE (doc_id, text) to be open in the enclosing WITH; tokenizes,
+    * computes window df, positional coverage, the removed-token
+    * interval union, and rebuilds every cleaned string.
+    * `finalWhere` restricts the OUTPUT rows (q148 gates the delta
+    * slice of the batch semantics — incremental ≡ from-scratch).
+    */
+  private def exactSubstrTail(finalWhere: String): String =
+    s""",
+       |t AS MATERIALIZED (SELECT doc_id, $toksExpr AS toks FROM corpus),
+       |w AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(list_distinct([array_to_string(toks[i:i+9], ' ')
+       |      FOR i IN range(1, greatest(len(toks) - 9, 1) + 1)])) AS win
+       |  FROM t
+       |),
+       |dfq AS MATERIALIZED (
+       |  SELECT win FROM (SELECT win, COUNT(*) AS c FROM w GROUP BY win)
+       |  WHERE c >= 2
+       |),
+       |pw AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, greatest(len(toks) - 10, 0))) AS pos,
+       |    unnest([array_to_string(toks[i:i+9], ' ')
+       |      FOR i IN range(1, greatest(len(toks) - 9, 1) + 1)]) AS win
+       |  FROM t
+       |),
+       |dp AS MATERIALIZED (SELECT pw.doc_id, pw.pos FROM pw JOIN dfq USING (win)),
+       |rem AS MATERIALIZED (
+       |  SELECT DISTINCT dp.doc_id, dp.pos + o.off AS j
+       |  FROM dp JOIN t USING (doc_id)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS off) o
+       |  WHERE dp.pos + o.off < len(t.toks)
+       |),
+       |rl AS (SELECT doc_id, list(j ORDER BY j) AS rj FROM rem GROUP BY doc_id),
+       |sel AS (
+       |  SELECT t.doc_id, t.toks, COALESCE(rl.rj, []) AS rj
+       |  FROM t LEFT JOIN rl USING (doc_id)
+       |)
+       |SELECT doc_id,
+       |  COALESCE(array_to_string([toks[j + 1] FOR j IN range(0, len(toks))
+       |    IF NOT list_contains(rj, j)], ' '), '') AS clean_text,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(rj) AS BIGINT) AS n_removed,
+       |  CAST(len([j FOR j IN rj IF NOT list_contains(rj, j - 1)]) AS BIGINT) AS n_spans
+       |FROM sel $finalWhere ORDER BY doc_id""".stripMargin
+
   /** Unigram-LM head CTEs (q141/q144): distinct-word table, seed
     * inventory (all chars + top-300 multi-char substrings ≤ 4,
     * occurrence-weighted), and the initial model m0 as 9-dp scaled
@@ -3239,44 +3286,21 @@ object Oracles {
          |  UNION ALL
          |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
          |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
-         |),
-         |t AS MATERIALIZED (SELECT doc_id, $toksExpr AS toks FROM corpus),
-         |w AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    unnest(list_distinct([array_to_string(toks[i:i+9], ' ')
-         |      FOR i IN range(1, greatest(len(toks) - 9, 1) + 1)])) AS win
-         |  FROM t
-         |),
-         |dfq AS MATERIALIZED (
-         |  SELECT win FROM (SELECT win, COUNT(*) AS c FROM w GROUP BY win)
-         |  WHERE c >= 2
-         |),
-         |pw AS (
-         |  SELECT doc_id,
-         |    unnest(generate_series(0, greatest(len(toks) - 10, 0))) AS pos,
-         |    unnest([array_to_string(toks[i:i+9], ' ')
-         |      FOR i IN range(1, greatest(len(toks) - 9, 1) + 1)]) AS win
-         |  FROM t
-         |),
-         |dp AS MATERIALIZED (SELECT pw.doc_id, pw.pos FROM pw JOIN dfq USING (win)),
-         |rem AS MATERIALIZED (
-         |  SELECT DISTINCT dp.doc_id, dp.pos + o.off AS j
-         |  FROM dp JOIN t USING (doc_id)
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS off) o
-         |  WHERE dp.pos + o.off < len(t.toks)
-         |),
-         |rl AS (SELECT doc_id, list(j ORDER BY j) AS rj FROM rem GROUP BY doc_id),
-         |sel AS (
-         |  SELECT t.doc_id, t.toks, COALESCE(rl.rj, []) AS rj
-         |  FROM t LEFT JOIN rl USING (doc_id)
          |)
-         |SELECT doc_id,
-         |  COALESCE(array_to_string([toks[j + 1] FOR j IN range(0, len(toks))
-         |    IF NOT list_contains(rj, j)], ' '), '') AS clean_text,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(len(rj) AS BIGINT) AS n_removed,
-         |  CAST(len([j FOR j IN rj IF NOT list_contains(rj, j - 1)]) AS BIGINT) AS n_spans
-         |FROM sel ORDER BY doc_id""".stripMargin,
+         |${exactSubstrTail("")}""".stripMargin,
+
+    // incremental ExactSubstr: incremental ≡ from-scratch — the
+    // oracle IS the batch replay over history ∪ delta, restricted to
+    // delta ids (q105's oracle discipline)
+    "q148_incremental_exact_substr" ->
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents
+         |        WHERE doc_id >= 350 AND doc_id < 450)
+         |)
+         |${exactSubstrTail("WHERE doc_id >= 400")}""".stripMargin,
 
     // semantic contamination: nearest-benchmark argmax (exact cosine,
     // ties -> lowest bench id — q47's assignment recurrence) over the

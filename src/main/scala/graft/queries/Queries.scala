@@ -3858,6 +3858,33 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** INCREMENTAL ExactSubstr ([[ExactSubstr
+    * .removeDuplicatedSpansIncremental]], the q85/q105 incremental
+    * discipline applied to q146): the history corpus is touched only
+    * through its stored 16-byte/window df index (written at ingest —
+    * never re-tokenized); the delta (fresh docs + tail-mutants of
+    * late-history docs, q85's split) is cleaned against
+    * history ∪ delta. Delta window duplicated ⇔ history-df +
+    * delta-df ≥ 2 — exactly the batch rule, so the oracle replays
+    * the BATCH q146 semantics over the union, restricted to delta
+    * ids (incremental ≡ from-scratch under the gate).
+    */
+  val q148IncrementalExactSubstr: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q148")
+    val d = docs(s, dir).select("doc_id", "text")
+    val history = d.filter(col("doc_id") < 400)
+    val mutants = d.filter(col("doc_id") >= 350 && col("doc_id") < 450)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
+    val delta = d.filter(col("doc_id") >= 400).unionByName(mutants)
+    // ingest-time state: the history window-df index
+    ExactSubstr.windowDfTable(history, "doc_id", "text", windowTokens = 10)
+      .write.mode("overwrite").parquet(s"$tmp/windf")
+    ExactSubstr.removeDuplicatedSpansIncremental(
+        s.read.parquet(s"$tmp/windf"), delta, "doc_id", "text", windowTokens = 10)
+      .orderBy("doc_id")
+  }
+
   val q85IncrementalNearDup: Q = (s, dir) => {
     val tmp = Scratch.fresh("q85")
     val d = docs(s, dir).select("doc_id", "text")
@@ -4026,5 +4053,6 @@ object Queries {
     "q145_skew_report" -> q145SkewReport,
     "q146_exact_substr" -> q146ExactSubstr,
     "q147_semantic_contamination" -> q147SemanticContamination,
+    "q148_incremental_exact_substr" -> q148IncrementalExactSubstr,
   )
 }

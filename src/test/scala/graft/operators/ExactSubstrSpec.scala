@@ -108,6 +108,33 @@ class ExactSubstrSpec extends SparkSpec {
     assert(df === (("f", 6L, 5L, 1L)))
   }
 
+  test("incremental ≡ from-scratch: delta cleaned via the stored index equals the batch slice") {
+    // history/delta with duplication WITHIN history-delta, WITHIN
+    // delta-delta, and history-internal (must NOT affect delta)
+    val rows = (0L until 30L).map { i =>
+      val base = (0 until 10).map(j => s"h${(i * 5 + j * 3) % 19}")
+      val planted =
+        if (i % 4 == 0) Seq("sA", "sB", "sC", "sD", "sE") // crosses the split
+        else if (i >= 20 && i % 2 == 1) Seq("dA", "dB", "dC", "dD") // delta-only dup
+        else Nil
+      (i, (base.take(5) ++ planted ++ base.drop(5)).mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val history = df.filter($"doc_id" < 20)
+    val delta = df.filter($"doc_id" >= 20)
+    val idx = ExactSubstr.windowDfTable(history, "doc_id", "text", windowTokens = K)
+    val inc = ExactSubstr.removeDuplicatedSpansIncremental(
+        idx, delta, "doc_id", "text", windowTokens = K)
+      .orderBy("doc_id").as[(Long, String, Long, Long, Long)].collect()
+    val batch = ExactSubstr.removeDuplicatedSpans(df, "doc_id", "text", windowTokens = K)
+      .filter($"doc_id" >= 20)
+      .orderBy("doc_id").as[(Long, String, Long, Long, Long)].collect()
+    assert(inc.toSeq === batch.toSeq)
+    // the planted cross-split span was actually removed from a delta doc
+    assert(inc.exists(_._4 > 0), "no cross-split duplication exercised?")
+    graft.core.OpCache.release(blocking = true)
+  }
+
   test("out-of-range positions are ignored; span clips at doc end") {
     import graft.functions.SpanExpressions
     val df = Seq((Seq("a", "b", "c"), Seq(-1, 2, 99)))
