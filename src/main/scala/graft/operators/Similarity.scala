@@ -715,6 +715,39 @@ object Similarity {
       idCol)
       .select(col(idCol), col("cell"), col("_sim").as("sim"))
 
+  /** [[nearestSeed]] as a PURE PER-ROW PROJECTION — no groupBy, no
+    * shuffle, no state: the shape that makes semantic
+    * decontamination automatically STREAMING-capable (q149). All
+    * |seeds| decimal-exact cosines evaluate as one array per row
+    * (affordable because eval benchmarks are model-sized); argmax =
+    * `array_position(array_max)` — first index on a tie, i.e. the
+    * LOWEST seed id, identical to the batch `max(struct(sim,
+    * −cell))` rule, so stream ≡ batch bit-for-bit. Prefer
+    * [[nearestSeed]] for large seed counts (its fast-double band
+    * skips most exact kernels); this path runs every exact kernel
+    * every row.
+    */
+  def nearestSeedRowwise(
+      corpus: DataFrame,
+      seeds: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val model = collectSeeds(seeds.select(col(idCol).as("_cell"), col(vecCol).as("_sv"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_sn")))
+    def den(i: Int) = col("_cn") * lit(model(i).norm)
+    def exactSim(i: Int) =
+      when(den(i) > 0, dotExact(col("_cv"), lit(model(i).vec)) / den(i)).otherwise(0.0)
+    val cells = array(model.map(m => lit(m.cell)).toIndexedSeq: _*)
+    corpus.select(col(idCol), col(vecCol).as("_cv"),
+        sqrt(dotExact(col(vecCol), col(vecCol))).as("_cn"))
+      .select(col(idCol),
+        array(model.indices.map(exactSim).toIndexedSeq: _*).as("_sa"))
+      .select(col(idCol),
+        element_at(cells, array_position(col("_sa"), array_max(col("_sa"))).cast("int"))
+          .as("cell"),
+        array_max(col("_sa")).as("sim"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): assign every vector to its nearest
     * seed cell, then within each cell drop any vector that has a
     * smaller-id cell-mate at cosine ≥ `threshold`. Output: (`idCol`,

@@ -183,6 +183,33 @@ object Oracles {
     * round — 12 rounds of inlining re-expands the parquet scan
     * exponentially (observed: fd exhaustion at 20k open files).
     */
+  /** Semantic contamination replay (q147 batch + q149 stream —
+    * stream ≡ batch, one SQL): nearest-benchmark argmax with exact
+    * cosines, ties to the lowest bench id, exact ≥ 0.4 threshold.
+    */
+  private lazy val semanticContaminationSql: String =
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotX("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |),
+       |bench AS (SELECT vec_id AS cell, embedding AS sv, nrm AS sn FROM n WHERE vec_id % 50 = 0),
+       |corpus AS (SELECT vec_id, embedding, nrm FROM n WHERE vec_id % 50 <> 0),
+       |cs AS (
+       |  SELECT c.vec_id, b.cell,
+       |    CASE WHEN c.nrm * b.sn > 0 THEN ${dotX("c.embedding", "b.sv")} / (c.nrm * b.sn)
+       |    ELSE 0.0 END AS sim
+       |  FROM corpus c CROSS JOIN bench b
+       |),
+       |best AS (
+       |  SELECT vec_id, cell, sim FROM (
+       |    SELECT vec_id, cell, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |    FROM cs) WHERE rn = 1
+       |)
+       |SELECT vec_id, cell AS bench_id, sim
+       |FROM best WHERE sim >= 0.4 ORDER BY vec_id""".stripMargin
+
   /** ExactSubstr batch replay tail (q146/q148): expects a `corpus`
     * CTE (doc_id, text) to be open in the enclosing WITH; tokenizes,
     * computes window df, positional coverage, the removed-token
@@ -3306,28 +3333,12 @@ object Oracles {
     // ties -> lowest bench id — q47's assignment recurrence) over the
     // corpus/eval split, thresholded at the exact >= 0.4; sim is the
     // raw exact-arithmetic double (bit-identical, no rounding)
-    "q147_semantic_contamination" ->
-      s"""WITH n AS MATERIALIZED (
-         |  SELECT vec_id, embedding,
-         |    sqrt(${dotX("embedding", "embedding")}) AS nrm
-         |  FROM embeddings
-         |),
-         |bench AS (SELECT vec_id AS cell, embedding AS sv, nrm AS sn FROM n WHERE vec_id % 50 = 0),
-         |corpus AS (SELECT vec_id, embedding, nrm FROM n WHERE vec_id % 50 <> 0),
-         |cs AS (
-         |  SELECT c.vec_id, b.cell,
-         |    CASE WHEN c.nrm * b.sn > 0 THEN ${dotX("c.embedding", "b.sv")} / (c.nrm * b.sn)
-         |    ELSE 0.0 END AS sim
-         |  FROM corpus c CROSS JOIN bench b
-         |),
-         |best AS (
-         |  SELECT vec_id, cell, sim FROM (
-         |    SELECT vec_id, cell, sim,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
-         |    FROM cs) WHERE rn = 1
-         |)
-         |SELECT vec_id, cell AS bench_id, sim
-         |FROM best WHERE sim >= 0.4 ORDER BY vec_id""".stripMargin,
+    "q147_semantic_contamination" -> semanticContaminationSql,
+
+    // streaming semantic contamination: stateless per-row projection
+    // under the micro-batch runtime — stream ≡ batch, oracle is
+    // q147's replay verbatim
+    "q149_streaming_semantic_contamination" -> semanticContaminationSql,
 
     // KMV set-operation overlap: both snapshot sketches, the merged
     // k-set, and every estimate replayed with the md5-prefix hashes

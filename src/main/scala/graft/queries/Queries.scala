@@ -3858,6 +3858,33 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** STREAMING semantic decontamination ([[Similarity
+    * .nearestSeedRowwise]]): q147 under the real micro-batch runtime.
+    * The benchmark rides as plan literals and the nearest-benchmark
+    * argmax is a PURE PER-ROW PROJECTION (`array_position(array_max)`
+    * — tie to the lowest seed id, identical to the batch rule), so
+    * the stream is stateless: no watermark, no state store, no flush
+    * batch — ingest-time eval screening at file-arrival latency. The
+    * oracle is q147's SQL verbatim (stream ≡ batch bit-for-bit).
+    */
+  val q149StreamingSemanticContamination: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q149")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0).select("vec_id", "embedding")
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    val in = memoFixture("q149in", dir) { p =>
+      corpus.write.mode("overwrite").parquet(p)
+    }
+    val scored = Similarity.nearestSeedRowwise(
+        s.readStream.schema(corpus.schema).parquet(in),
+        bench, "vec_id", "embedding")
+      .filter(col("sim") >= 0.4)
+      .select(col("vec_id"), col("cell").as("bench_id"), col("sim"))
+    runToSink(scored, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("vec_id")
+  }
+
   /** INCREMENTAL ExactSubstr ([[ExactSubstr
     * .removeDuplicatedSpansIncremental]], the q85/q105 incremental
     * discipline applied to q146): the history corpus is touched only
@@ -4054,5 +4081,6 @@ object Queries {
     "q146_exact_substr" -> q146ExactSubstr,
     "q147_semantic_contamination" -> q147SemanticContamination,
     "q148_incremental_exact_substr" -> q148IncrementalExactSubstr,
+    "q149_streaming_semantic_contamination" -> q149StreamingSemanticContamination,
   )
 }

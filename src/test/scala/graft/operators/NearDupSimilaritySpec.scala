@@ -252,6 +252,19 @@ class NearDupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearestSeedRowwise ≡ nearestSeed (the streaming-capable projection matches the grouped argmax)") {
+    val emb = (0 until 48).map(i =>
+      (i.toLong, Array.tabulate(5)(d => ((i * 7 + d * 13) % 23).toFloat / 23f - 0.4f)))
+      .toDF("vec_id", "embedding")
+    val corpus = emb.filter($"vec_id" >= 6)
+    val seeds = emb.filter($"vec_id" < 6)
+    val a = Similarity.nearestSeed(corpus, seeds, "vec_id", "embedding")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = Similarity.nearestSeedRowwise(corpus, seeds, "vec_id", "embedding")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
   test("contamination: seeded-random equivalence vs a driver-side naive reference") {
     val rnd = new scala.util.Random(4242)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
