@@ -85,6 +85,66 @@ object LanguageModel {
         bround(exp(-col("_avg")), 6).as("ppl"))
   }
 
+  /** Per-doc perplexity under an INTERPOLATED KNESER-NEY bigram model
+    * (Kneser & Ney, ICASSP 1995; the Chen & Goodman 1998 interpolated
+    * form — the smoothing KenLM ships by default, i.e. what CCNet's
+    * scorer actually uses):
+    *
+    *   p(w2|w1) = max(c(w1,w2) − D, 0) / c(w1·)
+    *            + (D · N1+(w1·) / c(w1·)) · P_cont(w2)
+    *   P_cont(w2) = N1+(·w2) / N1+(··)
+    *
+    * with D = `discount` (default 0.75 — EXACTLY representable, so
+    * the subtraction is one clean IEEE op), N1+(w1·)/N1+(·w2) the
+    * distinct-continuation/context counts, and N1+(··) the distinct
+    * bigram count. The continuation distribution is what
+    * distinguishes KN from Laplace: "Francisco" is frequent but
+    * follows only "San", so its unseen-context probability is tiny —
+    * the property that makes KN the production choice.
+    *
+    * Fallbacks: an unseen CONTEXT w1 backs off to P_cont(w2) alone; a
+    * token unseen even as a continuation takes the 0.5/N1+(··) floor
+    * (keeps ln finite; never hit when scoring the training corpus).
+    *
+    * Exactness (the q114 discipline): counts exact; the probability
+    * is ONE fixed IEEE expression tree over exact-integer casts and
+    * the dyadic D; ln rounded 9 dp before the exact DECIMAL mean.
+    * Scale shape: identical to [[perplexity]] — three
+    * model-sized derived frames (per-context stats, per-continuation
+    * stats, one-row total), broadcast; scoring shuffles one row per
+    * doc bigram at most.
+    *
+    * Output: (idCol, n_bigrams BIGINT, ppl DOUBLE rounded 6 dp).
+    */
+  def perplexityKneserNey(docs: DataFrame, idCol: String, textCol: String,
+      bigramCounts: DataFrame, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val ctx = bigramCounts.groupBy("w1")
+      .agg(sum(col("cnt")).as("_ctx"), count(lit(1)).as("_n1f"))
+    val bwd = bigramCounts.groupBy("w2").agg(count(lit(1)).as("_n1b"))
+    val nb = bigramCounts.agg(count(lit(1)).as("_nb"))
+    val db = bigrams(docs, textCol, col(idCol))
+    val pc = when(coalesce(col("_n1b"), lit(0L)) > 0,
+      col("_n1b").cast("double") / col("_nb").cast("double"))
+      .otherwise(lit(0.5) / col("_nb").cast("double"))
+    val p = when(col("_ctx").isNotNull,
+      greatest(coalesce(col("cnt"), lit(0L)).cast("double") - lit(discount), lit(0.0)) /
+        col("_ctx").cast("double") +
+        (lit(discount) * col("_n1f").cast("double") / col("_ctx").cast("double")) * pc)
+      .otherwise(pc)
+    val ll = db
+      .join(broadcast(bigramCounts), Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(broadcast(bwd), Seq("w2"), "left")
+      .crossJoin(broadcast(nb))
+      .withColumn("_ll", bround(log(p), 9))
+    ll.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Exact.davg(col("_ll"), scale = 9).as("_avg"))
+      .select(col(idCol), col("n_bigrams"),
+        bround(exp(-col("_avg")), 6).as("ppl"))
+  }
+
   private def trigrams(df: DataFrame, textCol: String, keep: Column*): DataFrame = {
     val t = Text.tokens(col(textCol))
     val n = greatest(size(t) - 2, lit(0))

@@ -2661,6 +2661,56 @@ object Oracles {
          |WHERE s.ppl <= b.p75
          |ORDER BY s.doc_id""".stripMargin,
 
+    // interpolated Kneser-Ney: same bigram stream/train split as
+    // q114; the probability is the SAME fixed IEEE tree as the Spark
+    // side (dyadic D=0.75, continuation stats from distinct-bigram
+    // row counts), ln rounded 9 dp before the exact DECIMAL mean
+    "q150_kneser_ney_perplexity" ->
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, $toksExpr AS t FROM documents
+         |),
+         |bg AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+         |    unnest(list_slice(t, 2, len(t))) AS w2
+         |  FROM d WHERE len(t) >= 2
+         |),
+         |bgc AS MATERIALIZED (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM bg
+         |  WHERE doc_id % 10 < 8 GROUP BY w1, w2
+         |),
+         |cx AS MATERIALIZED (
+         |  SELECT w1, SUM(cnt) AS ctx, CAST(COUNT(*) AS BIGINT) AS n1f
+         |  FROM bgc GROUP BY w1
+         |),
+         |bw AS MATERIALIZED (
+         |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM bgc GROUP BY w2
+         |),
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bgc),
+         |ll AS MATERIALIZED (
+         |  SELECT b.doc_id,
+         |    ROUND(ln(
+         |      CASE WHEN x.ctx IS NOT NULL THEN
+         |        GREATEST(CAST(COALESCE(c.cnt, 0) AS DOUBLE) - 0.75, 0.0)
+         |          / CAST(x.ctx AS DOUBLE)
+         |        + (0.75 * CAST(x.n1f AS DOUBLE) / CAST(x.ctx AS DOUBLE))
+         |          * (CASE WHEN COALESCE(w.n1b, 0) > 0
+         |             THEN CAST(w.n1b AS DOUBLE) / CAST((SELECT nb FROM nb) AS DOUBLE)
+         |             ELSE 0.5 / CAST((SELECT nb FROM nb) AS DOUBLE) END)
+         |      ELSE (CASE WHEN COALESCE(w.n1b, 0) > 0
+         |            THEN CAST(w.n1b AS DOUBLE) / CAST((SELECT nb FROM nb) AS DOUBLE)
+         |            ELSE 0.5 / CAST((SELECT nb FROM nb) AS DOUBLE) END)
+         |      END), 9) AS ll
+         |  FROM bg b
+         |  LEFT JOIN bgc c ON b.w1 = c.w1 AND b.w2 = c.w2
+         |  LEFT JOIN cx x ON b.w1 = x.w1
+         |  LEFT JOIN bw w ON b.w2 = w.w2
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  ROUND(exp(-(CAST(SUM(CAST(ll AS DECIMAL(38,9))) AS DOUBLE)
+         |              / COUNT(*))), 6) AS ppl
+         |FROM ll GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // streaming LM perplexity: q114's scored table verbatim (no band
     // filter) — the stream's plan-constant kernel must be numerically
     // identical to the batch DECIMAL aggregation

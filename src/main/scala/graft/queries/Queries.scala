@@ -3858,6 +3858,25 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Interpolated KNESER-NEY perplexity ([[LanguageModel
+    * .perplexityKneserNey]]): the production n-gram smoothing (what
+    * KenLM — and therefore CCNet's actual scorer — ships by default)
+    * beside Laplace (q114) and Jelinek-Mercer (q120): absolute
+    * discounting plus the continuation distribution, which
+    * down-weights frequent-but-context-bound tokens. Same train
+    * split and scoring discipline as q114 (counts exact, ONE fixed
+    * IEEE probability tree over the dyadic D = 0.75, 9-dp ln before
+    * the exact DECIMAL mean); the oracle replays training, all four
+    * model statistics and the full formula.
+    */
+  val q150KneserNeyPerplexity: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val (bg, _) = LanguageModel.trainBigram(
+      d.filter(col("doc_id") % 10 < 8), "text")
+    LanguageModel.perplexityKneserNey(d, "doc_id", "text", bg)
+      .orderBy("doc_id")
+  }
+
   /** STREAMING semantic decontamination ([[Similarity
     * .nearestSeedRowwise]]): q147 under the real micro-batch runtime.
     * The benchmark rides as plan literals and the nearest-benchmark
@@ -4082,5 +4101,6 @@ object Queries {
     "q147_semantic_contamination" -> q147SemanticContamination,
     "q148_incremental_exact_substr" -> q148IncrementalExactSubstr,
     "q149_streaming_semantic_contamination" -> q149StreamingSemanticContamination,
+    "q150_kneser_ney_perplexity" -> q150KneserNeyPerplexity,
   )
 }

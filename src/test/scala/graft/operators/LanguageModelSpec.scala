@@ -85,6 +85,104 @@ class LanguageModelSpec extends SparkSpec {
     assert(got.keySet === Set(3L))
   }
 
+  // ---- interpolated Kneser-Ney ----
+
+  private def replayKn(train: Seq[String], score: Seq[(Long, String)],
+      d: Double = 0.75): Map[Long, (Long, Double)] = {
+    def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+    def bgs(s: String) = toks(s).sliding(2).filter(_.size == 2)
+      .map(p => (p(0), p(1))).toSeq
+    val counts = train.flatMap(bgs).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx = counts.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val n1f = counts.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1b = counts.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nb = counts.size.toLong
+    score.flatMap { case (id, text) =>
+      val b = bgs(text)
+      if (b.isEmpty) None
+      else {
+        val lls = b.map { case (w1, w2) =>
+          val pc = n1b.get(w2) match {
+            case Some(n) => n.toDouble / nb.toDouble
+            case None    => 0.5 / nb.toDouble
+          }
+          val p = ctx.get(w1) match {
+            case Some(cw) =>
+              math.max(counts.getOrElse((w1, w2), 0L).toDouble - d, 0.0) / cw.toDouble +
+                (d * n1f(w1).toDouble / cw.toDouble) * pc
+            case None => pc
+          }
+          BigDecimal(math.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }
+        val avg = lls.sum.toDouble / lls.size
+        val ppl = BigDecimal(math.exp(-avg))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some(id -> (b.size.toLong, ppl))
+      }
+    }.toMap
+  }
+
+  private def runKn(train: Seq[String], score: Seq[(Long, String)],
+      parts: Int): Map[Long, (Long, Double)] = {
+    val (bg, _) = LanguageModel.trainBigram(
+      train.toDF("text").repartition(parts), "text")
+    LanguageModel.perplexityKneserNey(
+        score.toDF("doc_id", "text").repartition(parts), "doc_id", "text", bg)
+      .select("doc_id", "n_bigrams", "ppl")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, p) => id -> (n, p) }.toMap
+  }
+
+  test("KN property: operator ≡ driver replay on random corpora, any partitioning") {
+    val rnd = new Random(23)
+    val vocabulary = Vector("the", "cat", "sat", "on", "mat", "dog", "ran", "far")
+    for (trial <- 1 to 3) {
+      val train = Seq.fill(40)(
+        Seq.fill(2 + rnd.nextInt(10))(vocabulary(rnd.nextInt(8))).mkString(" "))
+      val score = (0L until 25L).map(i =>
+        (i, Seq.fill(rnd.nextInt(8))(vocabulary(rnd.nextInt(8))).mkString(" ")))
+      val exp = replayKn(train, score)
+      for (parts <- Seq(1, 7)) {
+        val got = runKn(train, score, parts)
+        assert(got === exp, s"trial $trial parts $parts diverged")
+      }
+      graft.core.OpCache.release()
+    }
+  }
+
+  test("KN conditionals sum to 1 over the continuation-covered vocabulary") {
+    // for each seen context w1: Σ_{w2 ∈ V} p(w2|w1) = 1 when P_cont
+    // sums to 1 over V (i.e. every vocab token has n1b > 0) — the
+    // normalization Chen & Goodman prove for interpolated KN
+    val train = Seq("a b a c b c a b c b a a c")
+    def toks(s: String) = s.split(" ").toSeq
+    val counts = train.flatMap(s => toks(s).sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx = counts.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val n1f = counts.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1b = counts.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nb = counts.size.toLong
+    val vocab = Seq("a", "b", "c")
+    for (w1 <- vocab) {
+      val total = vocab.map { w2 =>
+        math.max(counts.getOrElse((w1, w2), 0L).toDouble - 0.75, 0.0) / ctx(w1).toDouble +
+          (0.75 * n1f(w1).toDouble / ctx(w1).toDouble) * (n1b(w2).toDouble / nb.toDouble)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-12, s"p(.|$w1) sums to $total")
+    }
+  }
+
+  test("KN: frequent-but-context-bound continuation scores below Laplace's estimate") {
+    // "francisco" appears often but ONLY after "san"; "the" follows
+    // many contexts. Under an unseen context, KN ranks "the" far
+    // above "francisco" — Laplace ranks them by raw frequency.
+    val train = Seq.fill(10)("san francisco is near the bay and the bridge").mkString(" ")
+    val score = Seq((1L, "zz francisco"), (2L, "zz the"))
+    val got = runKn(Seq(train), score, 1)
+    assert(got(2L)._2 < got(1L)._2,
+      s"KN must prefer the high-continuation token under an unseen context: $got")
+  }
+
   // ---- interpolated trigram ----
 
   /** Driver replay of the trigram λ-mix pipeline. */
