@@ -3692,6 +3692,40 @@ object Oracles {
          |FROM base""".stripMargin
     },
 
+    // budgeted selection: the oracle IS the global-window form of the
+    // semantics — ORDER BY (q DESC, doc_id) running token sum ≤
+    // budget; the engine's hierarchical refinement must reproduce it
+    // id for id (quality formula = q136's replay)
+    "q151_budget_select" -> {
+      val stop = graft.functions.Text.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH qm AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+         |      / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS sr,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         |      / CAST(GREATEST(length(text), 1) AS DOUBLE) AS pr,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |      / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS mwl,
+         |    length(text) AS nc, len(toks) AS nt
+         |  FROM (SELECT doc_id, text, $toksExpr AS toks FROM documents)
+         |),
+         |sc AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    ROUND(LEAST(1.0, GREATEST(0.0, 0.2 + 2.0 * sr - 3.0 * pr
+         |      + 0.05 * LEAST(mwl, 8.0)
+         |      + CASE WHEN nc >= 200 THEN 0.1 ELSE 0.0 END)), 6) AS q,
+         |    nt
+         |  FROM qm
+         |),
+         |o AS (
+         |  SELECT doc_id, q, nt,
+         |    SUM(nt) OVER (ORDER BY q DESC, doc_id) AS cum
+         |  FROM sc
+         |)
+         |SELECT doc_id, q AS quality, CAST(nt AS BIGINT) AS n_tokens
+         |FROM o WHERE cum <= 12000 ORDER BY doc_id""".stripMargin
+    },
+
     // cluster-aware k-folds: clustering replay + md5-48(comp) % 5
     // fold assignment + the spanning-cluster guarantee column
     "q137_cluster_folds" ->

@@ -3877,6 +3877,24 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Token-budget corpus selection ([[BudgetSelect.selectByQuality]]):
+    * "the best documents until 12k tokens are spent" with ORDER BY
+    * (quality DESC, id) prefix semantics but NO corpus-sized sort or
+    * window — quality classes (model-sized, 6-dp grid) →
+    * consecutive-id buckets (≤ 4096 docs each) → one bounded
+    * boundary bucket. The oracle IS the global window replay
+    * (SUM OVER (ORDER BY q DESC, doc_id) ≤ budget) — the hierarchical
+    * refinement must reproduce it id for id.
+    */
+  val q151BudgetSelect: Q = (s, dir) => {
+    val scored = docs(s, dir).select(col("doc_id"),
+      round(Text.qualityScore(col("text")), 6).as("q"),
+      size(Text.tokens(col("text"))).cast("long").as("n"))
+    BudgetSelect.selectByQuality(scored, "doc_id", "q", "n",
+        budgetTokens = 12000L)
+      .orderBy("doc_id")
+  }
+
   /** STREAMING semantic decontamination ([[Similarity
     * .nearestSeedRowwise]]): q147 under the real micro-batch runtime.
     * The benchmark rides as plan literals and the nearest-benchmark
@@ -4102,5 +4120,6 @@ object Queries {
     "q148_incremental_exact_substr" -> q148IncrementalExactSubstr,
     "q149_streaming_semantic_contamination" -> q149StreamingSemanticContamination,
     "q150_kneser_ney_perplexity" -> q150KneserNeyPerplexity,
+    "q151_budget_select" -> q151BudgetSelect,
   )
 }
