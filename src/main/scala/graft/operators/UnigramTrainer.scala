@@ -131,6 +131,50 @@ object UnigramTrainer {
         nlp9(col("c"), col("_tot")).as("nlp9"))
   }
 
+  /** [[train]] plus the VOCAB-SIZE KNOB — the pruning step that makes
+    * the trainer a production tokenizer (SentencePiece trains a large
+    * seed inventory and prunes toward --vocab_size; Kudo §3.2 prunes
+    * by likelihood loss, this prunes by final-round usage — the
+    * count-ordered simplification that stays exactly SQL-replayable;
+    * a piece's hard-EM likelihood contribution is monotone in its
+    * usage count for fixed segmentations, so the orders agree except
+    * near the cut line). Single chars are NEVER pruned (coverage);
+    * the top `pruneToMulti` multi-char pieces by (final-round count
+    * DESC, piece) survive; probabilities re-estimate add-one over the
+    * PRUNED inventory and one more Viterbi pass produces the final
+    * table — (piece, freq = count under the pruned model, nlp9).
+    */
+  def trainPruned(words: DataFrame, maxPieceLen: Int, topKMulti: Int,
+      emRounds: Int, pruneToMulti: Int): DataFrame = {
+    require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
+    require(pruneToMulti >= 0, s"pruneToMulti must be >= 0, got $pruneToMulti")
+    import graft.core.OpCache.TrackedPersist
+    val w = words.persistTracked
+    val inventory = seedInventory(w, maxPieceLen, topKMulti).persistTracked
+    var model = modelFrom(inventory.select(col("piece"), col("f").as("c")))
+    for (_ <- 1 to emRounds) {
+      model = modelFrom(
+        segCounts(w, inventory, model)
+          .select(col("piece"), (col("c_raw") + 1L).as("c")))
+    }
+    // prune on usage under the final EM model
+    val cnts = segCounts(w, inventory, model).persistTracked
+    val prunedInv = cnts.filter(length(col("piece")) === 1).select("piece")
+      .unionByName(cnts.filter(length(col("piece")) > 1)
+        .orderBy(col("c_raw").desc, col("piece")).limit(pruneToMulti)
+        .select("piece"))
+      .persistTracked
+    val prunedModel = modelFrom(
+      cnts.join(prunedInv, Seq("piece"), "left_semi")
+        .select(col("piece"), (col("c_raw") + 1L).as("c")))
+    val fin = segCounts(w, prunedInv, prunedModel).persistTracked
+    val sm = fin.select(col("piece"), col("c_raw"), (col("c_raw") + 1L).as("c"))
+    val tot = sm.agg(sum(col("c")).as("_tot"))
+    sm.crossJoin(broadcast(tot))
+      .select(col("piece"), col("c_raw").as("freq"),
+        nlp9(col("c"), col("_tot")).as("nlp9"))
+  }
+
   /** Train and hand back the plan-constant MODEL (for application
     * queries — the q144 shape). Identical rounds to [[train]].
     */

@@ -302,7 +302,7 @@ object Oracles {
     * add-one M-step. Absent pieces cost 1e15 (the
     * [[graft.functions.UnigramLmModel.Big]] literal).
     */
-  private def unigramRoundCtes(r: Int, model: String): String =
+  private def unigramRoundCtes(r: Int, model: String, inv: String = "useed"): String =
     s"""cand$r AS (
        |  SELECT w, freq, j, l, substr(w, CAST(j - l + 1 AS INTEGER), CAST(l AS INTEGER)) AS sub
        |  FROM (SELECT w, freq, unnest(generate_series(1, length(w))) AS j FROM uwords)
@@ -362,7 +362,7 @@ object Oracles {
        |),
        |cnt$r AS MATERIALIZED (
        |  SELECT s.piece, CAST(COALESCE(SUM(p.freq), 0) AS BIGINT) AS c_raw
-       |  FROM useed s LEFT JOIN pieces$r p ON p.piece = s.piece
+       |  FROM $inv s LEFT JOIN pieces$r p ON p.piece = s.piece
        |  GROUP BY s.piece
        |),
        |m$r AS MATERIALIZED (
@@ -3867,6 +3867,29 @@ object Oracles {
         unigramRoundCtes(2, "m1") + "\n" +
         s"""SELECT c.piece, c.c_raw AS freq, m.nlp AS nlp9
            |FROM cnt2 c JOIN m2 m USING (piece)
+           |ORDER BY piece""".stripMargin),
+
+    // unigram pruning: chars ∪ top-64 multi by round-2 usage, add-one
+    // re-estimate over the pruned inventory, a third Viterbi pass
+    "q152_unigram_prune" ->
+      (unigramHeadCtes + ",\n" + unigramRoundCtes(1, "m0") + ",\n" +
+        unigramRoundCtes(2, "m1") + ",\n" +
+        s"""pr AS MATERIALIZED (
+           |  SELECT piece FROM useed WHERE length(piece) = 1
+           |  UNION ALL
+           |  SELECT piece FROM (
+           |    SELECT piece FROM cnt2 WHERE length(piece) > 1
+           |    ORDER BY c_raw DESC, piece LIMIT 64)
+           |),
+           |mp AS MATERIALIZED (
+           |  SELECT c.piece, CAST(ROUND(-ln(CAST(c.c_raw + 1 AS DOUBLE)
+           |    / CAST((SELECT SUM(c2.c_raw + 1) FROM cnt2 c2
+           |            JOIN pr p2 ON p2.piece = c2.piece) AS DOUBLE)) * 1e9) AS BIGINT) AS nlp
+           |  FROM cnt2 c JOIN pr ON pr.piece = c.piece
+           |)""".stripMargin + ",\n" +
+        unigramRoundCtes(3, "mp", "pr") + "\n" +
+        s"""SELECT c.piece, c.c_raw AS freq, m.nlp AS nlp9
+           |FROM cnt3 c JOIN m3 m USING (piece)
            |ORDER BY piece""".stripMargin),
 
     // train-then-apply: a THIRD Viterbi pass under the replayed

@@ -3780,6 +3780,22 @@ object Queries {
       .orderBy(col("freq").desc, col("subword")).limit(100)
   }
 
+  /** Unigram-LM vocabulary PRUNING ([[UnigramTrainer.trainPruned]]):
+    * the --vocab_size knob that turns q141's trainer into a
+    * production tokenizer — after 2 hard-EM rounds, single chars
+    * survive unconditionally (coverage) and only the top-64
+    * multi-char pieces by final-round usage keep their slots;
+    * probabilities re-estimate over the pruned inventory and one
+    * more Viterbi pass yields the final table. The oracle replays
+    * seeding, both EM rounds, the count-ordered prune, the
+    * re-estimate, and the third DP pass.
+    */
+  val q152UnigramPrune: Q = (s, dir) =>
+    UnigramTrainer.trainPruned(
+      UnigramTrainer.distinctWords(docs(s, dir), "text"),
+      maxPieceLen = 4, topKMulti = 300, emRounds = 2, pruneToMulti = 64)
+      .orderBy("piece")
+
   /** Per-doc unigram entropy ([[CorpusStats.tokenEntropy]]): the
     * keyword-stuffing detector — H = ln n − (Σ c·ln c)/n in nats
     * over each document's token counts, with the low-entropy flag a
@@ -4121,5 +4137,6 @@ object Queries {
     "q149_streaming_semantic_contamination" -> q149StreamingSemanticContamination,
     "q150_kneser_ney_perplexity" -> q150KneserNeyPerplexity,
     "q151_budget_select" -> q151BudgetSelect,
+    "q152_unigram_prune" -> q152UnigramPrune,
   )
 }

@@ -77,6 +77,24 @@ class UnigramSpec extends SparkSpec {
     assert(seg("", m) === Seq.empty)
   }
 
+  test("pruning: chars always survive, exactly pruneToMulti multi pieces remain, coverage holds") {
+    val docs = Seq.fill(20)("the stream the dream the theme streaming dreaming").toDF("text")
+    val words = UnigramTrainer.distinctWords(docs, "text")
+    val out = UnigramTrainer.trainPruned(words, maxPieceLen = 4, topKMulti = 50,
+      emRounds = 1, pruneToMulti = 3)
+      .as[(String, Long, Long)].collect()
+    val chars = words.as[(String, Long)].collect().flatMap(_._1.toSeq).map(_.toString).distinct
+    val (single, multi) = out.map(_._1).partition(_.length == 1)
+    assert(single.toSet === chars.toSet, "pruning dropped a character piece")
+    assert(multi.length === 3, s"expected exactly 3 multi pieces, got ${multi.toSeq}")
+    // coverage: every corpus word still segments losslessly under the pruned model
+    val model = new graft.functions.UnigramLmModel(
+      out.map(_._1), out.map(_._3))
+    for ((w, _) <- words.as[(String, Long)].collect())
+      assert(seg(w, model).mkString("") === w, s"pruned model cannot cover '$w'")
+    graft.core.OpCache.release(blocking = true)
+  }
+
   test("trainer: seed inventory and one hard-EM round match a driver replay") {
     val docs = Seq(
       "the stream the stream", "stream the dream", "dream the theme")
