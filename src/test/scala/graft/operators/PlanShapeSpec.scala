@@ -466,6 +466,23 @@ class PlanShapeSpec extends SparkSpec {
       s"scan schema not pruned to the aggregated column:\n$sl")
   }
 
+  test("ExactSubstr: window df is partial-agg, dup positions ride a semi-join, no corpus window") {
+    val docs = (1 to 60).map(i =>
+      (i.toLong, if (i % 2 == 0) "shared span alpha beta gamma delta " + i
+        else s"unique body $i text number $i here")).toDF("doc_id", "text")
+    val q = ExactSubstr.removeDuplicatedSpans(docs, "doc_id", "text", windowTokens = 4)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"),
+      s"span removal uses a window over corpus data:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"),
+      s"window df lacks map-side partial aggregation:\n${plan.take(3000)}")
+    assert(plan.contains("LeftSemi"),
+      s"duplicated positions must resolve via a semi-join:\n${plan.take(3000)}")
+    spark.catalog.clearCache()
+    graft.core.OpCache.release(blocking = true)
+  }
+
   test("q134 ensemble dedup: both pair generators bounded — no all-pairs join anywhere") {
     // the round-13 weak: the semantic side was a vec_id<300-capped
     // BroadcastNestedLoopJoin over ALL vector pairs — O(n²) with the
