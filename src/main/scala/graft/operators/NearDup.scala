@@ -189,6 +189,61 @@ object NearDup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** CONTAINMENT near-dup pairs (asymmetric Jaccard): C(A in B) =
+    * |A∩B| / |A| over distinct shingle sets — the signal symmetric
+    * Jaccard MISSES when a short document is quoted inside a long one
+    * (12 shared shingles / 50-shingle container → J ≈ 0.2 but
+    * C = 1.0). Broder's containment formulation ("On the resemblance
+    * and containment of documents", SEQUENCES 1997).
+    *
+    * Candidate generation cannot reuse MinHash-LSH banding: band
+    * collision probability follows SYMMETRIC Jaccard, so exactly the
+    * high-containment/low-Jaccard pairs this operator exists for
+    * would be missed. Candidates instead come from the shared-shingle
+    * inverted index (the [[Dedup.substringWindowPairs]] machinery at
+    * shingle granularity): any pair sharing ≥ 1 shingle with
+    * 2 ≤ df ≤ `maxDf` is a candidate — a high-containment pair
+    * shares ALL of the contained side's shingles, so it is missed
+    * only if EVERY shared shingle is boilerplate-frequent (> maxDf);
+    * same caveat and knob as the substring operator. Exact
+    * containment (one integer-ratio IEEE division) verifies
+    * candidates; both directions plus symmetric Jaccard ride the
+    * output.
+    *
+    * 100 TB shape: the inverted index shuffles 8-byte shingle hashes
+    * (uniform keys); the df cap bounds every key's pair fan-out at
+    * maxDf²; verification joins shingle arrays back for the
+    * (candidate-sized) pair set only.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, maxDf: Long = 50L): DataFrame = {
+    require(!threshold.isNaN, "threshold must not be NaN")
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val sh = df.select(col(idCol), shingles(col(textCol), n).as("_sh"))
+      .persistTracked
+    val occ = sh.select(col(idCol),
+      explode(col("_sh")).as("_s")).select(col(idCol), xxhash64(col("_s")).as("_h"))
+    val rare = occ.join(
+      occ.groupBy("_h").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") >= 2 && col("_df") <= maxDf).select("_h"),
+      Seq("_h"), "left_semi")
+    val cands = rare.select(col(idCol).as("id_a"), col("_h"))
+      .join(rare.select(col(idCol).as("id_b"), col("_h")), Seq("_h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = size(array_intersect(col("_sha"), col("_shb")))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sha")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("_sh").as("_shb")), "id_b")
+      .withColumn("c_a_in_b",
+        inter.cast("double") / greatest(size(col("_sha")), lit(1)).cast("double"))
+      .withColumn("c_b_in_a",
+        inter.cast("double") / greatest(size(col("_shb")), lit(1)).cast("double"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .withColumn("jaccard", jaccard(col("_sha"), col("_shb")))
+      .select("id_a", "id_b", "c_a_in_b", "c_b_in_a", "jaccard")
+  }
+
   /** Incremental near-dedup against a STORED band index — the q52
     * shape for NEAR duplicates: a new crawl batch must be checked for
     * near-dups against a 100 TB history WITHOUT re-shingling or

@@ -3726,6 +3726,44 @@ object Oracles {
          |FROM o WHERE cum <= 12000 ORDER BY doc_id""".stripMargin
     },
 
+    // containment dedup: the df-capped shared-shingle candidate rule
+    // + both exact containment directions + Jaccard, with shingle
+    // STRINGS (engine rides 8-byte hashes — q42 collision argument)
+    "q153_containment_dedup" ->
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id, array_to_string(toks[3:14], ' ') AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
+         |  WHERE doc_id % 7 = 0
+         |),
+         |${shingleCte("corpus")},
+         |occ AS MATERIALIZED (SELECT doc_id, unnest(s) AS w FROM sh),
+         |dfc AS MATERIALIZED (
+         |  SELECT w FROM (SELECT w, COUNT(*) AS c FROM occ GROUP BY w)
+         |  WHERE c >= 2 AND c <= 50
+         |),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM occ a JOIN dfc USING (w) JOIN occ b ON b.w = a.w AND a.doc_id < b.doc_id
+         |),
+         |p AS (
+         |  SELECT c.id_a, c.id_b,
+         |    len(list_intersect(sa.s, sb.s)) AS inter,
+         |    len(sa.s) AS na, len(sb.s) AS nb, sa.s AS s_a, sb.s AS s_b
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.id_a
+         |  JOIN sh sb ON sb.doc_id = c.id_b
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(inter AS DOUBLE) / CAST(GREATEST(na, 1) AS DOUBLE) AS c_a_in_b,
+         |  CAST(inter AS DOUBLE) / CAST(GREATEST(nb, 1) AS DOUBLE) AS c_b_in_a,
+         |  ${jaccardExpr("s_a", "s_b")} AS jaccard
+         |FROM p
+         |WHERE GREATEST(CAST(inter AS DOUBLE) / CAST(GREATEST(na, 1) AS DOUBLE),
+         |               CAST(inter AS DOUBLE) / CAST(GREATEST(nb, 1) AS DOUBLE)) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+
     // cluster-aware k-folds: clustering replay + md5-48(comp) % 5
     // fold assignment + the spanning-cluster guarantee column
     "q137_cluster_folds" ->

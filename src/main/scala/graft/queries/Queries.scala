@@ -3911,6 +3911,28 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Containment dedup ([[NearDup.containmentPairs]], Broder 1997):
+    * the asymmetric signal — a 12-token excerpt quoted inside a
+    * 50-token document has Jaccard ≈ 0.2 (invisible to q16's
+    * symmetric machinery) but containment 1.0. Planted quote docs
+    * (12-token excerpts of every 7th document) must surface against
+    * their sources at C ≥ 0.9; candidates come from the df-capped
+    * shared-shingle inverted index (banding would miss exactly these
+    * pairs — its collision law follows symmetric Jaccard). The
+    * oracle replays the candidate rule, both containment directions
+    * and the Jaccard column with shingle STRINGS (q42's collision
+    * argument for the engine's 8-byte hashes).
+    */
+  val q153ContainmentDedup: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val quotes = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 3, 12)).as("text"))
+    NearDup.containmentPairs(d.unionByName(quotes), "doc_id", "text",
+        threshold = 0.9, n = 3, maxDf = 50L)
+      .orderBy("id_a", "id_b")
+  }
+
   /** STREAMING semantic decontamination ([[Similarity
     * .nearestSeedRowwise]]): q147 under the real micro-batch runtime.
     * The benchmark rides as plan literals and the nearest-benchmark
@@ -4138,5 +4160,6 @@ object Queries {
     "q150_kneser_ney_perplexity" -> q150KneserNeyPerplexity,
     "q151_budget_select" -> q151BudgetSelect,
     "q152_unigram_prune" -> q152UnigramPrune,
+    "q153_containment_dedup" -> q153ContainmentDedup,
   )
 }

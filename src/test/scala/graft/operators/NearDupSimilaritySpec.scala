@@ -225,6 +225,29 @@ class NearDupSimilaritySpec extends SparkSpec {
     Similarity.clearSeedModels()
   }
 
+  test("containmentPairs finds the quoted excerpt symmetric Jaccard misses") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (20 to 31).map(i => s"w$i").mkString(" ") // 12-token excerpt
+    val noise = (1 to 40).map(i => s"n$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, quote), (3L, noise)).toDF("doc_id", "text")
+    val got = NearDup.containmentPairs(docs, "doc_id", "text",
+        threshold = 0.9, n = 3, maxDf = 10L)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    graft.core.OpCache.release()
+    assert(got.length === 1, s"expected exactly the quote pair, got ${got.toSeq}")
+    val (a, b, cab, cba, j) = got.head
+    assert((a, b) === ((1L, 2L)))
+    assert(cba === 1.0, s"quote fully contained: $cba") // B (quote) inside A
+    assert(cab < 0.9 && j < 0.5,
+      s"the pair must be LOW-Jaccard (else symmetric dedup would catch it): c=$cab j=$j")
+    // the motivation: symmetric banded near-dup at 0.5 does NOT find it
+    val sym = NearDup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    graft.core.OpCache.release()
+    assert(!sym.exists(p => p._1 == 1L && p._2 == 2L),
+      "symmetric Jaccard unexpectedly caught the quote pair — test premise broken")
+  }
+
   test("nearestSeed: argmax id + exact cosine equal a driver-side brute force; ties to lowest seed") {
     val emb = (0 until 40).map(i =>
       (i.toLong, Array.tabulate(6)(d => ((i * 11 + d * 5) % 17).toFloat / 17f - 0.3f)))
