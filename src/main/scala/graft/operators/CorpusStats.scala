@@ -114,6 +114,28 @@ object CorpusStats {
     *
     * Output: (idCol, n_tokens, n_distinct, entropy 6-dp).
     */
+  /** Distribution entropy of `valueCol` WITHIN each `groupCol` group
+    * — [[tokenEntropy]]'s arithmetic (H = ln n − (Σ c·ln c)/n nats,
+    * DECIMAL-exact products) at arbitrary granularity: per-source
+    * language diversity (q154), per-shard label balance, etc. Two
+    * map-side-combinable groupBys; the second runs on the
+    * (group × value)-sized count table.
+    * Output: (`groupCol`, n BIGINT, n_distinct BIGINT, entropy 6 dp).
+    */
+  def groupEntropy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val tc = df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("_c"))
+    tc.groupBy(col(groupCol))
+      .agg(
+        sum(col("_c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(ln9(col("_c")).cast(D189) * col("_c").cast(DecimalType(12, 0)))
+          .as("_sc"))
+      .select(col(groupCol), col("n"), col("n_distinct"),
+        round(ln9(col("n"))
+          - col("_sc").cast("double") / col("n").cast("double"), 6)
+          .as("entropy"))
+  }
+
   def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tc = docs
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("_t"))

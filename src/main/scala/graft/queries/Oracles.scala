@@ -3726,6 +3726,52 @@ object Oracles {
          |FROM o WHERE cum <= 12000 ORDER BY doc_id""".stripMargin
     },
 
+    // source-reputation report: quality formula = q136's replay,
+    // entropy = q142's DECIMAL-exact c·ln c at (source, lang)
+    // granularity, flag vs the corpus-wide exact mean
+    "q154_source_report" -> {
+      val stop = graft.functions.Text.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH qm AS (
+         |  SELECT doc_id, source, lang, len(toks) AS nt,
+         |    CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE)
+         |      / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS sr,
+         |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         |      / CAST(GREATEST(length(text), 1) AS DOUBLE) AS pr,
+         |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |      / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS mwl,
+         |    length(text) AS nc
+         |  FROM (SELECT doc_id, source, lang, text, $toksExpr AS toks FROM documents)
+         |),
+         |sc AS MATERIALIZED (
+         |  SELECT doc_id, source, lang, nt,
+         |    ROUND(LEAST(1.0, GREATEST(0.0, 0.2 + 2.0 * sr - 3.0 * pr
+         |      + 0.05 * LEAST(mwl, 8.0)
+         |      + CASE WHEN nc >= 200 THEN 0.1 ELSE 0.0 END)), 6) AS q
+         |  FROM qm
+         |),
+         |base AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(nt) AS BIGINT) AS total_tokens,
+         |    ROUND(CAST(SUM(CAST(q AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS mean_quality
+         |  FROM sc GROUP BY source
+         |),
+         |lc AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c FROM sc GROUP BY source, lang),
+         |ent AS (
+         |  SELECT source, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS n_langs,
+         |    SUM(CAST(ROUND(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9))
+         |        * CAST(c AS DECIMAL(12,0))) AS scp
+         |  FROM lc GROUP BY source
+         |),
+         |om AS (SELECT ROUND(CAST(SUM(CAST(q AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6) AS m FROM sc)
+         |SELECT b.source, b.n_docs, b.total_tokens, b.mean_quality,
+         |  e.n_langs,
+         |  ROUND(ROUND(ln(CAST(e.n AS DOUBLE)), 9)
+         |    - CAST(e.scp AS DOUBLE) / CAST(e.n AS DOUBLE), 6) AS lang_entropy,
+         |  b.mean_quality < (SELECT m FROM om) AS low_quality
+         |FROM base b JOIN ent e USING (source)
+         |ORDER BY b.source""".stripMargin
+    },
+
     // containment dedup: the df-capped shared-shingle candidate rule
     // + both exact containment directions + Jaccard, with shingle
     // STRINGS (engine rides 8-byte hashes — q42 collision argument)

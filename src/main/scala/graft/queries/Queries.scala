@@ -3933,6 +3933,35 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Source-reputation report ([[CorpusStats.groupEntropy]] + exact
+    * rollups): the per-`source` curation table a crawl team reads
+    * before setting domain rules (RefinedWeb-style source triage) —
+    * doc/token volume, mean quality (exact DECIMAL mean of the 6-dp
+    * score), language diversity (count + entropy of the lang
+    * distribution, DECIMAL-exact c·ln c), and a low_quality flag
+    * against the corpus-wide mean. Everything is one or two
+    * map-side-combinable groupBys; the flag compares against a
+    * broadcast one-row scalar. Oracle replays every column.
+    */
+  val q154SourceReport: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val q = round(Text.qualityScore(col("text")), 6)
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(Text.tokens(col("text"))).cast("long")).as("total_tokens"),
+      round(Exact.davg(q, scale = 9), 6).as("mean_quality"))
+    val ent = CorpusStats.groupEntropy(d.select("source", "lang"), "source", "lang")
+      .select(col("source"), col("n_distinct").as("n_langs"),
+        col("entropy").as("lang_entropy"))
+    val overall = d.agg(round(Exact.davg(q, scale = 9), 6).as("_m"))
+    base.join(ent, "source")
+      .crossJoin(broadcast(overall))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("mean_quality"), col("n_langs"), col("lang_entropy"),
+        (col("mean_quality") < col("_m")).as("low_quality"))
+      .orderBy("source")
+  }
+
   /** STREAMING semantic decontamination ([[Similarity
     * .nearestSeedRowwise]]): q147 under the real micro-batch runtime.
     * The benchmark rides as plan literals and the nearest-benchmark
@@ -4161,5 +4190,6 @@ object Queries {
     "q151_budget_select" -> q151BudgetSelect,
     "q152_unigram_prune" -> q152UnigramPrune,
     "q153_containment_dedup" -> q153ContainmentDedup,
+    "q154_source_report" -> q154SourceReport,
   )
 }

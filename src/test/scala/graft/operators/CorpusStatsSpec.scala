@@ -28,6 +28,16 @@ class CorpusStatsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("groupEntropy: uniform group hits ln k, single-value group is 0") {
+    val df = (Seq.tabulate(40)(i => ("uni", s"v${i % 4}")) ++
+      Seq.fill(10)(("mono", "only"))).toDF("g", "v")
+    val got = CorpusStats.groupEntropy(df, "g", "v")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("mono") === (("mono", 10L, 1L, 0.0)))
+    assert(got("uni")._3 === 4L)
+    assert(math.abs(got("uni")._4 - math.log(4.0)) < 1e-6, s"uniform: ${got("uni")}")
+  }
+
   test("tokenEntropy: constant doc is 0, all-distinct doc is ln n") {
     val docs = Seq(
       (1L, "a a a a a a a a"),                  // 8 copies of one token
