@@ -199,38 +199,50 @@ object NearDup {
     * Candidate generation cannot reuse MinHash-LSH banding: band
     * collision probability follows SYMMETRIC Jaccard, so exactly the
     * high-containment/low-Jaccard pairs this operator exists for
-    * would be missed. Candidates instead come from the shared-shingle
-    * inverted index (the [[Dedup.substringWindowPairs]] machinery at
-    * shingle granularity): any pair sharing ≥ 1 shingle with
-    * 2 ≤ df ≤ `maxDf` is a candidate — a high-containment pair
-    * shares ALL of the contained side's shingles, so it is missed
-    * only if EVERY shared shingle is boilerplate-frequent (> maxDf);
-    * same caveat and knob as the substring operator. Exact
-    * containment (one integer-ratio IEEE division) verifies
-    * candidates; both directions plus symmetric Jaccard ride the
-    * output.
+    * would be missed. Candidates instead come from PREFIX FILTERING
+    * (Chaudhuri et al. ICDE 2006; Xiao et al. PPJoin WWW 2008): each
+    * document is indexed by its ⌊(1−t)·|A|⌋+1 GLOBALLY-RAREST
+    * shingles, and a pair is a candidate when either side's prefix
+    * hits the other side's full set. COMPLETE BY CONSTRUCTION: if
+    * none of A's prefix shingles is in B, then B misses more than
+    * (1−t)·|A| of A's shingles, so C(A in B) < t — therefore the
+    * verified output EQUALS the brute-force answer and the oracle
+    * can be the all-pairs form.
     *
     * 100 TB shape: the inverted index shuffles 8-byte shingle hashes
-    * (uniform keys); the df cap bounds every key's pair fan-out at
-    * maxDf²; verification joins shingle arrays back for the
-    * (candidate-sized) pair set only.
+    * (uniform keys); rarest-first prefix selection keeps boilerplate
+    * hashes out of the index for any document that has rarer
+    * alternatives, so per-key fan-out is prefix-occurrences ×
+    * full-occurrences with the prefix side thin by construction; the
+    * per-doc prefix sort is an array op bounded by shingles/doc;
+    * verification joins shingle arrays back for the candidate-sized
+    * pair set only.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3, maxDf: Long = 50L): DataFrame = {
-    require(!threshold.isNaN, "threshold must not be NaN")
-    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+      threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     val sh = df.select(col(idCol), shingles(col(textCol), n).as("_sh"))
       .persistTracked
     val occ = sh.select(col(idCol),
-      explode(col("_sh")).as("_s")).select(col(idCol), xxhash64(col("_s")).as("_h"))
-    val rare = occ.join(
-      occ.groupBy("_h").agg(count(lit(1)).as("_df"))
-        .filter(col("_df") >= 2 && col("_df") <= maxDf).select("_h"),
-      Seq("_h"), "left_semi")
-    val cands = rare.select(col(idCol).as("id_a"), col("_h"))
-      .join(rare.select(col(idCol).as("id_b"), col("_h")), Seq("_h"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+        explode(col("_sh")).as("_s"))
+      .select(col(idCol), xxhash64(col("_s")).as("_h"))
+      .persistTracked
+    val dfc = occ.groupBy("_h").agg(count(lit(1)).as("_df"))
+    // per-doc rarest-first prefix: floor((1-t)*|A|) + 1 shingles
+    val prefix = occ.join(dfc, "_h")
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("_df"), col("_h"))).as("_l"))
+      .select(col(idCol),
+        explode(slice(array_sort(col("_l")), lit(1),
+          (floor(size(col("_l")).cast("double") * lit(1.0 - threshold)) + 1)
+            .cast("int"))).as("_e"))
+      .select(col(idCol).as("_pid"), col("_e._h").as("_h"))
+    val cands = prefix
+      .join(occ.select(col(idCol).as("_oid"), col("_h")), Seq("_h"))
+      .filter(col("_pid") =!= col("_oid"))
+      .select(least(col("_pid"), col("_oid")).as("id_a"),
+        greatest(col("_pid"), col("_oid")).as("id_b"))
+      .distinct()
     val inter = size(array_intersect(col("_sha"), col("_shb")))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sha")), "id_a")

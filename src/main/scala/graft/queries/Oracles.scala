@@ -3772,9 +3772,11 @@ object Oracles {
          |ORDER BY b.source""".stripMargin
     },
 
-    // containment dedup: the df-capped shared-shingle candidate rule
-    // + both exact containment directions + Jaccard, with shingle
-    // STRINGS (engine rides 8-byte hashes — q42 collision argument)
+    // containment dedup: the prefix-filter candidate rule is COMPLETE
+    // (if none of A's floor((1-t)|A|)+1 rarest shingles hits B then
+    // C(A in B) < t), so the oracle is the brute-force ALL-PAIRS
+    // form, with shingle STRINGS (engine rides 8-byte hashes — q42
+    // collision argument)
     "q153_containment_dedup" ->
       s"""WITH corpus AS MATERIALIZED (
          |  SELECT doc_id, text FROM documents
@@ -3783,23 +3785,17 @@ object Oracles {
          |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
          |  WHERE doc_id % 7 = 0
          |),
-         |${shingleCte("corpus")},
-         |occ AS MATERIALIZED (SELECT doc_id, unnest(s) AS w FROM sh),
-         |dfc AS MATERIALIZED (
-         |  SELECT w FROM (SELECT w, COUNT(*) AS c FROM occ GROUP BY w)
-         |  WHERE c >= 2 AND c <= 50
-         |),
-         |cand AS MATERIALIZED (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM occ a JOIN dfc USING (w) JOIN occ b ON b.w = a.w AND a.doc_id < b.doc_id
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+4], ' ')
+         |      FOR i IN range(1, greatest(len(toks) - 4, 1) + 1)]) AS s
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM corpus)
          |),
          |p AS (
-         |  SELECT c.id_a, c.id_b,
+         |  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
          |    len(list_intersect(sa.s, sb.s)) AS inter,
          |    len(sa.s) AS na, len(sb.s) AS nb, sa.s AS s_a, sb.s AS s_b
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.id_a
-         |  JOIN sh sb ON sb.doc_id = c.id_b
+         |  FROM sh sa JOIN sh sb ON sa.doc_id < sb.doc_id
          |)
          |SELECT id_a, id_b,
          |  CAST(inter AS DOUBLE) / CAST(GREATEST(na, 1) AS DOUBLE) AS c_a_in_b,

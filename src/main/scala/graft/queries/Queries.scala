@@ -3916,12 +3916,12 @@ object Queries {
     * 50-token document has Jaccard ≈ 0.2 (invisible to q16's
     * symmetric machinery) but containment 1.0. Planted quote docs
     * (12-token excerpts of every 7th document) must surface against
-    * their sources at C ≥ 0.9; candidates come from the df-capped
-    * shared-shingle inverted index (banding would miss exactly these
-    * pairs — its collision law follows symmetric Jaccard). The
-    * oracle replays the candidate rule, both containment directions
-    * and the Jaccard column with shingle STRINGS (q42's collision
-    * argument for the engine's 8-byte hashes).
+    * their sources at C ≥ 0.9; candidates come from PREFIX
+    * FILTERING on each doc's globally-rarest shingles (banding would
+    * miss exactly these pairs — its collision law follows symmetric
+    * Jaccard), which is COMPLETE by construction, so the oracle is
+    * the brute-force all-pairs form with shingle STRINGS (q42's
+    * collision argument for the engine's 8-byte hashes).
     */
   val q153ContainmentDedup: Q = (s, dir) => {
     val d = docs(s, dir).select("doc_id", "text")
@@ -3929,7 +3929,7 @@ object Queries {
       .select((col("doc_id") + 200000).as("doc_id"),
         concat_ws(" ", slice(Text.tokens(col("text")), 3, 12)).as("text"))
     NearDup.containmentPairs(d.unionByName(quotes), "doc_id", "text",
-        threshold = 0.9, n = 3, maxDf = 50L)
+        threshold = 0.9, n = 5)
       .orderBy("id_a", "id_b")
   }
 

@@ -231,7 +231,7 @@ class NearDupSimilaritySpec extends SparkSpec {
     val noise = (1 to 40).map(i => s"n$i").mkString(" ")
     val docs = Seq((1L, long), (2L, quote), (3L, noise)).toDF("doc_id", "text")
     val got = NearDup.containmentPairs(docs, "doc_id", "text",
-        threshold = 0.9, n = 3, maxDf = 10L)
+        threshold = 0.9, n = 3)
       .as[(Long, Long, Double, Double, Double)].collect()
     graft.core.OpCache.release()
     assert(got.length === 1, s"expected exactly the quote pair, got ${got.toSeq}")
