@@ -515,6 +515,56 @@ object Dedup {
       .agg(count(lit(1)).as("contaminated_windows"))
   }
 
+  /** Eval-set novelty probe — [[contamination]] pointed the other way:
+    * for every BENCHMARK document, what fraction of its
+    * `windowTokens`-token windows occurs anywhere in the training
+    * corpus? This is the per-eval-example "dirty vs clean" report the
+    * GPT-3/PaLM appendices publish (and the memorization-risk signal
+    * of Lee et al. 2022 §5): novelty 0 means the example is verbatim
+    * in training data; a clean flag gates which eval rows may be
+    * scored at all.
+    *
+    * 100 TB shape: the benchmark is model-sized, so its distinct
+    * window-hash set BROADCASTS into a map-side semi-join over the
+    * corpus window stream — the corpus shuffles NOTHING; the
+    * surviving matched-hash set is ≤ benchmark-sized by construction
+    * and broadcasts back onto the benchmark windows for the per-doc
+    * rollup. Windows ride 8-byte xxhash64 keys (collision argument
+    * as in [[substringWindowPairs]]).
+    */
+  def evalNovelty(
+      corpus: DataFrame,
+      textCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val benchWins = benchmark
+      .select(col(benchIdCol),
+        explode(NearDup.shingles(col(benchTextCol), windowTokens)).as("_win"))
+      .select(col(benchIdCol), xxhash64(col("_win")).as("_wh"))
+    val benchSet = benchWins.select("_wh").distinct()
+    // corpus pass: map-side semi-join against the broadcast benchmark
+    // set; the distinct matched set is ≤ |benchSet|
+    val seen = corpus
+      .select(explode(NearDup.shingles(col(textCol), windowTokens)).as("_win"))
+      .select(xxhash64(col("_win")).as("_wh"))
+      .join(broadcast(benchSet), Seq("_wh"), "left_semi")
+      .distinct()
+      .withColumn("_seen", lit(1L))
+    benchWins.join(broadcast(seen), Seq("_wh"), "left")
+      .groupBy(benchIdCol)
+      // shingles are distinct per document: count(*) IS the distinct
+      // window count
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum(col("_seen")), lit(0L)).as("seen_windows"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("seen_windows").cast("double")
+          / col("n_windows").cast("double"), 6))
+      .withColumn("clean", col("seen_windows") === 0L)
+  }
+
   /** Exact content dedup by hash (LLM-pipeline): one row per distinct
     * `sha2(contentCol)`, first by `order`. The hash groupBy shuffles on
     * the 64-hex digest — uniformly distributed, so no skew at 100 TB;

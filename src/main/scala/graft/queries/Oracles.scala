@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.Ewma
+import graft.operators.{Ewma, HtmlClean, Redact}
 
 /** DuckDB oracle SQL twins for [[Queries]] (driver contract: run on the
   * same parquet tables, hash-compared column-by-column).
@@ -53,6 +53,43 @@ object Oracles {
        |)""".stripMargin
 
   private val toksExpr = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  /** q155/q156 shared SQL: PII injection CASE + the three redaction
+    * passes in engine order, counts taken per-pass (Redact scaladoc).
+    * Regexes interpolate from [[Redact]] so engine and oracle can
+    * never drift.
+    */
+  private lazy val piiRedactSql: String =
+    s"""WITH inj AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 9 = 0 THEN
+       |      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |      '@example.com at 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+       |      '.' || CAST(doc_id % 250 AS VARCHAR) ||
+       |      '.' || CAST(doc_id % 100 AS VARCHAR) ||
+       |      ' or call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+       |      '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    WHEN doc_id % 17 = 0 THEN
+       |      text || ' mail ' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+       |    ELSE text END AS text
+       |  FROM documents
+       |),
+       |r1 AS (
+       |  SELECT doc_id, text AS t0,
+       |    regexp_replace(text, '${Redact.EmailRe}', '${Redact.EmailToken}', 'g') AS t1
+       |  FROM inj
+       |),
+       |r2 AS (
+       |  SELECT doc_id, t0, t1,
+       |    regexp_replace(t1, '${Redact.PhoneRe}', '${Redact.PhoneToken}', 'g') AS t2
+       |  FROM r1
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t0, '${Redact.EmailRe}')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(t1, '${Redact.PhoneRe}')) AS INTEGER) AS n_phones,
+       |  CAST(len(regexp_extract_all(t2, '${Redact.IpRe}')) AS INTEGER) AS n_ips,
+       |  regexp_replace(t2, '${Redact.IpRe}', '${Redact.IpToken}', 'g') AS clean_text
+       |FROM r2 ORDER BY doc_id""".stripMargin
 
   /** q101's CDC-chunking oracle — shared verbatim by q109 (the
     * streamed kernel must emit the identical chunk table).
@@ -4070,5 +4107,58 @@ object Oracles {
       s"""SELECT event_id, user_id, value,
          |  CASE WHEN event_id % 2 = 1 THEN ROUND(value * 2, 6) ELSE NULL END AS quality
          |FROM events ORDER BY event_id""".stripMargin,
+
+    // PII redaction: the injection CASE and all three regexes are
+    // shared verbatim with the engine (Redact's Java∩RE2 dialect);
+    // counts are per-pass, replacements in the same order
+    "q155_pii_redact" -> piiRedactSql,
+
+    // streaming PII redaction: stateless projection ⇒ stream ≡ batch
+    "q156_streaming_pii_redact" -> piiRedactSql,
+
+    // markup normalization: tag strip → entity decode (&amp; LAST —
+    // double-escaped text must surface single-escaped) → whitespace
+    // collapse, replayed step for step
+    "q157_html_normalize" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN
+         |      '<p class="body">' || text || '</p>' || chr(10) ||
+         |      '<a href="https://site.example/d' || CAST(doc_id AS VARCHAR) ||
+         |      '">more</a> &amp;lt;kept&amp;gt; &nbsp;&quot;q&quot; &#39;s&#39;'
+         |    ELSE text END AS text
+         |  FROM documents
+         |),
+         |u AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '${HtmlClean.TagRe}')) AS INTEGER) AS n_tags,
+         |    regexp_replace(text, '${HtmlClean.TagRe}', ' ', 'g') AS t
+         |  FROM w
+         |),
+         |d AS (
+         |  SELECT doc_id, n_tags,
+         |    replace(replace(replace(replace(replace(replace(t,
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+         |      '&nbsp;', ' '), '&amp;', '&') AS t
+         |  FROM u
+         |)
+         |SELECT doc_id, n_tags,
+         |  trim(regexp_replace(t, '[ \\t\\n\\r]+', ' ', 'g')) AS clean_text
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // seeded corpus shuffle: md5-48 key (the house strpos fold),
+    // shard = key mod 32, per-shard count/range/XOR fingerprint
+    "q158_corpus_shuffle" ->
+      s"""WITH k AS (
+         |  SELECT CAST(list_sum([
+         |      CAST(strpos('0123456789abcdef', substr(md5(
+         |        'graft-r14:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+         |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+         |      FOR i IN range(1, 13)]) AS BIGINT) AS key
+         |  FROM documents
+         |)
+         |SELECT key % 32 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(key) AS min_key, MAX(key) AS max_key, bit_xor(key) AS member_fp
+         |FROM k GROUP BY shard ORDER BY shard""".stripMargin,
   )
 }

@@ -4036,6 +4036,147 @@ object Queries {
     pairs.orderBy("id_a", "id_b")
   }
 
+  /** PII-injected corpus shared by q155 (batch) and q156 (streaming):
+    * every 9th doc gains an email + IPv4 + phone, every 17th (that is
+    * not a 9th) an email alone — all derived from doc_id, so the
+    * DuckDB oracle rebuilds the injection with the same CASE.
+    */
+  private def piiInjectedDocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    docs(s, dir).select(col("doc_id"), col("lang"),
+      when(id % 9 === 0, concat(col("text"),
+          lit(" contact user"), ids, lit("@example.com at 10."),
+          (id % 200).cast("string"), lit("."),
+          (id % 250).cast("string"), lit("."),
+          (id % 100).cast("string"), lit(" or call +1-555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0")))
+        .when(id % 17 === 0,
+          concat(col("text"), lit(" mail "), ids, lit("@mail.example.org")))
+        .otherwise(col("text")).as("text"))
+  }
+
+  /** PII redaction ([[Redact.redactPii]]): emails → `<EMAIL>`, then
+    * phones → `<PHONE>`, then IPv4 → `<IP>`, with per-pass counts —
+    * the scrubbing stage every pretraining corpus runs before
+    * tokenization. Pure codegen projection (regexp_replace /
+    * regexp_count — no UDF, no shuffle); the regex dialect is
+    * restricted to the Java∩RE2-agreeing subset so the oracle
+    * replays it byte-for-byte (`Redact` scaladoc).
+    */
+  val q155PiiRedact: Q = (s, dir) => {
+    Redact.redactPii(piiInjectedDocs(s, dir), "text")
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "clean_text")
+      .orderBy("doc_id")
+  }
+
+  /** STREAMING PII redaction ([[Redact.piiColumns]] over a
+    * `readStream` relation): q155 as ingest-time scrubbing — a
+    * stateless per-row projection, so no watermark, no state store,
+    * no flush batch; documents are clean the moment they arrive. The
+    * oracle is q155's SQL verbatim (stream ≡ batch bit-for-bit).
+    */
+  val q156StreamingPiiRedact: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q156")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val fixture = piiInjectedDocs(s, dir).select("doc_id", "text")
+    val in = memoFixture("q156in", dir) { p =>
+      fixture.write.mode("overwrite").parquet(p)
+    }
+    val stream = s.readStream.schema(fixture.schema).parquet(in)
+    val scrubbed = Redact.piiColumns("text").foldLeft(stream) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }.select("doc_id", "n_emails", "n_phones", "n_ips", "clean_text")
+    runToSink(scrubbed, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
+  /** Markup normalization ([[HtmlClean.stripMarkup]]): tag strip →
+    * entity decode (`&amp;` last, so double-escaped text surfaces as
+    * its single-escaped form, not fully decoded) → whitespace
+    * collapse, with a tag count. Every 5th doc is wrapped in
+    * paragraph/anchor markup with entity escapes (incl. the
+    * double-escaped `&amp;lt;` probe); the rest pass through the
+    * same projection untouched-by-construction. Pure codegen
+    * projection; oracle replays the replace chain in order.
+    */
+  val q157HtmlNormalize: Q = (s, dir) => {
+    val id = col("doc_id")
+    val wrapped = docs(s, dir).select(col("doc_id"),
+      when(id % 5 === 0, concat(
+          lit("<p class=\"body\">"), col("text"),
+          lit("</p>\n<a href=\"https://site.example/d"), id.cast("string"),
+          lit("\">more</a> &amp;lt;kept&amp;gt; &nbsp;&quot;q&quot; &#39;s&#39;")))
+        .otherwise(col("text")).as("text"))
+    HtmlClean.stripMarkup(wrapped, "text")
+      .select("doc_id", "n_tags", "clean_text")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic seeded corpus shuffle ([[CorpusShuffle
+    * .shardManifest]]): the training-export "global random order"
+    * with NO global sort and NO corpus window — the permutation is
+    * carried by (shard = md5-48 key mod N, within-shard key order),
+    * and the gate checks the per-shard manifest: counts, key range,
+    * and the order-independent XOR membership fingerprint. Uniform
+    * keys ⇒ shards concentrate at n/N; any misassigned doc flips a
+    * fingerprint.
+    */
+  val q158CorpusShuffle: Q = (s, dir) =>
+    CorpusShuffle.shardManifest(docs(s, dir), "doc_id",
+      seed = "graft-r14", nShards = 32)
+
+  /** Eval-set novelty probe ([[Dedup.evalNovelty]]) — q46's
+    * contamination scan pointed at the BENCHMARK: per eval doc, the
+    * fraction of its 8-token windows found anywhere in training (the
+    * GPT-3/PaLM "dirty vs clean" eval report). The benchmark is two
+    * planted flavors: verbatim corpus members (novelty 0) and
+    * prefix-slices with two appended novel tokens (windows crossing
+    * the suffix are unseen). Corpus shuffles nothing — broadcast
+    * semi-join both ways (operator scaladoc).
+    */
+  val q159EvalNovelty: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "text")
+    val verbatim = d.filter(col("doc_id") % 37 === 0)
+      .select((col("doc_id") + 500000).as("bench_id"), col("text"))
+    val partial = d.filter(col("doc_id") % 41 === 0)
+      .select((col("doc_id") + 600000).as("bench_id"),
+        concat(concat_ws(" ", slice(Text.tokens(col("text")), 1, 15)),
+          lit(" qzx"), col("doc_id").cast("string"), lit(" vbn")).as("text"))
+    Dedup.evalNovelty(d, "text", verbatim.unionByName(partial),
+        "bench_id", "text", windowTokens = 8)
+      .orderBy("bench_id")
+  }
+
+  /** Domain-blocklist filter ([[Blocklist.matchHosts]], UT1/C4
+    * suffix-match semantics): a listed domain bans its whole
+    * subtree; the longest matching suffix wins attribution. Hosts
+    * are synthesized at four subdomain depths; the rule set mixes
+    * apex domains, a deep subdomain, and a bare TLD-ish suffix.
+    * Map-side broadcast match — the corpus never shuffles.
+    */
+  val q160BlocklistFilter: Q = (s, dir) => {
+    val id = col("doc_id")
+    val hosts = docs(s, dir).select(col("doc_id"),
+      when(id % 8 === 0, concat(lit("ads.dom"), (id % 20).cast("string"), lit(".com")))
+        .when(id % 8 === 1, concat(lit("www.dom"), (id % 20).cast("string"), lit(".com")))
+        .when(id % 8 === 2, concat(lit("dom"), (id % 20).cast("string"), lit(".co.uk")))
+        .when(id % 8 === 3, concat(lit("deep.sub.dom"), (id % 20).cast("string"), lit(".org")))
+        .when(id % 8 === 4, lit("tracker.net"))
+        .when(id % 8 === 5, concat(lit("cdn"), (id % 5).cast("string"), lit(".tracker.net")))
+        .when(id % 8 === 6, concat(lit("safe"), (id % 9).cast("string"), lit(".example.org")))
+        .otherwise(concat(lit("blog.dom"), (id % 20).cast("string"), lit(".net")))
+        .as("host"))
+    val rules = s.createDataFrame(
+      Seq("dom3.com", "dom7.com", "dom5.co.uk", "tracker.net",
+        "deep.sub.dom11.org", "dom13.net", "co.uk")
+        .map(Tuple1.apply)).toDF("rule")
+    Blocklist.matchHosts(hosts, "doc_id", "host", rules)
+      .select("doc_id", "host", "blocked", "rule")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4191,5 +4332,11 @@ object Queries {
     "q152_unigram_prune" -> q152UnigramPrune,
     "q153_containment_dedup" -> q153ContainmentDedup,
     "q154_source_report" -> q154SourceReport,
+    "q155_pii_redact" -> q155PiiRedact,
+    "q156_streaming_pii_redact" -> q156StreamingPiiRedact,
+    "q157_html_normalize" -> q157HtmlNormalize,
+    "q158_corpus_shuffle" -> q158CorpusShuffle,
+    "q159_eval_novelty" -> q159EvalNovelty,
+    "q160_blocklist_filter" -> q160BlocklistFilter,
   )
 }
