@@ -4160,5 +4160,78 @@ object Oracles {
          |SELECT key % 32 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  MIN(key) AS min_key, MAX(key) AS max_key, bit_xor(key) AS member_fp
          |FROM k GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // eval-set novelty: per-benchmark-doc fraction of 8-token windows
+    // found anywhere in the corpus (window STRINGS replay the
+    // engine's 8-byte hashes — q42 collision argument)
+    "q159_eval_novelty" ->
+      s"""WITH bench AS (
+         |  SELECT doc_id + 500000 AS bench_id, text
+         |  FROM documents WHERE doc_id % 37 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 600000 AS bench_id,
+         |    array_to_string(toks[1:15], ' ') || ' qzx' ||
+         |      CAST(doc_id AS VARCHAR) || ' vbn' AS text
+         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
+         |  WHERE doc_id % 41 = 0
+         |),
+         |bw AS (
+         |  SELECT bench_id,
+         |    unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+         |      FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)])) AS win
+         |  FROM (SELECT bench_id, $toksExpr AS toks FROM bench)
+         |),
+         |cw AS (
+         |  SELECT DISTINCT
+         |    unnest(list_distinct([array_to_string(toks[i:i+7], ' ')
+         |      FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)])) AS win
+         |  FROM (SELECT $toksExpr AS toks FROM documents)
+         |),
+         |agg AS (
+         |  SELECT b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |    CAST(SUM(CASE WHEN c.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS seen_windows
+         |  FROM bw b LEFT JOIN cw c USING (win) GROUP BY b.bench_id
+         |)
+         |SELECT bench_id, n_windows, seen_windows,
+         |  ROUND(1.0 - CAST(seen_windows AS DOUBLE) / CAST(n_windows AS DOUBLE), 6)
+         |    AS novelty,
+         |  seen_windows = 0 AS clean
+         |FROM agg ORDER BY bench_id""".stripMargin,
+
+    // blocklist filter: suffix explosion + longest-match arg_max
+    "q160_blocklist_filter" ->
+      s"""WITH hosts AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CASE doc_id % 8
+         |      WHEN 0 THEN 'ads.dom' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+         |      WHEN 1 THEN 'www.dom' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+         |      WHEN 2 THEN 'dom' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk'
+         |      WHEN 3 THEN 'deep.sub.dom' || CAST(doc_id % 20 AS VARCHAR) || '.org'
+         |      WHEN 4 THEN 'tracker.net'
+         |      WHEN 5 THEN 'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.tracker.net'
+         |      WHEN 6 THEN 'safe' || CAST(doc_id % 9 AS VARCHAR) || '.example.org'
+         |      ELSE 'blog.dom' || CAST(doc_id % 20 AS VARCHAR) || '.net'
+         |    END AS host
+         |  FROM documents
+         |),
+         |rules(rule) AS (VALUES ('dom3.com'), ('dom7.com'), ('dom5.co.uk'),
+         |  ('tracker.net'), ('deep.sub.dom11.org'), ('dom13.net'), ('co.uk')),
+         |lab AS (
+         |  SELECT doc_id, host, string_split(host, '.') AS ls,
+         |    len(string_split(host, '.')) AS n
+         |  FROM hosts
+         |),
+         |sufx AS (
+         |  SELECT l.doc_id, k.g AS k,
+         |    array_to_string(list_slice(l.ls, l.n - k.g + 1, l.n), '.') AS sfx
+         |  FROM lab l JOIN generate_series(1, 8) k(g) ON k.g <= l.n
+         |),
+         |m AS (
+         |  SELECT s.doc_id, arg_max(s.sfx, s.k) AS rule
+         |  FROM sufx s JOIN rules r ON r.rule = s.sfx GROUP BY s.doc_id
+         |)
+         |SELECT l.doc_id, l.host, m.rule IS NOT NULL AS blocked, m.rule
+         |FROM lab l LEFT JOIN m USING (doc_id) ORDER BY l.doc_id""".stripMargin,
   )
 }
