@@ -180,6 +180,46 @@ object Retrieval {
     * Output: (queryCol, rank, idCol, rrf BIGINT — the 10^12-scaled
     * fused score, n_lists BIGINT — how many input lists ranked it).
     */
+  /** Per-document TF-IDF keyword extraction: the top-`k` terms of
+    * each document by `tf × ln(N/df)` — the classic topic-tagging /
+    * feature-extraction pass (Salton & Buckley 1988) a curation
+    * pipeline uses to label documents and drive per-topic sampling.
+    *
+    * Unlike [[bm25TopK]] (a handful of query terms, vocabulary-free),
+    * keyword extraction NEEDS the corpus document-frequency table —
+    * but that table is vocabulary-sized, not corpus-sized, and both
+    * aggregates are map-side combinable: per-doc tf is a groupBy on
+    * (doc, token); df is a groupBy on token over the ALREADY
+    * per-doc-distinct tf rows (no count_distinct Expand). The join
+    * back to score is on the uniform token key; ranking windows
+    * partition by doc — uniform too. Nothing funnels.
+    *
+    * Determinism: idf is `ln(N/df)` rounded to 9 dp (absorbing any
+    * libm ulp drift), the score is the EXACT DECIMAL product
+    * tf × idf₉ — ties rank by token, so cross-engine order is total.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(col(idCol), explode(Text.tokens(col(textCol))).as("_t"))
+    val tf = toks.groupBy(col(idCol), col("_t")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("_t").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    val scored = tf.join(dfc, "_t").crossJoin(broadcast(n))
+      .withColumn("_idf9",
+        round(log(col("_n").cast("double") / col("df").cast("double")), 9)
+          .cast("decimal(18,9)"))
+      .withColumn("_score", col("tf").cast("decimal(20,0)") * col("_idf9"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("_score").desc, col("_t"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("_t").as("token"),
+        col("tf"), col("df"),
+        round(col("_score"), 6).cast("double").as("score"))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], queryCol: String, idCol: String,
       rankCol: String, k: Int, c: Int = 60): DataFrame = {
     require(rankings.nonEmpty, "RRF needs at least one ranking")

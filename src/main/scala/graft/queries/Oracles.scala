@@ -687,7 +687,7 @@ object Oracles {
        |)""".stripMargin
   }
 
-  val all: Map[String, String] = Map(
+  private lazy val headOracles: Map[String, String] = Map(
 
     "q01_catalog" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
@@ -1969,7 +1969,39 @@ object Oracles {
     // same rule order — first failing rule names the verdict. All
     // predicates are exact integer/ratio comparisons, so no float
     // rounding can flip a verdict between engines.
-    "q82_quality_cascade" -> {
+    "q82_quality_cascade" -> qualityCascadeSql,
+
+    // streaming quality cascade: stateless projection => stream == batch
+    "q162_streaming_cascade" -> qualityCascadeSql,
+
+    // TF-IDF keywords: tf/df rollups + the exact DECIMAL tf*idf9
+    // product, token tiebreak, top-3 window
+    "q161_tfidf_keywords" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest($toksExpr) AS t FROM documents
+         |),
+         |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY doc_id, t),
+         |dfc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.t, tf.tf, dfc.df,
+         |    CAST(tf.tf AS DECIMAL(20,0))
+         |      * CAST(ROUND(ln(CAST(nn.n AS DOUBLE) / CAST(dfc.df AS DOUBLE)), 9)
+         |             AS DECIMAL(18,9)) AS score_d
+         |  FROM tf JOIN dfc USING (t) CROSS JOIN nn
+         |),
+         |r AS (
+         |  SELECT doc_id, t, tf, df, score_d,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_d DESC, t) AS rnk
+         |  FROM sc
+         |)
+         |SELECT doc_id, CAST(rnk AS INTEGER) AS rank, t AS token, tf, df,
+         |  CAST(ROUND(score_d, 6) AS DOUBLE) AS score
+         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+  )
+
+  /** q82/q162 shared SQL: the cascade's metric chain in rule order. */
+  private lazy val qualityCascadeSql: String = {
       def swCount(words: Seq[String]) =
         s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
       val en = swCount(Seq("the", "and", "of", "is", "to"))
@@ -1993,8 +2025,9 @@ object Oracles {
          |       WHEN NOT (pr <= 0.2) THEN 'punct'
          |       ELSE 'pass' END AS verdict
          |FROM m ORDER BY doc_id""".stripMargin
-    },
+  }
 
+  private lazy val tailOracles: Map[String, String] = Map(
     // chunking: rebuild every 32-token/stride-24 chunk string — the
     // slice arithmetic, the stride cover, and the short tail chunk
     // all hash-compare
@@ -4234,4 +4267,6 @@ object Oracles {
          |SELECT l.doc_id, l.host, m.rule IS NOT NULL AS blocked, m.rule
          |FROM lab l LEFT JOIN m USING (doc_id) ORDER BY l.doc_id""".stripMargin,
   )
+
+  val all: Map[String, String] = headOracles ++ tailOracles
 }

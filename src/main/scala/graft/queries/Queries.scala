@@ -4177,6 +4177,44 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF keyword extraction ([[Retrieval.tfidfKeywords]]): top-3
+    * terms per doc by tf × ln(N/df) — the topic-tagging pass.
+    * Vocabulary-sized aggregates (both map-side combinable), uniform
+    * join/window keys, exact DECIMAL tf×idf₉ scores with token
+    * tiebreak (operator scaladoc). The oracle replays tf, df, and
+    * the decimal arithmetic.
+    */
+  val q161TfidfKeywords: Q = (s, dir) =>
+    Retrieval.tfidfKeywords(docs(s, dir), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** STREAMING quality cascade ([[QualityCascade.annotate]] over a
+    * readStream relation): q82's first-failure attribution as
+    * ingest-time filtering — the rule chain is one when-projection,
+    * so the stream is stateless (no watermark/state/flush) and docs
+    * carry their verdict the moment they arrive. Oracle is q82's SQL
+    * verbatim (stream ≡ batch bit-for-bit).
+    */
+  val q162StreamingCascade: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q162")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val fixture = docs(s, dir).select("doc_id", "text")
+    val in = memoFixture("q162in", dir) { p =>
+      fixture.write.mode("overwrite").parquet(p)
+    }
+    val txt = col("text")
+    val rules = Seq(
+      "min_tokens" -> (Text.tokenCount(txt) >= 20),
+      "lang_en"    -> (Text.langId(txt) === "en"),
+      "stopword"   -> (Text.stopwordRatio(txt) >= 0.04),
+      "punct"      -> (Text.punctRatio(txt) <= 0.2))
+    val annotated = QualityCascade.annotate(
+        s.readStream.schema(fixture.schema).parquet(in), rules)
+      .select("doc_id", "verdict")
+    runToSink(annotated, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4338,5 +4376,7 @@ object Queries {
     "q158_corpus_shuffle" -> q158CorpusShuffle,
     "q159_eval_novelty" -> q159EvalNovelty,
     "q160_blocklist_filter" -> q160BlocklistFilter,
+    "q161_tfidf_keywords" -> q161TfidfKeywords,
+    "q162_streaming_cascade" -> q162StreamingCascade,
   )
 }
