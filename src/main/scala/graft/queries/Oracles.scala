@@ -4268,5 +4268,77 @@ object Oracles {
          |FROM lab l LEFT JOIN m USING (doc_id) ORDER BY l.doc_id""".stripMargin,
   )
 
-  val all: Map[String, String] = headOracles ++ tailOracles
+  /** q163: the full spectrum pipeline replayed — decimal-exact
+    * per-dim sums and cross-moments, 9-dp covariance, then the 25
+    * power iterations as a recursive CTE whose every step (decimal
+    * dot, 9-dp round, decimal norm, IEEE renormalize) mirrors the
+    * driver arithmetic bit-for-bit.
+    */
+  private lazy val embeddingSpectrumSql: String = {
+    // 25 power iterations UNROLLED as chained CTEs (the bpeUnrollCtes
+    // precedent — DuckDB's binder cannot see sibling CTEs from inside
+    // a recursive member's lateral): w{k} applies the matrix with
+    // DECIMAL(18,9)-exact dots + 9-dp round, it{k} takes the exact
+    // decimal norm and renormalizes (IEEE divide, 9-dp round).
+    val iters = (1 to 25).map { k =>
+      s"""w$k AS (
+         |  SELECT [ROUND(CAST(list_sum([CAST(cm.mat[i][j] AS DECIMAL(18,9))
+         |    * CAST(p.v[j] AS DECIMAL(18,9)) FOR j IN range(1, 65)]) AS DOUBLE), 9)
+         |    FOR i IN range(1, 65)] AS w9
+         |  FROM it${k - 1} p, cm
+         |),
+         |it$k AS (
+         |  SELECT [ROUND(x.w9[i] / x.nrm, 9) FOR i IN range(1, 65)] AS v, x.nrm AS nrm
+         |  FROM (
+         |    SELECT w9, sqrt(CAST(list_sum([CAST(w9[i] AS DECIMAL(18,9))
+         |      * CAST(w9[i] AS DECIMAL(18,9)) FOR i IN range(1, 65)]) AS DOUBLE)) AS nrm
+         |    FROM w$k
+         |  ) x
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |ids AS (SELECT unnest(range(1, 65)) AS i),
+       |px AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM px),
+       |m AS MATERIALIZED (
+       |  SELECT i.i AS j,
+       |    ROUND(CAST(SUM(CAST(x[i.i] AS DECIMAL(38,12))) AS DOUBLE)
+       |      / (SELECT n FROM nn), 9) AS m9
+       |  FROM px CROSS JOIN ids i GROUP BY i.i
+       |),
+       |s2 AS MATERIALIZED (
+       |  SELECT i.i AS i, j.i AS j,
+       |    SUM(CAST(x[i.i] * x[j.i] AS DECIMAL(38,12))) AS s
+       |  FROM px CROSS JOIN ids i CROSS JOIN ids j
+       |  WHERE j.i >= i.i GROUP BY i.i, j.i
+       |),
+       |cc AS MATERIALIZED (
+       |  SELECT s2.i, s2.j,
+       |    ROUND(CAST(s2.s AS DOUBLE) / (SELECT n FROM nn) - mi.m9 * mj.m9, 9) AS c9
+       |  FROM s2 JOIN m mi ON mi.j = s2.i JOIN m mj ON mj.j = s2.j
+       |),
+       |cf AS (
+       |  SELECT i, j, c9 FROM cc
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, c9 FROM cc WHERE i < j
+       |),
+       |cm AS MATERIALIZED (
+       |  SELECT list(rw ORDER BY i) AS mat FROM (
+       |    SELECT i, list(c9 ORDER BY j) AS rw FROM cf GROUP BY i
+       |  )
+       |),
+       |tr AS (SELECT CAST(SUM(CAST(c9 AS DECIMAL(18,9))) AS DOUBLE) AS trace
+       |       FROM cc WHERE i = j),
+       |it0 AS (SELECT [CAST(1.0 AS DOUBLE) FOR q IN range(1, 65)] AS v),
+       |$iters
+       |SELECT CAST(i.i - 1 AS BIGINT) AS dim, m.m9 AS mean, s.v[i.i] AS loading,
+       |  ROUND(s.nrm, 6) AS lambda1,
+       |  ROUND((SELECT trace FROM tr), 6) AS trace,
+       |  ROUND(s.nrm / (SELECT trace FROM tr), 6) AS explained_share
+       |FROM ids i JOIN m ON m.j = i.i CROSS JOIN it25 s
+       |ORDER BY dim""".stripMargin
+  }
+
+  val all: Map[String, String] = headOracles ++ tailOracles ++
+    Map("q163_embedding_spectrum" -> embeddingSpectrumSql)
 }

@@ -4215,6 +4215,19 @@ object Queries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** Embedding-spectrum diagnostics ([[Spectrum.topComponentReport]]):
+    * per-dim mean + top-principal-component loading, λ₁, covariance
+    * trace, explained-variance share — the anisotropy report behind
+    * all-but-the-top (Mu 2018). One mergeable-aggregate corpus pass;
+    * the d² matrix is model-sized and the 25 power iterations run on
+    * the driver with decimal-exact dots + 9-dp rounds, so the oracle
+    * replays EVERY iteration bit-for-bit (recursive CTE).
+    */
+  val q163EmbeddingSpectrum: Q = (s, dir) =>
+    Spectrum.topComponentReport(
+        Tables.embeddings(s, dir).select("embedding"), "embedding", dim = 64)
+      .orderBy("dim")
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4378,5 +4391,6 @@ object Queries {
     "q160_blocklist_filter" -> q160BlocklistFilter,
     "q161_tfidf_keywords" -> q161TfidfKeywords,
     "q162_streaming_cascade" -> q162StreamingCascade,
+    "q163_embedding_spectrum" -> q163EmbeddingSpectrum,
   )
 }
