@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Domain-blocklist filtering (UT1 / C4-style): a host is blocked
@@ -27,10 +27,18 @@ object Blocklist {
   /** Adds `blocked` and `rule` (the LONGEST matching suffix, null if
     * none) to one row per input row. `rules` must have a single
     * string column named `rule`.
+    *
+    * Hostname matching is case-INSENSITIVE (DNS names are; real
+    * UT1/C4 blocklist matching folds case) and tolerant of the
+    * fully-qualified trailing dot (`example.com.` ≡ `example.com` —
+    * the root-label form): both hosts and rules are lowercased and
+    * stripped of one trailing dot before suffixes are built; the
+    * attributed `rule` is the normalized form.
     */
   def matchHosts(df: DataFrame, idCol: String, hostCol: String,
       rules: DataFrame): DataFrame = {
-    val ls = split(col(hostCol), "\\.")
+    def norm(c: Column): Column = regexp_replace(lower(c), "\\.$", "")
+    val ls = split(norm(col(hostCol)), "\\.")
     val sufs = df.select(col(idCol),
         explode(transform(sequence(lit(1), size(ls)),
           k => struct(k.as("_k"),
@@ -38,7 +46,8 @@ object Blocklist {
           .as("_e"))
       .select(col(idCol), col("_e._k").as("_k"), col("_e._sfx").as("_sfx"))
     val matched = sufs
-      .join(broadcast(rules.select(col("rule").as("_sfx")).distinct()), "_sfx")
+      .join(broadcast(rules.select(norm(col("rule")).as("_sfx")).distinct()),
+        "_sfx")
       .groupBy(idCol)
       .agg(max_by(col("_sfx"), col("_k")).as("rule"))
     df.join(matched, Seq(idCol), "left")

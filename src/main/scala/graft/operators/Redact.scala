@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * Pattern discipline: all three regexes are deliberately restricted
   * to constructs where Java's leftmost-first backtracking and RE2's
   * leftmost-longest matching provably agree — greedy character
-  * classes and bounded repeats only, no alternation whose branches
-  * can prefix-shadow each other, no backreferences, no lookaround.
-  * That is what lets a DuckDB oracle (RE2) replay the Spark result
-  * (java.util.regex) byte-for-byte.
+  * classes and bounded repeats only, alternations whose branches are
+  * mutually exclusive at any given start position, no backreferences,
+  * no lookaround. That is what lets a DuckDB oracle (RE2) replay the
+  * Spark result (java.util.regex) byte-for-byte. The supported
+  * dialect is therefore a documented SUBSET of real-world PII
+  * spellings (four phone layouts, strict dotted-quad IPv4) — the
+  * oracle-replayability tradeoff; widening it means proving each new
+  * branch into the same agreeing subset.
   *
   * Redaction ORDER is part of the contract: emails first (an email's
   * domain may embed an IP literal), then phones, then IPs; each
@@ -38,13 +42,36 @@ object Redact {
   /** Local-part @ domain-labels . TLD(2+ alpha). Greedy classes only. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** International-prefix phone in the +C{1,2}-NNN-NNN-NNNN layout. */
-  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}"
-
-  /** Dotted-quad IPv4, word-bounded so digit runs inside longer
-    * numbers don't anchor a match (RE2 and Java agree on `\b`).
+  /** Phone layouts: `+C{1,2}-NNN-NNN-NNNN` (international prefix),
+    * `(NNN) NNN-NNNN`, `NNN-NNN-NNNN`, `NNN.NNN.NNNN`. The top-level
+    * alternation stays in the Java∩RE2-agreeing subset because no two
+    * branches can match at the same start position (each is pinned by
+    * its first char / separator and the digit-initial branches are
+    * word-bounded with fixed digit counts), so leftmost-first (Java)
+    * and leftmost-longest (RE2) pick the same branch. Bare
+    * unseparated 10-digit runs are DELIBERATELY not matched — in a
+    * pretraining corpus those are ids/timestamps/quantities far more
+    * often than phones, and the false-positive cost of scrubbing them
+    * is asymmetric.
     */
-  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}" +
+    "|\\(\\d{3}\\) \\d{3}-\\d{4}" +
+    "|\\b\\d{3}-\\d{3}-\\d{4}\\b" +
+    "|\\b\\d{3}\\.\\d{3}\\.\\d{4}\\b"
+
+  /** One IPv4 octet, 0–255 exactly (no leading-zero forms): branch
+    * order is longest-first and the dot/word-boundary structure pins
+    * each octet to a whole digit run, so Java's ordered backtracking
+    * and RE2's leftmost-longest agree on every match.
+    */
+  private val Oct = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+
+  /** Dotted-quad IPv4 with VALID octets only (`999.999.999.999` is
+    * not an address and is not redacted), word-bounded so digit runs
+    * inside longer numbers don't anchor a match (RE2 and Java agree
+    * on `\b`).
+    */
+  val IpRe = s"\\b$Oct\\.$Oct\\.$Oct\\.$Oct\\b"
 
   val EmailToken = "<EMAIL>"
   val PhoneToken = "<PHONE>"

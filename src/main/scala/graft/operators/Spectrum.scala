@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * explained_share) means raw cosines are inflated and the top
   * component should be projected out.
   *
-  * 100 TB shape: everything corpus-sized is ONE pass of mergeable
-  * aggregates — per-dimension decimal-exact sums and the d(d+1)/2
-  * upper-triangle cross-moments Σxᵢxⱼ, all map-side combinable
+  * 100 TB shape: the corpus is read by exactly TWO actions, both
+  * mergeable aggregates — (1) a scalar validation/count pass
+  * (count + malformed-row count, one slim row), and (2) one fused
+  * moment pass producing the d(d+1)/2 upper-triangle cross-moments
+  * Σxᵢxⱼ WITH the per-dimension sums Σxᵢ riding the diagonal groups
+  * (the (i,i) group aggregates both), all map-side combinable
   * (Catalyst partial agg reduces each partition to ≤ d² slim rows
   * before the 64-key shuffle). The double posexplode is the
   * declarative form of a per-partition accumulator array — CPU cost
@@ -26,6 +29,12 @@ import org.apache.spark.sql.functions._
   * 25 power-method iterations run on the driver — the k-means-seed /
   * BPE-merge precedent, with the result redeployed as a constant
   * frame.
+  *
+  * Input contract: every embedding must be non-null with exactly
+  * `dim` entries — a null or ragged vector would silently skew the
+  * moments (posexplode drops nulls; a short array under-contributes),
+  * so the validation pass REJECTS malformed input with a counted
+  * error instead of mis-reporting the spectrum.
   *
   * Determinism (the oracle replays every step):
   *  - Σx and Σxᵢxⱼ quantize each double to DECIMAL(38,12) and sum
@@ -68,25 +77,39 @@ object Spectrum {
     require(dim >= 1 && iters >= 1, s"bad dim=$dim iters=$iters")
     val spark = emb.sparkSession
     val x = emb.select(col(vecCol).cast("array<double>").as("x"))
-    val n = x.count()
+
+    // pass 1 — validate + count: null or wrong-length vectors would
+    // silently skew the moments (posexplode drops nulls), so reject
+    // them with a counted error instead
+    val chk = x.agg(count(lit(1)).as("n"),
+      sum(when(col("x").isNull || size(col("x")) =!= dim, 1L)
+        .otherwise(0L)).as("bad")).head()
+    val n = chk.getLong(0)
+    val bad = if (chk.isNullAt(1)) 0L else chk.getLong(1)
     require(n > 0, "empty embedding table")
+    require(bad == 0,
+      s"$bad of $n embeddings are null or not length-$dim — " +
+        "filter or repair malformed vectors before the spectrum pass")
 
-    // per-dim decimal-exact sums: d slim rows, map-side combined
-    val sums = x.select(posexplode(col("x")).as(Seq("i", "xi")))
-      .groupBy("i").agg(sum(col("xi").cast("decimal(38,12)")).as("s"))
-      .collect().map(row => row.getInt(0) -> row.getDecimal(1)).toMap
-    val mean9 = Array.tabulate(dim)(i =>
-      r(sums(i).doubleValue() / n, 9))
-
-    // upper-triangle cross-moments: d(d+1)/2 slim rows
-    val cross = x
+    // pass 2 — fused moments: upper-triangle cross-moments Σxᵢxⱼ
+    // (d(d+1)/2 slim rows) with the per-dim sums Σxᵢ riding the
+    // diagonal (i,i) groups' second aggregate
+    val moments = x
       .select(col("x"), posexplode(col("x")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("x")).as(Seq("j", "xj")))
       .filter(col("j") >= col("i"))
       .groupBy("i", "j")
-      .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("s"))
-      .collect().map(row => (row.getInt(0), row.getInt(1)) -> row.getDecimal(2))
-      .toMap
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("s"),
+        sum(col("xi").cast("decimal(38,12)")).as("sx"))
+      .collect()
+    val cross = moments
+      .map(row => (row.getInt(0), row.getInt(1)) -> row.getDecimal(2)).toMap
+    val sums = moments.collect {
+      case row if row.getInt(0) == row.getInt(1) =>
+        row.getInt(0) -> row.getDecimal(3)
+    }.toMap
+    val mean9 = Array.tabulate(dim)(i =>
+      r(sums(i).doubleValue() / n, 9))
 
     // 9-dp covariance: C = S/n - mean mean^T (IEEE, then round)
     val c9 = Array.tabulate(dim, dim) { (i, j) =>

@@ -71,6 +71,12 @@ object Oracles {
        |      '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
        |    WHEN doc_id % 17 = 0 THEN
        |      text || ' mail ' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+       |    WHEN doc_id % 13 = 0 THEN
+       |      text || ' ring (555) 123-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |      ' or 555.123.' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+       |      ' not 999.999.999.999 but 192.168.' ||
+       |      CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
        |    ELSE text END AS text
        |  FROM documents
        |),
@@ -4241,8 +4247,8 @@ object Oracles {
          |      WHEN 1 THEN 'www.dom' || CAST(doc_id % 20 AS VARCHAR) || '.com'
          |      WHEN 2 THEN 'dom' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk'
          |      WHEN 3 THEN 'deep.sub.dom' || CAST(doc_id % 20 AS VARCHAR) || '.org'
-         |      WHEN 4 THEN 'tracker.net'
-         |      WHEN 5 THEN 'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.tracker.net'
+         |      WHEN 4 THEN 'Tracker.NET'
+         |      WHEN 5 THEN 'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.tracker.net.'
          |      WHEN 6 THEN 'safe' || CAST(doc_id % 9 AS VARCHAR) || '.example.org'
          |      ELSE 'blog.dom' || CAST(doc_id % 20 AS VARCHAR) || '.net'
          |    END AS host
@@ -4251,8 +4257,10 @@ object Oracles {
          |rules(rule) AS (VALUES ('dom3.com'), ('dom7.com'), ('dom5.co.uk'),
          |  ('tracker.net'), ('deep.sub.dom11.org'), ('dom13.net'), ('co.uk')),
          |lab AS (
-         |  SELECT doc_id, host, string_split(host, '.') AS ls,
-         |    len(string_split(host, '.')) AS n
+         |  -- normalize like the engine: case-fold + strip one trailing dot
+         |  SELECT doc_id, host,
+         |    string_split(regexp_replace(lower(host), '\\.$$', ''), '.') AS ls,
+         |    len(string_split(regexp_replace(lower(host), '\\.$$', ''), '.')) AS n
          |  FROM hosts
          |),
          |sufx AS (

@@ -4037,8 +4037,11 @@ object Queries {
   }
 
   /** PII-injected corpus shared by q155 (batch) and q156 (streaming):
-    * every 9th doc gains an email + IPv4 + phone, every 17th (that is
-    * not a 9th) an email alone — all derived from doc_id, so the
+    * every 9th doc gains an email + IPv4 + international phone, every
+    * 17th (that is not a 9th) an email alone, every 13th (not 9th/
+    * 17th) the parenthesized + dotted phone layouts plus TWO IP
+    * probes — an invalid dotted quad (999.… — must survive
+    * unredacted) and a valid one — all derived from doc_id, so the
     * DuckDB oracle rebuilds the injection with the same CASE.
     */
   private def piiInjectedDocs(s: SparkSession, dir: String): DataFrame = {
@@ -4054,6 +4057,14 @@ object Queries {
           lpad((id % 10000).cast("string"), 4, "0")))
         .when(id % 17 === 0,
           concat(col("text"), lit(" mail "), ids, lit("@mail.example.org")))
+        .when(id % 13 === 0, concat(col("text"),
+          lit(" ring (555) 123-"),
+          lpad((id % 10000).cast("string"), 4, "0"),
+          lit(" or 555.123."),
+          lpad((id % 10000).cast("string"), 4, "0"),
+          lit(" not 999.999.999.999 but 192.168."),
+          (id % 256).cast("string"), lit("."),
+          (id % 250).cast("string")))
         .otherwise(col("text")).as("text"))
   }
 
@@ -4152,8 +4163,11 @@ object Queries {
   /** Domain-blocklist filter ([[Blocklist.matchHosts]], UT1/C4
     * suffix-match semantics): a listed domain bans its whole
     * subtree; the longest matching suffix wins attribution. Hosts
-    * are synthesized at four subdomain depths; the rule set mixes
-    * apex domains, a deep subdomain, and a bare TLD-ish suffix.
+    * are synthesized at four subdomain depths — including a
+    * mixed-case host and a trailing-dot FQDN form, both of which
+    * must still match (DNS names are case-insensitive; `host.` is
+    * the root-label spelling of `host`); the rule set mixes apex
+    * domains, a deep subdomain, and a bare TLD-ish suffix.
     * Map-side broadcast match — the corpus never shuffles.
     */
   val q160BlocklistFilter: Q = (s, dir) => {
@@ -4163,8 +4177,8 @@ object Queries {
         .when(id % 8 === 1, concat(lit("www.dom"), (id % 20).cast("string"), lit(".com")))
         .when(id % 8 === 2, concat(lit("dom"), (id % 20).cast("string"), lit(".co.uk")))
         .when(id % 8 === 3, concat(lit("deep.sub.dom"), (id % 20).cast("string"), lit(".org")))
-        .when(id % 8 === 4, lit("tracker.net"))
-        .when(id % 8 === 5, concat(lit("cdn"), (id % 5).cast("string"), lit(".tracker.net")))
+        .when(id % 8 === 4, lit("Tracker.NET"))
+        .when(id % 8 === 5, concat(lit("cdn"), (id % 5).cast("string"), lit(".tracker.net.")))
         .when(id % 8 === 6, concat(lit("safe"), (id % 9).cast("string"), lit(".example.org")))
         .otherwise(concat(lit("blog.dom"), (id % 20).cast("string"), lit(".net")))
         .as("host"))

@@ -72,6 +72,18 @@ class NoveltyBlocklistSpec extends SparkSpec {
     assert(matchOne("other.org")._1 === false)
   }
 
+  test("blocklist matching is case-insensitive and trailing-dot tolerant") {
+    // DNS names are case-insensitive; `host.` is the root-label FQDN form
+    assert(matchOne("Ads.Tracker.NET") === ((true, "tracker.net")))
+    assert(matchOne("example.com.") === ((true, "example.com")))
+    // rules normalize the same way
+    val ucRules = Seq("EXAMPLE.com.").toDF("rule")
+    val r = Blocklist.matchHosts(
+        Seq((1L, "www.Example.COM")).toDF("id", "host"), "id", "host", ucRules)
+      .select("blocked", "rule").head()
+    assert((r.getBoolean(0), r.getString(1)) === ((true, "example.com")))
+  }
+
   test("blocklist longest matching suffix wins") {
     val deepRules = Seq("org", "other.org", "sub.other.org").toDF("rule")
     val r = Blocklist.matchHosts(Seq((1L, "x.sub.other.org")).toDF("id", "host"),

@@ -43,6 +43,26 @@ class ScrubSpec extends SparkSpec {
     assert(t === "version 1.2.3.4567 stays, <IP> goes")
   }
 
+  test("redactPii matches the parenthesized, dashed and dotted phone layouts") {
+    val (_, p, _, t) =
+      redactOne("ring (555) 123-4567 or 555.123.4567 or 555-123-4567")
+    assert(p === 3)
+    assert(t === "ring <PHONE> or <PHONE> or <PHONE>")
+  }
+
+  test("redactPii deliberately leaves bare 10-digit runs (ids, not phones)") {
+    val (_, p, _, t) = redactOne("id 5551234567 is not a phone")
+    assert(p === 0)
+    assert(t === "id 5551234567 is not a phone")
+  }
+
+  test("redactPii rejects invalid IPv4 octets and leading-zero forms") {
+    val (_, _, i, t) = redactOne(
+      "999.999.999.999 and 256.1.1.1 and 01.2.3.4 stay; 255.255.255.255 goes")
+    assert(i === 1)
+    assert(t === "999.999.999.999 and 256.1.1.1 and 01.2.3.4 stay; <IP> goes")
+  }
+
   test("redactPii multi-occurrence counting") {
     val (e, _, _, t) = redactOne("a@x.io b@y.co c@z.net")
     assert(e === 3)

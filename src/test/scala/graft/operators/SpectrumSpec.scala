@@ -60,6 +60,17 @@ class SpectrumSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("malformed embeddings are rejected, not silently skewing the moments") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Spectrum.topComponentReport(df, "embedding", dim = 2)
+    }
+    assert(e.getMessage.contains("2 of 3"), e.getMessage)
+  }
+
   test("mean is the 9-dp decimal-exact column mean") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f)),
