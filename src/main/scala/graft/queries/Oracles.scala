@@ -4347,6 +4347,35 @@ object Oracles {
        |ORDER BY dim""".stripMargin
   }
 
+  /** q164: the Aho–Corasick scan's naive form — a `contains` cross
+    * join over the phrase list (exactly the cost the automaton
+    * exists to avoid), same injection CASE, same lowercase fold.
+    */
+  private lazy val phraseScanSql: String =
+    s"""WITH inj AS (
+       |  SELECT doc_id, text || CASE
+       |    WHEN doc_id % 7 = 0 THEN ' Buy CHEAP pills now online'
+       |    WHEN doc_id % 11 = 0 THEN ' best casino bonus codes'
+       |    WHEN doc_id % 13 = 0 THEN ' free crypto CASINO classification'
+       |    ELSE '' END AS text
+       |  FROM documents
+       |),
+       |ph(phrase) AS (VALUES ('cheap pills'), ('pills now'), ('casino'),
+       |  ('casino bonus'), ('crypto'), ('ass')),
+       |m AS (
+       |  SELECT i.doc_id, p.phrase
+       |  FROM inj i JOIN ph p ON contains(lower(i.text), p.phrase)
+       |),
+       |a AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_banned,
+       |    array_to_string(list(phrase ORDER BY phrase), ',') AS phrases
+       |  FROM m GROUP BY doc_id
+       |)
+       |SELECT i.doc_id, COALESCE(a.n_banned, 0) AS n_banned,
+       |  a.n_banned IS NOT NULL AS banned, a.phrases
+       |FROM inj i LEFT JOIN a USING (doc_id) ORDER BY i.doc_id""".stripMargin
+
   val all: Map[String, String] = headOracles ++ tailOracles ++
-    Map("q163_embedding_spectrum" -> embeddingSpectrumSql)
+    Map("q163_embedding_spectrum" -> embeddingSpectrumSql,
+      "q164_phrase_scan" -> phraseScanSql)
 }

@@ -4242,6 +4242,32 @@ object Queries {
         Tables.embeddings(s, dir).select("embedding"), "embedding", dim = 64)
       .orderBy("dim")
 
+  /** Banned-phrase scan ([[PhraseFilter.tagBanned]] on the
+    * [[graft.functions.AhoCorasick]] automaton): the C4-style
+    * badwords filter — ONE Aho–Corasick pass per doc reports every
+    * listed phrase that occurs, O(len + matches)/row no matter how
+    * long the list (P `contains` probes would cost O(P·len) and fall
+    * out of codegen CSE). The list mixes overlapping phrases
+    * ("casino" ⊂ "casino bonus", "cheap pills" ∥ "pills now" sharing
+    * "pills") and the substring-semantics probe ("ass" hits
+    * "classification" — documented list contract); the oracle replays
+    * the naive `contains` cross join.
+    */
+  val q164PhraseScan: Q = (s, dir) => {
+    val id = col("doc_id")
+    val injected = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(id % 7 === 0, lit(" Buy CHEAP pills now online"))
+          .when(id % 11 === 0, lit(" best casino bonus codes"))
+          .when(id % 13 === 0, lit(" free crypto CASINO classification"))
+          .otherwise(lit(""))).as("text"))
+    PhraseFilter.tagBanned(injected, "text",
+        Seq("cheap pills", "pills now", "casino", "casino bonus",
+          "crypto", "ass"))
+      .select("doc_id", "n_banned", "banned", "phrases")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4406,5 +4432,6 @@ object Queries {
     "q161_tfidf_keywords" -> q161TfidfKeywords,
     "q162_streaming_cascade" -> q162StreamingCascade,
     "q163_embedding_spectrum" -> q163EmbeddingSpectrum,
+    "q164_phrase_scan" -> q164PhraseScan,
   )
 }
