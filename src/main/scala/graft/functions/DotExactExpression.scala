@@ -91,6 +91,24 @@ object DotExactKernel {
     }
     Decimal(sumUnscaled, 38, 12).toDouble
   }
+
+  /** [[dot]] over ARRAY<DOUBLE> inputs (already-centered vectors, the
+    * [[graft.operators.Spectrum]] residual path): IEEE double product,
+    * then the identical quantize-at-12-and-sum-exactly contract — the
+    * oracle form is `CAST(a[i] * b[i] AS DECIMAL(18,12))` summed.
+    */
+  def dotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var sumUnscaled = 0L
+    var i = 0
+    while (i < n) {
+      val p = a.getDouble(i) * b.getDouble(i)
+      val u = quantUnscaledOrSkip(p)
+      if (u != Skip) sumUnscaled += u
+      i += 1
+    }
+    Decimal(sumUnscaled, 38, 12).toDouble
+  }
 }
 
 /** Plain double dot product as a native loop — same left-to-right
@@ -147,9 +165,30 @@ case class DotExact(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = l, right = r)
 }
 
+case class DotExactDoubles(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot_exact_d requires ARRAY<DOUBLE> args, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_exact_d"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotExactKernel.dotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotExactKernel.dotD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotExactDoubles =
+    copy(left = l, right = r)
+}
+
 object DotExactExpression {
   def dotExact(a: Column, b: Column): Column =
     ColumnBridge.column(DotExact(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def dotExactD(a: Column, b: Column): Column =
+    ColumnBridge.column(DotExactDoubles(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def dotFast(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

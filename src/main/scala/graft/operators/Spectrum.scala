@@ -68,14 +68,37 @@ object Spectrum {
   private def d9(x: Double): JBig =
     new JBig(java.lang.Double.toString(x)).setScale(9, RoundingMode.HALF_UP)
 
+  /** The collected spectrum: 9-dp per-dim means, the 9-dp top
+    * eigenvector, λ₁ and the covariance trace — model-sized, ready to
+    * redeploy as plan constants.
+    */
+  final case class SpectrumModel(mean9: Array[Double], v: Array[Double],
+      lambda: Double, trace: Double)
+
   /** One row per dimension: (dim, mean, loading, lambda1, trace,
     * explained_share) — the per-dim mean and top-eigenvector loading
     * plus the scalar spectrum summary repeated as columns.
     */
   def topComponentReport(emb: DataFrame, vecCol: String, dim: Int,
       iters: Int = 25): DataFrame = {
-    require(dim >= 1 && iters >= 1, s"bad dim=$dim iters=$iters")
+    val m = topComponentModel(emb, vecCol, dim, iters)
+    val lambda6 = r(m.lambda, 6)
+    val trace6 = r(m.trace, 6)
+    val share6 = r(m.lambda / m.trace, 6)
     val spark = emb.sparkSession
+    import spark.implicits._
+    (0 until dim).map(i =>
+        (i.toLong, m.mean9(i), m.v(i), lambda6, trace6, share6))
+      .toDF("dim", "mean", "loading", "lambda1", "trace", "explained_share")
+  }
+
+  /** The two corpus passes + driver power iteration, returning the
+    * model itself (for projection consumers — the q144 trained-model
+    * shape).
+    */
+  def topComponentModel(emb: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 25): SpectrumModel = {
+    require(dim >= 1 && iters >= 1, s"bad dim=$dim iters=$iters")
     val x = emb.select(col(vecCol).cast("array<double>").as("x"))
 
     // pass 1 — validate + count: null or wrong-length vectors would
@@ -133,13 +156,40 @@ object Spectrum {
       lambda = nrm
       v = w9.map(wi => r(wi / nrm, 9))
     }
-    val lambda6 = r(lambda, 6)
-    val trace6 = r(trace, 6)
-    val share6 = r(lambda / trace, 6)
+    SpectrumModel(mean9, v, lambda, trace)
+  }
 
-    import spark.implicits._
-    (0 until dim).map(i =>
-        (i.toLong, mean9(i), v(i), lambda6, trace6, share6))
-      .toDF("dim", "mean", "loading", "lambda1", "trace", "explained_share")
+  /** Per-vector "all-but-the-top" decomposition (Mu & Viswanath,
+    * ICLR 2018): under the trained spectrum model, each vector's
+    * centered form t = x − μ splits into its component along the top
+    * eigenvector (proj = t·v) and the rest. Output per row:
+    * (id, proj, norm2 = ‖t‖², top_share = proj²/‖t‖²) — the share a
+    * dominant common direction claims of each embedding, the
+    * diagnostic that says whose cosines are inflated and by how much.
+    *
+    * 100 TB shape: after the model passes, this is a pure map-side
+    * projection — μ and v ride as 64-element literal arrays, the two
+    * exact dots are native kernels ([[graft.functions.DotExactKernel
+    * .dotD]]), no shuffle. Arithmetic contract (oracle-replayable):
+    * t_i = IEEE double subtract on the 9-dp means; dots quantize each
+    * IEEE product at DECIMAL(18,12) and sum exactly; proj/norm2 round
+    * to 9 dp; top_share = ROUND(proj²/norm2, 6) in IEEE.
+    */
+  def removeTopReport(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int = 25): DataFrame = {
+    import org.apache.spark.sql.Column
+    import graft.functions.DotExactExpression
+    val m = topComponentModel(emb, vecCol, dim, iters)
+    val muLit = array(m.mean9.map(lit(_)).toIndexedSeq: _*)
+    val vLit = array(m.v.map(lit(_)).toIndexedSeq: _*)
+    val t = zip_with(col(vecCol).cast("array<double>"), muLit,
+      (a: Column, b: Column) => a - b)
+    emb.select(col(idCol), t.as("_t"))
+      .select(col(idCol),
+        round(DotExactExpression.dotExactD(col("_t"), vLit), 9).as("proj"),
+        round(DotExactExpression.dotExactD(col("_t"), col("_t")), 9).as("norm2"))
+      .withColumn("top_share",
+        when(col("norm2") > 0,
+          round(col("proj") * col("proj") / col("norm2"), 6)))
   }
 }

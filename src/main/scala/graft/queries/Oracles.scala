@@ -4282,12 +4282,16 @@ object Oracles {
     * dot, 9-dp round, decimal norm, IEEE renormalize) mirrors the
     * driver arithmetic bit-for-bit.
     */
-  private lazy val embeddingSpectrumSql: String = {
-    // 25 power iterations UNROLLED as chained CTEs (the bpeUnrollCtes
-    // precedent — DuckDB's binder cannot see sibling CTEs from inside
-    // a recursive member's lateral): w{k} applies the matrix with
-    // DECIMAL(18,9)-exact dots + 9-dp round, it{k} takes the exact
-    // decimal norm and renormalizes (IEEE divide, 9-dp round).
+  /** Shared spectrum CTE chain (q163 + q165): decimal-exact moments,
+    * 9-dp covariance, and the 25 power iterations UNROLLED as chained
+    * CTEs (the bpeUnrollCtes precedent — DuckDB's binder cannot see
+    * sibling CTEs from inside a recursive member's lateral): w{k}
+    * applies the matrix with DECIMAL(18,9)-exact dots + 9-dp round,
+    * it{k} takes the exact decimal norm and renormalizes (IEEE
+    * divide, 9-dp round). Ends at `it25` (v, nrm); `px` keeps vec_id
+    * for per-vector consumers.
+    */
+  private lazy val spectrumPrefix: String = {
     val iters = (1 to 25).map { k =>
       s"""w$k AS (
          |  SELECT [ROUND(CAST(list_sum([CAST(cm.mat[i][j] AS DECIMAL(18,9))
@@ -4304,9 +4308,9 @@ object Oracles {
          |  ) x
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH
-       |ids AS (SELECT unnest(range(1, 65)) AS i),
-       |px AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+    s"""ids AS (SELECT unnest(range(1, 65)) AS i),
+       |px AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM px),
        |m AS MATERIALIZED (
        |  SELECT i.i AS j,
@@ -4338,14 +4342,45 @@ object Oracles {
        |tr AS (SELECT CAST(SUM(CAST(c9 AS DECIMAL(18,9))) AS DOUBLE) AS trace
        |       FROM cc WHERE i = j),
        |it0 AS (SELECT [CAST(1.0 AS DOUBLE) FOR q IN range(1, 65)] AS v),
-       |$iters
+       |$iters"""
+      .stripMargin
+  }
+
+  /** q163: the full spectrum pipeline replayed — see [[spectrumPrefix]]. */
+  private lazy val embeddingSpectrumSql: String =
+    s"""WITH
+       |$spectrumPrefix
        |SELECT CAST(i.i - 1 AS BIGINT) AS dim, m.m9 AS mean, s.v[i.i] AS loading,
        |  ROUND(s.nrm, 6) AS lambda1,
        |  ROUND((SELECT trace FROM tr), 6) AS trace,
        |  ROUND(s.nrm / (SELECT trace FROM tr), 6) AS explained_share
        |FROM ids i JOIN m ON m.j = i.i CROSS JOIN it25 s
        |ORDER BY dim""".stripMargin
-  }
+
+  /** q165: per-vector all-but-the-top decomposition — same prefix,
+    * then the engine's projection arithmetic verbatim: t = x − μ
+    * (IEEE on the 9-dp means), proj/norm2 as DECIMAL(18,12)-quantized
+    * product sums rounded to 9 dp, share in IEEE rounded to 6.
+    */
+  private lazy val removeTopSql: String =
+    s"""WITH
+       |$spectrumPrefix,
+       |mv AS (SELECT list(m9 ORDER BY j) AS mu FROM m),
+       |tt AS (
+       |  SELECT px.vec_id, [px.x[i] - mv.mu[i] FOR i IN range(1, 65)] AS t
+       |  FROM px, mv
+       |),
+       |pr AS (
+       |  SELECT tt.vec_id,
+       |    ROUND(CAST(list_sum([CAST(tt.t[i] * s.v[i] AS DECIMAL(18,12))
+       |      FOR i IN range(1, 65)]) AS DOUBLE), 9) AS proj,
+       |    ROUND(CAST(list_sum([CAST(tt.t[i] * tt.t[i] AS DECIMAL(18,12))
+       |      FOR i IN range(1, 65)]) AS DOUBLE), 9) AS norm2
+       |  FROM tt CROSS JOIN it25 s
+       |)
+       |SELECT vec_id, proj, norm2,
+       |  CASE WHEN norm2 > 0 THEN ROUND(proj * proj / norm2, 6) END AS top_share
+       |FROM pr ORDER BY vec_id""".stripMargin
 
   /** q164: the Aho–Corasick scan's naive form — a `contains` cross
     * join over the phrase list (exactly the cost the automaton
@@ -4377,5 +4412,6 @@ object Oracles {
 
   val all: Map[String, String] = headOracles ++ tailOracles ++
     Map("q163_embedding_spectrum" -> embeddingSpectrumSql,
-      "q164_phrase_scan" -> phraseScanSql)
+      "q164_phrase_scan" -> phraseScanSql,
+      "q165_remove_top" -> removeTopSql)
 }

@@ -4268,6 +4268,22 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Per-vector all-but-the-top decomposition ([[Spectrum
+    * .removeTopReport]], Mu & Viswanath ICLR 2018): under q163's
+    * spectrum model, each embedding's centered component along the
+    * top eigenvector (proj), its centered squared norm, and
+    * top_share = proj²/‖t‖² — WHO pays the anisotropy tax, vector by
+    * vector. Map-side after the model passes: μ and v are 64-element
+    * plan literals, both dots native decimal-exact kernels. Oracle
+    * reuses q163's full power-iteration replay and adds the
+    * projection arithmetic verbatim.
+    */
+  val q165RemoveTop: Q = (s, dir) =>
+    Spectrum.removeTopReport(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 64)
+      .orderBy("vec_id")
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4433,5 +4449,6 @@ object Queries {
     "q162_streaming_cascade" -> q162StreamingCascade,
     "q163_embedding_spectrum" -> q163EmbeddingSpectrum,
     "q164_phrase_scan" -> q164PhraseScan,
+    "q165_remove_top" -> q165RemoveTop,
   )
 }

@@ -60,6 +60,46 @@ class SpectrumSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("removeTopReport: dominant-direction vectors carry top_share ~ 1") {
+    val rows = (0 until 400).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(s,
+        (0.05 * noise(i, 1, 1)).toFloat,
+        (0.05 * noise(i, 2, 1)).toFloat,
+        (0.05 * noise(i, 3, 1)).toFloat))
+    }
+    val rep = Spectrum.removeTopReport(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 4).collect()
+    assert(rep.length === 400)
+    rep.foreach { r =>
+      val proj = r.getAs[Double]("proj")
+      val norm2 = r.getAs[Double]("norm2")
+      val share = r.getAs[Double]("top_share")
+      assert(share >= 0.0 && share <= 1.0 + 1e-9, s"share $share")
+      assert(share > 0.99, s"dominant share $share")
+      // the decomposition is consistent: proj^2 <= norm2
+      assert(proj * proj <= norm2 + 1e-9)
+    }
+  }
+
+  test("removeTopReport: isotropic two-dim corpus splits the share") {
+    val rows = (0 until 400).map { i =>
+      (i.toLong, Array(
+        (if (i % 2 == 0) 1.0 else -1.0).toFloat,
+        (if (i % 4 < 2) 1.0 else -1.0).toFloat))
+    }
+    val rep = Spectrum.removeTopReport(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 2).collect()
+    // degenerate spectrum: the all-ones start converges to v ∝ (1,1),
+    // so corners (1,1)/(−1,−1) project fully (share 1) and
+    // (1,−1)/(−1,1) are orthogonal (share 0) — the MEAN share is 1/2
+    val shares = rep.map(_.getAs[Double]("top_share"))
+    shares.foreach(s0 =>
+      assert(s0 < 1e-6 || s0 > 1.0 - 1e-6, s"corner share $s0"))
+    val mean = shares.sum / shares.length
+    assert(mean > 0.45 && mean < 0.55, s"mean share $mean")
+  }
+
   test("malformed embeddings are rejected, not silently skewing the moments") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f)),
