@@ -4410,8 +4410,50 @@ object Oracles {
        |  a.n_banned IS NOT NULL AS banned, a.phrases
        |FROM inj i LEFT JOIN a USING (doc_id) ORDER BY i.doc_id""".stripMargin
 
+  /** q166: the subsampling fit + every per-occurrence md5-48 draw
+    * replayed — frequency table, sqrt(t·total/cnt) thresholds in the
+    * engine's IEEE evaluation order, and the q158 hex fold for the
+    * uniform draws.
+    */
+  private lazy val tokenSubsampleSql: String =
+    s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+       |tot AS (SELECT CAST(SUM(len(toks)) AS BIGINT) AS total FROM t),
+       |f AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+       |),
+       |p AS (
+       |  SELECT doc_id, unnest(toks) AS tok,
+       |    generate_subscripts(toks, 1) AS i
+       |  FROM t
+       |),
+       |k AS (
+       |  SELECT p.doc_id, p.i, p.tok,
+       |    CAST(list_sum([
+       |      CAST(strpos('0123456789abcdef', substr(md5(
+       |        's166:' || CAST(p.doc_id AS VARCHAR) || ':' ||
+       |        CAST(p.i AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+       |        * CAST(1::BIGINT << (4 * (12 - j)) AS BIGINT)
+       |      FOR j IN range(1, 13)]) AS BIGINT) AS u48,
+       |    sqrt(1e-3 * (SELECT total FROM tot) / f.cnt) AS thr
+       |  FROM p JOIN f ON f.tok = p.tok
+       |),
+       |kept AS (
+       |  SELECT doc_id, i, tok FROM k
+       |  WHERE thr >= 1.0 OR CAST(u48 AS DOUBLE) / 281474976710656.0 < thr
+       |),
+       |a AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_kept,
+       |    array_to_string(list(tok ORDER BY i), ' ') AS sub_text
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS n_tokens,
+       |  COALESCE(a.n_kept, 0) AS n_kept, COALESCE(a.sub_text, '') AS sub_text
+       |FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   val all: Map[String, String] = headOracles ++ tailOracles ++
     Map("q163_embedding_spectrum" -> embeddingSpectrumSql,
       "q164_phrase_scan" -> phraseScanSql,
-      "q165_remove_top" -> removeTopSql)
+      "q165_remove_top" -> removeTopSql,
+      "q166_token_subsample" -> tokenSubsampleSql)
 }

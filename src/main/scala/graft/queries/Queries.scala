@@ -4284,6 +4284,21 @@ object Queries {
         "vec_id", "embedding", dim = 64)
       .orderBy("vec_id")
 
+  /** Frequency-aware token subsampling ([[Subsample.subsampleCorpus]],
+    * Mikolov NeurIPS 2013 §2.3): each occurrence of word w survives
+    * iff md5-48(seed:doc:pos)/2^48 < sqrt(t·total/cnt_w) — the
+    * word2vec down-sampling stage as token-budget reduction that
+    * preserves rare-word mass. Fit = ONE vocab-sized aggregation →
+    * plan-constant thresholds; apply = pure per-row kernel (no
+    * explode/join/reassembly shuffle). The oracle replays the
+    * frequency fit, every md5-48 draw, and the IEEE threshold.
+    */
+  val q166TokenSubsample: Q = (s, dir) =>
+    Subsample.subsampleCorpus(docs(s, dir), "doc_id", "text",
+        seed = "s166", t = 1e-3)
+      .select("doc_id", "n_tokens", "n_kept", "sub_text")
+      .orderBy("doc_id")
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4450,5 +4465,6 @@ object Queries {
     "q163_embedding_spectrum" -> q163EmbeddingSpectrum,
     "q164_phrase_scan" -> q164PhraseScan,
     "q165_remove_top" -> q165RemoveTop,
+    "q166_token_subsample" -> q166TokenSubsample,
   )
 }
