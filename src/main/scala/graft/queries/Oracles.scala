@@ -4451,9 +4451,61 @@ object Oracles {
        |  COALESCE(a.n_kept, 0) AS n_kept, COALESCE(a.sub_text, '') AS sub_text
        |FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  /** q167: q114's scored table + per-language exact interpolated
+    * tertiles (cut points as CAST(1 AS DOUBLE)/3 — the same IEEE
+    * value the engine's percentile call uses) + the CCNet
+    * head/middle/tail CASE.
+    */
+  private lazy val ccnetBucketsSql: String =
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, lang, $toksExpr AS t FROM documents
+       |),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+       |    unnest(list_slice(t, 2, len(t))) AS w2
+       |  FROM d WHERE len(t) >= 2
+       |),
+       |bgc AS MATERIALIZED (
+       |  SELECT w1, w2, COUNT(*) AS cnt FROM bg
+       |  WHERE doc_id % 10 < 8 GROUP BY w1, w2
+       |),
+       |ctx AS MATERIALIZED (SELECT w1, SUM(cnt) AS ctx FROM bgc GROUP BY w1),
+       |v AS (
+       |  SELECT COUNT(DISTINCT tok) AS v
+       |  FROM (SELECT unnest(t) AS tok FROM d WHERE doc_id % 10 < 8)
+       |),
+       |ll AS MATERIALIZED (
+       |  SELECT b.doc_id, b.lang,
+       |    ROUND(ln(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) /
+       |             CAST(COALESCE(x.ctx, 0) + (SELECT v FROM v) AS DOUBLE)), 9) AS ll
+       |  FROM bg b
+       |  LEFT JOIN bgc c ON b.w1 = c.w1 AND b.w2 = c.w2
+       |  LEFT JOIN ctx x ON b.w1 = x.w1
+       |),
+       |scored AS MATERIALIZED (
+       |  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+       |    ROUND(exp(-(CAST(SUM(CAST(ll AS DECIMAL(38,9))) AS DOUBLE)
+       |                / COUNT(*))), 6) AS ppl
+       |  FROM ll GROUP BY doc_id, lang
+       |),
+       |bands AS (
+       |  SELECT lang,
+       |    ROUND(quantile_cont(ppl, CAST(1 AS DOUBLE)/3), 6) AS p33,
+       |    ROUND(quantile_cont(ppl, CAST(2 AS DOUBLE)/3), 6) AS p66
+       |  FROM scored GROUP BY lang
+       |)
+       |SELECT s.doc_id, s.lang, s.ppl, b.p33, b.p66,
+       |  CASE WHEN s.ppl <= b.p33 THEN 'head'
+       |       WHEN s.ppl <= b.p66 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored s JOIN bands b ON s.lang = b.lang
+       |ORDER BY s.doc_id""".stripMargin
+
   val all: Map[String, String] = headOracles ++ tailOracles ++
     Map("q163_embedding_spectrum" -> embeddingSpectrumSql,
       "q164_phrase_scan" -> phraseScanSql,
       "q165_remove_top" -> removeTopSql,
-      "q166_token_subsample" -> tokenSubsampleSql)
+      "q166_token_subsample" -> tokenSubsampleSql,
+      "q167_ccnet_buckets" -> ccnetBucketsSql)
 }

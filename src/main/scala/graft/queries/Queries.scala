@@ -4299,6 +4299,35 @@ object Queries {
       .select("doc_id", "n_tokens", "n_kept", "sub_text")
       .orderBy("doc_id")
 
+  /** CCNet head/middle/tail perplexity buckets (Wenzek et al., LREC
+    * 2020 §4.3): per language, documents split into thirds by LM
+    * perplexity — head (lowest ppl, cleanest), middle, tail — the
+    * bucket label CCNet ships with every paragraph and downstream
+    * pipelines sample against. Composition: q114's bigram-LM scoring
+    * (80% train split, add-one smoothing, DECIMAL-exact log-sums) +
+    * per-language EXACT interpolated tertiles (the q36 percentile
+    * parity: quantile_cont ≡ Spark percentile; cut points written as
+    * CAST(1 AS DOUBLE)/3 in BOTH engines so the interpolation rank
+    * arithmetic is bit-identical) + a broadcast band join. Bands are
+    * language-count-sized; scoring shuffles one row per doc.
+    */
+  val q167CcnetBuckets: Q = (s, dir) => {
+    val d = docs(s, dir).select("doc_id", "lang", "text")
+    val train = d.filter(col("doc_id") % 10 < 8)
+    val (bg, vocab) = LanguageModel.trainBigram(train, "text")
+    val scored = LanguageModel.perplexity(d, "doc_id", "text", bg, vocab)
+      .join(d.select("doc_id", "lang"), "doc_id")
+    val bands = scored.groupBy("lang").agg(
+      round(expr("percentile(ppl, cast(1 as double)/3)"), 6).as("p33"),
+      round(expr("percentile(ppl, cast(2 as double)/3)"), 6).as("p66"))
+    scored.join(broadcast(bands), "lang")
+      .select(col("doc_id"), col("lang"), col("ppl"), col("p33"), col("p66"),
+        when(col("ppl") <= col("p33"), "head")
+          .when(col("ppl") <= col("p66"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4466,5 +4495,6 @@ object Queries {
     "q164_phrase_scan" -> q164PhraseScan,
     "q165_remove_top" -> q165RemoveTop,
     "q166_token_subsample" -> q166TokenSubsample,
+    "q167_ccnet_buckets" -> q167CcnetBuckets,
   )
 }
