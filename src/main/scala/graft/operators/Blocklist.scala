@@ -53,4 +53,26 @@ object Blocklist {
     df.join(matched, Seq(idCol), "left")
       .withColumn("blocked", col("rule").isNotNull)
   }
+
+  /** [[matchHosts]] as a pure per-row projection: the rule set rides
+    * the plan as literals instead of a broadcast join, so the
+    * operator is STATELESS and streaming-capable (no aggregation, no
+    * join, no state store — ingest-time provenance filtering). Same
+    * normalization, same longest-suffix-wins attribution; use this
+    * form when the rule set is plan-literal-sized (thousands), the
+    * broadcast-join form when it is millions of rows.
+    */
+  def matchHostsStateless(df: DataFrame, hostCol: String,
+      rules: Seq[String]): DataFrame = {
+    val normed = rules.map(_.toLowerCase.stripSuffix(".")).distinct
+    val ls = split(regexp_replace(lower(col(hostCol)), "\\.$", ""), "\\.")
+    // suffixes in ascending label-count order; the LAST match is the
+    // longest (most-specific) rule
+    val sufs = transform(sequence(lit(1), size(ls)),
+      k => array_join(slice(ls, size(ls) - k + 1, k), "."))
+    val matched = filter(sufs, s => s.isin(normed: _*))
+    df.withColumn("rule",
+        when(size(matched) > 0, element_at(matched, -1)))
+      .withColumn("blocked", col("rule").isNotNull)
+  }
 }

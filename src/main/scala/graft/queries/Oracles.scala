@@ -4238,8 +4238,14 @@ object Oracles {
          |  seen_windows = 0 AS clean
          |FROM agg ORDER BY bench_id""".stripMargin,
 
-    // blocklist filter: suffix explosion + longest-match arg_max
-    "q160_blocklist_filter" ->
+    // blocklist filter: suffix explosion + longest-match arg_max;
+    // shared verbatim by q168 (the stateless streaming twin must
+    // emit the identical table)
+    "q160_blocklist_filter" -> blocklistFilterSql,
+    "q168_streaming_blocklist" -> blocklistFilterSql,
+  )
+
+  private lazy val blocklistFilterSql: String =
       s"""WITH hosts AS MATERIALIZED (
          |  SELECT doc_id,
          |    CASE doc_id % 8
@@ -4273,15 +4279,8 @@ object Oracles {
          |  FROM sufx s JOIN rules r ON r.rule = s.sfx GROUP BY s.doc_id
          |)
          |SELECT l.doc_id, l.host, m.rule IS NOT NULL AS blocked, m.rule
-         |FROM lab l LEFT JOIN m USING (doc_id) ORDER BY l.doc_id""".stripMargin,
-  )
+         |FROM lab l LEFT JOIN m USING (doc_id) ORDER BY l.doc_id""".stripMargin
 
-  /** q163: the full spectrum pipeline replayed — decimal-exact
-    * per-dim sums and cross-moments, 9-dp covariance, then the 25
-    * power iterations as a recursive CTE whose every step (decimal
-    * dot, 9-dp round, decimal norm, IEEE renormalize) mirrors the
-    * driver arithmetic bit-for-bit.
-    */
   /** Shared spectrum CTE chain (q163 + q165): decimal-exact moments,
     * 9-dp covariance, and the 25 power iterations UNROLLED as chained
     * CTEs (the bpeUnrollCtes precedent — DuckDB's binder cannot see

@@ -4170,9 +4170,12 @@ object Queries {
     * domains, a deep subdomain, and a bare TLD-ish suffix.
     * Map-side broadcast match — the corpus never shuffles.
     */
-  val q160BlocklistFilter: Q = (s, dir) => {
+  private val blocklistRules = Seq("dom3.com", "dom7.com", "dom5.co.uk",
+    "tracker.net", "deep.sub.dom11.org", "dom13.net", "co.uk")
+
+  private def blocklistHosts(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val hosts = docs(s, dir).select(col("doc_id"),
+    docs(s, dir).select(col("doc_id"),
       when(id % 8 === 0, concat(lit("ads.dom"), (id % 20).cast("string"), lit(".com")))
         .when(id % 8 === 1, concat(lit("www.dom"), (id % 20).cast("string"), lit(".com")))
         .when(id % 8 === 2, concat(lit("dom"), (id % 20).cast("string"), lit(".co.uk")))
@@ -4182,11 +4185,11 @@ object Queries {
         .when(id % 8 === 6, concat(lit("safe"), (id % 9).cast("string"), lit(".example.org")))
         .otherwise(concat(lit("blog.dom"), (id % 20).cast("string"), lit(".net")))
         .as("host"))
-    val rules = s.createDataFrame(
-      Seq("dom3.com", "dom7.com", "dom5.co.uk", "tracker.net",
-        "deep.sub.dom11.org", "dom13.net", "co.uk")
-        .map(Tuple1.apply)).toDF("rule")
-    Blocklist.matchHosts(hosts, "doc_id", "host", rules)
+  }
+
+  val q160BlocklistFilter: Q = (s, dir) => {
+    val rules = s.createDataFrame(blocklistRules.map(Tuple1.apply)).toDF("rule")
+    Blocklist.matchHosts(blocklistHosts(s, dir), "doc_id", "host", rules)
       .select("doc_id", "host", "blocked", "rule")
       .orderBy("doc_id")
   }
@@ -4326,6 +4329,29 @@ object Queries {
           .when(col("ppl") <= col("p66"), "middle")
           .otherwise("tail").as("bucket"))
       .orderBy("doc_id")
+  }
+
+  /** STREAMING domain-blocklist filter ([[Blocklist
+    * .matchHostsStateless]] over a readStream relation): q160's
+    * suffix-match semantics as ingest-time provenance filtering —
+    * the per-row form carries the rule set as plan literals and the
+    * longest-suffix pick as an array fold, so the stream is
+    * STATELESS (no aggregation, no state store, no flush batch).
+    * Oracle is q160's SQL verbatim (stream ≡ batch bit-for-bit).
+    */
+  val q168StreamingBlocklist: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q168")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val fixture = blocklistHosts(s, dir)
+    val in = memoFixture("q168in", dir) { p =>
+      fixture.write.mode("overwrite").parquet(p)
+    }
+    val tagged = Blocklist.matchHostsStateless(
+        s.readStream.schema(fixture.schema).parquet(in), "host",
+        blocklistRules)
+      .select("doc_id", "host", "blocked", "rule")
+    runToSink(tagged, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("doc_id")
   }
 
   val all: Map[String, Q] = Map(
@@ -4496,5 +4522,6 @@ object Queries {
     "q165_remove_top" -> q165RemoveTop,
     "q166_token_subsample" -> q166TokenSubsample,
     "q167_ccnet_buckets" -> q167CcnetBuckets,
+    "q168_streaming_blocklist" -> q168StreamingBlocklist,
   )
 }

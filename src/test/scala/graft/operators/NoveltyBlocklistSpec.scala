@@ -84,6 +84,19 @@ class NoveltyBlocklistSpec extends SparkSpec {
     assert((r.getBoolean(0), r.getString(1)) === ((true, "example.com")))
   }
 
+  test("stateless per-row form emits exactly the broadcast-join form's table") {
+    val hosts = Seq(
+      (1L, "a.b.example.com"), (2L, "Ads.Tracker.NET"), (3L, "safe.org"),
+      (4L, "example.com."), (5L, "notexample.com"), (6L, "x.sub.other.org"))
+      .toDF("id", "host")
+    val ruleSeq = Seq("example.com", "tracker.net", "sub.other.org")
+    val joined = Blocklist.matchHosts(hosts, "id", "host", ruleSeq.toDF("rule"))
+      .select("id", "host", "blocked", "rule").collect().sortBy(_.getLong(0))
+    val stateless = Blocklist.matchHostsStateless(hosts, "host", ruleSeq)
+      .select("id", "host", "blocked", "rule").collect().sortBy(_.getLong(0))
+    assert(joined.map(_.toSeq).toSeq === stateless.map(_.toSeq).toSeq)
+  }
+
   test("blocklist longest matching suffix wins") {
     val deepRules = Seq("org", "other.org", "sub.other.org").toDF("rule")
     val r = Blocklist.matchHosts(Seq((1L, "x.sub.other.org")).toDF("id", "host"),
