@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -96,6 +96,77 @@ object HashKernels {
   }
 }
 
+object BbitKernels {
+
+  /** b-bit minhash packing, b = 1 (Li & König, "b-Bit Minwise
+    * Hashing", WWW 2010): the LSB of each minhash value packed 64 to
+    * a long, little-endian within each word — a k-permutation
+    * signature shrinks from 8k bytes to k/8 (64× at b=1), which is
+    * the difference between "signatures live in memory beside the
+    * band index" and "signatures are a second corpus" at 100 TB.
+    */
+  def pack(sig: ArrayData): ArrayData = {
+    val k = sig.numElements()
+    val words = new Array[Long]((k + 63) / 64)
+    var j = 0
+    while (j < k) {
+      if ((sig.getLong(j) & 1L) == 1L) words(j >> 6) |= (1L << (j & 63))
+      j += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** Unbiased b=1 estimator: P(bit match) = (1+J)/2 for minwise
+    * hashes, so Ĵ = 2·m/k − 1 with m = matching bits (clamped at 0 —
+    * an estimate below the independence floor carries no signal).
+    */
+  def estimate(a: ArrayData, b: ArrayData, k: Int): Double = {
+    var diff = 0
+    var w = 0
+    val n = math.min(a.numElements(), b.numElements())
+    while (w < n) {
+      diff += java.lang.Long.bitCount(a.getLong(w) ^ b.getLong(w))
+      w += 1
+    }
+    math.max(2.0 * (k - diff) / k - 1.0, 0.0)
+  }
+}
+
+case class BbitPack(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_bbit_pack requires ARRAY<BIGINT>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bbit_pack"
+  override protected def nullSafeEval(input: Any): Any =
+    BbitKernels.pack(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BbitKernels.pack($c)")
+  override protected def withNewChildInternal(newChild: Expression): BbitPack =
+    copy(child = newChild)
+}
+
+case class BbitJaccardEst(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_bbit_est requires ARRAY<BIGINT> args, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_bbit_est"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BbitKernels.estimate(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BbitKernels.estimate($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BbitJaccardEst =
+    copy(left = l, right = r)
+}
+
 abstract class StringArrayUnary extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -144,4 +215,9 @@ object HashExpressions {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
   def simhashPoly(tokens: Column): Column =
     ColumnBridge.column(SimHashPoly(ColumnBridge.expression(tokens)))
+  def bbitPack(sig: Column): Column =
+    ColumnBridge.column(BbitPack(ColumnBridge.expression(sig)))
+  def bbitEst(a: Column, b: Column, k: Int): Column =
+    ColumnBridge.column(BbitJaccardEst(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), k))
 }

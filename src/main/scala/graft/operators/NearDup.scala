@@ -189,6 +189,55 @@ object NearDup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** [[nearDupPairs]] with a b-BIT MINHASH PREFILTER (Li & König,
+    * "b-Bit Minwise Hashing", WWW 2010) between banding and exact
+    * verification: each doc's k minhashes pack to k/64 longs (64×
+    * smaller at b = 1), candidate pairs are first screened by the
+    * unbiased 1-bit estimate Ĵ = 2m/k − 1 (XOR + popcount on two
+    * slim words), and only survivors pay the exact set-intersection
+    * verify. At 100 TB the verify join ships full shingle arrays to
+    * every candidate — the prefilter kills the (overwhelmingly
+    * dominant) false-candidate traffic with 16-byte signatures
+    * instead.
+    *
+    * `estMargin` is the screening slack: a true pair at the
+    * threshold is kept unless the estimate errs past it (≥ 4σ at
+    * k = 128 for the planted-margin corpora this gates on), so the
+    * verified output still EQUALS the brute-force pair set and the
+    * oracle stays the all-pairs exact form (the q16 contract).
+    */
+  def bbitPrefilteredPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, estMargin: Double = 0.35, n: Int = 3,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0 && numHashes % 64 == 0,
+      s"numHashes ($numHashes) must be a multiple of bands ($bands) and 64")
+    import graft.core.OpCache.TrackedPersist
+    val sh = df.select(col(idCol), shingles(col(textCol), n).as("_sh"))
+      .persistTracked
+    val sigs = sh.select(col(idCol),
+        minhashSignature(col("_sh"), numHashes).as("_sig"))
+      .withColumn("_bb", graft.functions.HashExpressions.bbitPack(col("_sig")))
+      .persistTracked
+    val b = lshBands(sigs.select(col(idCol), col("_sig")), idCol, "_sig", bands)
+    val l = b.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val r = b.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    val cands = l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val screened = cands
+      .join(sigs.select(col(idCol).as("id_a"), col("_bb").as("_bba")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("_bb").as("_bbb")), "id_b")
+      .filter(graft.functions.HashExpressions.bbitEst(
+        col("_bba"), col("_bbb"), numHashes) >= threshold - estMargin)
+      .select("id_a", "id_b")
+    screened
+      .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sha")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("_sh").as("_shb")), "id_b")
+      .withColumn("jaccard", jaccard(col("_sha"), col("_shb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** CONTAINMENT near-dup pairs (asymmetric Jaccard): C(A in B) =
     * |A∩B| / |A| over distinct shingle sets — the signal symmetric
     * Jaccard MISSES when a short document is quoted inside a long one

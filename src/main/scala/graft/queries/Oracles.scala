@@ -972,18 +972,10 @@ object Oracles {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |) WHERE jaccard >= 0.02 ORDER BY id_a, id_b""".stripMargin,
 
-    "q16_minhash_lsh" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
-         |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
-         |),
-         |${shingleCte("corpus")}
-         |SELECT * FROM (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |) WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // shared verbatim by q169 (the b-bit-prefiltered path must emit
+    // the identical verified pair set)
+    "q16_minhash_lsh" -> minhashLshSql,
+    "q169_bbit_minhash" -> minhashLshSql,
 
     "q17_cosine_topk" -> cosineTopKSql,
 
@@ -4500,6 +4492,19 @@ object Oracles {
        |       ELSE 'tail' END AS bucket
        |FROM scored s JOIN bands b ON s.lang = b.lang
        |ORDER BY s.doc_id""".stripMargin
+
+  private lazy val minhashLshSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, array_to_string(toks[2:len(toks)], ' ') AS text
+       |  FROM (SELECT doc_id, $toksExpr AS toks FROM documents)
+       |),
+       |${shingleCte("corpus")}
+       |SELECT * FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ${jaccardExpr("a.s", "b.s")} AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |) WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
   val all: Map[String, String] = headOracles ++ tailOracles ++
     Map("q163_embedding_spectrum" -> embeddingSpectrumSql,

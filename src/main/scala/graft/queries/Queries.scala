@@ -4354,6 +4354,24 @@ object Queries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** b-bit minhash near-dup ([[NearDup.bbitPrefilteredPairs]], Li &
+    * König WWW 2010): q16's planted corpus through the 64×-compressed
+    * signature path — banding, then the 1-bit estimate (XOR +
+    * popcount on two longs) screens candidates BEFORE the exact
+    * shingle-set verify pays for them. The verified output equals the
+    * brute-force pair set, so the oracle is q16's all-pairs SQL
+    * verbatim.
+    */
+  val q169BbitMinhash: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id", "text")
+    val mutated = d0.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(Text.tokens(col("text")), 2, 100000)).as("text"))
+    val corpus = d0.unionByName(mutated)
+    NearDup.bbitPrefilteredPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4523,5 +4541,6 @@ object Queries {
     "q166_token_subsample" -> q166TokenSubsample,
     "q167_ccnet_buckets" -> q167CcnetBuckets,
     "q168_streaming_blocklist" -> q168StreamingBlocklist,
+    "q169_bbit_minhash" -> q169BbitMinhash,
   )
 }
