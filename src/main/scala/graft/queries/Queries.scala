@@ -4372,6 +4372,32 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Host-scoped boilerplate removal ([[Boilerplate
+    * .stripHostBoilerplate]]): every doc is wrapped in its host's nav
+    * + footer template (universal within the host → stripped), every
+    * 5th doc additionally carries a newsletter plug (~20% of the host
+    * → kept: below the 50% doc-frequency bar), and the unique body
+    * line always survives. The per-host frequency is what global line
+    * dedup (q89) cannot express. Oracle replays the line explode, the
+    * COUNT(DISTINCT doc)/host_docs ratio, and the ordered reassembly.
+    */
+  val q170BoilerplateStrip: Q = (s, dir) => {
+    val id = col("doc_id")
+    val host = concat(lit("h"), (id % 12).cast("string"))
+    val wrapped = docs(s, dir).select(col("doc_id"), host.as("host"),
+      concat(
+        lit("NAV "), host, lit(" home products contact\n"),
+        col("text"),
+        when(id % 5 === 0,
+          concat(lit("\nsubscribe to "), host, lit(" newsletter")))
+          .otherwise(lit("")),
+        lit("\nCopyright "), host, lit(" all rights reserved")).as("text"))
+    Boilerplate.stripHostBoilerplate(wrapped, "doc_id", "host", "text",
+        minDocFrac = 0.5)
+      .select("doc_id", "host", "n_lines", "n_boiler", "clean_text")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4542,5 +4568,6 @@ object Queries {
     "q167_ccnet_buckets" -> q167CcnetBuckets,
     "q168_streaming_blocklist" -> q168StreamingBlocklist,
     "q169_bbit_minhash" -> q169BbitMinhash,
+    "q170_boilerplate_strip" -> q170BoilerplateStrip,
   )
 }
