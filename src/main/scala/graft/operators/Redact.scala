@@ -87,6 +87,19 @@ object Redact {
       d.withColumn(name, c)
     }
 
+  /** Checksum-gated credit-card redaction ([[graft.functions
+    * .LuhnKernel]]): adds `clean_text`, `n_cc` (Luhn-valid candidates
+    * redacted to `<CC>`), `n_rejected` (candidates that FAILED the
+    * mod-10 gate and were left in place — order ids, EANs, tracking
+    * numbers). Pure per-row projection.
+    */
+  def redactCreditCards(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_c", graft.functions.LuhnExpressions.luhnRedact(col(textCol)))
+      .withColumn("clean_text", col("_c.clean_text"))
+      .withColumn("n_cc", col("_c.n_cc"))
+      .withColumn("n_rejected", col("_c.n_rejected"))
+      .drop("_c")
+
   /** The projection alone (for streaming twins that need the exact
     * same expressions over a `readStream` relation).
     */

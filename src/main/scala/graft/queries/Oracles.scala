@@ -4546,11 +4546,57 @@ object Oracles {
        |    AS clean_text
        |FROM t GROUP BY doc_id, host ORDER BY doc_id""".stripMargin
 
+  /** q171: the Luhn-gated scan replayed — split/extract on the same
+    * RE2 pattern, a mod-10 digit fold per candidate, and conditional
+    * reassembly. Regex interpolates from [[graft.functions
+    * .LuhnKernel]] so engine and oracle can never drift.
+    */
+  private lazy val luhnRedactSql: String = {
+    val re = graft.functions.LuhnKernel.CcRe
+    s"""WITH inj AS (
+       |  SELECT doc_id, text || CASE
+       |    WHEN doc_id % 6 = 0
+       |      THEN ' pay with 4539148803436467 or 1234567890123456'
+       |    WHEN doc_id % 10 = 0 THEN ' card 4539-1488-0343-6467 billed'
+       |    WHEN doc_id % 15 = 0
+       |      THEN ' ref 6011 0009 9013 9424 and order 79927398713'
+       |    ELSE '' END AS text
+       |  FROM documents
+       |),
+       |sp AS (
+       |  SELECT doc_id,
+       |    string_split_regex(text, '$re') AS parts,
+       |    regexp_extract_all(text, '$re') AS cands
+       |  FROM inj
+       |),
+       |lu AS (
+       |  SELECT doc_id, parts, cands,
+       |    [ (list_sum([
+       |        CASE WHEN (length(dg) - j) % 2 = 1 THEN
+       |          CASE WHEN CAST(substr(dg, j, 1) AS INTEGER) * 2 > 9
+       |            THEN CAST(substr(dg, j, 1) AS INTEGER) * 2 - 9
+       |            ELSE CAST(substr(dg, j, 1) AS INTEGER) * 2 END
+       |        ELSE CAST(substr(dg, j, 1) AS INTEGER) END
+       |        FOR j IN range(1, length(dg) + 1)]) % 10 = 0)
+       |      FOR dg IN [regexp_replace(c, '[- ]', '', 'g') FOR c IN cands] ]
+       |      AS ok
+       |  FROM sp
+       |)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(ok, x -> x)) AS INTEGER) AS n_cc,
+       |  CAST(len(list_filter(ok, x -> NOT x)) AS INTEGER) AS n_rejected,
+       |  parts[1] || COALESCE(array_to_string(
+       |    [CASE WHEN ok[i] THEN '<CC>' ELSE cands[i] END || parts[i + 1]
+       |     FOR i IN range(1, len(cands) + 1)], ''), '') AS clean_text
+       |FROM lu ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = headOracles ++ tailOracles ++
     Map("q163_embedding_spectrum" -> embeddingSpectrumSql,
       "q164_phrase_scan" -> phraseScanSql,
       "q165_remove_top" -> removeTopSql,
       "q166_token_subsample" -> tokenSubsampleSql,
       "q167_ccnet_buckets" -> ccnetBucketsSql,
-      "q170_boilerplate_strip" -> boilerplateStripSql)
+      "q170_boilerplate_strip" -> boilerplateStripSql,
+      "q171_luhn_redact" -> luhnRedactSql)
 }

@@ -4398,6 +4398,31 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Luhn-gated credit-card redaction ([[Redact.redactCreditCards]]):
+    * regex candidates (contiguous 13–16 digits or 4-4-4-4 groups),
+    * redacted ONLY when the ISO 7812 mod-10 checksum passes — the
+    * decision depends on arithmetic over the match, which a
+    * pure-regex pass cannot express. Fixture plants a valid PAN
+    * beside a near-miss (last digit off), dashed and spaced valid
+    * groups, and an 11-digit Luhn-valid number that must survive
+    * (below the candidate length floor). Oracle replays the split/
+    * extract scan, the per-candidate digit fold, and reassembly.
+    */
+  val q171LuhnRedact: Q = (s, dir) => {
+    val id = col("doc_id")
+    val injected = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(id % 6 === 0,
+          lit(" pay with 4539148803436467 or 1234567890123456"))
+          .when(id % 10 === 0, lit(" card 4539-1488-0343-6467 billed"))
+          .when(id % 15 === 0,
+            lit(" ref 6011 0009 9013 9424 and order 79927398713"))
+          .otherwise(lit(""))).as("text"))
+    Redact.redactCreditCards(injected, "text")
+      .select("doc_id", "n_cc", "n_rejected", "clean_text")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4569,5 +4594,6 @@ object Queries {
     "q168_streaming_blocklist" -> q168StreamingBlocklist,
     "q169_bbit_minhash" -> q169BbitMinhash,
     "q170_boilerplate_strip" -> q170BoilerplateStrip,
+    "q171_luhn_redact" -> q171LuhnRedact,
   )
 }

@@ -69,6 +69,44 @@ class ScrubSpec extends SparkSpec {
     assert(t === "<EMAIL> <EMAIL> <EMAIL>")
   }
 
+  // ---- Redact.redactCreditCards (Luhn gate) ----
+
+  private def ccOne(text: String): (Int, Int, String) = {
+    val r = Redact.redactCreditCards(Seq(text).toDF("text"), "text")
+      .select("n_cc", "n_rejected", "clean_text").head()
+    (r.getInt(0), r.getInt(1), r.getString(2))
+  }
+
+  test("luhn-valid PAN is redacted, near-miss survives and is counted") {
+    val (cc, rej, t) = ccOne("pay 4539148803436467 not 4539148803436468 ok")
+    assert((cc, rej) === ((1, 1)))
+    assert(t === "pay <CC> not 4539148803436468 ok")
+  }
+
+  test("dashed and spaced 4-4-4-4 groups pass the gate") {
+    val (cc, _, t) = ccOne("a 4539-1488-0343-6467 b 6011 0009 9013 9424 c")
+    assert(cc === 2)
+    assert(t === "a <CC> b <CC> c")
+  }
+
+  test("luhn-valid numbers below the 13-digit floor survive") {
+    val (cc, rej, t) = ccOne("order 79927398713 shipped")
+    assert((cc, rej) === ((0, 0)))
+    assert(t === "order 79927398713 shipped")
+  }
+
+  test("17+ digit runs are not candidates (word-bounded length cap)") {
+    val (cc, rej, t) = ccOne("ean 45391488034364679 raw")
+    assert((cc, rej) === ((0, 0)))
+    assert(t === "ean 45391488034364679 raw")
+  }
+
+  test("15-digit amex-length contiguous PAN passes") {
+    val (cc, _, t) = ccOne("amex 371449635398431 end")
+    assert(cc === 1)
+    assert(t === "amex <CC> end")
+  }
+
   // ---- HtmlClean ----
 
   private def cleanOne(text: String): (Int, String) = {
