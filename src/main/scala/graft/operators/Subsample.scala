@@ -29,7 +29,15 @@ object Subsample {
     * always survive).
     */
   def subsampleCorpus(df: DataFrame, idCol: String, textCol: String,
-      seed: String, t: Double = 1e-3): DataFrame = {
+      seed: String, t: Double = 1e-3): DataFrame =
+    applyModel(df, idCol, textCol, fitModel(df, textCol, seed, t))
+
+  /** The FIT phase alone: one vocab-sized aggregation + driver
+    * thresholds — hand the model to streaming consumers (the q115
+    * trained-model deployment shape).
+    */
+  def fitModel(df: DataFrame, textCol: String, seed: String,
+      t: Double = 1e-3): SubsampleKernel.Model = {
     require(t > 0, s"threshold must be positive, got $t")
     val freqs = df
       .select(explode(TextExpressions.tokens(col(textCol))).as("w"))
@@ -38,12 +46,18 @@ object Subsample {
     val total = freqs.iterator.map(_.getLong(1)).sum
     val words = freqs.map(_.getString(0))
     val thrs = freqs.map(r => math.sqrt(t * total / r.getLong(1)))
-    val model = SubsampleKernel.toModel(seed, words, thrs)
+    SubsampleKernel.toModel(seed, words, thrs)
+  }
+
+  /** The APPLY phase alone — a stateless per-row projection, equally
+    * valid over a batch or `readStream` relation.
+    */
+  def applyModel(df: DataFrame, idCol: String, textCol: String,
+      model: SubsampleKernel.Model): DataFrame =
     df.withColumn("_s", SubsampleExpressions.subsample(
         col(textCol), col(idCol).cast("string"), model))
       .withColumn("sub_text", col("_s.sub_text"))
       .withColumn("n_kept", col("_s.n_kept"))
       .withColumn("n_tokens", col("_s.n_tokens"))
       .drop("_s")
-  }
 }

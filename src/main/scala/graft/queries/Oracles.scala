@@ -4596,6 +4596,7 @@ object Oracles {
       "q164_phrase_scan" -> phraseScanSql,
       "q165_remove_top" -> removeTopSql,
       "q166_token_subsample" -> tokenSubsampleSql,
+      "q172_streaming_subsample" -> tokenSubsampleSql,
       "q167_ccnet_buckets" -> ccnetBucketsSql,
       "q170_boilerplate_strip" -> boilerplateStripSql,
       "q171_luhn_redact" -> luhnRedactSql)

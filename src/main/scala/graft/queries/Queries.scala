@@ -4423,6 +4423,30 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** STREAMING token subsampling ([[Subsample.applyModel]] over a
+    * readStream relation): q166's apply phase at ingest — the fitted
+    * threshold model rides the plan as a reference constant (the
+    * q115 trained-model deployment shape), so the stream is a
+    * stateless per-row projection: no shuffle, no state store, no
+    * flush batch. Oracle is q166's SQL verbatim (stream ≡ batch
+    * bit-for-bit — the md5-48 draws depend only on (seed, doc, pos)).
+    */
+  val q172StreamingSubsample: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q172")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val fixture = docs(s, dir).select("doc_id", "text")
+    val in = memoFixture("q172in", dir) { p =>
+      fixture.write.mode("overwrite").parquet(p)
+    }
+    val model = Subsample.fitModel(fixture, "text", seed = "s166", t = 1e-3)
+    val sub = Subsample.applyModel(
+        s.readStream.schema(fixture.schema).parquet(in), "doc_id", "text",
+        model)
+      .select("doc_id", "n_tokens", "n_kept", "sub_text")
+    runToSink(sub, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4595,5 +4619,6 @@ object Queries {
     "q169_bbit_minhash" -> q169BbitMinhash,
     "q170_boilerplate_strip" -> q170BoilerplateStrip,
     "q171_luhn_redact" -> q171LuhnRedact,
+    "q172_streaming_subsample" -> q172StreamingSubsample,
   )
 }
