@@ -4591,6 +4591,31 @@ object Oracles {
        |FROM lu ORDER BY doc_id""".stripMargin
   }
 
+  /** q173: the 12-round BPE training unroll (shared with q99/q102)
+    * feeding per-language occurrence-weighted fertility ratios.
+    */
+  private lazy val tokenizerFertilitySql: String =
+    bpeUnrollCtes(12) + ",\n" +
+      s"""lw AS MATERIALIZED (
+         |  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT lang, unnest($toksExpr) AS w FROM documents)
+         |  GROUP BY lang, w
+         |),
+         |agg AS (
+         |  SELECT lw.lang,
+         |    CAST(SUM(lw.freq) AS BIGINT) AS n_words,
+         |    CAST(SUM(lw.freq * len(w12.syms)) AS BIGINT) AS n_subwords,
+         |    CAST(SUM(lw.freq * length(lw.w)) AS BIGINT) AS n_chars
+         |  FROM lw JOIN words12 w12 ON w12.w = lw.w
+         |  GROUP BY lw.lang
+         |)
+         |SELECT lang, n_words, n_subwords, n_chars,
+         |  ROUND(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+         |    AS fertility,
+         |  ROUND(CAST(n_chars AS DOUBLE) / CAST(n_subwords AS DOUBLE), 6)
+         |    AS chars_per_token
+         |FROM agg ORDER BY lang""".stripMargin
+
   val all: Map[String, String] = headOracles ++ tailOracles ++
     Map("q163_embedding_spectrum" -> embeddingSpectrumSql,
       "q164_phrase_scan" -> phraseScanSql,
@@ -4599,5 +4624,6 @@ object Oracles {
       "q172_streaming_subsample" -> tokenSubsampleSql,
       "q167_ccnet_buckets" -> ccnetBucketsSql,
       "q170_boilerplate_strip" -> boilerplateStripSql,
-      "q171_luhn_redact" -> luhnRedactSql)
+      "q171_luhn_redact" -> luhnRedactSql,
+      "q173_tokenizer_fertility" -> tokenizerFertilitySql)
 }

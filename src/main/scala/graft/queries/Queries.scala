@@ -4447,6 +4447,36 @@ object Queries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** Tokenizer fertility report: per language, subwords-per-word
+    * (fertility) and chars-per-subword under the corpus-trained BPE
+    * model — THE comparison metric for tokenizer quality across
+    * languages (a high-fertility language pays more sequence length
+    * per sentence; Rust et al. ACL 2021 use exactly this measure).
+    * Composition: the q99/q102 trained merges (plan-constant memo)
+    * applied to the distinct (lang, word) table, occurrence-weighted
+    * rollup per language — segmentation cost ∝ distinct words, never
+    * the token stream. Oracle replays training (12-round unroll) and
+    * the weighted ratios.
+    */
+  val q173TokenizerFertility: Q = (s, dir) => {
+    val merges = bpeMerges(s, dir).map(m => (m._2, m._3))
+    val lw = docs(s, dir)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("freq"))
+    lw.withColumn("_syms",
+        graft.functions.BpeExpressions.bpeSegment(col("w"), merges))
+      .groupBy("lang").agg(
+        sum(col("freq")).as("n_words"),
+        sum(col("freq") * size(col("_syms"))).as("n_subwords"),
+        sum(col("freq") * length(col("w"))).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_subwords"), col("n_chars"),
+        round(col("n_subwords").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"),
+        round(col("n_chars").cast("double") /
+          col("n_subwords").cast("double"), 6).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4620,5 +4650,6 @@ object Queries {
     "q170_boilerplate_strip" -> q170BoilerplateStrip,
     "q171_luhn_redact" -> q171LuhnRedact,
     "q172_streaming_subsample" -> q172StreamingSubsample,
+    "q173_tokenizer_fertility" -> q173TokenizerFertility,
   )
 }
