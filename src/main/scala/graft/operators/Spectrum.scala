@@ -80,12 +80,18 @@ object Spectrum {
     * plus the scalar spectrum summary repeated as columns.
     */
   def topComponentReport(emb: DataFrame, vecCol: String, dim: Int,
-      iters: Int = 25): DataFrame = {
-    val m = topComponentModel(emb, vecCol, dim, iters)
+      iters: Int = 25): DataFrame =
+    reportFromModel(emb.sparkSession,
+      topComponentModel(emb, vecCol, dim, iters), dim)
+
+  /** The q163 report table from an already-fitted model (memoized
+    * consumers skip the corpus passes).
+    */
+  def reportFromModel(spark: SparkSession, m: SpectrumModel,
+      dim: Int): DataFrame = {
     val lambda6 = r(m.lambda, 6)
     val trace6 = r(m.trace, 6)
     val share6 = r(m.lambda / m.trace, 6)
-    val spark = emb.sparkSession
     import spark.implicits._
     (0 until dim).map(i =>
         (i.toLong, m.mean9(i), m.v(i), lambda6, trace6, share6))
@@ -176,10 +182,15 @@ object Spectrum {
     * to 9 dp; top_share = ROUND(proj²/norm2, 6) in IEEE.
     */
   def removeTopReport(emb: DataFrame, idCol: String, vecCol: String,
-      dim: Int, iters: Int = 25): DataFrame = {
+      dim: Int, iters: Int = 25): DataFrame =
+    removeTopReport(emb, idCol, vecCol, dim,
+      topComponentModel(emb, vecCol, dim, iters))
+
+  /** [[removeTopReport]] under an already-fitted model. */
+  def removeTopReport(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: SpectrumModel): DataFrame = {
     import org.apache.spark.sql.Column
     import graft.functions.DotExactExpression
-    val m = topComponentModel(emb, vecCol, dim, iters)
     val muLit = array(m.mean9.map(lit(_)).toIndexedSeq: _*)
     val vLit = array(m.v.map(lit(_)).toIndexedSeq: _*)
     val t = zip_with(col(vecCol).cast("array<double>"), muLit,

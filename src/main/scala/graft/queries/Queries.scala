@@ -4240,9 +4240,20 @@ object Queries {
     * the driver with decimal-exact dots + 9-dp rounds, so the oracle
     * replays EVERY iteration bit-for-bit (recursive CTE).
     */
+  /** Process-level memo of the fitted spectrum model (q163 + q165
+    * share it — the lmMemo/bpeMemo "trained model as a deployable
+    * artifact" precedent): the two corpus passes + driver power
+    * iteration run once per corpus dir.
+    */
+  private val spectrumMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Spectrum.SpectrumModel]()
+  private def spectrumFor(s: SparkSession, dir: String): Spectrum.SpectrumModel =
+    spectrumMemo.computeIfAbsent(dir, _ =>
+      Spectrum.topComponentModel(
+        Tables.embeddings(s, dir).select("embedding"), "embedding", dim = 64))
+
   val q163EmbeddingSpectrum: Q = (s, dir) =>
-    Spectrum.topComponentReport(
-        Tables.embeddings(s, dir).select("embedding"), "embedding", dim = 64)
+    Spectrum.reportFromModel(s, spectrumFor(s, dir), dim = 64)
       .orderBy("dim")
 
   /** Banned-phrase scan ([[PhraseFilter.tagBanned]] on the
@@ -4284,7 +4295,7 @@ object Queries {
   val q165RemoveTop: Q = (s, dir) =>
     Spectrum.removeTopReport(
         Tables.embeddings(s, dir).select("vec_id", "embedding"),
-        "vec_id", "embedding", dim = 64)
+        "vec_id", "embedding", dim = 64, spectrumFor(s, dir))
       .orderBy("vec_id")
 
   /** Frequency-aware token subsampling ([[Subsample.subsampleCorpus]],
