@@ -136,6 +136,37 @@ object CorpusStats {
           .as("entropy"))
   }
 
+  /** Good–Turing unseen-species mass per group (Good, Biometrika
+    * 1953): p₀ ≈ n₁/N — the probability the NEXT token drawn from
+    * this language is a word never seen in the corpus, estimated
+    * from the hapax count. The corpus-coverage / OOV-rate report a
+    * pipeline reads before deciding whether a language has enough
+    * data to train a tokenizer on (a high p₀ vocabulary is still
+    * growing — Heaps' regime). Output per group: token count N,
+    * vocabulary V, hapax n₁, dis-legomena n₂, p_unseen = n₁/N.
+    *
+    * 100 TB shape: the token stream collapses to (group, word)
+    * counts with map-side partial agg (vocab-sized), then a
+    * group-count-sized rollup — the frequency-of-frequencies
+    * discipline of [[SkewReport]]: nothing corpus-sized is sorted or
+    * windowed.
+    */
+  def goodTuring(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val wc = docs
+      .select(col(groupCol), explode(graft.functions.Text.tokens(col(textCol))).as("_w"))
+      .groupBy(col(groupCol), col("_w")).agg(count(lit(1)).as("_c"))
+    wc.groupBy(col(groupCol)).agg(
+        sum(col("_c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("_c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("_c") === 2, 1L).otherwise(0L)).as("dis"))
+      .select(col(groupCol), col("n_tokens"), col("vocab"), col("hapax"),
+        col("dis"),
+        round(col("hapax").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("p_unseen"))
+  }
+
   def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tc = docs
       .select(col(idCol), explode(Text.tokens(col(textCol))).as("_t"))

@@ -4625,5 +4625,20 @@ object Oracles {
       "q167_ccnet_buckets" -> ccnetBucketsSql,
       "q170_boilerplate_strip" -> boilerplateStripSql,
       "q171_luhn_redact" -> luhnRedactSql,
-      "q173_tokenizer_fertility" -> tokenizerFertilitySql)
+      "q173_tokenizer_fertility" -> tokenizerFertilitySql,
+      // stream ≡ batch for the stateless AC projection
+      "q175_streaming_phrase_scan" -> phraseScanSql,
+      "q174_good_turing" ->
+        s"""WITH wc AS (
+           |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM (SELECT lang, unnest($toksExpr) AS tok FROM documents)
+           |  GROUP BY lang, tok
+           |)
+           |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           |  CAST(COUNT(*) AS BIGINT) AS vocab,
+           |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+           |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(SUM(c) AS DOUBLE), 6) AS p_unseen
+           |FROM wc GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -4267,20 +4267,23 @@ object Queries {
     * "classification" — documented list contract); the oracle replays
     * the naive `contains` cross join.
     */
-  val q164PhraseScan: Q = (s, dir) => {
+  private val bannedPhrases = Seq("cheap pills", "pills now", "casino",
+    "casino bonus", "crypto", "ass")
+
+  private def phraseInjectedDocs(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val injected = docs(s, dir).select(col("doc_id"),
+    docs(s, dir).select(col("doc_id"),
       concat(col("text"),
         when(id % 7 === 0, lit(" Buy CHEAP pills now online"))
           .when(id % 11 === 0, lit(" best casino bonus codes"))
           .when(id % 13 === 0, lit(" free crypto CASINO classification"))
           .otherwise(lit(""))).as("text"))
-    PhraseFilter.tagBanned(injected, "text",
-        Seq("cheap pills", "pills now", "casino", "casino bonus",
-          "crypto", "ass"))
+  }
+
+  val q164PhraseScan: Q = (s, dir) =>
+    PhraseFilter.tagBanned(phraseInjectedDocs(s, dir), "text", bannedPhrases)
       .select("doc_id", "n_banned", "banned", "phrases")
       .orderBy("doc_id")
-  }
 
   /** Per-vector all-but-the-top decomposition ([[Spectrum
     * .removeTopReport]], Mu & Viswanath ICLR 2018): under q163's
@@ -4488,6 +4491,36 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Good–Turing unseen-mass / OOV estimate per language
+    * ([[CorpusStats.goodTuring]], Good 1953): p₀ = hapax/N — the
+    * vocabulary-coverage report read before trusting a tokenizer or
+    * LM for a language. Vocab-sized partial-agg rollup; oracle
+    * replays counts and the IEEE ratio.
+    */
+  val q174GoodTuring: Q = (s, dir) =>
+    CorpusStats.goodTuring(docs(s, dir), "lang", "text").orderBy("lang")
+
+  /** STREAMING banned-phrase scan ([[PhraseFilter.tagBanned]] over a
+    * readStream relation): q164's Aho–Corasick projection at ingest —
+    * the automaton is a plan constant and the scan is stateless (no
+    * watermark/state/flush), so list policy applies the moment a doc
+    * arrives. Oracle is q164's SQL verbatim (stream ≡ batch).
+    */
+  val q175StreamingPhraseScan: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q175")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val fixture = phraseInjectedDocs(s, dir)
+    val in = memoFixture("q175in", dir) { p =>
+      fixture.write.mode("overwrite").parquet(p)
+    }
+    val tagged = PhraseFilter.tagBanned(
+        s.readStream.schema(fixture.schema).parquet(in), "text",
+        bannedPhrases)
+      .select("doc_id", "n_banned", "banned", "phrases")
+    runToSink(tagged, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4662,5 +4695,7 @@ object Queries {
     "q171_luhn_redact" -> q171LuhnRedact,
     "q172_streaming_subsample" -> q172StreamingSubsample,
     "q173_tokenizer_fertility" -> q173TokenizerFertility,
+    "q174_good_turing" -> q174GoodTuring,
+    "q175_streaming_phrase_scan" -> q175StreamingPhraseScan,
   )
 }
