@@ -4616,6 +4616,80 @@ object Oracles {
          |    AS chars_per_token
          |FROM agg ORDER BY lang""".stripMargin
 
+  /** q176: the LR distillation replayed end-to-end — q82's feature/
+    * label arithmetic, 8 unrolled GD iterations (decimal-quantized
+    * margin dot, IEEE sigmoid rounded 9 dp, DECIMAL(38,12)-exact
+    * gradients, 9-dp weight updates), and the final scoring pass.
+    */
+  private lazy val qualityLrSql: String = {
+    def swCount(words: Seq[String]) =
+      s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+    val en = swCount(Seq("the", "and", "of", "is", "to"))
+    val de = swCount(Seq("der", "und", "die", "ist", "das"))
+    val fr = swCount(Seq("le", "la", "et", "est", "les"))
+    val es = swCount(Seq("el", "los", "y", "es", "las"))
+    val stop = swCount(graft.functions.Text.Stopwords)
+    def margin(w: String): String =
+      s"""ROUND(CAST(
+         |      CAST(1.0 * $w.w0 AS DECIMAL(18,12)) +
+         |      CAST(f.x1 * $w.w1 AS DECIMAL(18,12)) +
+         |      CAST(f.x2 * $w.w2 AS DECIMAL(18,12)) +
+         |      CAST(f.x3 * $w.w3 AS DECIMAL(18,12)) AS DOUBLE), 9)""".stripMargin
+    val iters = (1 to 8).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT f.y, f.x1, f.x2, f.x3,
+         |    ROUND(1 / (1 + exp(-(${margin("it")}))), 9) AS p
+         |  FROM f, it${k - 1} it
+         |),
+         |g$k AS (
+         |  SELECT
+         |    CAST(SUM(CAST((y - p) * 1.0 AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+         |    CAST(SUM(CAST((y - p) * x1 AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+         |    CAST(SUM(CAST((y - p) * x2 AS DECIMAL(38,12))) AS DOUBLE) AS g2,
+         |    CAST(SUM(CAST((y - p) * x3 AS DECIMAL(38,12))) AS DOUBLE) AS g3
+         |  FROM p$k
+         |),
+         |it$k AS (
+         |  SELECT
+         |    ROUND(it.w0 + 0.5 * g.g0 / (SELECT n FROM nn), 9) AS w0,
+         |    ROUND(it.w1 + 0.5 * g.g1 / (SELECT n FROM nn), 9) AS w1,
+         |    ROUND(it.w2 + 0.5 * g.g2 / (SELECT n FROM nn), 9) AS w2,
+         |    ROUND(it.w3 + 0.5 * g.g3 / (SELECT n FROM nn), 9) AS w3
+         |  FROM it${k - 1} it, g$k g
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, text, $toksExpr AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS tc,
+       |    CAST($stop AS DOUBLE) / CAST(GREATEST(len(toks), 1) AS DOUBLE) AS sr,
+       |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / CAST(GREATEST(length(text), 1) AS DOUBLE) AS pr,
+       |    $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es
+       |  FROM t
+       |),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN tc >= 20
+       |      AND (s_en + s_de + s_fr + s_es > 0 AND s_en >= s_de
+       |           AND s_en >= s_fr AND s_en >= s_es)
+       |      AND sr >= 0.04 AND pr <= 0.2
+       |      THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
+       |    CAST(tc AS DOUBLE) / 100.0 AS x1, sr AS x2, pr AS x3
+       |  FROM m
+       |),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+       |it0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+       |               CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3),
+       |$iters,
+       |sc AS (
+       |  SELECT f.doc_id, CAST(f.y AS INTEGER) AS label,
+       |    ROUND(ROUND(1 / (1 + exp(-(${margin("it")}))), 9), 6) AS score
+       |  FROM f, it8 it
+       |)
+       |SELECT doc_id, label, score, score >= 0.5 AS predicted
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, String] = headOracles ++ tailOracles ++
     Map("q163_embedding_spectrum" -> embeddingSpectrumSql,
       "q164_phrase_scan" -> phraseScanSql,
@@ -4628,6 +4702,7 @@ object Oracles {
       "q173_tokenizer_fertility" -> tokenizerFertilitySql,
       // stream ≡ batch for the stateless AC projection
       "q175_streaming_phrase_scan" -> phraseScanSql,
+      "q176_quality_lr" -> qualityLrSql,
       "q174_good_turing" ->
         s"""WITH wc AS (
            |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c

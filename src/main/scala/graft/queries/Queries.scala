@@ -4521,6 +4521,33 @@ object Queries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** Logistic-regression quality classifier ([[QualityLr]], the
+    * Brown et al. 2020 Appendix-A stage): labels distill the q82
+    * cascade verdict, features are the cascade's own cheap signals
+    * (tokens/100, stopword ratio, punct ratio + intercept), training
+    * is 8 rounds of full-batch GD at lr 0.5 with every step
+    * decimal-exact-then-9-dp. Gated output = per-doc label, smooth
+    * score under the final weights, and the ≥0.5 prediction — the
+    * oracle replays feature extraction, all 8 gradient steps
+    * (unrolled CTEs), and the scoring pass bit-for-bit.
+    */
+  val q176QualityLr: Q = (s, dir) => {
+    val txt = col("text")
+    val sr = Text.stopwordRatio(txt)
+    val pr = Text.punctRatio(txt)
+    val pass = (Text.tokenCount(txt) >= 20) && (Text.langId(txt) === "en") &&
+      (sr >= 0.04) && (pr <= 0.2)
+    val feats = docs(s, dir).select(col("doc_id"),
+      when(pass, 1.0).otherwise(0.0).as("y"),
+      array(lit(1.0), Text.tokenCount(txt).cast("double") / lit(100.0),
+        sr, pr).as("x"))
+    val w = QualityLr.train(feats, dims = 4, iters = 8, lr = 0.5)
+    feats.select(col("doc_id"), col("y").cast("int").as("label"),
+        round(QualityLr.p9(col("x"), w), 6).as("score"))
+      .withColumn("predicted", col("score") >= 0.5)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4697,5 +4724,6 @@ object Queries {
     "q173_tokenizer_fertility" -> q173TokenizerFertility,
     "q174_good_turing" -> q174GoodTuring,
     "q175_streaming_phrase_scan" -> q175StreamingPhraseScan,
+    "q176_quality_lr" -> q176QualityLr,
   )
 }
