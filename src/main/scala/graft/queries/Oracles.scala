@@ -4703,6 +4703,7 @@ object Oracles {
       // stream ≡ batch for the stateless AC projection
       "q175_streaming_phrase_scan" -> phraseScanSql,
       "q176_quality_lr" -> qualityLrSql,
+      "q177_streaming_lr_score" -> qualityLrSql,
       "q174_good_turing" ->
         s"""WITH wc AS (
            |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c

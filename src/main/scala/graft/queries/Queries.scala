@@ -4548,6 +4548,39 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** STREAMING LR quality scoring ([[QualityLr.p9]] over a readStream
+    * relation): q176's scoring pass at ingest — the trained weights
+    * ride the plan as literals (the q115 model-deployment shape), so
+    * scoring is stateless: no shuffle, no state store, no flush
+    * batch. Training still happens batch-side (8 GD rounds need the
+    * full corpus); what streams is the deployment. Oracle is q176's
+    * SQL verbatim (stream ≡ batch bit-for-bit).
+    */
+  val q177StreamingLrScore: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q177")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val txt = col("text")
+    val sr = Text.stopwordRatio(txt)
+    val pr = Text.punctRatio(txt)
+    val pass = (Text.tokenCount(txt) >= 20) && (Text.langId(txt) === "en") &&
+      (sr >= 0.04) && (pr <= 0.2)
+    def feats(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      when(pass, 1.0).otherwise(0.0).as("y"),
+      array(lit(1.0), Text.tokenCount(txt).cast("double") / lit(100.0),
+        sr, pr).as("x"))
+    val w = QualityLr.train(feats(docs(s, dir)), dims = 4, iters = 8, lr = 0.5)
+    val fixture = docs(s, dir).select("doc_id", "text")
+    val in = memoFixture("q177in", dir) { p =>
+      fixture.write.mode("overwrite").parquet(p)
+    }
+    val scored = feats(s.readStream.schema(fixture.schema).parquet(in))
+      .select(col("doc_id"), col("y").cast("int").as("label"),
+        round(QualityLr.p9(col("x"), w), 6).as("score"))
+      .withColumn("predicted", col("score") >= 0.5)
+    runToSink(scored, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4725,5 +4758,6 @@ object Queries {
     "q174_good_turing" -> q174GoodTuring,
     "q175_streaming_phrase_scan" -> q175StreamingPhraseScan,
     "q176_quality_lr" -> q176QualityLr,
+    "q177_streaming_lr_score" -> q177StreamingLrScore,
   )
 }
