@@ -64,4 +64,50 @@ object Drift {
       .orderBy(col("contrib").desc, col("token")).limit(k)
       .crossJoin(broadcast(kl.select(round(col("kl_total"), 12).as("kl_total"))))
   }
+
+  /** Per-GROUP KL against a reference categorical distribution — the
+    * continuous-monitoring form of [[klDrift]]: each group (an
+    * event-time window, a source, a shard) gets
+    * KL(p_group ‖ p_ref) over the REFERENCE vocabulary with Laplace
+    * smoothing, so a window whose category mix wanders from the
+    * corpus norm lights up. Same arithmetic discipline as
+    * [[klDrift]]: one ln over an exact-integer product ratio rounded
+    * 9 dp, contribution in two IEEE ops rounded 12 dp, exact DECIMAL
+    * sum per group rounded 9 dp.
+    *
+    * `groupCounts` = (groupCol, typeCol, cntCol) — typically the
+    * read-back of a streaming windowed count; `refCounts` =
+    * (typeCol, refCnt) — model-sized (category vocabulary), so it
+    * broadcasts and the group×type expansion never shuffles the
+    * groups. Output: (groupCol, n_events, kl).
+    */
+  def klAgainstReference(groupCounts: DataFrame, groupCol: String,
+      typeCol: String, cntCol: String, refCounts: DataFrame,
+      refCntCol: String): DataFrame = {
+    val totals = refCounts.agg(
+      sum(col(refCntCol)).as("_nr"), count(lit(1)).as("_v"))
+    val groups = groupCounts.groupBy(groupCol)
+      .agg(sum(col(cntCol)).as("_nw"))
+    val expanded = groups
+      .crossJoin(broadcast(refCounts
+        .select(col(typeCol), col(refCntCol).as("_ct"))))
+      .join(groupCounts.select(col(groupCol), col(typeCol),
+        col(cntCol).as("_c")), Seq(groupCol, typeCol), "left")
+      .select(col(groupCol), col("_nw"), col("_ct"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+      .crossJoin(broadcast(totals))
+    val contrib = expanded
+      .withColumn("_lnr", round(log(
+        ((col("_c") + 1L) * (col("_nr") + col("_v"))).cast("double") /
+          ((col("_ct") + 1L) * (col("_nw") + col("_v"))).cast("double")), 9))
+      .withColumn("_contrib", round(
+        (col("_c") + 1L).cast("double") / (col("_nw") + col("_v")).cast("double") *
+          col("_lnr"), 12))
+    // total rounded AT the sum's own scale (12) — rounding tighter
+    // (e.g. 9 dp) would park exact .5 midpoints of the decimal sum on
+    // a HALF_UP boundary where the two engines' double paths diverge
+    contrib.groupBy(groupCol, "_nw")
+      .agg(round(Exact.dsum(col("_contrib"), scale = 12), 12).as("kl"))
+      .select(col(groupCol), col("_nw").as("n_events"), col("kl"))
+  }
 }

@@ -4704,6 +4704,36 @@ object Oracles {
       "q175_streaming_phrase_scan" -> phraseScanSql,
       "q176_quality_lr" -> qualityLrSql,
       "q177_streaming_lr_score" -> qualityLrSql,
+      // streaming drift monitor: windowing + Laplace-smoothed KL vs
+      // the corpus reference, the klDrift integer-ratio arithmetic
+      "q178_streaming_drift" ->
+        s"""WITH e AS (
+           |  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h,
+           |    event_type AS t
+           |  FROM events
+           |),
+           |g AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS ct FROM e GROUP BY t),
+           |tv AS (SELECT CAST(SUM(ct) AS BIGINT) AS nr,
+           |              CAST(COUNT(*) AS BIGINT) AS v FROM g),
+           |w AS (SELECT h, t, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY h, t),
+           |nw AS (SELECT h, CAST(SUM(c) AS BIGINT) AS nw FROM w GROUP BY h),
+           |x AS (
+           |  SELECT nw.h, nw.nw, g.ct, g.t, COALESCE(w.c, 0) AS c
+           |  FROM nw CROSS JOIN g
+           |  LEFT JOIN w ON w.h = nw.h AND w.t = g.t
+           |),
+           |sc AS (
+           |  SELECT h, nw,
+           |    ROUND(CAST(c + 1 AS DOUBLE) / CAST(nw + (SELECT v FROM tv) AS DOUBLE)
+           |      * ROUND(ln(
+           |          CAST((c + 1) * ((SELECT nr FROM tv) + (SELECT v FROM tv)) AS DOUBLE) /
+           |          CAST((ct + 1) * (nw + (SELECT v FROM tv)) AS DOUBLE)), 9),
+           |      12) AS contrib
+           |  FROM x
+           |)
+           |SELECT h AS hour_start, nw AS n_events,
+           |  ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38,12))) AS DOUBLE), 12) AS kl
+           |FROM sc GROUP BY h, nw ORDER BY hour_start""".stripMargin,
       "q174_good_turing" ->
         s"""WITH wc AS (
            |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c

@@ -4581,6 +4581,43 @@ object Queries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** STREAMING drift monitor ([[Drift.klAgainstReference]]): hourly
+    * event-type counts materialize at ingest (real watermark +
+    * tumbling-window state, sentinel-flushed), then each window's
+    * category mix scores KL against the corpus-wide reference
+    * distribution — the continuous distribution-shift alarm on an
+    * ingestion pipeline (q125's klDrift as a per-window monitor).
+    * The reference is category-vocabulary-sized (broadcast); the
+    * stream shuffles only (window, type) count rows. Oracle replays
+    * windowing, Laplace smoothing over the reference vocabulary, and
+    * the exact-integer-ratio ln arithmetic.
+    */
+  val q178StreamingDriftMonitor: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q178")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val e = events(s, dir).select("event_id", "ts", "event_type")
+    val in = memoFixture("q178in", dir) { p =>
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+        lit("__sentinel").as("event_type"))
+      e.unionByName(sentinel).write.mode("overwrite").parquet(p)
+    }
+    val counts = s.readStream.schema(
+        e.sparkSession.read.parquet(in).schema).parquet(in)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
+    runToSink(counts, in, out, chk, dropInput = false)
+    val streamed = s.read.parquet(out)
+      .filter(col("event_type") =!= "__sentinel")
+    val ref = e.groupBy("event_type").agg(count(lit(1)).as("ref_cnt"))
+    Drift.klAgainstReference(streamed, "hour_start", "event_type", "n",
+        ref, "ref_cnt")
+      .orderBy("hour_start")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4759,5 +4796,6 @@ object Queries {
     "q175_streaming_phrase_scan" -> q175StreamingPhraseScan,
     "q176_quality_lr" -> q176QualityLr,
     "q177_streaming_lr_score" -> q177StreamingLrScore,
+    "q178_streaming_drift" -> q178StreamingDriftMonitor,
   )
 }
