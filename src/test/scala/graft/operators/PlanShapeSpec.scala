@@ -515,4 +515,53 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache() // cellPairs/nearDupPairs persist intermediates
     graft.core.OpCache.release(blocking = true)
   }
+
+  test("phrase scan + token subsample: pure per-row projections — zero exchanges") {
+    val df = (1 to 200).map(i => (i.toLong, s"word$i the and casino x$i"))
+      .toDF("doc_id", "text")
+    val scanned = PhraseFilter.tagBanned(df, "text", Seq("casino", "the and"))
+    val sPlan = scanned.queryExecution.executedPlan.toString()
+    assert(!sPlan.contains("Exchange"),
+      s"AC phrase scan shuffled a per-row projection:\n$sPlan")
+    // subsample APPLY under a plan-constant model: the kernel rides a
+    // reference object; nothing joins, nothing explodes
+    val model = graft.functions.SubsampleKernel.toModel("s",
+      Array("the", "and"), Array(0.5, 0.5))
+    val applied = Subsample.applyModel(df, "doc_id", "text", model)
+    val aPlan = applied.queryExecution.executedPlan.toString()
+    assert(!aPlan.contains("Exchange"),
+      s"subsample apply shuffled a per-row projection:\n$aPlan")
+    assert(!aPlan.contains("Generate"),
+      s"subsample apply explodes the token stream:\n$aPlan")
+  }
+
+  test("b-bit prefilter: estimate screens via slim signatures before the shingle verify join") {
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (0 until 25).map(t => s"d${i}_w$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val pairs = NearDup.bbitPrefilteredPairs(docs, "doc_id", "text", 0.5)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"b-bit pipeline degenerated to an all-pairs join:\n${plan.take(4000)}")
+    assert(plan.contains("graft_bbit_est"),
+      s"the 1-bit estimate filter is missing from the physical plan:\n${plan.take(4000)}")
+    spark.catalog.clearCache()
+    graft.core.OpCache.release(blocking = true)
+  }
+
+  test("LR training round: one mergeable aggregation, gradients partial-agg") {
+    val feats = (1 to 300).map(i =>
+        (i.toLong, (i % 2).toDouble, Array(1.0, i / 100.0)))
+      .toDF("id", "y", "x")
+    val resid = $"y" - QualityLr.p9($"x", Array(0.1, -0.2))
+    val g = feats.select(
+      sum((resid * element_at($"x", 1)).cast("decimal(38,12)")).as("g0"),
+      sum((resid * element_at($"x", 2)).cast("decimal(38,12)")).as("g1"))
+    g.collect()
+    val plan = g.queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_sum"),
+      s"gradient aggregation lacks map-side partials:\n$plan")
+    assert(!plan.contains("Window"), s"gradient pass uses a window:\n$plan")
+  }
 }
