@@ -4690,6 +4690,61 @@ object Oracles {
        |FROM sc ORDER BY doc_id""".stripMargin
   }
 
+  /** q179: from-scratch boilerplate strip over base ∪ delta,
+    * restricted to the delta ids — the incremental path must emit the
+    * identical table (the q148 incremental ≡ scratch contract).
+    */
+  private lazy val incrementalBoilerplateSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, 'h' || CAST(doc_id % 12 AS VARCHAR) AS host,
+       |    'NAV h' || CAST(doc_id % 12 AS VARCHAR) ||
+       |      ' home products contact' || chr(10) || text ||
+       |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'subscribe to h' ||
+       |      CAST(doc_id % 12 AS VARCHAR) || ' newsletter' ELSE '' END ||
+       |    chr(10) || 'Copyright h' || CAST(doc_id % 12 AS VARCHAR) ||
+       |      ' all rights reserved' AS text
+       |  FROM documents
+       |),
+       |dl AS (
+       |  SELECT doc_id + 840000 AS doc_id,
+       |    'h' || CAST((doc_id + 840000) % 12 AS VARCHAR) AS host,
+       |    'NAV h' || CAST((doc_id + 840000) % 12 AS VARCHAR) ||
+       |      ' home products contact' || chr(10) || text ||
+       |    CASE WHEN (doc_id + 840000) % 5 = 0 THEN chr(10) || 'subscribe to h' ||
+       |      CAST((doc_id + 840000) % 12 AS VARCHAR) || ' newsletter' ELSE '' END ||
+       |    chr(10) || 'FLASH sale at h' ||
+       |      CAST((doc_id + 840000) % 12 AS VARCHAR) || ' today' ||
+       |    chr(10) || 'Copyright h' || CAST((doc_id + 840000) % 12 AS VARCHAR) ||
+       |      ' all rights reserved' AS text
+       |  FROM documents
+       |),
+       |d AS MATERIALIZED (SELECT * FROM b UNION ALL SELECT * FROM dl),
+       |l AS MATERIALIZED (
+       |  SELECT doc_id, host,
+       |    unnest(string_split(text, chr(10))) AS line,
+       |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+       |  FROM d
+       |),
+       |hd AS (SELECT host, COUNT(DISTINCT doc_id) AS nd FROM d GROUP BY host),
+       |lf AS (
+       |  SELECT host, line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM l GROUP BY host, line
+       |),
+       |t AS (
+       |  SELECT l.doc_id, l.host, l.line, l.pos,
+       |    CAST(lf.df AS DOUBLE) / CAST(hd.nd AS DOUBLE) >= 0.5 AS boiler
+       |  FROM l
+       |  JOIN lf ON lf.host = l.host AND lf.line = l.line
+       |  JOIN hd ON hd.host = l.host
+       |)
+       |SELECT doc_id, host, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  COALESCE(array_to_string(
+       |    list(line ORDER BY pos) FILTER (WHERE NOT boiler), chr(10)), '')
+       |    AS clean_text
+       |FROM t WHERE doc_id >= 840000
+       |GROUP BY doc_id, host ORDER BY doc_id""".stripMargin
+
   val all: Map[String, String] = headOracles ++ tailOracles ++
     Map("q163_embedding_spectrum" -> embeddingSpectrumSql,
       "q164_phrase_scan" -> phraseScanSql,
@@ -4698,6 +4753,7 @@ object Oracles {
       "q172_streaming_subsample" -> tokenSubsampleSql,
       "q167_ccnet_buckets" -> ccnetBucketsSql,
       "q170_boilerplate_strip" -> boilerplateStripSql,
+      "q179_incremental_boilerplate" -> incrementalBoilerplateSql,
       "q171_luhn_redact" -> luhnRedactSql,
       "q173_tokenizer_fertility" -> tokenizerFertilitySql,
       // stream ≡ batch for the stateless AC projection

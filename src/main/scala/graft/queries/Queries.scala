@@ -4395,22 +4395,31 @@ object Queries {
     * dedup (q89) cannot express. Oracle replays the line explode, the
     * COUNT(DISTINCT doc)/host_docs ratio, and the ordered reassembly.
     */
-  val q170BoilerplateStrip: Q = (s, dir) => {
+  /** Host-template wrapper shared by q170 (batch) and q179
+    * (incremental): nav + body (+ 1-in-5 newsletter) [+ the delta's
+    * flash-sale line] + footer, host = id % 12.
+    */
+  private def hostWrappedDocs(base: DataFrame, saleLine: Boolean): DataFrame = {
     val id = col("doc_id")
     val host = concat(lit("h"), (id % 12).cast("string"))
-    val wrapped = docs(s, dir).select(col("doc_id"), host.as("host"),
+    base.select(col("doc_id"), host.as("host"),
       concat(
         lit("NAV "), host, lit(" home products contact\n"),
         col("text"),
         when(id % 5 === 0,
           concat(lit("\nsubscribe to "), host, lit(" newsletter")))
           .otherwise(lit("")),
+        if (saleLine) concat(lit("\nFLASH sale at "), host, lit(" today"))
+        else lit(""),
         lit("\nCopyright "), host, lit(" all rights reserved")).as("text"))
-    Boilerplate.stripHostBoilerplate(wrapped, "doc_id", "host", "text",
-        minDocFrac = 0.5)
+  }
+
+  val q170BoilerplateStrip: Q = (s, dir) =>
+    Boilerplate.stripHostBoilerplate(
+        hostWrappedDocs(docs(s, dir), saleLine = false),
+        "doc_id", "host", "text", minDocFrac = 0.5)
       .select("doc_id", "host", "n_lines", "n_boiler", "clean_text")
       .orderBy("doc_id")
-  }
 
   /** Luhn-gated credit-card redaction ([[Redact.redactCreditCards]]):
     * regex candidates (contiguous 13–16 digits or 4-4-4-4 groups),
@@ -4618,6 +4627,36 @@ object Queries {
       .orderBy("hour_start")
   }
 
+  /** INCREMENTAL boilerplate strip ([[Boilerplate.stripIncremental]],
+    * the q85/q148 incremental family): the base corpus's (host, line)
+    * df index + host doc counts are STORED once; a delta batch (same
+    * hosts, id-shifted by 840000 = lcm-preserving %12 and %5, plus a
+    * flash-sale template on every delta doc) strips under the merged
+    * frequencies — base text never re-explodes, everything else is
+    * delta-sized. The sale line lands at EXACTLY the 0.5 boundary
+    * (equal base/delta host populations) → stripped; the 1-in-5
+    * newsletter stays below it → kept. Oracle = from-scratch over
+    * base ∪ delta restricted to delta ids (incremental ≡ scratch
+    * under the gate).
+    */
+  val q179IncrementalBoilerplate: Q = (s, dir) => {
+    val base = hostWrappedDocs(docs(s, dir), saleLine = false)
+    val delta = hostWrappedDocs(
+      docs(s, dir).withColumn("doc_id", col("doc_id") + 840000L),
+      saleLine = true)
+    val idx = memoFixture("q179idx", dir) { p =>
+      Boilerplate.lineDfIndex(base, "doc_id", "host", "text")
+        .write.mode("overwrite").parquet(s"$p/lines")
+      Boilerplate.hostDocCounts(base, "doc_id", "host")
+        .write.mode("overwrite").parquet(s"$p/hosts")
+    }
+    Boilerplate.stripIncremental(delta,
+        s.read.parquet(s"$idx/lines"), s.read.parquet(s"$idx/hosts"),
+        "doc_id", "host", "text", minDocFrac = 0.5)
+      .select("doc_id", "host", "n_lines", "n_boiler", "clean_text")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4797,5 +4836,6 @@ object Queries {
     "q176_quality_lr" -> q176QualityLr,
     "q177_streaming_lr_score" -> q177StreamingLrScore,
     "q178_streaming_drift" -> q178StreamingDriftMonitor,
+    "q179_incremental_boilerplate" -> q179IncrementalBoilerplate,
   )
 }

@@ -59,6 +59,35 @@ class BoilerplateSpec extends SparkSpec {
     assert(out(3L) === ((3L, 2L, "body")))
   }
 
+  test("incremental strip against the stored index equals from-scratch") {
+    val base = Seq(
+      (1L, "a", "nav\nbody one\nfooter"),
+      (2L, "a", "nav\nbody two\nfooter"),
+      (3L, "a", "nav\nbody three\nfooter"),
+      (4L, "b", "menu\nbeta 4"),
+      (5L, "b", "menu\nbeta 5"),
+      (6L, "b", "menu\nbeta 6")).toDF("id", "host", "text")
+    val delta = Seq(
+      (11L, "a", "nav\nbody eleven\nfooter\npromo"),
+      (12L, "a", "nav\nbody twelve\nfooter\npromo"),
+      (13L, "b", "menu\nbeta thirteen"),
+      (14L, "c", "fresh host\nno history")).toDF("id", "host", "text")
+    val inc = Boilerplate.stripIncremental(delta,
+        Boilerplate.lineDfIndex(base, "id", "host", "text"),
+        Boilerplate.hostDocCounts(base, "id", "host"),
+        "id", "host", "text", minDocFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val scratch = Boilerplate.stripHostBoilerplate(
+        base.unionByName(delta), "id", "host", "text", minDocFrac = 0.5)
+      .filter($"id" >= 11L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(inc === scratch)
+    // promo: 2 of 5 host-a docs = 0.4 < 0.5 -> kept; nav: 5/5 -> gone
+    assert(inc(11L) === "body eleven\npromo")
+    // fresh host with one doc: every line is 1/1 >= 0.5 -> all boiler
+    assert(inc(14L) === "")
+  }
+
   test("kept lines preserve original order") {
     // frac 0.6: 'common' (2/2 = 1.0) strips, uniques (0.5) survive
     val rows = Seq(
