@@ -4754,6 +4754,39 @@ object Oracles {
       "q167_ccnet_buckets" -> ccnetBucketsSql,
       "q170_boilerplate_strip" -> boilerplateStripSql,
       "q179_incremental_boilerplate" -> incrementalBoilerplateSql,
+      // negative sampling: unigram^(3/4) weights (two correctly-
+      // rounded sqrts), exact-decimal cums over the lex order, md5-48
+      // uniforms, first-reaching word = MIN(word) over cum >= t
+      "q180_negative_sampling" ->
+        s"""WITH wc AS (
+           |  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest($toksExpr) AS tok FROM documents)
+           |  GROUP BY tok
+           |),
+           |v AS (
+           |  SELECT word,
+           |    ROUND(sqrt(CAST(cnt AS DOUBLE)) * sqrt(sqrt(CAST(cnt AS DOUBLE))), 9) AS w
+           |  FROM wc
+           |),
+           |c AS MATERIALIZED (
+           |  SELECT word,
+           |    CAST(SUM(CAST(w AS DECIMAL(38,9))) OVER (ORDER BY word) AS DOUBLE) AS cum
+           |  FROM v
+           |),
+           |tot AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE) AS total FROM v),
+           |d AS (
+           |  SELECT k,
+           |    CAST(list_sum([
+           |      CAST(strpos('0123456789abcdef', substr(md5(
+           |        's180:' || CAST(k AS VARCHAR)), j, 1)) - 1 AS BIGINT)
+           |        * CAST(1::BIGINT << (4 * (12 - j)) AS BIGINT)
+           |      FOR j IN range(1, 13)]) AS DOUBLE)
+           |      / 281474976710656.0 * (SELECT total FROM tot) AS t
+           |  FROM (SELECT unnest(range(1, 2001)) AS k)
+           |)
+           |SELECT d.k AS draw, MIN(c.word) AS word
+           |FROM d JOIN c ON c.cum >= d.t
+           |GROUP BY d.k ORDER BY draw""".stripMargin,
       "q171_luhn_redact" -> luhnRedactSql,
       "q173_tokenizer_fertility" -> tokenizerFertilitySql,
       // stream ≡ batch for the stateless AC projection

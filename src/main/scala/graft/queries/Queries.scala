@@ -4657,6 +4657,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Negative-sampling table ([[NegativeSampling]], Mikolov NeurIPS
+    * 2013 §2.2): 2000 deterministic draws from the corpus
+    * unigram^(3/4) distribution via inverse-CDF over the
+    * lex-ordered vocabulary — the noise table NCE/contrastive losses
+    * consume. cnt^(3/4) is sqrt·sqrt∘sqrt (correctly-rounded IEEE,
+    * unlike libm pow); uniforms are md5-48(seed:k); the oracle
+    * replays weights, exact-decimal cumulative sums, every draw, and
+    * the first-reaching-word pick as MIN(word) over cum ≥ t.
+    */
+  val q180NegativeSampling: Q = (s, dir) =>
+    NegativeSampling.sampleTable(s,
+        NegativeSampling.fitModel(docs(s, dir), "text", seed = "s180"),
+        nDraws = 2000)
+      .orderBy("draw")
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4837,5 +4852,6 @@ object Queries {
     "q177_streaming_lr_score" -> q177StreamingLrScore,
     "q178_streaming_drift" -> q178StreamingDriftMonitor,
     "q179_incremental_boilerplate" -> q179IncrementalBoilerplate,
+    "q180_negative_sampling" -> q180NegativeSampling,
   )
 }
