@@ -69,9 +69,16 @@ object CorpusStats {
     val top = counts.orderBy(col("_cnt").desc, col("_tok")).limit(topK)
     val ranked = top.select(col("_cnt"),
       row_number().over(Window.orderBy(col("_cnt").desc, col("_tok"))).as("_rank"))
-    val xy = ranked.select(
+    olsOverXy(ranked.select(
       ln9(col("_rank")).cast(D189).as("_x"),
-      ln9(col("_cnt")).cast(D189).as("_y"))
+      ln9(col("_cnt")).cast(D189).as("_y")))
+  }
+
+  /** Decimal-exact OLS over a (_x, _y) frame of DECIMAL(18,9) points
+    * — the zipfFit arithmetic, shared by the Heaps fit. Output:
+    * (n_fit, slope, intercept, r2), ratios in IEEE rounded 6 dp.
+    */
+  private def olsOverXy(xy: DataFrame): DataFrame = {
     val agg = xy.agg(
       count(lit(1)).as("n_fit"),
       sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
@@ -86,13 +93,56 @@ object CorpusStats {
     val deny = (d2418(col("_syy")) * n7) - (d189(col("_sy")) * d189(col("_sy")))
     val numD = num.cast("double")
     val denxD = denx.cast("double")
-    val slopeRaw = numD / denxD
+    val denyD = deny.cast("double")
+    // degenerate-variance guards: a saturated vocabulary (all y
+    // equal — the finite-pool corpus regime Heaps' fit can hit) or
+    // all-equal x makes a denominator exactly 0; ANSI div would
+    // throw, and r2 is genuinely undefined there → NULL
+    val slopeRaw = when(denxD =!= 0.0, numD / denxD)
     agg.select(
       col("n_fit"),
       round(slopeRaw, 6).as("slope"),
       round((col("_sy").cast("double") - slopeRaw * col("_sx").cast("double"))
         / col("n_fit").cast("double"), 6).as("intercept"),
-      round((numD * numD) / (denxD * deny.cast("double")), 6).as("r2"))
+      when(denxD * denyD =!= 0.0,
+        round((numD * numD) / (denxD * denyD), 6)).as("r2"))
+  }
+
+  /** Heaps'-law exponent fit (Heaps 1978; the V(n) = K·n^β vocabulary
+    * growth curve — q139 zipfFit's natural partner: β near 1 means
+    * the vocabulary is still exploding and dedup/tokenizer decisions
+    * made today will not transfer to 10× the data). The growth curve
+    * is reconstructed WITHOUT any corpus-ordered window via the
+    * FIRST-OCCURRENCE trick: each word's earliest doc id is a
+    * vocab-sized aggregate, and V(t) at a checkpoint t is just a
+    * count of first-occurrences ≤ t — so 10 checkpoints cost one
+    * broadcast of 10 slim thresholds against two partial-agg counts.
+    * Checkpoints are tᵢ = ⌊i·(maxId+1)/k⌋ over the id range; the OLS
+    * over (ln n(t), ln V(t)) reuses the exact-decimal zipfFit
+    * machinery. Output: (n_fit, slope = β, intercept = ln K, r2).
+    */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+      checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 3, s"need >= 3 checkpoints, got $checkpoints")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxId = docs.agg(max(col(idCol))).head().getLong(0)
+    val ts = (1 to checkpoints)
+      .map(i => i.toLong * (maxId + 1L) / checkpoints).distinct.toDF("_thr")
+    val firstDoc = docs
+      .select(col(idCol).as("_d"),
+        explode(graft.functions.Text.tokens(col(textCol))).as("_w"))
+      .groupBy("_w").agg(min(col("_d")).as("_fd"))
+    val vAt = firstDoc.crossJoin(broadcast(ts))
+      .filter(col("_fd") <= col("_thr"))
+      .groupBy("_thr").agg(count(lit(1)).as("_v"))
+    val nAt = docs.select(col(idCol).as("_d"))
+      .crossJoin(broadcast(ts))
+      .filter(col("_d") <= col("_thr"))
+      .groupBy("_thr").agg(count(lit(1)).as("_n"))
+    olsOverXy(nAt.join(vAt, "_thr")
+      .select(ln9(col("_n")).cast(D189).as("_x"),
+        ln9(col("_v")).cast(D189).as("_y")))
   }
 
   /** Per-document unigram (token) Shannon entropy in nats:

@@ -4745,6 +4745,57 @@ object Oracles {
        |FROM t WHERE doc_id >= 840000
        |GROUP BY doc_id, host ORDER BY doc_id""".stripMargin
 
+  /** q182: the Heaps fit replayed — first-occurrence per word,
+    * integer-division checkpoints, and the q139 OLS arithmetic.
+    */
+  private lazy val heapsFitSql: String =
+    s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+       |ts AS (
+       |  SELECT DISTINCT (i * ((SELECT m FROM mx) + 1)) // 10 AS thr
+       |  FROM (SELECT unnest(range(1, 11)) AS i)
+       |),
+       |fd AS (
+       |  SELECT tok, MIN(doc_id) AS fd
+       |  FROM (SELECT doc_id, unnest($toksExpr) AS tok FROM documents)
+       |  GROUP BY tok
+       |),
+       |vat AS (
+       |  SELECT thr, CAST(COUNT(*) AS BIGINT) AS v
+       |  FROM ts, fd WHERE fd.fd <= ts.thr GROUP BY thr
+       |),
+       |nat AS (
+       |  SELECT thr, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM ts, documents d WHERE d.doc_id <= ts.thr GROUP BY thr
+       |),
+       |xy AS (
+       |  SELECT CAST(ROUND(ln(CAST(nat.n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+       |         CAST(ROUND(ln(CAST(vat.v AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+       |  FROM nat JOIN vat USING (thr)
+       |),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+       |  FROM xy
+       |),
+       |f AS (
+       |  SELECT n,
+       |    CAST(CAST(sxy AS DECIMAL(24,18)) * CAST(n AS DECIMAL(7,0))
+       |      - CAST(sx AS DECIMAL(18,9)) * CAST(sy AS DECIMAL(18,9)) AS DOUBLE) AS num,
+       |    CAST(CAST(sxx AS DECIMAL(24,18)) * CAST(n AS DECIMAL(7,0))
+       |      - CAST(sx AS DECIMAL(18,9)) * CAST(sx AS DECIMAL(18,9)) AS DOUBLE) AS denx,
+       |    CAST(CAST(syy AS DECIMAL(24,18)) * CAST(n AS DECIMAL(7,0))
+       |      - CAST(sy AS DECIMAL(18,9)) * CAST(sy AS DECIMAL(18,9)) AS DOUBLE) AS deny,
+       |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+       |  FROM a
+       |)
+       |SELECT n AS n_fit,
+       |  CASE WHEN denx <> 0 THEN ROUND(num / denx, 6) END AS slope,
+       |  CASE WHEN denx <> 0 THEN
+       |    ROUND((syd - (num / denx) * sxd) / CAST(n AS DOUBLE), 6) END AS intercept,
+       |  CASE WHEN denx * deny <> 0 THEN
+       |    ROUND((num * num) / (denx * deny), 6) END AS r2
+       |FROM f""".stripMargin
+
   val all: Map[String, String] = headOracles ++ tailOracles ++
     Map("q163_embedding_spectrum" -> embeddingSpectrumSql,
       "q164_phrase_scan" -> phraseScanSql,
@@ -4757,6 +4808,23 @@ object Oracles {
       // negative sampling: unigram^(3/4) weights (two correctly-
       // rounded sqrts), exact-decimal cums over the lex order, md5-48
       // uniforms, first-reaching word = MIN(word) over cum >= t
+      "q182_heaps_fit" -> heapsFitSql,
+      // skip-gram pairs: offset fan-out + pair rollup
+      "q181_skipgram_pairs" ->
+        s"""WITH t AS (SELECT $toksExpr AS toks FROM documents),
+           |p AS (
+           |  SELECT toks, unnest(toks) AS center,
+           |    generate_subscripts(toks, 1) AS i
+           |  FROM t
+           |),
+           |o AS (SELECT unnest([-2, -1, 1, 2]) AS o),
+           |x AS (
+           |  SELECT p.center, p.toks[p.i + o.o] AS context
+           |  FROM p JOIN o ON p.i + o.o >= 1 AND p.i + o.o <= len(p.toks)
+           |)
+           |SELECT center, context, CAST(COUNT(*) AS BIGINT) AS cnt
+           |FROM x GROUP BY center, context
+           |ORDER BY cnt DESC, center, context LIMIT 100""".stripMargin,
       "q180_negative_sampling" ->
         s"""WITH wc AS (
            |  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS cnt

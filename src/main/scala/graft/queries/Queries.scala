@@ -4672,6 +4672,27 @@ object Queries {
         nDraws = 2000)
       .orderBy("draw")
 
+  /** Skip-gram pair extraction ([[SkipGram.pairCounts]], Mikolov
+    * 2013): (center, context) counts within a ±2 window — with q166
+    * subsampling and q180 negative sampling, the full word2vec
+    * training-data pipeline. Pure map-side fan-out (≤ 4 offset rows
+    * per token, no position self-join); the only shuffle is the
+    * partial-agg pair rollup. Top-100 by (cnt, center, context).
+    */
+  val q181SkipgramPairs: Q = (s, dir) =>
+    SkipGram.pairCounts(docs(s, dir), "text", window = 2)
+      .orderBy(col("cnt").desc, col("center"), col("context")).limit(100)
+
+  /** Heaps'-law vocabulary-growth fit ([[CorpusStats.heapsFit]]):
+    * V(n) = K·n^β via the FIRST-OCCURRENCE trick — no corpus-ordered
+    * window; 10 id-range checkpoints against two partial-agg counts,
+    * then the q139 exact-decimal OLS. β near 1 ⇒ the vocabulary is
+    * still exploding and today's tokenizer/dedup settings will not
+    * transfer to 10× the data.
+    */
+  val q182HeapsFit: Q = (s, dir) =>
+    CorpusStats.heapsFit(docs(s, dir), "doc_id", "text", checkpoints = 10)
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4853,5 +4874,7 @@ object Queries {
     "q178_streaming_drift" -> q178StreamingDriftMonitor,
     "q179_incremental_boilerplate" -> q179IncrementalBoilerplate,
     "q180_negative_sampling" -> q180NegativeSampling,
+    "q181_skipgram_pairs" -> q181SkipgramPairs,
+    "q182_heaps_fit" -> q182HeapsFit,
   )
 }
