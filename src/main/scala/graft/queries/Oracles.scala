@@ -4616,12 +4616,13 @@ object Oracles {
          |    AS chars_per_token
          |FROM agg ORDER BY lang""".stripMargin
 
-  /** q176: the LR distillation replayed end-to-end — q82's feature/
-    * label arithmetic, 8 unrolled GD iterations (decimal-quantized
-    * margin dot, IEEE sigmoid rounded 9 dp, DECIMAL(38,12)-exact
-    * gradients, 9-dp weight updates), and the final scoring pass.
+  /** q176/q177/q183 shared prefix: the LR distillation replayed
+    * end-to-end — q82's feature/label arithmetic, 8 unrolled GD
+    * iterations (decimal-quantized margin dot, IEEE sigmoid rounded
+    * 9 dp, DECIMAL(38,12)-exact gradients, 9-dp weight updates), and
+    * the scoring pass, ending at the `sc` (doc_id, label, score) CTE.
     */
-  private lazy val qualityLrSql: String = {
+  private lazy val qualityLrPrefix: String = {
     def swCount(words: Seq[String]) =
       s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
     val en = swCount(Seq("the", "and", "of", "is", "to"))
@@ -4685,10 +4686,23 @@ object Oracles {
        |  SELECT f.doc_id, CAST(f.y AS INTEGER) AS label,
        |    ROUND(ROUND(1 / (1 + exp(-(${margin("it")}))), 9), 6) AS score
        |  FROM f, it8 it
-       |)
-       |SELECT doc_id, label, score, score >= 0.5 AS predicted
-       |FROM sc ORDER BY doc_id""".stripMargin
+       |)""".stripMargin
   }
+
+  private lazy val qualityLrSql: String =
+    qualityLrPrefix + "\n" +
+      """SELECT doc_id, label, score, score >= 0.5 AS predicted
+        |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** q183: decile reliability curve over the q176 scored table. */
+  private lazy val lrCalibrationSql: String =
+    qualityLrPrefix + "\n" +
+      """SELECT LEAST(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE)
+        |    / COUNT(score), 6) AS avg_score,
+        |  ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS pass_rate
+        |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
 
   /** q179: from-scratch boilerplate strip over base ∪ delta,
     * restricted to the delta ids — the incremental path must emit the
@@ -4861,6 +4875,7 @@ object Oracles {
       "q175_streaming_phrase_scan" -> phraseScanSql,
       "q176_quality_lr" -> qualityLrSql,
       "q177_streaming_lr_score" -> qualityLrSql,
+      "q183_lr_calibration" -> lrCalibrationSql,
       // streaming drift monitor: windowing + Laplace-smoothed KL vs
       // the corpus reference, the klDrift integer-ratio arithmetic
       "q178_streaming_drift" ->

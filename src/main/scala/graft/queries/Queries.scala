@@ -4540,7 +4540,10 @@ object Queries {
     * oracle replays feature extraction, all 8 gradient steps
     * (unrolled CTEs), and the scoring pass bit-for-bit.
     */
-  val q176QualityLr: Q = (s, dir) => {
+  /** The q176/q177/q183 shared LR pipeline: cascade-labeled feature
+    * frame, 8-round GD training, per-doc (doc_id, label, score).
+    */
+  private def lrScoredDocs(s: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
     val sr = Text.stopwordRatio(txt)
     val pr = Text.punctRatio(txt)
@@ -4552,10 +4555,31 @@ object Queries {
         sr, pr).as("x"))
     val w = QualityLr.train(feats, dims = 4, iters = 8, lr = 0.5)
     feats.select(col("doc_id"), col("y").cast("int").as("label"),
-        round(QualityLr.p9(col("x"), w), 6).as("score"))
+      round(QualityLr.p9(col("x"), w), 6).as("score"))
+  }
+
+  val q176QualityLr: Q = (s, dir) =>
+    lrScoredDocs(s, dir)
       .withColumn("predicted", col("score") >= 0.5)
       .orderBy("doc_id")
-  }
+
+  /** Calibration / reliability curve for the q176 classifier: decile
+    * bins of predicted score vs the empirical pass rate — the check
+    * every production quality filter runs before its scores drive
+    * sampling (an over-confident scorer silently reweights the
+    * corpus). Exact-decimal mean score per bin, IEEE pass rate; one
+    * doc-count-sized rollup after the scoring projection.
+    */
+  val q183LrCalibration: Q = (s, dir) =>
+    lrScoredDocs(s, dir)
+      .withColumn("bin",
+        least(floor(col("score") * 10).cast("int"), lit(9)))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        round(graft.core.Exact.davg(col("score"), 6), 6).as("avg_score"),
+        round(sum(col("label")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("pass_rate"))
+      .orderBy("bin")
 
   /** STREAMING LR quality scoring ([[QualityLr.p9]] over a readStream
     * relation): q176's scoring pass at ingest — the trained weights
@@ -4876,5 +4900,6 @@ object Queries {
     "q180_negative_sampling" -> q180NegativeSampling,
     "q181_skipgram_pairs" -> q181SkipgramPairs,
     "q182_heaps_fit" -> q182HeapsFit,
+    "q183_lr_calibration" -> q183LrCalibration,
   )
 }
