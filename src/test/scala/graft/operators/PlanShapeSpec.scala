@@ -517,12 +517,20 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("phrase scan + token subsample: pure per-row projections — zero exchanges") {
-    val df = (1 to 200).map(i => (i.toLong, s"word$i the and casino x$i"))
-      .toDF("doc_id", "text")
+    // a parquet scan, not a LocalRelation — local data constant-folds
+    // the whole projection and leaves no stage to inspect
+    val p = writeParquet((1 to 200).map(i => (i.toLong, s"word$i the and casino x$i"))
+      .toDF("doc_id", "text"), "phrasescan")
+    val df = spark.read.parquet(p)
     val scanned = PhraseFilter.tagBanned(df, "text", Seq("casino", "the and"))
     val sPlan = scanned.queryExecution.executedPlan.toString()
     assert(!sPlan.contains("Exchange"),
       s"AC phrase scan shuffled a per-row projection:\n$sPlan")
+    // the kernel expressions stay INSIDE whole-stage codegen (the
+    // `*(n)` stage markers) — a non-codegen expression here would
+    // split the stage and interpret the hot path
+    assert(sPlan.contains("*("),
+      s"AC phrase scan fell out of whole-stage codegen:\n$sPlan")
     // subsample APPLY under a plan-constant model: the kernel rides a
     // reference object; nothing joins, nothing explodes
     val model = graft.functions.SubsampleKernel.toModel("s",
