@@ -4870,6 +4870,8 @@ object Oracles {
            |FROM d JOIN c ON c.cum >= d.t
            |GROUP BY d.k ORDER BY draw""".stripMargin,
       "q171_luhn_redact" -> luhnRedactSql,
+      // stream ≡ batch for the stateless Luhn projection
+      "q184_streaming_luhn" -> luhnRedactSql,
       "q173_tokenizer_fertility" -> tokenizerFertilitySql,
       // stream ≡ batch for the stateless AC projection
       "q175_streaming_phrase_scan" -> phraseScanSql,

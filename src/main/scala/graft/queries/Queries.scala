@@ -4431,9 +4431,9 @@ object Queries {
     * (below the candidate length floor). Oracle replays the split/
     * extract scan, the per-candidate digit fold, and reassembly.
     */
-  val q171LuhnRedact: Q = (s, dir) => {
+  private def ccInjectedDocs(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val injected = docs(s, dir).select(col("doc_id"),
+    docs(s, dir).select(col("doc_id"),
       concat(col("text"),
         when(id % 6 === 0,
           lit(" pay with 4539148803436467 or 1234567890123456"))
@@ -4441,9 +4441,30 @@ object Queries {
           .when(id % 15 === 0,
             lit(" ref 6011 0009 9013 9424 and order 79927398713"))
           .otherwise(lit(""))).as("text"))
-    Redact.redactCreditCards(injected, "text")
+  }
+
+  val q171LuhnRedact: Q = (s, dir) =>
+    Redact.redactCreditCards(ccInjectedDocs(s, dir), "text")
       .select("doc_id", "n_cc", "n_rejected", "clean_text")
       .orderBy("doc_id")
+
+  /** STREAMING Luhn scrub ([[Redact.redactCreditCards]] over a
+    * readStream relation): q171's checksum-gated redaction at ingest
+    * — the kernel is a pure projection, so the stream is stateless
+    * (the q156 scrub-at-ingest shape). Oracle is q171's SQL verbatim.
+    */
+  val q184StreamingLuhn: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q184")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val fixture = ccInjectedDocs(s, dir)
+    val in = memoFixture("q184in", dir) { p =>
+      fixture.write.mode("overwrite").parquet(p)
+    }
+    val scrubbed = Redact.redactCreditCards(
+        s.readStream.schema(fixture.schema).parquet(in), "text")
+      .select("doc_id", "n_cc", "n_rejected", "clean_text")
+    runToSink(scrubbed, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("doc_id")
   }
 
   /** STREAMING token subsampling ([[Subsample.applyModel]] over a
@@ -4901,5 +4922,6 @@ object Queries {
     "q181_skipgram_pairs" -> q181SkipgramPairs,
     "q182_heaps_fit" -> q182HeapsFit,
     "q183_lr_calibration" -> q183LrCalibration,
+    "q184_streaming_luhn" -> q184StreamingLuhn,
   )
 }
