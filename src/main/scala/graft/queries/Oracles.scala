@@ -4872,6 +4872,72 @@ object Oracles {
       "q171_luhn_redact" -> luhnRedactSql,
       // stream ≡ batch for the stateless Luhn projection
       "q184_streaming_luhn" -> luhnRedactSql,
+      // cross-source KMV overlap: per-source bottom-64 shingle-hash
+      // sketches, pair merge, SIGMOD'07 estimators
+      "q185_source_overlap" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, source, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id, 'mirror' AS source, text FROM documents
+           |  WHERE doc_id % 4 = 0
+           |),
+           |t AS (SELECT source, $toksExpr AS toks FROM corpus),
+           |shw AS (
+           |  SELECT DISTINCT source,
+           |    unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+           |      FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)])) AS v
+           |  FROM t
+           |),
+           |hh AS (
+           |  SELECT DISTINCT source,
+           |    CAST(list_sum([
+           |      CAST(strpos('0123456789abcdef', substr(md5(v), i, 1)) - 1 AS BIGINT)
+           |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+           |      FOR i IN range(1, 13)]) AS BIGINT) AS h
+           |  FROM shw
+           |),
+           |b AS (
+           |  SELECT source, h FROM (
+           |    SELECT source, h,
+           |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+           |    FROM hh
+           |  ) WHERE rk <= 64
+           |),
+           |g AS (SELECT DISTINCT source FROM corpus),
+           |pairs AS (
+           |  SELECT a.source AS grp_a, b2.source AS grp_b
+           |  FROM g a JOIN g b2 ON a.source < b2.source
+           |),
+           |m0 AS (
+           |  SELECT p.grp_a, p.grp_b, x.h,
+           |    MAX(CASE WHEN x.source = p.grp_a THEN 1 ELSE 0 END) AS ina,
+           |    MAX(CASE WHEN x.source = p.grp_b THEN 1 ELSE 0 END) AS inb
+           |  FROM pairs p JOIN b x ON x.source = p.grp_a OR x.source = p.grp_b
+           |  GROUP BY p.grp_a, p.grp_b, x.h
+           |),
+           |mk AS (
+           |  SELECT * FROM (
+           |    SELECT m0.*, ROW_NUMBER() OVER (
+           |      PARTITION BY grp_a, grp_b ORDER BY h) AS rk
+           |    FROM m0
+           |  ) WHERE rk <= 64
+           |),
+           |agg AS (
+           |  SELECT grp_a, grp_b, CAST(COUNT(*) AS BIGINT) AS n_merged,
+           |    CAST(SUM(ina * inb) AS BIGINT) AS n_both, MAX(h) AS h_k
+           |  FROM mk GROUP BY grp_a, grp_b
+           |)
+           |SELECT grp_a, grp_b, n_merged, n_both, h_k,
+           |  ROUND(CASE WHEN n_merged < 64 THEN CAST(n_merged AS DOUBLE)
+           |    ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+           |      / CAST(h_k AS DOUBLE) END, 6) AS union_est,
+           |  ROUND(CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE), 6)
+           |    AS jaccard_est,
+           |  ROUND(ROUND(CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE), 6)
+           |    * ROUND(CASE WHEN n_merged < 64 THEN CAST(n_merged AS DOUBLE)
+           |        ELSE CAST(63 AS DOUBLE) * 281474976710656.0
+           |          / CAST(h_k AS DOUBLE) END, 6), 6) AS intersection_est
+           |FROM agg ORDER BY grp_a, grp_b""".stripMargin,
       "q173_tokenizer_fertility" -> tokenizerFertilitySql,
       // stream ≡ batch for the stateless AC projection
       "q175_streaming_phrase_scan" -> phraseScanSql,

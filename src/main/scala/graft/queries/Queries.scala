@@ -4738,6 +4738,28 @@ object Queries {
   val q182HeapsFit: Q = (s, dir) =>
     CorpusStats.heapsFit(docs(s, dir), "doc_id", "text", checkpoints = 10)
 
+  /** Cross-source duplication matrix ([[KmvSetOps.groupedKmvSketch]]
+    * + [[KmvSetOps.overlapMatrix]], Beyer SIGMOD 2007): per-source
+    * bottom-64 shingle sketches → all source-pair union/Jaccard/
+    * intersection estimates — "which sources are re-crawls of each
+    * other?" at sketch cost (the corpus reduces to ≤k hashes per
+    * source BEFORE any pair math; the pair grid is C(G,2)). A
+    * synthetic 'mirror' source re-hosting every 4th doc plants the
+    * high-overlap pair. Oracle replays hashing, both bottom-k ranks,
+    * the pair merge, and the SIGMOD'07 estimators.
+    */
+  val q185SourceOverlap: Q = (s, dir) => {
+    val d0 = docs(s, dir).select("doc_id", "source", "text")
+    val corpus = d0.unionByName(
+      d0.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), lit("mirror").as("source"), col("text")))
+    val shing = corpus.select(col("source"),
+      explode(NearDup.shingles(col("text"), 3)).as("sh"))
+    val sketches = KmvSetOps.groupedKmvSketch(shing, col("source"), col("sh"), 64)
+    KmvSetOps.overlapMatrix(sketches, 64)
+      .orderBy("grp_a", "grp_b")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4923,5 +4945,6 @@ object Queries {
     "q182_heaps_fit" -> q182HeapsFit,
     "q183_lr_calibration" -> q183LrCalibration,
     "q184_streaming_luhn" -> q184StreamingLuhn,
+    "q185_source_overlap" -> q185SourceOverlap,
   )
 }

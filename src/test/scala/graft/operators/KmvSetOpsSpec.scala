@@ -42,4 +42,32 @@ class KmvSetOpsSpec extends SparkSpec {
     assert(j === 0.5 && inter === 2.0)
     assert(est(a, b, 128, parts = 1) === est(a, b, 128, parts = 7))
   }
+
+  test("overlapMatrix: pair rows agree with the pairwise overlapEstimate") {
+    val rows =
+      (0 until 900).map(i => ("a", s"s$i")) ++
+      (0 until 900).map(i => ("b", s"s${i + 450}")) ++   // 50% overlap with a
+      (0 until 900).map(i => ("c", s"zz$i"))             // disjoint
+    val df = rows.toDF("src", "v").repartition(5)
+    val sk = KmvSetOps.groupedKmvSketch(df, col("src"), col("v"), 64)
+    val m = KmvSetOps.overlapMatrix(sk, 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("union_est"), r.getAs[Double]("jaccard_est")))).toMap
+    assert(m.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    def one(x: String, y: String) = {
+      val sa = KmvSetOps.kmvSketch(
+        rows.filter(_._1 == x).map(_._2).toDF("v"), col("v"), 64)
+      val sb = KmvSetOps.kmvSketch(
+        rows.filter(_._1 == y).map(_._2).toDF("v"), col("v"), 64)
+      KmvSetOps.overlapEstimate(sa, sb, 64)
+        .select("union_est", "jaccard_est")
+        .as[(Double, Double)].head()
+    }
+    // matrix rows must EQUAL the two-set estimator on the same sketches
+    assert(m(("a", "b")) === one("a", "b"))
+    assert(m(("a", "c")) === one("a", "c"))
+    // and the planted structure reads through: ab overlaps, ac does not
+    assert(m(("a", "b"))._2 > 0.15, s"ab ${m(("a", "b"))}")
+    assert(m(("a", "c"))._2 === 0.0, s"ac ${m(("a", "c"))}")
+  }
 }
