@@ -4810,6 +4810,63 @@ object Oracles {
        |    ROUND((num * num) / (denx * deny), 6) END AS r2
        |FROM f""".stripMargin
 
+  /** q186: per-line langId (the q18 CASE) + lag/sum island grouping
+    * + ordered span reassembly.
+    */
+  private lazy val langSegmentsSql: String = {
+    def swCount(words: Seq[String]) =
+      s"CAST(len(list_filter(lt, t -> t IN (${words.map(w => s"'$w'").mkString(", ")}))) AS BIGINT)"
+    val en = swCount(Seq("the", "and", "of", "is", "to"))
+    val de = swCount(Seq("der", "und", "die", "ist", "das"))
+    val fr = swCount(Seq("le", "la", "et", "est", "les"))
+    val es = swCount(Seq("el", "los", "y", "es", "las"))
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'the and of is to item' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       |    'the of and is to part' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       |    'der und die ist das nummer' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN 'le la et est les objet' || CAST(doc_id AS VARCHAR)
+       |      ELSE 'der und die das ist ding' || CAST(doc_id AS VARCHAR) END AS text
+       |  FROM documents
+       |),
+       |l AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(text, chr(10))) AS line,
+       |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+       |  FROM d
+       |),
+       |m AS (
+       |  SELECT doc_id, pos, line,
+       |    CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+       |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |         WHEN s_fr >= s_es THEN 'fr'
+       |         ELSE 'es' END AS lang
+       |  FROM (
+       |    SELECT doc_id, pos, line,
+       |      $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es
+       |    FROM (SELECT doc_id, pos, line,
+       |      list_filter(string_split(line, ' '), x -> len(x) > 0) AS lt FROM l)
+       |  )
+       |),
+       |flg AS (
+       |  SELECT *, CASE WHEN lag(lang) OVER (PARTITION BY doc_id ORDER BY pos) = lang
+       |    THEN 0 ELSE 1 END AS nw
+       |  FROM m
+       |),
+       |runs AS (
+       |  SELECT *, CAST(SUM(nw) OVER (
+       |    PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS span_idx
+       |  FROM flg
+       |)
+       |SELECT doc_id, span_idx, MIN(lang) AS lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  array_to_string(list(line ORDER BY pos), chr(10)) AS span_text
+       |FROM runs GROUP BY doc_id, span_idx
+       |ORDER BY doc_id, span_idx""".stripMargin
+  }
+
   val all: Map[String, String] = headOracles ++ tailOracles ++
     Map("q163_embedding_spectrum" -> embeddingSpectrumSql,
       "q164_phrase_scan" -> phraseScanSql,
@@ -4823,6 +4880,7 @@ object Oracles {
       // rounded sqrts), exact-decimal cums over the lex order, md5-48
       // uniforms, first-reaching word = MIN(word) over cum >= t
       "q182_heaps_fit" -> heapsFitSql,
+      "q186_lang_segments" -> langSegmentsSql,
       // skip-gram pairs: offset fan-out + pair rollup
       "q181_skipgram_pairs" ->
         s"""WITH t AS (SELECT $toksExpr AS toks FROM documents),

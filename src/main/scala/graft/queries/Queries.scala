@@ -4760,6 +4760,29 @@ object Queries {
       .orderBy("grp_a", "grp_b")
   }
 
+  /** Mixed-language document segmentation ([[LangSegment.segments]],
+    * the CCNet per-paragraph language split): every doc is rebuilt as
+    * four stopword-flavored lines — two English (merge into one
+    * span), one German, then French or German by id%3 (extending the
+    * German span or opening a French one) — and the operator must
+    * recover exactly the contiguous same-language spans. Per-doc
+    * windows only (bounded by doc length); oracle replays per-line
+    * langId, the lag/sum island arithmetic, and span reassembly.
+    */
+  val q186LangSegments: Q = (s, dir) => {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    val mixed = docs(s, dir).select(col("doc_id"),
+      concat(
+        lit("the and of is to item"), ids, lit("\n"),
+        lit("the of and is to part"), ids, lit("\n"),
+        lit("der und die ist das nummer"), ids, lit("\n"),
+        when(id % 3 === 0, concat(lit("le la et est les objet"), ids))
+          .otherwise(concat(lit("der und die das ist ding"), ids))).as("text"))
+    LangSegment.segments(mixed, "doc_id", "text")
+      .orderBy("doc_id", "span_idx")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4946,5 +4969,6 @@ object Queries {
     "q183_lr_calibration" -> q183LrCalibration,
     "q184_streaming_luhn" -> q184StreamingLuhn,
     "q185_source_overlap" -> q185SourceOverlap,
+    "q186_lang_segments" -> q186LangSegments,
   )
 }
