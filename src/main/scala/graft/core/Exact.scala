@@ -22,6 +22,29 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Exact {
 
+  /** String ordering by Unicode CODE POINTS — the order `ORDER BY` /
+    * `MIN(varchar)` produces in UTF-8-native engines (DuckDB compares
+    * UTF-8 bytes, which is code-point order). Java's natural `String`
+    * ordering compares UTF-16 code UNITS, which disagrees for
+    * supplementary-plane characters: a surrogate pair's lead unit
+    * (0xD800–0xDBFF) sorts BELOW U+E000–U+FFFF even though the coded
+    * character is above U+FFFF. Any driver-side `.sorted` whose order
+    * feeds a cross-engine determinism claim (vocabulary CDFs, phrase
+    * automata) must use this ordering, not the default.
+    */
+  val codePointOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val la = a.length; val lb = b.length
+      var i = 0
+      while (i < la && i < lb) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+      }
+      Integer.compare(la - i, lb - i)
+    }
+  }
+
   /** Assert the session is in ANSI mode. The integer-exact iterative
     * operators ([[graft.operators.PageRank]],
     * [[graft.operators.BpeTrainer]]) document a fail-loud contract —

@@ -33,15 +33,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object AhoCorasick {
 
-  /** Immutable matcher: phrases are deduplicated and stored sorted, so
-    * the match output (ids in ascending order) is already in sorted
-    * phrase order — deterministic without a per-row sort.
+  /** Immutable matcher: phrases are deduplicated and stored sorted (by
+    * CODE POINTS, matching UTF-8 engines' ORDER BY — see
+    * [[graft.core.Exact.codePointOrdering]]), so the match output (ids
+    * in ascending order) is already in sorted phrase order —
+    * deterministic without a per-row sort, and cross-engine stable
+    * even for supplementary-plane phrases.
     */
   final class Automaton(phraseList: Seq[String]) extends Serializable {
     require(phraseList.nonEmpty, "empty phrase list")
     require(phraseList.forall(_.nonEmpty), "empty phrase in list")
 
-    val phrases: Array[String] = phraseList.distinct.sorted.toArray
+    val phrases: Array[String] =
+      phraseList.distinct.sorted(graft.core.Exact.codePointOrdering).toArray
     private val nPhrases = phrases.length
 
     // trie: per-node char->node transition maps, failure links, and

@@ -121,10 +121,18 @@ object BbitKernels {
     * an estimate below the independence floor carries no signal).
     */
   def estimate(a: ArrayData, b: ArrayData, k: Int): Double = {
+    // fail loudly on length mismatch: XOR-ing only the common prefix
+    // while dividing by k would silently bias a truncated signature's
+    // estimate toward 1 (missing words contribute zero diffs) —
+    // mirroring the numHashes % 64 == 0 require at the operator entry
+    val words = (k + 63) / 64
+    if (a.numElements() != words || b.numElements() != words)
+      throw new IllegalArgumentException(
+        s"bbit estimate: signatures must pack k=$k hashes into $words " +
+          s"words, got ${a.numElements()} and ${b.numElements()}")
     var diff = 0
     var w = 0
-    val n = math.min(a.numElements(), b.numElements())
-    while (w < n) {
+    while (w < words) {
       diff += java.lang.Long.bitCount(a.getLong(w) ^ b.getLong(w))
       w += 1
     }

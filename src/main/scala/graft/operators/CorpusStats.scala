@@ -120,13 +120,25 @@ object CorpusStats {
     * Checkpoints are tᵢ = ⌊i·(maxId+1)/k⌋ over the id range; the OLS
     * over (ln n(t), ln V(t)) reuses the exact-decimal zipfFit
     * machinery. Output: (n_fit, slope = β, intercept = ln K, r2).
+    *
+    * Id-range caveat: checkpoints are positions in the ID RANGE, not
+    * row ranks — a sparse id space can leave a checkpoint interval
+    * with zero docs, and such checkpoints drop out of the fit (the
+    * inner join has no (n, V) point for them), so `n_fit` may come
+    * back below `checkpoints`. That is the honest behavior (no
+    * fabricated points), but dense ids give the best-conditioned fit.
     */
   def heapsFit(docs: DataFrame, idCol: String, textCol: String,
       checkpoints: Int = 10): DataFrame = {
     require(checkpoints >= 3, s"need >= 3 checkpoints, got $checkpoints")
     val spark = docs.sparkSession
     import spark.implicits._
-    val maxId = docs.agg(max(col(idCol))).head().getLong(0)
+    // cast-to-long is type-tolerant (int/short ids work); the null
+    // check fails loudly on an empty corpus instead of NPE-ing
+    val maxRow = docs.agg(max(col(idCol).cast("long")).as("_m")).head()
+    require(!maxRow.isNullAt(0),
+      s"heapsFit: empty corpus (no rows, or all-null $idCol)")
+    val maxId = maxRow.getLong(0)
     val ts = (1 to checkpoints)
       .map(i => i.toLong * (maxId + 1L) / checkpoints).distinct.toDF("_thr")
     val firstDoc = docs

@@ -79,21 +79,36 @@ object Drift {
     * read-back of a streaming windowed count; `refCounts` =
     * (typeCol, refCnt) — model-sized (category vocabulary), so it
     * broadcasts and the group×type expansion never shuffles the
-    * groups. Output: (groupCol, n_events, kl).
+    * groups. Output: (groupCol, n_events, oov_events, kl).
+    *
+    * OOV discipline: events whose type is NOT in the reference
+    * vocabulary are excluded from the group total (`n_events` counts
+    * in-vocabulary events only), so the smoothed group distribution
+    * sums to 1 over the reference vocabulary and `kl` is a true
+    * KL ≥ 0. The excluded mass is surfaced as `oov_events` — a
+    * nonzero value is itself the strongest drift signal (a category
+    * the reference has never seen), reported as an exact count
+    * rather than laundered through smoothing arithmetic.
     */
   def klAgainstReference(groupCounts: DataFrame, groupCol: String,
       typeCol: String, cntCol: String, refCounts: DataFrame,
       refCntCol: String): DataFrame = {
     val totals = refCounts.agg(
       sum(col(refCntCol)).as("_nr"), count(lit(1)).as("_v"))
+    val inVocab = groupCounts.join(
+      broadcast(refCounts.select(col(typeCol))), Seq(typeCol), "left_semi")
     val groups = groupCounts.groupBy(groupCol)
-      .agg(sum(col(cntCol)).as("_nw"))
+      .agg(sum(col(cntCol)).as("_ntot"))
+      .join(inVocab.groupBy(groupCol).agg(sum(col(cntCol)).as("_nwi")),
+        Seq(groupCol), "left")
+      .select(col(groupCol), coalesce(col("_nwi"), lit(0L)).as("_nw"),
+        (col("_ntot") - coalesce(col("_nwi"), lit(0L))).as("_oov"))
     val expanded = groups
       .crossJoin(broadcast(refCounts
         .select(col(typeCol), col(refCntCol).as("_ct"))))
       .join(groupCounts.select(col(groupCol), col(typeCol),
         col(cntCol).as("_c")), Seq(groupCol, typeCol), "left")
-      .select(col(groupCol), col("_nw"), col("_ct"),
+      .select(col(groupCol), col("_nw"), col("_oov"), col("_ct"),
         coalesce(col("_c"), lit(0L)).as("_c"))
       .crossJoin(broadcast(totals))
     val contrib = expanded
@@ -106,8 +121,9 @@ object Drift {
     // total rounded AT the sum's own scale (12) — rounding tighter
     // (e.g. 9 dp) would park exact .5 midpoints of the decimal sum on
     // a HALF_UP boundary where the two engines' double paths diverge
-    contrib.groupBy(groupCol, "_nw")
+    contrib.groupBy(groupCol, "_nw", "_oov")
       .agg(round(Exact.dsum(col("_contrib"), scale = 12), 12).as("kl"))
-      .select(col(groupCol), col("_nw").as("n_events"), col("kl"))
+      .select(col(groupCol), col("_nw").as("n_events"),
+        col("_oov").as("oov_events"), col("kl"))
   }
 }

@@ -17,17 +17,22 @@ import graft.functions.Text
   * partition by DOCUMENT and are bounded by document length — the
   * one window shape the engine permits (never corpus-sized keys);
   * span reassembly shuffles each doc's lines once, same budget as
-  * q170. Language ID is the [[graft.functions.Text.langId]] marker
-  * argmax, exactly SQL-replayable.
+  * q170. Language ID is PLUGGABLE via `scorer` (line → language-code
+  * Column): the default is the [[graft.functions.Text.langId]] marker
+  * argmax; pass [[graft.functions.LangNbExpressions.langNbId]] with a
+  * fitted [[graft.functions.LangNbModel]] for the trained classifier
+  * — both are map-side and exactly SQL-replayable.
   *
   * Output: (idCol, span_idx, lang, n_lines, span_text).
   */
 object LangSegment {
 
-  def segments(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def segments(df: DataFrame, idCol: String, textCol: String,
+      scorer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Text.langId): DataFrame = {
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
-    val tagged = lines.withColumn("_lang", Text.langId(col("_line")))
+    val tagged = lines.withColumn("_lang", scorer(col("_line")))
     val w = Window.partitionBy(idCol).orderBy("_pos")
     val flagged = tagged.withColumn("_new",
       when(lag(col("_lang"), 1).over(w) === col("_lang"), 0).otherwise(1))

@@ -200,17 +200,28 @@ object NearDup {
     * dominant) false-candidate traffic with 16-byte signatures
     * instead.
     *
-    * `estMargin` is the screening slack: a true pair at the
-    * threshold is kept unless the estimate errs past it (≥ 4σ at
-    * k = 128 for the planted-margin corpora this gates on), so the
-    * verified output still EQUALS the brute-force pair set and the
-    * oracle stays the all-pairs exact form (the q16 contract).
+    * `estMargin` is the screening slack. The b = 1 estimate has
+    * σ(Ĵ) = 2·sqrt(p(1−p)/k) ≤ 1/sqrt(k) (bit matches are
+    * independent Bernoulli(p), p = (1+J)/2), so the DEFAULT margin
+    * is derived as 4/sqrt(numHashes) — a true pair at the threshold
+    * survives the screen unless its estimate errs by ≥ 4σ
+    * (P < 4·10⁻⁵ per pair, one-sided). The screen is therefore
+    * PROBABILISTIC, not absolute: the verified output equals the
+    * brute-force pair set except with that per-pair probability.
+    * When the derived (or caller-supplied) margin would make the
+    * screen vacuous (threshold − margin ≤ 0) the screen is SKIPPED —
+    * every banded candidate goes to exact verification and the
+    * equality contract is unconditional. Pass an explicit
+    * `estMargin` to trade screen selectivity against that tail
+    * probability; `Double.NaN` (default) means "derive from k".
     */
   def bbitPrefilteredPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, estMargin: Double = 0.35, n: Int = 3,
+      threshold: Double, estMargin: Double = Double.NaN, n: Int = 3,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0 && numHashes % 64 == 0,
       s"numHashes ($numHashes) must be a multiple of bands ($bands) and 64")
+    val margin =
+      if (estMargin.isNaN) 4.0 / math.sqrt(numHashes.toDouble) else estMargin
     import graft.core.OpCache.TrackedPersist
     val sh = df.select(col(idCol), shingles(col(textCol), n).as("_sh"))
       .persistTracked
@@ -224,11 +235,11 @@ object NearDup {
     val cands = l.join(r, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val screened = cands
+    val screened = if (threshold - margin <= 0.0) cands else cands
       .join(sigs.select(col(idCol).as("id_a"), col("_bb").as("_bba")), "id_a")
       .join(sigs.select(col(idCol).as("id_b"), col("_bb").as("_bbb")), "id_b")
       .filter(graft.functions.HashExpressions.bbitEst(
-        col("_bba"), col("_bbb"), numHashes) >= threshold - estMargin)
+        col("_bba"), col("_bbb"), numHashes) >= threshold - margin)
       .select("id_a", "id_b")
     screened
       .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sha")), "id_a")

@@ -24,7 +24,10 @@ object NegativeSampling {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .collect() // vocabulary-sized (Heaps' law), model precedent
       .map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
+      // code-point order, NOT Java's UTF-16 code-unit order — the
+      // cumulative CDF's word order must match the oracle's UTF-8
+      // ORDER BY for supplementary-plane tokens (Exact.codePointOrdering)
+      .sortBy(_._1)(graft.core.Exact.codePointOrdering)
     require(rows.nonEmpty, "empty corpus")
     val words = rows.map(_._1)
     // cnt^(3/4) = sqrt(cnt)·sqrt(sqrt(cnt)) — both sqrts correctly

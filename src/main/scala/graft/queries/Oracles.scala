@@ -4867,6 +4867,170 @@ object Oracles {
        |ORDER BY doc_id, span_idx""".stripMargin
   }
 
+  /** md5 48-bit prefix of `e` as BIGINT — DuckDB twin of
+    * [[graft.operators.Dsir.bucketOf]]'s
+    * `conv(substring(md5(ng), 1, 12), 16, 10)` (the q103/q118 idiom).
+    */
+  private def md548(e: String): String =
+    s"""CAST(list_sum([
+       |      CAST(strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1 AS BIGINT)
+       |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+       |      FOR i IN range(1, 13)]) AS BIGINT)""".stripMargin
+
+  /** Shared CTEs for the trained lang-ID queries (q187/q191): the
+    * flavored TRAIN corpus, char-3-gram hashed bucket counts per
+    * language, totals, and 9-dp priors — the full NB fit replayed in
+    * SQL. Flavor sentences interpolate from
+    * [[graft.queries.Queries.LangNbFlavors]] so engine and oracle can
+    * never drift.
+    */
+  private lazy val langNbFitCtes: String = {
+    val flavors = graft.queries.Queries.LangNbFlavors.zipWithIndex
+      .map { case ((l, s), i) => s"($i, '$l', '$s')" }.mkString(",\n       |  ")
+    s"""fl(idx, lang, sent) AS (VALUES
+       |  $flavors),
+       |d AS MATERIALIZED (SELECT doc_id, $toksExpr AS t FROM documents),
+       |train AS MATERIALIZED (
+       |  SELECT d.doc_id, f.lang,
+       |    f.sent || ' ' || array_to_string(list_slice(t, 1, 8), ' ') AS txt
+       |  FROM d JOIN fl f ON f.idx = d.doc_id % 4
+       |),
+       |tng AS (
+       |  SELECT lang, substr(txt, CAST(ii AS BIGINT), 3) AS ng FROM (
+       |    SELECT lang, txt,
+       |      unnest(range(1, greatest(length(txt) - 1, 1))) AS ii
+       |    FROM train)
+       |),
+       |cnts AS MATERIALIZED (
+       |  SELECT lang, CAST(${md548("ng")} % 1024 AS BIGINT) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tng GROUP BY 1, 2
+       |),
+       |tots AS MATERIALIZED (
+       |  SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cnts GROUP BY 1
+       |),
+       |dcs AS MATERIALIZED (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS dc FROM train GROUP BY 1
+       |),
+       |pri AS (
+       |  SELECT lang, ROUND(ln(CAST(dc AS DOUBLE) /
+       |    CAST((SELECT SUM(dc) FROM dcs) AS DOUBLE)), 9) AS prior
+       |  FROM dcs
+       |)""".stripMargin
+  }
+
+  /** q187: train-corpus NB fit + test-corpus scoring, every per-doc
+    * argmax and 6-dp score gated.
+    */
+  private lazy val langidNbSql: String =
+    s"""WITH $langNbFitCtes,
+       |test AS MATERIALIZED (
+       |  SELECT d.doc_id, f.lang AS lang_true,
+       |    f.sent || ' ' || array_to_string(list_slice(t, 9, 16), ' ') AS txt
+       |  FROM d JOIN fl f ON f.idx = (d.doc_id + 1) % 4
+       |),
+       |sng AS (
+       |  SELECT doc_id, substr(txt, CAST(ii AS BIGINT), 3) AS ng FROM (
+       |    SELECT doc_id, txt,
+       |      unnest(range(1, greatest(length(txt) - 1, 1))) AS ii
+       |    FROM test)
+       |),
+       |sb AS MATERIALIZED (
+       |  SELECT doc_id, CAST(${md548("ng")} % 1024 AS BIGINT) AS bucket FROM sng
+       |),
+       |lam AS MATERIALIZED (
+       |  SELECT s.doc_id, t.lang,
+       |    ROUND(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) /
+       |             CAST(t.tot + 1024 AS DOUBLE)), 9) AS lam
+       |  FROM sb s CROSS JOIN tots t
+       |  LEFT JOIN cnts c ON c.lang = t.lang AND c.bucket = s.bucket
+       |),
+       |sums AS MATERIALIZED (
+       |  SELECT l.doc_id, l.lang,
+       |    CAST(p.prior AS DECIMAL(38,9)) + SUM(CAST(l.lam AS DECIMAL(38,9))) AS total
+       |  FROM lam l JOIN pri p ON p.lang = l.lang
+       |  GROUP BY l.doc_id, l.lang, p.prior
+       |),
+       |best AS (
+       |  SELECT doc_id, lang, total,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY total DESC, lang) AS rn
+       |  FROM sums
+       |)
+       |SELECT b.doc_id, te.lang_true, b.lang AS lang_pred,
+       |  ROUND(CAST(b.total AS DOUBLE), 6) AS score,
+       |  (te.lang_true = b.lang) AS hit
+       |FROM best b JOIN test te ON te.doc_id = b.doc_id
+       |WHERE b.rn = 1 ORDER BY b.doc_id""".stripMargin
+
+  /** q191: q186's segmentation with per-LINE NB scoring under the
+    * q187 fit, then the lag/sum island arithmetic verbatim.
+    */
+  private lazy val langSegmentsNbSql: String =
+    s"""WITH $langNbFitCtes,
+       |doc AS (
+       |  SELECT doc_id,
+       |    'the and of is to item' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       |    'the of and is to part' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       |    'der und die ist das nummer' || CAST(doc_id AS VARCHAR) || chr(10) ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN 'le la et est les objet' || CAST(doc_id AS VARCHAR)
+       |      ELSE 'der und die das ist ding' || CAST(doc_id AS VARCHAR) END AS text
+       |  FROM documents
+       |),
+       |l AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(string_split(text, chr(10))) AS line,
+       |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+       |  FROM doc
+       |),
+       |lng AS (
+       |  SELECT doc_id, pos, substr(line, CAST(ii AS BIGINT), 3) AS ng FROM (
+       |    SELECT doc_id, pos, line,
+       |      unnest(range(1, greatest(length(line) - 1, 1))) AS ii
+       |    FROM l)
+       |),
+       |lb AS MATERIALIZED (
+       |  SELECT doc_id, pos, CAST(${md548("ng")} % 1024 AS BIGINT) AS bucket FROM lng
+       |),
+       |llam AS MATERIALIZED (
+       |  SELECT s.doc_id, s.pos, t.lang,
+       |    ROUND(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) /
+       |             CAST(t.tot + 1024 AS DOUBLE)), 9) AS lam
+       |  FROM lb s CROSS JOIN tots t
+       |  LEFT JOIN cnts c ON c.lang = t.lang AND c.bucket = s.bucket
+       |),
+       |lsum AS MATERIALIZED (
+       |  SELECT x.doc_id, x.pos, x.lang,
+       |    CAST(p.prior AS DECIMAL(38,9)) + SUM(CAST(x.lam AS DECIMAL(38,9))) AS total
+       |  FROM llam x JOIN pri p ON p.lang = x.lang
+       |  GROUP BY x.doc_id, x.pos, x.lang, p.prior
+       |),
+       |lbest AS (
+       |  SELECT doc_id, pos, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id, pos
+       |      ORDER BY total DESC, lang) AS rn
+       |  FROM lsum
+       |),
+       |m AS (
+       |  SELECT l.doc_id, l.pos, l.line, b.lang
+       |  FROM l JOIN lbest b ON b.doc_id = l.doc_id AND b.pos = l.pos AND b.rn = 1
+       |),
+       |flg AS (
+       |  SELECT *, CASE WHEN lag(lang) OVER (PARTITION BY doc_id ORDER BY pos) = lang
+       |    THEN 0 ELSE 1 END AS nw
+       |  FROM m
+       |),
+       |runs AS (
+       |  SELECT *, CAST(SUM(nw) OVER (
+       |    PARTITION BY doc_id ORDER BY pos) - 1 AS BIGINT) AS span_idx
+       |  FROM flg
+       |)
+       |SELECT doc_id, span_idx, MIN(lang) AS lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  array_to_string(list(line ORDER BY pos), chr(10)) AS span_text
+       |FROM runs GROUP BY doc_id, span_idx
+       |ORDER BY doc_id, span_idx""".stripMargin
+
   val all: Map[String, String] = headOracles ++ tailOracles ++
     Map("q163_embedding_spectrum" -> embeddingSpectrumSql,
       "q164_phrase_scan" -> phraseScanSql,
@@ -4881,6 +5045,8 @@ object Oracles {
       // uniforms, first-reaching word = MIN(word) over cum >= t
       "q182_heaps_fit" -> heapsFitSql,
       "q186_lang_segments" -> langSegmentsSql,
+      "q187_langid_nb" -> langidNbSql,
+      "q191_lang_segments_nb" -> langSegmentsNbSql,
       // skip-gram pairs: offset fan-out + pair rollup
       "q181_skipgram_pairs" ->
         s"""WITH t AS (SELECT $toksExpr AS toks FROM documents),
@@ -5014,7 +5180,9 @@ object Oracles {
            |tv AS (SELECT CAST(SUM(ct) AS BIGINT) AS nr,
            |              CAST(COUNT(*) AS BIGINT) AS v FROM g),
            |w AS (SELECT h, t, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY h, t),
-           |nw AS (SELECT h, CAST(SUM(c) AS BIGINT) AS nw FROM w GROUP BY h),
+           |tot AS (SELECT h, CAST(SUM(c) AS BIGINT) AS ntot FROM w GROUP BY h),
+           |nw AS (SELECT h, CAST(SUM(c) AS BIGINT) AS nw FROM w
+           |       WHERE t IN (SELECT t FROM g) GROUP BY h),
            |x AS (
            |  SELECT nw.h, nw.nw, g.ct, g.t, COALESCE(w.c, 0) AS c
            |  FROM nw CROSS JOIN g
@@ -5029,9 +5197,11 @@ object Oracles {
            |      12) AS contrib
            |  FROM x
            |)
-           |SELECT h AS hour_start, nw AS n_events,
+           |SELECT sc.h AS hour_start, sc.nw AS n_events,
+           |  CAST(tot.ntot - sc.nw AS BIGINT) AS oov_events,
            |  ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38,12))) AS DOUBLE), 12) AS kl
-           |FROM sc GROUP BY h, nw ORDER BY hour_start""".stripMargin,
+           |FROM sc JOIN tot ON tot.h = sc.h
+           |GROUP BY sc.h, sc.nw, tot.ntot ORDER BY hour_start""".stripMargin,
       "q174_good_turing" ->
         s"""WITH wc AS (
            |  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c

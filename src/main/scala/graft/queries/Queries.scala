@@ -4372,9 +4372,11 @@ object Queries {
     * König WWW 2010): q16's planted corpus through the 64×-compressed
     * signature path — banding, then the 1-bit estimate (XOR +
     * popcount on two longs) screens candidates BEFORE the exact
-    * shingle-set verify pays for them. The verified output equals the
-    * brute-force pair set, so the oracle is q16's all-pairs SQL
-    * verbatim.
+    * shingle-set verify pays for them. The screen's derived 4σ margin
+    * makes "verified output = brute-force pair set" hold up to a
+    * < 4·10⁻⁵ per-pair tail (see the operator's scaladoc); on this
+    * corpus every true pair clears the margin deterministically, so
+    * the oracle is q16's all-pairs SQL verbatim.
     */
   val q169BbitMinhash: Q = (s, dir) => {
     val d0 = docs(s, dir).select("doc_id", "text")
@@ -4783,6 +4785,83 @@ object Queries {
       .orderBy("doc_id", "span_idx")
   }
 
+  /** Language-flavored sentences for the trained-classifier queries
+    * (q187/q191): per-language function-word material whose CHARACTER
+    * n-gram distribution actually separates the classes — what a real
+    * lang-ID model keys on (CCNet §3 uses fastText char n-grams).
+    */
+  val LangNbFlavors: Seq[(String, String)] = Seq(
+    "en" -> "the and of is to with that for not",
+    "de" -> "der und die ist das nicht mit von auch",
+    "fr" -> "le la et est les dans pour que une",
+    "es" -> "el los y es las con para que una")
+
+  /** Trained language-ID ([[LangIdNb]], the fastText/CCNet classifier
+    * family): a labeled TRAIN corpus is constructed in-engine — each
+    * doc gets the function-word sentence of lang = doc_id%4 plus 8
+    * language-neutral noise tokens from its own text — the hashed
+    * char-3-gram NB model is fitted (one model-sized shuffle + 32 KB
+    * collect), and a DISJOINT test corpus (shifted lang assignment
+    * (doc_id+1)%4, noise tokens 9..16) is scored map-side by the
+    * plan-constant kernel. Output gates every per-doc argmax AND the
+    * 6-dp score: the oracle replays training counts, priors, Laplace
+    * log-likelihoods, exact-decimal sums, and the tie-broken argmax.
+    */
+  val q187LangidNb: Q = (s, dir) => {
+    val langArr = array(LangNbFlavors.map(f => lit(f._1)): _*)
+    val sentArr = array(LangNbFlavors.map(f => lit(f._2)): _*)
+    val d = docs(s, dir).select(col("doc_id"), Text.tokens(col("text")).as("_t"))
+    val trainIdx = (col("doc_id") % 4 + 1).cast("int")
+    val testIdx = (pmod(col("doc_id") + 1, lit(4)) + 1).cast("int")
+    val train = d.select(col("doc_id"),
+      element_at(langArr, trainIdx).as("lang"),
+      concat(element_at(sentArr, trainIdx), lit(" "),
+        concat_ws(" ", slice(col("_t"), 1, 8))).as("text"))
+    val test = d.select(col("doc_id"),
+      element_at(langArr, testIdx).as("lang_true"),
+      concat(element_at(sentArr, testIdx), lit(" "),
+        concat_ws(" ", slice(col("_t"), 9, 8))).as("text"))
+    val model = LangIdNb.fitModel(train, "text", "lang", buckets = 1024, n = 3)
+    LangIdNb.scoreDocs(test, "doc_id", "text", model)
+      .join(test.select(col("doc_id"), col("lang_true")), "doc_id")
+      .select(col("doc_id"), col("lang_true"), col("lang_pred"), col("score"),
+        (col("lang_true") === col("lang_pred")).as("hit"))
+      .orderBy("doc_id")
+  }
+
+  /** q186's mixed-language segmentation driven by the TRAINED
+    * classifier instead of the marker argmax — the "explicit model
+    * parameter, both paths gated" contract: [[LangSegment.segments]]'
+    * `scorer` plugs [[graft.functions.LangNbExpressions.langNbId]]
+    * under the q187-style fitted model, so per-line language ID is a
+    * trained map-side kernel and the span reassembly is unchanged.
+    * Oracle replays the full NB per line (training counts shared with
+    * the line scoring CTEs) plus the island arithmetic.
+    */
+  val q191LangSegmentsNb: Q = (s, dir) => {
+    val langArr = array(LangNbFlavors.map(f => lit(f._1)): _*)
+    val sentArr = array(LangNbFlavors.map(f => lit(f._2)): _*)
+    val d = docs(s, dir).select(col("doc_id"), Text.tokens(col("text")).as("_t"))
+    val trainIdx = (col("doc_id") % 4 + 1).cast("int")
+    val train = d.select(col("doc_id"),
+      element_at(langArr, trainIdx).as("lang"),
+      concat(element_at(sentArr, trainIdx), lit(" "),
+        concat_ws(" ", slice(col("_t"), 1, 8))).as("text"))
+    val model = LangIdNb.fitModel(train, "text", "lang", buckets = 1024, n = 3)
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    val mixed = docs(s, dir).select(col("doc_id"),
+      concat(
+        lit("the and of is to item"), ids, lit("\n"),
+        lit("the of and is to part"), ids, lit("\n"),
+        lit("der und die ist das nummer"), ids, lit("\n"),
+        when(id % 3 === 0, concat(lit("le la et est les objet"), ids))
+          .otherwise(concat(lit("der und die das ist ding"), ids))).as("text"))
+    LangSegment.segments(mixed, "doc_id", "text",
+        scorer = graft.functions.LangNbExpressions.langNbId(_, model))
+      .orderBy("doc_id", "span_idx")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -4970,5 +5049,7 @@ object Queries {
     "q184_streaming_luhn" -> q184StreamingLuhn,
     "q185_source_overlap" -> q185SourceOverlap,
     "q186_lang_segments" -> q186LangSegments,
+    "q187_langid_nb" -> q187LangidNb,
+    "q191_lang_segments_nb" -> q191LangSegmentsNb,
   )
 }

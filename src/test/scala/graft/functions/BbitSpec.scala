@@ -40,6 +40,37 @@ class BbitSpec extends SparkSpec {
     assert(BbitKernels.estimate(a, c, 128) === 0.0)
   }
 
+  test("estimate fails loudly on mismatched / truncated signatures") {
+    val full = new GenericArrayData(Array(-1L, -1L))
+    val short = new GenericArrayData(Array(-1L))
+    val e = intercept[IllegalArgumentException] {
+      BbitKernels.estimate(full, short, 128)
+    }
+    assert(e.getMessage.contains("2 words"), e.getMessage)
+    // both wrong for the claimed k also throws (no silent bias to 1)
+    intercept[IllegalArgumentException] {
+      BbitKernels.estimate(short, short, 128)
+    }
+  }
+
+  test("vacuous margin skips the screen: exact-equality unconditional") {
+    // threshold 0.05 < derived margin 4/sqrt(128) ~ 0.354 -> screen
+    // skipped, all banded candidates verified exactly
+    val docs = (0 until 20).map { i =>
+      (i.toLong, (0 until 30).map(t => s"e${i}_w$t").mkString(" "))
+    }
+    val d0 = docs.toDF("doc_id", "text")
+    val mutated = d0.select((col("doc_id") + 1000).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 2, 1000)).as("text"))
+    val corpus = d0.unionByName(mutated)
+    val plain = NearDup.nearDupPairs(corpus, "doc_id", "text", 0.05)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    val bbit = NearDup.bbitPrefilteredPairs(corpus, "doc_id", "text", 0.05)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+    assert(bbit === plain)
+    assert(bbit.nonEmpty)
+  }
+
   test("estimator tracks true Jaccard on real minhash signatures") {
     // two docs sharing ~90% of shingles vs two unrelated docs
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")

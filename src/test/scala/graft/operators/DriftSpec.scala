@@ -24,6 +24,27 @@ class DriftSpec extends SparkSpec {
     assert(out.head._2 > 0.0 && out.head._3 > 0.0)
   }
 
+  test("klAgainstReference: OOV events counted, excluded from KL; kl >= 0") {
+    val ref = Seq(("a", 60L), ("b", 40L)).toDF("event_type", "ref_cnt")
+    val groups = Seq(
+      ("w1", "a", 6L), ("w1", "b", 4L),              // matches ref -> kl = 0
+      ("w2", "a", 6L), ("w2", "b", 4L), ("w2", "zz", 5L), // 5 OOV events
+      ("w3", "zz", 7L)                                // entirely OOV
+    ).toDF("win", "event_type", "n")
+    val out = Drift.klAgainstReference(groups, "win", "event_type", "n",
+        ref, "ref_cnt")
+      .orderBy("win")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) ===
+      Seq(("w1", 10L, 0L), ("w2", 10L, 5L), ("w3", 0L, 7L)))
+    // w2's in-vocab counts are identical to w1's, so with OOV mass
+    // excluded from the total they must score the SAME kl — and every
+    // kl (including the all-OOV group's smoothed-uniform-vs-ref) is a
+    // true KL, never negative
+    assert(out(0)._4 === out(1)._4, out)
+    assert(out.forall(_._4 >= 0.0), out)
+  }
+
   test("bit-identical at any partitioning") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")

@@ -34,6 +34,18 @@ class NegativeSamplingSpec extends SparkSpec {
     assert(t1 !== t3, "different seeds must permute the draws")
   }
 
+  test("vocabulary sorts by code points, not UTF-16 code units") {
+    // U+FFFD < U+1F600 by code point, but Java's String ordering puts
+    // the emoji's lead surrogate (0xD83D) BELOW 0xFFFD — the exact
+    // divergence from a UTF-8 engine's ORDER BY the fix closes
+    val rep = "�"; val emoji = "😀"
+    assert(Ordering.String.compare(emoji, rep) < 0, "premise: Java order differs")
+    assert(graft.core.Exact.codePointOrdering.compare(rep, emoji) < 0)
+    val m = NegativeSampling.fitModel(
+      Seq(s"$emoji $rep apple").toDF("text"), "text", "sU")
+    assert(m.words.toSeq === Seq("apple", rep, emoji))
+  }
+
   test("singleton vocabulary always samples the one word") {
     val m = NegativeSampling.fitModel(Seq("only only").toDF("text"), "text", "s1")
     val words = NegativeSampling.sampleTable(spark, m, 50)

@@ -45,4 +45,16 @@ class SkipGramHeapsSpec extends SparkSpec {
     assert(r.getDouble(1) === 0.0)
     assert(r.isNullAt(3))
   }
+
+  test("heaps fit: empty corpus fails loudly; int ids are tolerated") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.heapsFit(empty, "doc_id", "text", 10).head()
+    }
+    assert(e.getMessage.contains("empty corpus"), e.getMessage)
+    // INTEGER id column (not BIGINT): no ClassCastException
+    val intIds = (1 to 120).map(i => (i, s"the of unique$i")).toDF("doc_id", "text")
+    val r = CorpusStats.heapsFit(intIds, "doc_id", "text", 10).head()
+    assert(r.getLong(0) >= 3L)
+  }
 }
