@@ -960,18 +960,20 @@ object Similarity {
     nearestCell(vec, cents)
 
   /** Index of the nearest centroid by squared euclidean distance, ties
-    * to the lowest index — a pairwise when()-reduce over the fixed
-    * centroid list, one flat codegen'd expression.
+    * to the lowest index. Argmin is array_min + first-occurrence
+    * array_position so each of the k distance expressions appears
+    * exactly ONCE in the plan — a pairwise when()-reduce re-embeds
+    * every distance at every level (2^k expression growth; at k = 16
+    * codegen never finishes).
     */
-  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
-    cents.zipWithIndex.map { case (c, i) =>
-      val d = aggregate(
+  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column = {
+    val dists = array(cents.map { c =>
+      aggregate(
         zip_with(vec, lit(c), (x, w) => { val t = x.cast("double") - w; t * t }),
         lit(0.0), (s, v) => s + v)
-      (d, lit(i): Column)
-    }.reduce[(Column, Column)] { case ((d1, i1), (d2, i2)) =>
-      (when(d1 <= d2, d1).otherwise(d2), when(d1 <= d2, i1).otherwise(i2))
-    }._2
+    }.toIndexedSeq: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
 
   /** Sign-pattern LSH with DATA-DERIVED hyperplanes: bit i of the
     * bucket = [v·seedᵢ ≥ 0] with the decimal-exact dot, so the
@@ -1137,5 +1139,222 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid, "Product Quantization
+  // for Nearest Neighbor Search", IEEE TPAMI 2011) — the piece that
+  // makes billion-vector indexes fit in memory: d dims split into m
+  // subspaces, each sub-vector replaced by the id of its nearest
+  // codeword from a per-subspace k-means codebook, so a 64-float
+  // vector stores as m small codes (m=4, ks=16 → 2 BYTES of payload
+  // per vector vs 256 — a 128× index compression) and query-time
+  // distances come from per-query lookup tables (ADC: asymmetric
+  // distance computation) over the codes table alone.
+  // ------------------------------------------------------------------
+
+  /** Per-subspace k-means codebooks, trained in-engine: subspace j
+    * covers dims [j·d/m, (j+1)·d/m) and gets its own
+    * [[kmeansCentroidsExact]] run over the sliced sub-vectors.
+    * Returns books(j)(c) = codeword c of subspace j. Training cost is
+    * m small k-means fits on slim (d/m)-dim rows; at 100 TB train on
+    * a sample (the standard recipe) and encode the full corpus with
+    * the cheap assignment below.
+    */
+  def pqCodebooksExact(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ks: Int, iters: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val ds = dim / m
+    Array.tabulate(m) { j =>
+      kmeansCentroidsExact(
+        corpus.select(col(idCol), slice(col(vecCol), j * ds + 1, ds).as("_sub")),
+        idCol, "_sub", ks, iters)
+    }
+  }
+
+  /** SEEDED codebooks — codeword c of subspace j is seed c's j-th
+    * sub-vector (the [[ivfTopKSeeded]]/[[lshTopKSeeded]] discipline:
+    * a model that is a pure function of named corpus rows, so a SQL
+    * oracle can replay the whole ANN query including the codebooks).
+    * ks = number of seed rows.
+    */
+  def pqCodebooksSeeded(seeds: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val ds = dim / m
+    val rows = seeds.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .collect() // seed-set-sized (the collectSeeds precedent)
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(rows.nonEmpty, "empty seed set")
+    Array.tabulate(m)(j => rows.map(_.slice(j * ds, (j + 1) * ds)))
+  }
+
+  /** PQ-encode the corpus — the STORED INDEX: (id, codes ARRAY<INT>,
+    * _cn exact norm, _r residual bound) where codes(j) = argmin-
+    * distance codeword of sub-vector j (double argmin, deterministic
+    * per row) and _r ≥ ‖v − decode(codes)‖ (double sqrt of the summed
+    * sub-residuals; the +1e-9 screening slack downstream absorbs its
+    * rounding). One map-side projection; nothing corpus-sized leaves
+    * the scan.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]], exact: Boolean = false): DataFrame = {
+    val m = books.length
+    val ds = books(0)(0).length
+    def sub(j: Int) = slice(col("_cv"), j * ds + 1, ds)
+    def d2(v: Column, c: Array[Double]): Column = aggregate(
+      zip_with(v, lit(c), (x, w) => { val t = x.cast("double") - w; t * t }),
+      lit(0.0), (s, v2) => s + v2)
+    // exact = decimal-quantized sub-distances so the ASSIGNMENT is
+    // engine-replayable (the kmeansCentroidsExact parity rationale) —
+    // required when a SQL oracle must reproduce the codes; the double
+    // path suffices when a certificate downstream absorbs any
+    // assignment ([[pqTopK]]). At corpus scale prefer the double path
+    // or the epsilon-banded hybrid (kmeansCentroidsExact's loop).
+    def dist(j: Int, c: Array[Double]): Column =
+      if (exact) distExactDecimal(sub(j), c) else d2(sub(j), c)
+    // argmin via array_min + first-occurrence array_position: each of
+    // the ks distance expressions appears exactly ONCE (a pairwise
+    // when()-reduce would re-embed every distance at every level —
+    // 2^ks expression blowup, the kmeansCentroidsExact caveat);
+    // first occurrence = ties to the lowest codeword index
+    def assign(j: Int): Column = {
+      val dists = array(books(j).map(c => dist(j, c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    def resid2(j: Int): Column =
+      books(j).zipWithIndex.tail.foldLeft(
+        when(element_at(col("_codes"), j + 1) === 0, d2(sub(j), books(j)(0)))) {
+        case (acc, (c, i)) =>
+          acc.when(element_at(col("_codes"), j + 1) === i, d2(sub(j), c))
+      }
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .withColumn("_cn", sqrt(dotExact(col("_cv"), col("_cv"))))
+      .withColumn("_codes", array((0 until m).map(assign): _*))
+      .withColumn("_r",
+        sqrt((0 until m).map(resid2).reduce(_ + _)) + lit(1e-9))
+  }
+
+  /** EXACT cosine top-k through the PQ codes scan — [[quantizedTopK]]
+    * with PQ in place of int8: the |Q|×|C| estimate pass reads ONLY
+    * the codes table (m ints + 2 doubles per vector — never the full
+    * vectors), estimates each pair's dot as the ADC lookup-table sum
+    * Σⱼ (qⱼ·codeword), and bounds the error RIGOROUSLY by
+    * Cauchy–Schwarz: |q·v − q·decode(codes)| = |q·(v − decode)| ≤
+    * ‖q‖·r, so on cosine the per-pair slack is β = r/‖v‖ + 1e-9. The
+    * kth-largest lower bound per query floors the kth exact cosine;
+    * every pair whose upper bound reaches that floor survives (a
+    * SUPERSET of the true top-k by construction, for ANY codebook —
+    * certification does not depend on training quality, only
+    * candidate-count does); survivors alone pay the decimal-exact
+    * re-score. Output ≡ `bruteForceTopK(..., exact = true)` — which
+    * is exactly what the oracle checks.
+    *
+    * At 100 TB: [[pqEncode]]'s output is the persisted index (128×
+    * smaller than the vectors); compose with [[cellOf]] coarse cells
+    * (write the codes table partitioned by cell, probe nProbe cells)
+    * for IVF-PQ — the coarse layer trades the certificate for probe
+    * locality, which is the q132-style recall-report regime
+    * ([[pqAdcRank]]).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, ks: Int = 16, iters: Int = 3,
+      roundDp: Int = -1): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val books = pqCodebooksExact(corpus, idCol, vecCol, dim, m, ks, iters)
+    val ds = dim / m
+    val c = pqEncode(corpus, idCol, vecCol, books).persistTracked
+    // per-query ADC lookup table: lut(j·ks + c) = qⱼ·codeword(j,c) —
+    // m·ks dots per QUERY row, computed once, joined to the codes scan
+    def qsub(j: Int) = slice(col(vecCol), j * ds + 1, ds)
+    val lutExprs = for (j <- 0 until m; cw <- books(j)) yield
+      aggregate(zip_with(qsub(j), lit(cw), (x, w) => x.cast("double") * w),
+        lit(0.0), (s, v) => s + v)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"),
+        array(lutExprs: _*).as("_lut"))
+      .persistTracked
+    val den = col("_qn") * col("_cn")
+    val estDot = (0 until m).map(j =>
+      element_at(col("_lut"),
+        lit(j * ks) + element_at(col("_codes"), j + 1) + 1)).reduce(_ + _)
+    val slim = q.select("query_id", "_qn", "_lut")
+      .join(c.select("neighbor_id", "_cn", "_codes", "_r"),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(den > 0, estDot / den).otherwise(0.0).as("_est"),
+        when(den > 0, col("_r") / col("_cn") + 1e-9)
+          .otherwise(lit(1e-9)).as("_beta"))
+      .persistTracked
+    val roundSlack = if (roundDp >= 0) math.pow(10.0, -roundDp) else 0.0
+    val wLb = Window.partitionBy("query_id")
+      .orderBy((col("_est") - col("_beta")).desc, col("neighbor_id"))
+    val kth = slim.withColumn("_rn", row_number().over(wLb))
+      .filter(col("_rn") === k)
+      .select(col("query_id"), (col("_est") - col("_beta")).as("_kth_lb"))
+    val surv = slim.join(broadcast(kth), Seq("query_id"), "left")
+      .filter(col("_kth_lb").isNull ||
+        col("_est") + col("_beta") >= col("_kth_lb") - roundSlack)
+      .select("query_id", "neighbor_id")
+    val cosE = when(den > 0,
+      dotExact(col("_qv"), col("_cv")) / den).otherwise(0.0)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.select("neighbor_id", "_cv", "_cn")
+      .join(broadcast(surv.join(q.select("query_id", "_qv", "_qn"), "query_id")),
+        "neighbor_id")
+      .withColumn("sim", if (roundDp < 0) cosE else round(cosE, roundDp))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** PURE-ADC PQ ranking — no exact re-score, no certificate: rank
+    * corpus vectors per query by the ADC cosine estimate alone (the
+    * regime a probe-limited IVF-PQ index actually serves) so its
+    * recall against the exact gold can be REPORTED (q132's discipline:
+    * approx vs exact as a gated metric, not a hidden assumption).
+    * With seeded codebooks ([[pqCodebooksSeeded]]) the entire ranking
+    * is a pure function of named corpus rows and a SQL oracle replays
+    * it end to end. Est ties break on ascending neighbor id.
+    * Output: (query_id, neighbor_id, est ROUNDED 6 dp, rank).
+    */
+  def pqAdcRank(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val ks = books(0).length
+    val ds = books(0)(0).length
+    // exact assignment + exact LUT dots: every number on the ranking
+    // path is an exact-decimal value (or its one double cast), so a
+    // SQL oracle replays codes, estimates, and the rounded-then-ranked
+    // order bit-for-bit
+    val c = pqEncode(corpus, idCol, vecCol, books, exact = true)
+      .select("neighbor_id", "_cn", "_codes")
+    def qsub(j: Int) = slice(col(vecCol), j * ds + 1, ds)
+    // dotExactHof: the codeword side is a DOUBLE literal array (the
+    // native float-only kernel rejects it); the HOF formulation is
+    // bit-identical by the dotExact contract
+    val lutExprs = for (j <- 0 until m; cw <- books(j)) yield
+      dotExactHof(qsub(j), lit(cw))
+    val q = queries.select(col(idCol).as("query_id"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"),
+      array(lutExprs: _*).as("_lut"))
+    val den = col("_qn") * col("_cn")
+    // each LUT entry is an exact 12-dp value in a double; the decimal
+    // re-cast recovers it exactly, the m-term sum is exact, and ONE
+    // double cast + division lands in the oracle's arithmetic
+    val estDot = (0 until m).map(j =>
+      element_at(col("_lut"),
+        lit(j * ks) + element_at(col("_codes"), j + 1) + 1)
+        .cast(DecimalType(20, 12))).reduce(_ + _).cast("double")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("est").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("est",
+        round(when(den > 0, estDot / den).otherwise(0.0), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "est", "rank")
   }
 }

@@ -4919,6 +4919,94 @@ object Oracles {
        |)""".stripMargin
   }
 
+  /** q190: PQ pure-ADC ranking replay — seeded codebooks (sub-vectors
+    * of vec_id < 16, codeword index = rank in vec_id order), decimal-
+    * exact per-subspace assignment distances, decimal-exact LUT dots,
+    * exact 4-term estimate sum, 6-dp rounded cosine rank, recall vs
+    * the exact brute-force gold (q132's tail).
+    */
+  private lazy val pqRecallSql: String = {
+    // sub-vector j of e: elements j*16+1 .. (j+1)*16
+    def subDist(a: String, b: String) =
+      s"""list_sum([CAST((CAST($a[j.j*16 + i] AS DOUBLE) - CAST($b[j.j*16 + i] AS DOUBLE))
+         |      * (CAST($a[j.j*16 + i] AS DOUBLE) - CAST($b[j.j*16 + i] AS DOUBLE)) AS DECIMAL(18,12))
+         |      FOR i IN range(1, 17)])""".stripMargin
+    def subDot(a: String, b: String) =
+      s"""CAST(list_sum([CAST(CAST($a[j.j*16 + i] AS DOUBLE)
+         |      * CAST($b[j.j*16 + i] AS DOUBLE) AS DECIMAL(38,12))
+         |      FOR i IN range(1, 17)]) AS DOUBLE)""".stripMargin
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
+       |  FROM embeddings
+       |),
+       |ex AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CASE WHEN q.nrm * c.nrm > 0
+       |          THEN ${dotX("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |          ELSE 0.0 END DESC, c.vec_id) AS rn
+       |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 50)
+       |  WHERE rn <= 5
+       |),
+       |sd AS MATERIALIZED (
+       |  SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+       |  FROM embeddings WHERE vec_id < 16
+       |),
+       |ad AS MATERIALIZED (
+       |  SELECT v.vec_id, j.j, s.c, ${subDist("v.embedding", "s.embedding")} AS dist
+       |  FROM embeddings v CROSS JOIN generate_series(0, 3) j(j) CROSS JOIN sd s
+       |),
+       |code AS MATERIALIZED (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+       |    FROM ad) WHERE rn = 1
+       |),
+       |lut AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, j.j, s.c,
+       |    ${subDot("q.embedding", "s.embedding")} AS d
+       |  FROM embeddings q CROSS JOIN generate_series(0, 3) j(j) CROSS JOIN sd s
+       |  WHERE q.vec_id < 50
+       |),
+       |est AS MATERIALIZED (
+       |  SELECT l.query_id, cd.vec_id AS neighbor_id,
+       |    CAST(SUM(CAST(l.d AS DECIMAL(38,12))) AS DOUBLE) AS dsum
+       |  FROM code cd JOIN lut l ON l.j = cd.j AND l.c = cd.c
+       |    AND l.query_id <> cd.vec_id
+       |  GROUP BY 1, 2
+       |),
+       |adc AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT e.query_id, e.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.query_id ORDER BY
+       |        ROUND(CASE WHEN qn.nrm * cn.nrm > 0
+       |          THEN e.dsum / (qn.nrm * cn.nrm) ELSE 0.0 END, 6) DESC,
+       |        e.neighbor_id) AS rn
+       |    FROM est e JOIN n qn ON qn.vec_id = e.query_id
+       |    JOIN n cn ON cn.vec_id = e.neighbor_id)
+       |  WHERE rn <= 5
+       |),
+       |m AS (
+       |  SELECT ex.query_id,
+       |    CAST(SUM(CASE WHEN adc.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |    CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM ex LEFT JOIN adc
+       |    ON adc.query_id = ex.query_id AND adc.neighbor_id = ex.neighbor_id
+       |  GROUP BY ex.query_id
+       |),
+       |mr AS (
+       |  SELECT ROUND(CAST(SUM(n_matched) AS DOUBLE)
+       |    / CAST(COUNT(*) * 5 AS DOUBLE), 6) AS mean_recall FROM m
+       |)
+       |SELECT query_id, n_matched,
+       |  ROUND(CAST(n_matched AS DOUBLE) / CAST(k AS DOUBLE), 6) AS recall,
+       |  (SELECT mean_recall FROM mr) AS mean_recall
+       |FROM m ORDER BY query_id""".stripMargin
+  }
+
   /** q187: train-corpus NB fit + test-corpus scoring, every per-doc
     * argmax and 6-dp score gated.
     */
@@ -5046,6 +5134,30 @@ object Oracles {
       "q182_heaps_fit" -> heapsFitSql,
       "q186_lang_segments" -> langSegmentsSql,
       "q187_langid_nb" -> langidNbSql,
+      // Avro roundtrip: the oracle aggregates the ORIGINAL parquet —
+      // the roundtripped values must fingerprint identically
+      "q188_avro_roundtrip" ->
+        s"""WITH f AS (
+           |  SELECT lang, n_chars,
+           |    CAST(list_sum([
+           |      CAST(strpos('0123456789abcdef', substr(md5(
+           |        CAST(doc_id AS VARCHAR) || ':' || CAST(n_chars AS VARCHAR)), i, 1)) - 1 AS BIGINT)
+           |        * CAST(1::BIGINT << (4 * (12 - i)) AS BIGINT)
+           |      FOR i IN range(1, 13)]) AS BIGINT) AS h
+           |  FROM documents
+           |  WHERE n_chars >= 200
+           |)
+           |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+           |  bit_xor(h) AS content_fp
+           |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+      // PQ certified top-k: the Cauchy–Schwarz screen + exact
+      // re-score make the output the exact brute-force answer — q17's
+      // oracle verbatim (the q61 contract, third compression family)
+      "q189_pq_ann" -> cosineTopKSql,
+      // PQ pure-ADC recall report: seeded codebooks + decimal-exact
+      // assignment/LUT replayed end to end, recall vs exact gold
+      "q190_pq_recall" -> pqRecallSql,
       "q191_lang_segments_nb" -> langSegmentsNbSql,
       // skip-gram pairs: offset fan-out + pair rollup
       "q181_skipgram_pairs" ->

@@ -4862,6 +4862,90 @@ object Queries {
       .orderBy("doc_id", "span_idx")
   }
 
+  /** Avro interchange roundtrip ([[graft.sources.Avro]], the
+    * row-oriented INGEST format): the documents table is written as
+    * Avro container files (one per partition + schema sidecar) and
+    * read back through the PROJECTED reader schema — Avro's resolving
+    * decoder skips the heavy `text`/`source` fields at decode time
+    * (the row-format twin of column pruning; q140's ORC pattern) —
+    * then filtered and digest-aggregated. The oracle aggregates the
+    * ORIGINAL parquet directly, so any value the roundtrip loses or
+    * mangles breaks the per-language md5-XOR content fingerprint.
+    */
+  val q188AvroRoundtrip: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q188")
+    graft.sources.Avro.writeAvro(
+      docs(s, dir).select("doc_id", "lang", "source", "n_chars", "text"), tmp)
+    graft.sources.Avro.readAvro(s, tmp,
+        projection = Seq("doc_id", "lang", "n_chars"))
+      .filter(col("n_chars") >= 200)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        bit_xor(conv(substring(md5(
+            concat_ws(":", col("doc_id"), col("n_chars"))), 1, 12), 16, 10)
+          .cast("long")).as("content_fp"))
+      .orderBy("lang")
+  }
+
+  /** IVF-PQ's payload half, CERTIFIED ([[Similarity.pqTopK]], Jégou
+    * TPAMI 2011): per-subspace k-means codebooks trained in-engine
+    * (4×16-dim, 16 codewords — the 64-float vector stores as 4 codes,
+    * 128× smaller), the |Q|×|C| pass scans ONLY the codes table with
+    * per-query ADC lookup tables, and the Cauchy–Schwarz residual
+    * bound makes the surviving candidate set a SUPERSET of the true
+    * top-k for ANY codebook — so after the decimal-exact re-score the
+    * output EQUALS q17's exact brute force, and the oracle is q17's
+    * SQL verbatim (the q61 prune-then-verify contract, third
+    * compression family).
+    */
+  val q189PqAnn: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.pqTopK(emb.filter(col("vec_id") < 50), emb, "vec_id",
+        "embedding", k = 5, m = 4, ks = 16, iters = 3, roundDp = -1)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** PQ pure-ADC recall report ([[Similarity.pqAdcRank]], the q132
+    * discipline): the UNCERTIFIED ranking a probe-limited IVF-PQ
+    * index actually serves — seeded codebooks (sub-vectors of
+    * vec_id < 16, fully SQL-replayable), decimal-exact assignment and
+    * lookup dots, rank on the 6-dp ADC cosine — scored for recall@5
+    * against the exact gold (the shared q132 fixture). Gates BOTH the
+    * approximation's mechanics (every code, estimate, and rank is
+    * replayed by the oracle) and its honesty (recall is a reported
+    * number, not an assumption).
+    */
+  val q190PqRecall: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 50)
+    val exactPath = memoFixture("q132exact", dir) { p =>
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+          k = 5, roundDp = -1, exact = true)
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(p)
+      graft.core.OpCache.release()
+    }
+    val exact = s.read.parquet(exactPath)
+    val books = Similarity.pqCodebooksSeeded(
+      emb.filter(col("vec_id") < 16), "vec_id", "embedding", dim = 64, m = 4)
+    val approx = Similarity.pqAdcRank(q, emb, "vec_id", "embedding",
+        k = 5, books)
+      .select(col("query_id"), col("neighbor_id"))
+    val matched = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
+    val perQ = exact.groupBy("query_id").agg(count(lit(1)).as("_k"))
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(coalesce(col("n_matched"), lit(0L)).cast("double") /
+          col("_k").cast("double"), 6).as("recall"))
+    val mean = perQ.agg(round(sum(col("n_matched")).cast("double") /
+      (count(lit(1)) * lit(5L)).cast("double"), 6).as("mean_recall"))
+    perQ.crossJoin(broadcast(mean)).orderBy("query_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -5050,6 +5134,9 @@ object Queries {
     "q185_source_overlap" -> q185SourceOverlap,
     "q186_lang_segments" -> q186LangSegments,
     "q187_langid_nb" -> q187LangidNb,
+    "q188_avro_roundtrip" -> q188AvroRoundtrip,
+    "q189_pq_ann" -> q189PqAnn,
+    "q190_pq_recall" -> q190PqRecall,
     "q191_lang_segments_nb" -> q191LangSegmentsNb,
   )
 }
