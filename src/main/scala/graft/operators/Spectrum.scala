@@ -98,12 +98,26 @@ object Spectrum {
       .toDF("dim", "mean", "loading", "lambda1", "trace", "explained_share")
   }
 
-  /** The two corpus passes + driver power iteration, returning the
-    * model itself (for projection consumers — the q144 trained-model
-    * shape).
+  /** The two corpus passes + power iteration, returning the model
+    * itself (for projection consumers — the q144 trained-model shape).
+    *
+    * `distributeCov = false` (default): the d² covariance is collected
+    * and the 25 iterations run on the driver — right up to d ≈ 1024
+    * (a d = 4096 matrix is ~128 MB of driver object plus d²
+    * BigDecimal ops per iteration).
+    *
+    * `distributeCov = true`: the LARGE-d path. The 9-dp covariance
+    * stays a cached d²-ROW DataFrame; each power iteration is ONE
+    * map-side-combinable aggregate — w = C·v as
+    * `groupBy(i).agg(sum(c9ᵢⱼ·vⱼ))` with v riding as a d-element
+    * literal, DECIMAL(18,9)×DECIMAL(18,9) exact products summed
+    * exactly — and the driver only ever holds d-sized vectors. Every
+    * number (rounding points included) is IDENTICAL to the driver
+    * path by construction, so both paths gate under the same oracle;
+    * `SpectrumPowerSpec` locks the bit-equality at d = 64.
     */
   def topComponentModel(emb: DataFrame, vecCol: String, dim: Int,
-      iters: Int = 25): SpectrumModel = {
+      iters: Int = 25, distributeCov: Boolean = false): SpectrumModel = {
     require(dim >= 1 && iters >= 1, s"bad dim=$dim iters=$iters")
     val x = emb.select(col(vecCol).cast("array<double>").as("x"))
 
@@ -123,46 +137,110 @@ object Spectrum {
     // pass 2 — fused moments: upper-triangle cross-moments Σxᵢxⱼ
     // (d(d+1)/2 slim rows) with the per-dim sums Σxᵢ riding the
     // diagonal (i,i) groups' second aggregate
-    val moments = x
+    val momentsDf = x
       .select(col("x"), posexplode(col("x")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("x")).as(Seq("j", "xj")))
       .filter(col("j") >= col("i"))
       .groupBy("i", "j")
       .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("s"),
         sum(col("xi").cast("decimal(38,12)")).as("sx"))
-      .collect()
-    val cross = moments
-      .map(row => (row.getInt(0), row.getInt(1)) -> row.getDecimal(2)).toMap
-    val sums = moments.collect {
-      case row if row.getInt(0) == row.getInt(1) =>
-        row.getInt(0) -> row.getDecimal(3)
-    }.toMap
-    val mean9 = Array.tabulate(dim)(i =>
-      r(sums(i).doubleValue() / n, 9))
+    if (distributeCov) distributedPower(momentsDf, dim, n, iters)
+    else {
+      val moments = momentsDf.collect()
+      val cross = moments
+        .map(row => (row.getInt(0), row.getInt(1)) -> row.getDecimal(2)).toMap
+      val sums = moments.collect {
+        case row if row.getInt(0) == row.getInt(1) =>
+          row.getInt(0) -> row.getDecimal(3)
+      }.toMap
+      val mean9 = Array.tabulate(dim)(i =>
+        r(sums(i).doubleValue() / n, 9))
 
-    // 9-dp covariance: C = S/n - mean mean^T (IEEE, then round)
-    val c9 = Array.tabulate(dim, dim) { (i, j) =>
-      val (a, b) = if (i <= j) (i, j) else (j, i)
-      r(cross((a, b)).doubleValue() / n - mean9(i) * mean9(j), 9)
-    }
-    val traceDec = (0 until dim).map(i => d9(c9(i)(i))).reduce(_.add(_))
-    val trace = traceDec.doubleValue()
-
-    // power method, every step decimal-exact then 9-dp rounded
-    var v = Array.fill(dim)(1.0)
-    var lambda = 0.0
-    for (_ <- 1 to iters) {
-      val w9 = Array.tabulate(dim) { i =>
-        val dot = (0 until dim).map(j => d9(c9(i)(j)).multiply(d9(v(j))))
-          .reduce(_.add(_))
-        r(dot.doubleValue(), 9)
+      // 9-dp covariance: C = S/n - mean mean^T (IEEE, then round)
+      val c9 = Array.tabulate(dim, dim) { (i, j) =>
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        r(cross((a, b)).doubleValue() / n - mean9(i) * mean9(j), 9)
       }
-      val nrm2 = w9.map(wi => d9(wi).multiply(d9(wi))).reduce(_.add(_))
-      val nrm = math.sqrt(nrm2.doubleValue())
-      lambda = nrm
-      v = w9.map(wi => r(wi / nrm, 9))
+      val traceDec = (0 until dim).map(i => d9(c9(i)(i))).reduce(_.add(_))
+      val trace = traceDec.doubleValue()
+
+      // power method, every step decimal-exact then 9-dp rounded
+      var v = Array.fill(dim)(1.0)
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val w9 = Array.tabulate(dim) { i =>
+          val dot = (0 until dim).map(j => d9(c9(i)(j)).multiply(d9(v(j))))
+            .reduce(_.add(_))
+          r(dot.doubleValue(), 9)
+        }
+        val nrm2 = w9.map(wi => d9(wi).multiply(d9(wi))).reduce(_.add(_))
+        val nrm = math.sqrt(nrm2.doubleValue())
+        lambda = nrm
+        v = w9.map(wi => r(wi / nrm, 9))
+      }
+      SpectrumModel(mean9, v, lambda, trace)
     }
-    SpectrumModel(mean9, v, lambda, trace)
+  }
+
+  /** Matvec-as-aggregation power iteration over a DISTRIBUTED 9-dp
+    * covariance. mean9 is the only model-sized collect before the
+    * loop (d values, from the diagonal groups); the full covariance
+    * is materialized as a cached d²-row frame (both triangles —
+    * mirror of the upper-triangle moments) whose entries replicate
+    * the driver path's arithmetic exactly: c9ᵢⱼ = round(Sᵢⱼ/n −
+    * mᵢ·mⱼ, 9) with the same decimal→double cast and IEEE ops.
+    */
+  private def distributedPower(momentsDf: DataFrame, dim: Int, n: Long,
+      iters: Int): SpectrumModel = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = momentsDf.sparkSession
+    val diag = momentsDf.filter(col("i") === col("j"))
+      .select(col("i"),
+        round(col("sx").cast("double") / n, 9).as("m9"))
+    val mean9Rows = diag.collect() // d-sized
+    val mean9 = {
+      val a = new Array[Double](dim)
+      mean9Rows.foreach(r0 => a(r0.getInt(0)) = r0.getDouble(1))
+      a
+    }
+    val mLit = array(mean9.map(lit(_)).toIndexedSeq: _*)
+    val upper = momentsDf.select(col("i"), col("j"), col("s"))
+    val full = upper.unionByName(
+        upper.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("s")))
+      .select(col("i"), col("j"),
+        round(col("s").cast("double") / n -
+          element_at(mLit, col("i") + 1) * element_at(mLit, col("j") + 1),
+          9).as("c9"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val traceDec = full.filter(col("i") === col("j"))
+        .agg(sum(col("c9").cast(DecimalType(18, 9))).as("t"))
+        .head().getDecimal(0)
+      val trace = traceDec.doubleValue()
+      var v = Array.fill(dim)(1.0)
+      var lambda = 0.0
+      for (_ <- 1 to iters) {
+        val vLit = array(v.map(lit(_)).toIndexedSeq: _*)
+        // ONE mergeable aggregate: partial sums reduce each partition
+        // to ≤ d rows before the d-key shuffle; exact decimal products
+        // ((18,9)×(18,9) → (37,18), no rounding) match the driver
+        // path's BigDecimal multiply-add term for term
+        val wRows = full
+          .groupBy("i")
+          .agg(sum(col("c9").cast(DecimalType(18, 9)) *
+            element_at(vLit, col("j") + 1).cast(DecimalType(18, 9))).as("dot"))
+          .collect() // d-sized
+        val w9 = new Array[Double](dim)
+        wRows.foreach(r0 => w9(r0.getInt(0)) =
+          r(r0.getDecimal(1).doubleValue(), 9))
+        val nrm2 = w9.map(wi => d9(wi).multiply(d9(wi))).reduce(_.add(_))
+        val nrm = math.sqrt(nrm2.doubleValue())
+        lambda = nrm
+        v = w9.map(wi => r(wi / nrm, 9))
+      }
+      SpectrumModel(mean9, v, lambda, trace)
+    } finally { full.unpersist(false); () }
   }
 
   /** Per-vector "all-but-the-top" decomposition (Mu & Viswanath,

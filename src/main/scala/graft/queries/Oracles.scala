@@ -414,13 +414,18 @@ object Oracles {
        |  FROM cnt$r
        |)""".stripMargin
 
-  private def bpeUnrollCtes(iters: Int): String = {
-    val head =
+  /** `head` must open the WITH chain and end with a `words0` CTE of
+    * (w, freq BIGINT, syms = per-char list) — the default is the
+    * corpus word table; the byte-BPE variant feeds a remapped one.
+    */
+  private def bpeUnrollCtes(iters: Int,
+      headOverride: Option[String] = None): String = {
+    val head = headOverride.getOrElse(
       s"""WITH words0 AS MATERIALIZED (
          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, string_split(w, '') AS syms
          |  FROM (SELECT unnest($toksExpr) AS w FROM documents)
          |  GROUP BY w
-         |)""".stripMargin
+         |)""".stripMargin)
     val rounds = (1 to iters).map { k =>
       val p = k - 1
       s"""pos$k AS MATERIALIZED (
@@ -468,6 +473,45 @@ object Oracles {
          |)""".stripMargin
     }
     (Seq(head) ++ rounds).mkString(",\n")
+  }
+
+  /** Byte-BPE unroll head: the q193/q194 corpus (tokens + the planted
+    * multibyte token) with every word BYTE-REMAPPED in SQL — UTF-8
+    * bytes recovered by hex-ing the encoded word (uppercase hex
+    * digits parsed with the md5-48 idiom), joined to the 256-row
+    * GPT-2 `bytes_to_unicode` table (interpolated from
+    * [[graft.functions.ByteAlphabet]] so engine and oracle share one
+    * bijection), reassembled in byte order. `rm` (w → rw) stays open
+    * for q194's roundtrip tail; words0 feeds the standard unroll.
+    */
+  private lazy val byteBpeHead: String = {
+    val bmRows = (0 to 255).map(b =>
+      s"($b, ${graft.functions.ByteAlphabet.byteToChar(b).toInt})")
+      .grouped(8).map(_.mkString(", ")).mkString(",\n       |  ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_append($toksExpr,
+       |      CASE WHEN doc_id % 3 = 0 THEN 'süß'
+       |           WHEN doc_id % 3 = 1 THEN '日本語a'
+       |           ELSE '🚀end' END)) AS w
+       |    FROM documents) GROUP BY w
+       |),
+       |bm(b, cp) AS (VALUES
+       |  $bmRows),
+       |by0 AS MATERIALIZED (
+       |  SELECT w, freq, i,
+       |    CAST(strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS BIGINT), 1)) - 1 AS BIGINT) * 16 +
+       |    CAST(strpos('0123456789ABCDEF', substr(hx, CAST(2*i AS BIGINT), 1)) - 1 AS BIGINT) AS bv
+       |  FROM (SELECT w, freq, hex(encode(w)) AS hx,
+       |        unnest(range(1, octet_length(encode(w)) + 1)) AS i FROM w0)
+       |),
+       |rm AS MATERIALIZED (
+       |  SELECT w, freq, string_agg(chr(CAST(bm.cp AS INTEGER)), '' ORDER BY i) AS rw
+       |  FROM by0 JOIN bm ON bm.b = by0.bv GROUP BY w, freq
+       |),
+       |words0 AS MATERIALIZED (
+       |  SELECT rw AS w, freq, string_split(rw, '') AS syms FROM rm
+       |)""".stripMargin
   }
 
   /** 3-gram shingle CTE over `src` (needs doc_id, text). */
@@ -5121,6 +5165,28 @@ object Oracles {
 
   val all: Map[String, String] = headOracles ++ tailOracles ++
     Map("q163_embedding_spectrum" -> embeddingSpectrumSql,
+      // distributed-matvec spectrum: bit-identical to the driver path
+      // by construction — same oracle IS the equivalence gate
+      "q192_spectrum_power" -> embeddingSpectrumSql,
+      // byte-level BPE: the standard 12-round unroll over the
+      // byte-remapped word table (byteBpeHead), q99's finals tail
+      "q193_byte_bpe_train" -> {
+        val finals = (1 to 12).map(k =>
+          s"""SELECT CAST($k AS INTEGER) AS rank, l AS "left", r AS "right", cnt AS freq FROM best$k""")
+        bpeUnrollCtes(12, Some(byteBpeHead)) + "\n" +
+          finals.mkString("\nUNION ALL\n") + "\nORDER BY rank"
+      },
+      // byte-level segmentation + roundtrip: the unroll's final word
+      // table IS greedy segmentation (q102's equivalence); roundtrip
+      // = pieces re-concatenate to the remapped word (bijection)
+      "q194_byte_bpe_segment" -> (
+        bpeUnrollCtes(12, Some(byteBpeHead)) + "\n" +
+          s"""SELECT d.w, array_to_string(f.syms, ' ') AS segmented,
+             |  CAST(len(f.syms) AS BIGINT) AS n_pieces,
+             |  (array_to_string(f.syms, '') = d.rw) AS roundtrip_ok
+             |FROM (SELECT DISTINCT w, rw FROM rm) d
+             |JOIN words12 f ON f.w = d.rw
+             |ORDER BY d.w""".stripMargin),
       "q164_phrase_scan" -> phraseScanSql,
       "q165_remove_top" -> removeTopSql,
       "q166_token_subsample" -> tokenSubsampleSql,

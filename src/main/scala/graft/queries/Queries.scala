@@ -4256,6 +4256,24 @@ object Queries {
     Spectrum.reportFromModel(s, spectrumFor(s, dir), dim = 64)
       .orderBy("dim")
 
+  /** The LARGE-d spectrum path under q163's own oracle: power
+    * iteration with the covariance kept DISTRIBUTED
+    * (`distributeCov = true` — each matvec is one mergeable d-sized
+    * aggregate over the cached d²-row frame; the driver never holds a
+    * d² object, the fix for the d = 4096 driver-collect caveat). The
+    * two paths are bit-identical by construction (every rounding
+    * point replicated — SpectrumPowerSpec locks it), so this query
+    * sharing `embeddingSpectrumSql` is itself the cross-path
+    * equivalence gate, run fresh (unmemoized) each time.
+    */
+  val q192SpectrumPower: Q = (s, dir) =>
+    Spectrum.reportFromModel(s,
+        Spectrum.topComponentModel(
+          Tables.embeddings(s, dir).select("embedding"), "embedding",
+          dim = 64, iters = 25, distributeCov = true),
+        dim = 64)
+      .orderBy("dim")
+
   /** Banned-phrase scan ([[PhraseFilter.tagBanned]] on the
     * [[graft.functions.AhoCorasick]] automaton): the C4-style
     * badwords filter — ONE Aho–Corasick pass per doc reports every
@@ -4946,6 +4964,80 @@ object Queries {
     perQ.crossJoin(broadcast(mean)).orderBy("query_id")
   }
 
+  /** Byte-fallback BPE corpus: every doc's tokens plus one planted
+    * MULTIBYTE token (umlaut+ß, CJK, emoji by doc_id%3 — 2-, 3- and
+    * 4-byte UTF-8 sequences), each token byte-remapped
+    * ([[graft.functions.ByteBpeExpressions.byteRemap]]) so the
+    * trainer's "characters" are the GPT-2 256-byte alphabet. Tokens
+    * are remapped INDIVIDUALLY and re-joined (byte-level BPE
+    * pre-tokenizes before remapping — a remapped space would
+    * otherwise swallow the word boundary).
+    */
+  private def byteBpeExtra: Column =
+    when(col("doc_id") % 3 === 0, "süß")
+      .when(col("doc_id") % 3 === 1, "日本語a")
+      .otherwise("🚀end")
+
+  private def byteBpeCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ByteBpeExpressions.byteRemap
+    docs(s, dir).select(col("doc_id"),
+      concat_ws(" ",
+        concat_ws(" ", transform(Text.tokens(col("text")),
+          t => byteRemap(t))),
+        byteRemap(byteBpeExtra)).as("text"))
+  }
+
+  /** Byte-level BPE TRAINING (GPT-2's byte-fallback alphabet in front
+    * of [[BpeTrainer]] — Radford et al. 2019; Sennrich ACL 2016):
+    * after the per-token byte remap the standard trainer is already
+    * byte-level — its initial symbols ARE the 256-char byte alphabet,
+    * so unseen characters can never produce UNK. The planted
+    * multibyte tokens make the learned table contain genuine
+    * byte-pair merges (UTF-8 continuation-byte pairs), and the oracle
+    * replays the remap (hex-decoded bytes joined to the 256-row
+    * alphabet table) plus all 12 merge rounds.
+    */
+  val q193ByteBpeTrain: Q = (s, dir) =>
+    BpeTrainer.train(byteBpeCorpus(s, dir), "text", numMerges = 12)
+      .orderBy("rank")
+
+  private val byteBpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def byteBpeMergeList(s: SparkSession, dir: String): Seq[(String, String)] =
+    byteBpeMemo.computeIfAbsent(dir, _ =>
+      BpeTrainer.train(byteBpeCorpus(s, dir), "text", numMerges = 12)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** Byte-level BPE SEGMENTATION + the LOSSLESS-ROUNDTRIP gate: every
+    * distinct corpus word (original bytes, multibyte plants included)
+    * segments under the q193 model — remap, [[graft.functions
+    * .BpeExpressions.bpeSegment]], then the pieces re-concatenate and
+    * INVERSE-remap back to exactly the original word (`roundtrip_ok`,
+    * true for arbitrary UTF-8 by the bijection — also
+    * property-tested on random non-BMP text in ByteBpeSpec). Oracle:
+    * the unroll's final word table IS greedy segmentation under the
+    * learned merges (the q102 equivalence), so pieces, counts, and
+    * the roundtrip bit all replay.
+    */
+  val q194ByteBpeSegment: Q = (s, dir) => {
+    import graft.functions.ByteBpeExpressions.{byteRemap, byteUnremap}
+    val merges = byteBpeMergeList(s, dir)
+    val words = docs(s, dir)
+      .select(explode(array_union(Text.tokens(col("text")),
+        array(byteBpeExtra))).as("w"))
+      .distinct()
+    words
+      .select(col("w"),
+        graft.functions.BpeExpressions.bpeSegment(
+          byteRemap(col("w")), merges).as("_p"))
+      .select(col("w"),
+        array_join(col("_p"), " ").as("segmented"),
+        size(col("_p")).cast("long").as("n_pieces"),
+        (byteUnremap(array_join(col("_p"), "")) === col("w")).as("roundtrip_ok"))
+      .orderBy("w")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -5138,5 +5230,8 @@ object Queries {
     "q189_pq_ann" -> q189PqAnn,
     "q190_pq_recall" -> q190PqRecall,
     "q191_lang_segments_nb" -> q191LangSegmentsNb,
+    "q192_spectrum_power" -> q192SpectrumPower,
+    "q193_byte_bpe_train" -> q193ByteBpeTrain,
+    "q194_byte_bpe_segment" -> q194ByteBpeSegment,
   )
 }
