@@ -5225,6 +5225,8 @@ object Oracles {
       // assignment/LUT replayed end to end, recall vs exact gold
       "q190_pq_recall" -> pqRecallSql,
       "q191_lang_segments_nb" -> langSegmentsNbSql,
+      // stream ≡ batch for the stateless NB scoring projection
+      "q195_streaming_langid" -> langidNbSql,
       // skip-gram pairs: offset fan-out + pair rollup
       "q181_skipgram_pairs" ->
         s"""WITH t AS (SELECT $toksExpr AS toks FROM documents),

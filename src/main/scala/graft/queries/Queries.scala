@@ -4919,8 +4919,11 @@ object Queries {
     */
   val q189PqAnn: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
+    // iters = 2: the certificate is codebook-independent (output is
+    // exact top-k for ANY codebook) — extra Lloyd rounds only tighten
+    // the screen, and 2 already prunes well on this corpus
     Similarity.pqTopK(emb.filter(col("vec_id") < 50), emb, "vec_id",
-        "embedding", k = 5, m = 4, ks = 16, iters = 3, roundDp = -1)
+        "embedding", k = 5, m = 4, ks = 16, iters = 2, roundDp = -1)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
@@ -5036,6 +5039,44 @@ object Queries {
         size(col("_p")).cast("long").as("n_pieces"),
         (byteUnremap(array_join(col("_p"), "")) === col("w")).as("roundtrip_ok"))
       .orderBy("w")
+  }
+
+  /** STREAMING language-ID under the TRAINED model (q187's twin, the
+    * q177/q115 "model as a plan constant at ingest" family): the NB
+    * kernel is a stateless per-row projection, so scoring a live
+    * stream needs no shuffle, no state store, no model distribution
+    * beyond the plan — stream ≡ batch bit-for-bit and the oracle is
+    * q187's SQL verbatim.
+    */
+  val q195StreamingLangid: Q = (s, dir) => {
+    import graft.functions.LangNbExpressions
+    val tmp = Scratch.fresh("q195")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val langArr = array(LangNbFlavors.map(f => lit(f._1)): _*)
+    val sentArr = array(LangNbFlavors.map(f => lit(f._2)): _*)
+    val d = docs(s, dir).select(col("doc_id"), Text.tokens(col("text")).as("_t"))
+    val trainIdx = (col("doc_id") % 4 + 1).cast("int")
+    val testIdx = (pmod(col("doc_id") + 1, lit(4)) + 1).cast("int")
+    val train = d.select(col("doc_id"),
+      element_at(langArr, trainIdx).as("lang"),
+      concat(element_at(sentArr, trainIdx), lit(" "),
+        concat_ws(" ", slice(col("_t"), 1, 8))).as("text"))
+    val model = LangIdNb.fitModel(train, "text", "lang", buckets = 1024, n = 3)
+    val fixture = d.select(col("doc_id"),
+      element_at(langArr, testIdx).as("lang_true"),
+      concat(element_at(sentArr, testIdx), lit(" "),
+        concat_ws(" ", slice(col("_t"), 9, 8))).as("text"))
+    val in = memoFixture("q195in", dir) { p =>
+      fixture.write.mode("overwrite").parquet(p)
+    }
+    val scored = s.readStream.schema(fixture.schema).parquet(in)
+      .select(col("doc_id"), col("lang_true"),
+        LangNbExpressions.langNbScore(col("text"), model).as("_s"))
+      .select(col("doc_id"), col("lang_true"),
+        col("_s.lang").as("lang_pred"), col("_s.score").as("score"),
+        (col("lang_true") === col("_s.lang")).as("hit"))
+    runToSink(scored, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("doc_id")
   }
 
   val all: Map[String, Q] = Map(
@@ -5233,5 +5274,6 @@ object Queries {
     "q192_spectrum_power" -> q192SpectrumPower,
     "q193_byte_bpe_train" -> q193ByteBpeTrain,
     "q194_byte_bpe_segment" -> q194ByteBpeSegment,
+    "q195_streaming_langid" -> q195StreamingLangid,
   )
 }
