@@ -1320,6 +1320,82 @@ object Similarity {
     * it end to end. Est ties break on ascending neighbor id.
     * Output: (query_id, neighbor_id, est ROUNDED 6 dp, rank).
     */
+  /** Top-`nProbe` coarse cells per query under a SEEDED cell model:
+    * decimal-exact cosine to every seed (seeds ride as literals, the
+    * [[nearestSeedRowwise]] shape), ranked per query with ties to the
+    * lowest cell id — the probe-selection half of a seeded IVF index,
+    * SQL-replayable (the q132 `probes` CTE). Output: (query_id, cell).
+    */
+  def topSeedCells(queries: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String, nProbe: Int): DataFrame = {
+    val model = collectSeeds(seeds.select(col(idCol).as("_cell"),
+      col(vecCol).as("_sv"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_sn")))
+    def den(i: Int) = col("_qn") * lit(model(i).norm)
+    def sim(i: Int) =
+      when(den(i) > 0, dotExact(col("_qv"), lit(model(i).vec)) / den(i))
+        .otherwise(0.0)
+    val cells = array(model.map(m => lit(m.cell)).toIndexedSeq: _*)
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"))
+      .select(col("query_id"),
+        posexplode(array(model.indices.map(sim).toIndexedSeq: _*))
+          .as(Seq("_p", "_sim")))
+      .withColumn("cell", element_at(cells, col("_p") + 1))
+      .withColumn("_rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("_sim").desc, col("cell"))))
+      .filter(col("_rn") <= nProbe)
+      .select("query_id", "cell")
+  }
+
+  /** The COMPOSED IVF-PQ retriever (Jégou TPAMI 2011 §IV, the
+    * billion-vector serving shape): seeded coarse cells prune the
+    * candidate set to the query's `nProbe` nearest cells, and within
+    * probed cells candidates rank by the PQ ADC estimate over the
+    * CODES table — the corpus' full vectors are touched only at
+    * encode time. Probe locality trades the [[pqTopK]] certificate
+    * for cost, which is exactly the regime the recall report exists
+    * for: q196 gates this ranking's recall against exact gold with
+    * every coarse assignment, probe choice, code, and estimate
+    * replayed in SQL (seeded cells + seeded codebooks + decimal-exact
+    * arithmetic throughout). At 100 TB the codes table is written
+    * `partitionBy(cell)` ([[cellOf]]) and a probe reads nProbe
+    * directories. Output: (query_id, neighbor_id, est, rank).
+    */
+  def pqIvfAdcRank(queries: DataFrame, corpus: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int, m: Int): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val books = pqCodebooksSeeded(seeds, idCol, vecCol, dim, m)
+    val ks = books(0).length
+    val ds = dim / m
+    val codes = pqEncode(corpus, idCol, vecCol, books, exact = true)
+      .select("neighbor_id", "_cn", "_codes")
+      .join(assignCells(corpus, seeds, idCol, vecCol)
+        .select(col(idCol).as("neighbor_id"), col("cell")), "neighbor_id")
+    val probes = topSeedCells(queries, seeds, idCol, vecCol, nProbe)
+    def qsub(j: Int) = slice(col(vecCol), j * ds + 1, ds)
+    val lutExprs = for (j <- 0 until m; cw <- books(j)) yield
+      dotExactHof(qsub(j), lit(cw))
+    val q = queries.select(col(idCol).as("query_id"),
+      sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"),
+      array(lutExprs: _*).as("_lut"))
+    val den = col("_qn") * col("_cn")
+    val estDot = (0 until m).map(j =>
+      element_at(col("_lut"),
+        lit(j * ks) + element_at(col("_codes"), j + 1) + 1)
+        .cast(DecimalType(20, 12))).reduce(_ + _).cast("double")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("est").desc, col("neighbor_id"))
+    probes.join(codes, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(q, "query_id")
+      .withColumn("est",
+        round(when(den > 0, estDot / den).otherwise(0.0), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "est", "rank")
+  }
+
   def pqAdcRank(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, books: Array[Array[Array[Double]]]): DataFrame = {
     val m = books.length

@@ -4969,7 +4969,14 @@ object Oracles {
     * exact 4-term estimate sum, 6-dp rounded cosine rank, recall vs
     * the exact brute-force gold (q132's tail).
     */
-  private lazy val pqRecallSql: String = {
+  private lazy val pqRecallSql: String = pqRecallSqlWith(ivf = false)
+  private lazy val pqIvfRecallSql: String = pqRecallSqlWith(ivf = true)
+
+  /** Shared q190/q196 replay. `ivf = true` adds the seeded coarse
+    * layer (q132's assign/probes CTEs) and restricts the ADC ranking
+    * to candidates whose assigned cell is probed by the query.
+    */
+  private def pqRecallSqlWith(ivf: Boolean): String = {
     // sub-vector j of e: elements j*16+1 .. (j+1)*16
     def subDist(a: String, b: String) =
       s"""list_sum([CAST((CAST($a[j.j*16 + i] AS DOUBLE) - CAST($b[j.j*16 + i] AS DOUBLE))
@@ -4979,6 +4986,31 @@ object Oracles {
       s"""CAST(list_sum([CAST(CAST($a[j.j*16 + i] AS DOUBLE)
          |      * CAST($b[j.j*16 + i] AS DOUBLE) AS DECIMAL(38,12))
          |      FOR i IN range(1, 17)]) AS DOUBLE)""".stripMargin
+    val coarseCtes = if (!ivf) "" else
+      s""",
+         |sc AS (SELECT vec_id AS cell, embedding AS sv, nrm AS sn FROM n WHERE vec_id < 16),
+         |cvs AS MATERIALIZED (
+         |  SELECT v.vec_id, s.cell,
+         |    CASE WHEN v.nrm * s.sn > 0 THEN ${dotX("v.embedding", "s.sv")} / (v.nrm * s.sn)
+         |    ELSE 0.0 END AS csim
+         |  FROM n v CROSS JOIN sc s
+         |),
+         |assign AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM cvs) WHERE rn = 1
+         |),
+         |probes AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM cvs WHERE vec_id < 50) WHERE rn <= 4
+         |)""".stripMargin
+    val estRestrict = if (!ivf) "" else
+      s"""
+         |    JOIN assign a ON a.vec_id = cd.vec_id
+         |    JOIN probes p ON p.query_id = l.query_id AND p.cell = a.cell""".stripMargin
     s"""WITH n AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
@@ -4998,7 +5030,7 @@ object Oracles {
        |sd AS MATERIALIZED (
        |  SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
        |  FROM embeddings WHERE vec_id < 16
-       |),
+       |)$coarseCtes,
        |ad AS MATERIALIZED (
        |  SELECT v.vec_id, j.j, s.c, ${subDist("v.embedding", "s.embedding")} AS dist
        |  FROM embeddings v CROSS JOIN generate_series(0, 3) j(j) CROSS JOIN sd s
@@ -5019,7 +5051,7 @@ object Oracles {
        |  SELECT l.query_id, cd.vec_id AS neighbor_id,
        |    CAST(SUM(CAST(l.d AS DECIMAL(38,12))) AS DOUBLE) AS dsum
        |  FROM code cd JOIN lut l ON l.j = cd.j AND l.c = cd.c
-       |    AND l.query_id <> cd.vec_id
+       |    AND l.query_id <> cd.vec_id$estRestrict
        |  GROUP BY 1, 2
        |),
        |adc AS MATERIALIZED (
@@ -5227,6 +5259,16 @@ object Oracles {
       "q191_lang_segments_nb" -> langSegmentsNbSql,
       // stream ≡ batch for the stateless NB scoring projection
       "q195_streaming_langid" -> langidNbSql,
+      // composed IVF-PQ: the q190 replay + the q132 coarse layer
+      "q196_pq_ivf_recall" -> pqIvfRecallSql,
+      // Avro evolution: defaults land on every record — the oracle
+      // aggregates the original parquet with the defaults as literals
+      "q197_avro_evolution" ->
+        s"""SELECT lang, CAST('unscored' AS VARCHAR) AS quality_tier,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(*) AS BIGINT) AS total_weight,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
       // skip-gram pairs: offset fan-out + pair rollup
       "q181_skipgram_pairs" ->
         s"""WITH t AS (SELECT $toksExpr AS toks FROM documents),

@@ -5079,6 +5079,67 @@ object Queries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** The COMPOSED IVF-PQ recall report ([[Similarity.pqIvfAdcRank]]):
+    * seeded coarse cells (q132's IVF machinery) prune candidates to
+    * nProbe = 4 cells per query, PQ ADC ranks within probed cells
+    * over the codes table, and recall@5 vs exact gold quantifies what
+    * the two-level approximation costs — coarse assignment, probe
+    * choice, codes, estimates, and ranks ALL replayed in SQL.
+    */
+  val q196PqIvfRecall: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 50)
+    val exactPath = memoFixture("q132exact", dir) { p =>
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+          k = 5, roundDp = -1, exact = true)
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(p)
+      graft.core.OpCache.release()
+    }
+    val exact = s.read.parquet(exactPath)
+    val approx = Similarity.pqIvfAdcRank(q, emb,
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        k = 5, nProbe = 4, m = 4)
+      .select(col("query_id"), col("neighbor_id"))
+    val matched = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
+    val perQ = exact.groupBy("query_id").agg(count(lit(1)).as("_k"))
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(coalesce(col("n_matched"), lit(0L)).cast("double") /
+          col("_k").cast("double"), 6).as("recall"))
+    val mean = perQ.agg(round(sum(col("n_matched")).cast("double") /
+      (count(lit(1)) * lit(5L)).cast("double"), 6).as("mean_recall"))
+    perQ.crossJoin(broadcast(mean)).orderBy("query_id")
+  }
+
+  /** Avro SCHEMA EVOLUTION ([[graft.sources.Avro.readAvroAs]], the
+    * row-format twin of q108's parquet evolution): old container
+    * files read under the NEW pipeline schema — two added fields fill
+    * from Avro's default-value resolution per record, field order
+    * changes, and the aggregate proves every original value and every
+    * default landed (the oracle aggregates the original parquet with
+    * the defaults as literals).
+    */
+  val q197AvroEvolution: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q197")
+    graft.sources.Avro.writeAvro(
+      docs(s, dir).select("doc_id", "lang", "n_chars"), tmp)
+    val evolved = StructType(Seq(
+      StructField("weight", LongType, nullable = false),
+      StructField("lang", StringType, nullable = true),
+      StructField("quality_tier", StringType, nullable = true),
+      StructField("n_chars", LongType, nullable = true)))
+    graft.sources.Avro.readAvroAs(s, tmp, evolved,
+        Map("quality_tier" -> "unscored", "weight" -> 1L))
+      .groupBy("lang", "quality_tier")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("weight")).as("total_weight"),
+        sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -5275,5 +5336,7 @@ object Queries {
     "q193_byte_bpe_train" -> q193ByteBpeTrain,
     "q194_byte_bpe_segment" -> q194ByteBpeSegment,
     "q195_streaming_langid" -> q195StreamingLangid,
+    "q196_pq_ivf_recall" -> q196PqIvfRecall,
+    "q197_avro_evolution" -> q197AvroEvolution,
   )
 }

@@ -209,7 +209,58 @@ object Avro {
         .getOrElse(throw new IllegalArgumentException(
           s"projection column '$c' not in Avro schema " +
             s"(${full.fieldNames.mkString(", ")})"))))
-    val readerJson = avroSchema(schema).toString
+    readAvroAs(spark, path, schema)
+  }
+
+  /** SCHEMA-EVOLUTION read: decode under an arbitrary evolved reader
+    * schema — the Avro resolution rules the format was designed
+    * around. Fields present in the writer decode normally (and may be
+    * reordered or dropped = projection); fields ABSENT from the
+    * writer must carry a `defaults` entry and are filled per record
+    * by Avro's default-value resolution, so old container files read
+    * seamlessly under the new pipeline schema with no rewrite — the
+    * row-format twin of q108's parquet schema evolution. Scalar
+    * defaults only (long/int/double/float/string/boolean, or null
+    * for a nullable field); a missing-without-default field fails
+    * loudly HERE rather than as a decoder error mid-task.
+    */
+  def readAvroAs(spark: SparkSession, path: String, schema: StructType,
+      defaults: Map[String, Any] = Map.empty): DataFrame = {
+    val writer = sparkSchemaOf(spark, path)
+    val writerNames = writer.fieldNames.toSet
+    val missing = schema.fields.filter(f =>
+      !writerNames.contains(f.name) && !defaults.contains(f.name))
+    require(missing.isEmpty,
+      s"evolved fields ${missing.map(_.name).mkString(", ")} are not in " +
+        "the written schema and have no default — reading would fail at " +
+        "decode; pass defaults for added fields")
+    val fields = schema.fields.map { f =>
+      val base = fieldSchema(f.dataType, s"row_${f.name}")
+      defaults.get(f.name) match {
+        case None =>
+          val sch = if (f.nullable)
+            Schema.createUnion(java.util.List.of(
+              Schema.create(Schema.Type.NULL), base))
+          else base
+          new Schema.Field(f.name, sch, null, null)
+        case Some(null) =>
+          require(f.nullable, s"null default for non-nullable ${f.name}")
+          new Schema.Field(f.name,
+            Schema.createUnion(java.util.List.of(
+              Schema.create(Schema.Type.NULL), base)),
+            null, Schema.Field.NULL_DEFAULT_VALUE)
+        case Some(v) =>
+          // non-null default: the default's branch must come FIRST in
+          // the union (Avro's default-validation rule)
+          val sch = if (f.nullable)
+            Schema.createUnion(java.util.List.of(
+              base, Schema.create(Schema.Type.NULL)))
+          else base
+          new Schema.Field(f.name, sch, null, v)
+      }
+    }
+    val readerJson = Schema.createRecord("row", null, "graft", false,
+      fields.toList.asJava).toString
     val dir = new Path(path)
     val fs = FileSystem.get(dir.toUri, new Configuration())
     val files = fs.listStatus(dir)

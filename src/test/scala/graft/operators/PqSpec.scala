@@ -53,6 +53,30 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ with all cells probed equals the flat ADC ranking") {
+    val seeds = corpus.filter(col("vec_id") < 4)
+    val books = Similarity.pqCodebooksSeeded(seeds, "vec_id", "embedding",
+      dim = 8, m = 4)
+    val q = corpus.filter(col("vec_id") < 10)
+    val flat = Similarity.pqAdcRank(q, corpus, "vec_id", "embedding", 4, books)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    // probing every cell -> same candidate set -> identical ranking
+    val ivfAll = Similarity.pqIvfAdcRank(q, corpus, seeds, "vec_id",
+        "embedding", k = 4, nProbe = 4, m = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ivfAll === flat)
+    // nProbe = 1 prunes: every candidate's cell is its query's top cell
+    val ivf1 = Similarity.pqIvfAdcRank(q, corpus, seeds, "vec_id",
+      "embedding", k = 4, nProbe = 1, m = 4)
+    val probed = Similarity.topSeedCells(q, seeds, "vec_id", "embedding", 1)
+    val cellsOf = Similarity.assignCells(corpus, seeds, "vec_id", "embedding")
+    val bad = ivf1.join(cellsOf.withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id")
+      .join(probed.withColumnRenamed("cell", "_qcell"), "query_id")
+      .filter(col("cell") =!= col("_qcell"))
+    assert(bad.count() === 0L)
+  }
+
   test("seeded codebooks are the seeds' sub-vectors; ADC rank is stable") {
     val seeds = corpus.filter(col("vec_id") < 4)
     val books = Similarity.pqCodebooksSeeded(seeds, "vec_id", "embedding",

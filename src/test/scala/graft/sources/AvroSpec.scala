@@ -69,6 +69,33 @@ class AvroSpec extends SparkSpec {
     assert(back.schema.fieldNames.toSeq === Seq("id", "t"))
   }
 
+  test("schema evolution: added fields fill from defaults, reorder/drop work") {
+    val p = tmp()
+    Avro.writeAvro((1L to 50L).map(i => (i, s"t$i")).toDF("id", "t")
+      .repartition(3), p)
+    val evolved = StructType(Seq(
+      StructField("weight", LongType, nullable = false),   // added, default
+      StructField("id", LongType, nullable = true),        // reordered
+      StructField("tier", StringType, nullable = true),    // added, default
+      StructField("note", StringType, nullable = true)))   // added, null default
+    val back = Avro.readAvroAs(spark, p, evolved,
+        Map("weight" -> 7L, "tier" -> "unscored", "note" -> null))
+      .orderBy("id").collect()
+    assert(back.length === 50)
+    assert(back.forall(r => r.getLong(0) === 7L && r.getString(2) === "unscored"
+      && r.isNullAt(3)))
+    assert(back.map(_.getLong(1)).toSeq === (1L to 50L))
+    // 't' was dropped by the evolved schema (projection by omission)
+    assert(back.head.length === 4)
+    // missing field WITHOUT a default fails before any task runs
+    val e = intercept[IllegalArgumentException] {
+      Avro.readAvroAs(spark, p, StructType(Seq(
+        StructField("id", LongType, nullable = true),
+        StructField("ghost", LongType, nullable = true))))
+    }
+    assert(e.getMessage.contains("no default"), e.getMessage)
+  }
+
   test("unsupported types and unknown projection columns fail loudly") {
     val p = tmp()
     val e1 = intercept[IllegalArgumentException] {
