@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Gopher-style WITHIN-DOCUMENT repetition filters (Rae et al.,
+  * "Scaling Language Models: ... Gopher", 2021, Table A1) — the
+  * canonical "remove documents that are mostly their own repetition"
+  * rules, complementing q53's duplicate-2-gram/top-token ratios with
+  * the LINE-level and CHARACTER-COVERAGE signals:
+  *
+  *  - `dup_line_frac`      — fraction of lines that are repeats of
+  *                           another line in the same doc;
+  *  - `dup_line_char_frac` — fraction of line characters living in
+  *                           such repeated lines;
+  *  - `top_2gram_char_frac`— fraction of the doc's characters covered
+  *                           by occurrences of its most frequent word
+  *                           2-gram (ties → lexicographically first);
+  *  - `dup_5gram_char_frac`— fraction of TOKEN characters covered by
+  *                           any duplicated 5-token window,
+  *                           overlapping occurrences counted ONCE
+  *                           (true char coverage — an interval union
+  *                           per doc, the ExactSubstr discipline, not
+  *                           a per-occurrence sum that can exceed 1).
+  *
+  * `pass` applies Gopher's thresholds (0.30 / 0.20 / 0.20 / 0.15).
+  *
+  * 100 TB shape: the line metrics are pure per-row HOFs (O(L²) in a
+  * doc's own line count — doc-bounded, no shuffle); the n-gram
+  * metrics shuffle (doc, gram) rows with map-side partials and windows
+  * partitioned BY DOC — never corpus-sized keys. Every ratio is one
+  * IEEE division of exact integers rounded 6 dp, so the oracle
+  * replays bit-for-bit.
+  */
+object Repetition {
+
+  val MaxDupLineFrac = 0.30
+  val MaxDupLineCharFrac = 0.20
+  val MaxTop2GramCharFrac = 0.20
+  val MaxDup5GramCharFrac = 0.15
+
+  private def grams(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  def report(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol),
+        col(textCol).as("_txt"),
+        split(col(textCol), "\n").as("_ln"),
+        Text.tokens(translate(col(textCol), "\n", " ")).as("_tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- line metrics: per-row HOFs, zero shuffle -------------------
+    val nLines = size(col("_ln"))
+    val lineChars = aggregate(col("_ln"), lit(0L),
+      (a, l) => a + length(l).cast("long"))
+    val dupLineChars = aggregate(col("_ln"), lit(0L), (a, l) =>
+      a + when(size(filter(col("_ln"), x => x === l)) >= 2,
+        length(l).cast("long")).otherwise(lit(0L)))
+    val lines = base.select(col(idCol),
+      nLines.cast("long").as("n_lines"),
+      r6((nLines - size(array_distinct(col("_ln")))).cast("double") /
+        nLines.cast("double")).as("dup_line_frac"),
+      when(lineChars > 0,
+        r6(dupLineChars.cast("double") / lineChars.cast("double")))
+        .otherwise(0.0).as("dup_line_char_frac"))
+
+    // ---- top-2-gram char coverage: cnt × len(gram) / len(text) ------
+    val byDoc = Window.partitionBy(idCol)
+    val top2 = base.select(col(idCol), length(col("_txt")).as("_tc"),
+        explode(grams(col("_tk"), 2)).as("_g"))
+      .groupBy(col(idCol), col("_tc"), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_rn", row_number().over(
+        byDoc.orderBy(col("_c").desc, col("_g"))))
+      .filter(col("_rn") === 1)
+      .select(col(idCol),
+        r6((col("_c") * length(col("_g"))).cast("double") /
+          col("_tc").cast("double")).as("top_2gram_char_frac"))
+
+    // ---- duplicated-5-gram char COVERAGE (overlap counted once) -----
+    val occ = base.select(col(idCol),
+      posexplode(grams(col("_tk"), 5)).as(Seq("_p", "_w")))
+    val dupWins = occ.groupBy(col(idCol), col("_w"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2)
+      .select(col(idCol), col("_w"))
+    val coveredPos = occ.join(dupWins, Seq(idCol, "_w"))
+      .select(col(idCol), explode(sequence(col("_p"), col("_p") + 4)).as("_pos"))
+      .distinct()
+    val cov5 = coveredPos
+      .join(base.select(col(idCol), col("_tk")), idCol)
+      .groupBy(idCol)
+      .agg(sum(length(element_at(col("_tk"), col("_pos") + 1)).cast("long"))
+        .as("_cov"))
+    val tokChars = base.select(col(idCol),
+      aggregate(col("_tk"), lit(0L), (a, t) => a + length(t).cast("long"))
+        .as("_tkc"))
+    val dup5 = tokChars.join(cov5, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("_tkc") > 0,
+          r6(coalesce(col("_cov"), lit(0L)).cast("double") /
+            col("_tkc").cast("double"))).otherwise(0.0)
+          .as("dup_5gram_char_frac"))
+
+    lines
+      .join(top2, Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("dup_line_frac"),
+        col("dup_line_char_frac"),
+        coalesce(col("top_2gram_char_frac"), lit(0.0))
+          .as("top_2gram_char_frac"),
+        coalesce(col("dup_5gram_char_frac"), lit(0.0))
+          .as("dup_5gram_char_frac"))
+      .withColumn("pass",
+        col("dup_line_frac") <= MaxDupLineFrac &&
+          col("dup_line_char_frac") <= MaxDupLineCharFrac &&
+          col("top_2gram_char_frac") <= MaxTop2GramCharFrac &&
+          col("dup_5gram_char_frac") <= MaxDup5GramCharFrac)
+  }
+
+  /** [[report]] as a PURE PER-ROW PROJECTION — every metric is a
+    * function of one document, so the explode/groupBy shapes above
+    * can instead run as higher-order functions over the row's own
+    * arrays: zero exchanges, no state, automatically
+    * streaming-capable (the nearestSeedRowwise trade). Cost is
+    * O(G²) in the doc's own gram count (G ≈ tokens — doc-bounded),
+    * vs the shuffle version's O(G) per row + two doc-keyed
+    * exchanges: prefer THIS for streams and pipelines fused into one
+    * projection pass, the shuffle form when docs are huge. Output is
+    * bit-identical ([[RepetitionSpec]] locks it): same counts, same
+    * lex-min top gram (array_min's UTF8 byte order = the shuffle
+    * version's ORDER BY), same interval-union coverage.
+    */
+  def reportRowwise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // EVALUATION SHAPE: higher-order functions are INTERPRETED (no
+    // codegen, no cross-invocation CSE), so any non-trivial
+    // expression referenced INSIDE a lambda is re-evaluated per array
+    // element. The gram arrays are therefore staged as COLUMNS in a
+    // separate projection, and every lambda touches only attribute
+    // references — each gram array is built once per row, and the
+    // per-row cost is the honest O(G²) comparisons, not O(G²) array
+    // RECONSTRUCTIONS (observed 50×: a per-position exists() over an
+    // inlined flags tree wedged a task for minutes at 90-token docs).
+    // Each staged column is referenced more than once downstream,
+    // which is also what keeps CollapseProject from inlining it back.
+    val base = docs.select(col(idCol),
+      col(textCol).as("_txt"),
+      split(col(textCol), "\n").as("_ln"),
+      Text.tokens(translate(col(textCol), "\n", " ")).as("_tk"))
+    val staged = base
+      .withColumn("_g2", grams(col("_tk"), 2))
+      .withColumn("_w5", grams(col("_tk"), 5))
+      .withColumn("_c2",
+        transform(col("_g2"), g => size(filter(col("_g2"), x => x === g))))
+      .withColumn("_f5",
+        transform(col("_w5"), w =>
+          size(filter(col("_w5"), x => x === w)) >= 2))
+
+    val nLines = size(col("_ln"))
+    val lineChars = aggregate(col("_ln"), lit(0L),
+      (a, l) => a + length(l).cast("long"))
+    val dupLineChars = aggregate(col("_ln"), lit(0L), (a, l) =>
+      a + when(size(filter(col("_ln"), x => x === l)) >= 2,
+        length(l).cast("long")).otherwise(lit(0L)))
+
+    val max2 = array_max(col("_c2"))
+    // lex-min gram among the max-count ones: nulls (non-max) are
+    // ignored by array_min; string min = UTF8 byte order
+    val topG = array_min(zip_with(col("_g2"), col("_c2"),
+      (g, c) => when(c === max2, g)))
+    val top2Frac = when(size(col("_g2")) > 0,
+      r6((max2 * length(topG)).cast("double") /
+        length(col("_txt")).cast("double"))).otherwise(0.0)
+
+    // covered positions = union of [j, j+4] over duplicated windows j;
+    // zip_with evaluates each input array once per row
+    val covered = when(size(col("_w5")) > 0,
+      array_distinct(flatten(zip_with(col("_f5"),
+        sequence(lit(0), greatest(size(col("_w5")) - 1, lit(0))),
+        (f, j) => when(f, sequence(j, j + 4))
+          .otherwise(array().cast("array<int>"))))))
+      .otherwise(array().cast("array<int>"))
+    val covChars = aggregate(covered, lit(0L),
+      (a, p) => a + length(element_at(col("_tk"), p + 1)).cast("long"))
+    val tokChars = aggregate(col("_tk"), lit(0L),
+      (a, t) => a + length(t).cast("long"))
+    val dup5Frac = when(tokChars > 0,
+      r6(covChars.cast("double") / tokChars.cast("double"))).otherwise(0.0)
+
+    staged.select(col(idCol),
+      nLines.cast("long").as("n_lines"),
+      r6((nLines - size(array_distinct(col("_ln")))).cast("double") /
+        nLines.cast("double")).as("dup_line_frac"),
+      when(lineChars > 0,
+        r6(dupLineChars.cast("double") / lineChars.cast("double")))
+        .otherwise(0.0).as("dup_line_char_frac"),
+      top2Frac.as("top_2gram_char_frac"),
+      dup5Frac.as("dup_5gram_char_frac"))
+      .withColumn("pass",
+        col("dup_line_frac") <= MaxDupLineFrac &&
+          col("dup_line_char_frac") <= MaxDupLineCharFrac &&
+          col("top_2gram_char_frac") <= MaxTop2GramCharFrac &&
+          col("dup_5gram_char_frac") <= MaxDup5GramCharFrac)
+  }
+}

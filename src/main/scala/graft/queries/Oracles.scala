@@ -5269,6 +5269,12 @@ object Oracles {
            |  CAST(COUNT(*) AS BIGINT) AS total_weight,
            |  CAST(SUM(n_chars) AS BIGINT) AS chars
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      // Gopher repetition filters: line counts, gram windows, the
+      // interval-union char coverage, and the threshold verdict
+      "q198_gopher_repetition" -> gopherRepetitionSql,
+      // stream ≡ batch for the zero-shuffle row-wise form
+      "q199_streaming_repetition" -> gopherRepetitionSql,
+
       // skip-gram pairs: offset fan-out + pair rollup
       "q181_skipgram_pairs" ->
         s"""WITH t AS (SELECT $toksExpr AS toks FROM documents),
@@ -5437,4 +5443,94 @@ object Oracles {
            |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
            |    / CAST(SUM(c) AS DOUBLE), 6) AS p_unseen
            |FROM wc GROUP BY lang ORDER BY lang""".stripMargin)
+
+  private lazy val gopherRepetitionSql: String =
+    s"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    'nav home about contact' || chr(10) || text || chr(10) ||
+           |    CASE WHEN doc_id % 4 = 0 THEN 'nav home about contact'
+           |         ELSE 'footer f' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+           |    CASE WHEN doc_id % 5 = 0
+           |         THEN 'buy now buy now buy now buy now buy now buy now'
+           |         ELSE 'tail t' || CAST(doc_id AS VARCHAR) END AS text
+           |  FROM documents
+           |),
+           |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d),
+           |lc AS MATERIALIZED (
+           |  SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS c FROM l GROUP BY 1, 2
+           |),
+           |lm AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    CAST(SUM(c) AS BIGINT) AS n_lines,
+           |    ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS dup_line_frac,
+           |    CASE WHEN SUM(c * length(line)) > 0 THEN
+           |      ROUND(CAST(SUM(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END) AS DOUBLE) /
+           |            CAST(SUM(c * length(line)) AS DOUBLE), 6)
+           |    ELSE 0.0 END AS dup_line_char_frac
+           |  FROM lc GROUP BY doc_id
+           |),
+           |t AS MATERIALIZED (
+           |  SELECT doc_id, text,
+           |    list_filter(string_split(replace(text, chr(10), ' '), ' '),
+           |      x -> len(x) > 0) AS tk
+           |  FROM d
+           |),
+           |g2 AS (
+           |  SELECT doc_id,
+           |    array_to_string(tk[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)], ' ') AS g
+           |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)
+           |),
+           |g2c AS MATERIALIZED (
+           |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g2 GROUP BY 1, 2
+           |),
+           |top2 AS MATERIALIZED (
+           |  SELECT x.doc_id,
+           |    ROUND(CAST(x.c * length(x.g) AS DOUBLE) /
+           |          CAST(length(t2.text) AS DOUBLE), 6) AS top2
+           |  FROM (SELECT doc_id, g, c,
+           |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+           |        FROM g2c) x
+           |  JOIN t t2 ON t2.doc_id = x.doc_id
+           |  WHERE x.rn = 1
+           |),
+           |g5 AS MATERIALIZED (
+           |  SELECT doc_id, i,
+           |    array_to_string(tk[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS w
+           |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM t)
+           |),
+           |g5d AS MATERIALIZED (
+           |  SELECT doc_id, w FROM (
+           |    SELECT doc_id, w, COUNT(*) AS c FROM g5 GROUP BY 1, 2) WHERE c >= 2
+           |),
+           |cpos AS MATERIALIZED (
+           |  SELECT DISTINCT g5.doc_id, g5.i + o.off AS pos
+           |  FROM g5 JOIN g5d ON g5d.doc_id = g5.doc_id AND g5d.w = g5.w
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS off) o
+           |),
+           |cov AS MATERIALIZED (
+           |  SELECT c.doc_id,
+           |    CAST(SUM(length(t.tk[CAST(c.pos AS BIGINT)])) AS BIGINT) AS cc
+           |  FROM cpos c JOIN t ON t.doc_id = c.doc_id GROUP BY 1
+           |),
+           |tkc AS (
+           |  SELECT doc_id,
+           |    CAST(COALESCE(list_sum([length(x) FOR x IN tk]), 0) AS BIGINT) AS n
+           |  FROM t
+           |)
+           |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+           |  top_2gram_char_frac, dup_5gram_char_frac,
+           |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+           |   AND top_2gram_char_frac <= 0.20
+           |   AND dup_5gram_char_frac <= 0.15) AS pass
+           |FROM (
+           |  SELECT lm.doc_id, lm.n_lines, lm.dup_line_frac, lm.dup_line_char_frac,
+           |    COALESCE(top2.top2, 0.0) AS top_2gram_char_frac,
+           |    CASE WHEN tkc.n > 0 THEN
+           |      ROUND(CAST(COALESCE(cov.cc, 0) AS DOUBLE) / CAST(tkc.n AS DOUBLE), 6)
+           |    ELSE 0.0 END AS dup_5gram_char_frac
+           |  FROM lm JOIN tkc ON tkc.doc_id = lm.doc_id
+           |  LEFT JOIN top2 ON top2.doc_id = lm.doc_id
+           |  LEFT JOIN cov ON cov.doc_id = lm.doc_id
+           |)
+           |ORDER BY doc_id""".stripMargin
 }

@@ -5140,6 +5140,49 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Gopher repetition filters ([[Repetition.report]], Rae et al.
+    * 2021 Table A1): every doc is rebuilt as four lines — a nav line
+    * repeated on doc_id%4 (duplicate-line signals), a spam tail of
+    * "buy now" × 6 on doc_id%5 (top-2-gram + duplicated-5-gram
+    * coverage), unique footer/tail lines elsewhere — and all four
+    * fractions plus the pass verdict gate against a full SQL replay
+    * (line counts, gram windows, the interval-union char coverage).
+    */
+  private def repetitionCorpus(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    docs(s, dir).select(col("doc_id"), concat(
+      lit("nav home about contact"), lit("\n"),
+      col("text"), lit("\n"),
+      when(id % 4 === 0, lit("nav home about contact"))
+        .otherwise(concat(lit("footer f"), ids)), lit("\n"),
+      when(id % 5 === 0, lit("buy now buy now buy now buy now buy now buy now"))
+        .otherwise(concat(lit("tail t"), ids))).as("text"))
+  }
+
+  val q198GopherRepetition: Q = (s, dir) =>
+    Repetition.report(repetitionCorpus(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** STREAMING Gopher repetition filter ([[Repetition.reportRowwise]]
+    * — every metric is a function of one document, so the filter runs
+    * at ingest as a stateless zero-exchange projection; bit-identical
+    * to the batch shuffle form (RepetitionSpec), oracle = q198's SQL
+    * verbatim).
+    */
+  val q199StreamingRepetition: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q199")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val mixed = repetitionCorpus(s, dir)
+    val in = memoFixture("q199in", dir) { p =>
+      mixed.write.mode("overwrite").parquet(p)
+    }
+    val scored = Repetition.reportRowwise(
+      s.readStream.schema(mixed.schema).parquet(in), "doc_id", "text")
+    runToSink(scored, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -5338,5 +5381,7 @@ object Queries {
     "q195_streaming_langid" -> q195StreamingLangid,
     "q196_pq_ivf_recall" -> q196PqIvfRecall,
     "q197_avro_evolution" -> q197AvroEvolution,
+    "q198_gopher_repetition" -> q198GopherRepetition,
+    "q199_streaming_repetition" -> q199StreamingRepetition,
   )
 }

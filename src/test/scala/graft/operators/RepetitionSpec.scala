@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gopher repetition filters: hand-computed fractions, coverage
+  * (overlap counted once), degenerate docs, determinism.
+  */
+class RepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)]) =
+    Repetition.report(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+  test("line and 2-gram fractions: hand-computed") {
+    val r = run(Seq((1L, "aa bb\naa bb\ncc"))).head
+    assert(r.getLong(1) === 3L)                     // n_lines
+    assert(r.getDouble(2) === 0.333333)             // (3-2)/3
+    assert(r.getDouble(3) === 0.833333)             // 10/12 chars in dup lines
+    // top 2-gram "aa bb" x2, len 5; text len 14 -> 10/14
+    assert(r.getDouble(4) === 0.714286)
+    assert(r.getDouble(5) === 0.0)                  // only one 5-gram window
+    assert(!r.getBoolean(6))
+  }
+
+  test("duplicated 5-gram coverage counts overlapping chars once") {
+    // "a b c d e" occurs at token 0 and 5 -> all 10 tokens covered
+    val r = run(Seq((1L, "a b c d e a b c d e"))).head
+    assert(r.getDouble(5) === 1.0)
+    // the same phrase 3x with one unique tail token: windows repeat,
+    // covered = 15 of 16 token chars
+    val r2 = run(Seq((2L, "a b c d e a b c d e a b c d e zz"))).head
+    assert(r2.getDouble(5) === 0.882353, r2.toString) // 15/17
+  }
+
+  test("degenerate docs: empty text and distinct lines") {
+    val out = run(Seq((1L, ""), (2L, "one two three\nfour five six")))
+    assert(out(0).getLong(1) === 1L)
+    (2 to 5).foreach(i => assert(out(0).getDouble(i) === 0.0, s"col $i"))
+    assert(out(0).getBoolean(6))
+    assert(out(1).getDouble(2) === 0.0 && out(1).getDouble(3) === 0.0)
+  }
+
+  test("rowwise form is bit-identical to the shuffle form; zero exchanges") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("aa", "bb", "cc", "dd", "buy", "now")
+    val docs = ((1L to 60L).map { i =>
+      val lines = (0 until 2 + rnd.nextInt(4)).map(_ =>
+        Seq.fill(3 + rnd.nextInt(9))(vocab(rnd.nextInt(6))).mkString(" "))
+      (i, lines.mkString("\n"))
+    } ++ Seq((100L, ""), (101L, "one"), (102L, "a b c d"))).toDF("doc_id", "text")
+    val a = Repetition.report(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Repetition.reportRowwise(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    val plan = Repetition.reportRowwise(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("deterministic at any partitioning") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"line a $i\nline a $i\nbuy now buy now buy now\nunique $i"))
+    def go(p: Int) = Repetition.report(
+        docs.toDF("doc_id", "text").repartition(p), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(go(1) === go(7))
+  }
+}
