@@ -1263,8 +1263,24 @@ object Similarity {
       roundDp: Int = -1): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val books = pqCodebooksExact(corpus, idCol, vecCol, dim, m, ks, iters)
-    val ds = dim / m
     val c = pqEncode(corpus, idCol, vecCol, books).persistTracked
+    pqCertifiedTopK(queries, idCol, vecCol,
+      c.select("neighbor_id", "_cn", "_codes", "_r"),
+      c.select("neighbor_id", "_cv", "_cn"), books, k, roundDp)
+  }
+
+  /** The certified ADC screen + exact re-score, shared by [[pqTopK]]
+    * (inline encode) and [[pqTopKFromIndex]] (stored codes): `codes`
+    * = (neighbor_id, _cn, _codes, _r) — the slim index the |Q|×|C|
+    * pass scans; `vectors` = (neighbor_id, _cv, _cn) — touched only
+    * by the survivor re-score.
+    */
+  private def pqCertifiedTopK(queries: DataFrame, idCol: String,
+      vecCol: String, codes: DataFrame, vectors: DataFrame,
+      books: Array[Array[Array[Double]]], k: Int, roundDp: Int): DataFrame = {
+    val m = books.length
+    val ks = books(0).length
+    val ds = books(0)(0).length
     // per-query ADC lookup table: lut(j·ks + c) = qⱼ·codeword(j,c) —
     // m·ks dots per QUERY row, computed once, joined to the codes scan
     def qsub(j: Int) = slice(col(vecCol), j * ds + 1, ds)
@@ -1280,8 +1296,7 @@ object Similarity {
       element_at(col("_lut"),
         lit(j * ks) + element_at(col("_codes"), j + 1) + 1)).reduce(_ + _)
     val slim = q.select("query_id", "_qn", "_lut")
-      .join(c.select("neighbor_id", "_cn", "_codes", "_r"),
-        col("query_id") =!= col("neighbor_id"))
+      .join(codes, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         when(den > 0, estDot / den).otherwise(0.0).as("_est"),
         when(den > 0, col("_r") / col("_cn") + 1e-9)
@@ -1301,13 +1316,57 @@ object Similarity {
       dotExact(col("_qv"), col("_cv")) / den).otherwise(0.0)
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
-    c.select("neighbor_id", "_cv", "_cn")
+    vectors
       .join(broadcast(surv.join(q.select("query_id", "_qv", "_qn"), "query_id")),
         "neighbor_id")
       .withColumn("sim", if (roundDp < 0) cosE else round(cosE, roundDp))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
+  /** Persist a PQ index: the SLIM codes table (id, exact norm, m
+    * codes, residual bound — 128× smaller than the vectors) plus the
+    * codebooks, both parquet — encode once, serve forever (the q104
+    * stored-IVF discipline applied to PQ). At 100 TB compose with
+    * `partitionBy(cell)` over [[cellOf]] for probe locality.
+    */
+  def writePqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]], path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    pqEncode(corpus, idCol, vecCol, books)
+      .select("neighbor_id", "_cn", "_codes", "_r")
+      .write.mode("overwrite").parquet(s"$path/codes")
+    books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("j", "c", "w").write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  /** Codebooks back from a stored index (model-sized collect). */
+  def readPqBooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/books")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"empty PQ codebook table at $path/books")
+    Array.tabulate(rows.map(_._1).max + 1)(j =>
+      rows.filter(_._1 == j).sortBy(_._2).map(_._3))
+  }
+
+  /** [[pqTopK]] against a STORED index: the screen scans the persisted
+    * codes table (queries never touch full vectors until the survivor
+    * re-score, which joins them from `corpus` by id). Same certificate
+    * — output ≡ exact brute force.
+    */
+  def pqTopKFromIndex(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, path: String, roundDp: Int = -1): DataFrame = {
+    val spark = corpus.sparkSession
+    val books = readPqBooks(spark, path)
+    val codes = spark.read.parquet(s"$path/codes").persistTracked
+    pqCertifiedTopK(queries, idCol, vecCol, codes,
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+        .join(codes.select("neighbor_id", "_cn"), "neighbor_id"),
+      books, k, roundDp)
   }
 
   /** PURE-ADC PQ ranking — no exact re-score, no certificate: rank

@@ -5253,6 +5253,8 @@ object Oracles {
       // re-score make the output the exact brute-force answer — q17's
       // oracle verbatim (the q61 contract, third compression family)
       "q189_pq_ann" -> cosineTopKSql,
+      // stored-index PQ: same certificate, same exact answer
+      "q200_pq_stored_index" -> cosineTopKSql,
       // PQ pure-ADC recall report: seeded codebooks + decimal-exact
       // assignment/LUT replayed end to end, recall vs exact gold
       "q190_pq_recall" -> pqRecallSql,

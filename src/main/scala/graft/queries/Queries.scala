@@ -5183,6 +5183,28 @@ object Queries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** PQ against a STORED index ([[Similarity.pqTopKFromIndex]], the
+    * q104 index-once/query-forever discipline applied to PQ): the
+    * codes table + codebooks are persisted once per corpus dir
+    * (128× smaller than the vectors), the certified ADC screen scans
+    * the stored codes, and only survivor re-scoring touches the
+    * original vectors — output still ≡ exact brute force, so the
+    * oracle is q17's SQL verbatim (index storage must be lossless
+    * for the hash to match).
+    */
+  val q200PqStoredIndex: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val idx = memoFixture("q200idx", dir) { p =>
+      val books = Similarity.pqCodebooksExact(emb, "vec_id", "embedding",
+        dim = 64, m = 4, ks = 16, iters = 2)
+      Similarity.writePqIndex(emb, "vec_id", "embedding", books, p)
+    }
+    Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 5, idx, roundDp = -1)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -5383,5 +5405,6 @@ object Queries {
     "q197_avro_evolution" -> q197AvroEvolution,
     "q198_gopher_repetition" -> q198GopherRepetition,
     "q199_streaming_repetition" -> q199StreamingRepetition,
+    "q200_pq_stored_index" -> q200PqStoredIndex,
   )
 }

@@ -53,6 +53,27 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("stored index roundtrip: pqTopKFromIndex equals brute force") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/idx"
+    val books = Similarity.pqCodebooksExact(corpus, "vec_id", "embedding",
+      dim = 8, m = 4, ks = 4, iters = 2)
+    Similarity.writePqIndex(corpus, "vec_id", "embedding", books, path)
+    // codebooks roundtrip exactly
+    val back = Similarity.readPqBooks(spark, path)
+    assert(back.map(_.map(_.toSeq).toSeq).toSeq ===
+      books.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = corpus.filter(col("vec_id") < 10)
+    val gold = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding",
+        k = 4, roundDp = -1, exact = true)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    val stored = Similarity.pqTopKFromIndex(q, corpus, "vec_id", "embedding",
+        k = 4, path, roundDp = -1)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    assert(stored === gold)
+  }
+
   test("IVF-PQ with all cells probed equals the flat ADC ranking") {
     val seeds = corpus.filter(col("vec_id") < 4)
     val books = Similarity.pqCodebooksSeeded(seeds, "vec_id", "embedding",
