@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.OpCache.TrackedPersist
 import graft.functions.Text
 
 /** Gopher-style WITHIN-DOCUMENT repetition filters (Rae et al.,
@@ -12,10 +13,21 @@ import graft.functions.Text
   * rules, complementing q53's duplicate-2-gram/top-token ratios with
   * the LINE-level and CHARACTER-COVERAGE signals:
   *
-  *  - `dup_line_frac`      — fraction of lines that are repeats of
-  *                           another line in the same doc;
+  *  - `dup_line_frac`      — fraction of lines that are EXCESS copies
+  *                           of another line in the same doc: counts
+  *                           occurrences beyond the first, i.e.
+  *                           (n_lines − distinct_lines)/n_lines — a
+  *                           doc of one line repeated 4× scores 0.75;
   *  - `dup_line_char_frac` — fraction of line characters living in
-  *                           such repeated lines;
+  *                           repeated lines, where ALL occurrences of
+  *                           a repeated line count (the same 4×-doc
+  *                           scores 1.0). The two metrics deliberately
+  *                           use DIFFERENT duplicate conventions —
+  *                           excess-copies for the line count,
+  *                           whole-group for char coverage — matching
+  *                           the common Gopher reproductions (e.g.
+  *                           Dolma's gopher filters); calibrate
+  *                           thresholds per metric, not jointly;
   *  - `top_2gram_char_frac`— fraction of the doc's characters covered
   *                           by occurrences of its most frequent word
   *                           2-gram (ties → lexicographically first);
@@ -55,7 +67,7 @@ object Repetition {
         col(textCol).as("_txt"),
         split(col(textCol), "\n").as("_ln"),
         Text.tokens(translate(col(textCol), "\n", " ")).as("_tk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
 
     // ---- line metrics: per-row HOFs, zero shuffle -------------------
     val nLines = size(col("_ln"))
@@ -133,27 +145,69 @@ object Repetition {
     * O(G²) in the doc's own gram count (G ≈ tokens — doc-bounded),
     * vs the shuffle version's O(G) per row + two doc-keyed
     * exchanges: prefer THIS for streams and pipelines fused into one
-    * projection pass, the shuffle form when docs are huge. Output is
+    * projection pass, the shuffle form when docs are huge — and on
+    * corpora that may contain PATHOLOGICALLY long documents, use
+    * [[reportCapped]]: this uncapped form makes a 50k-token doc a
+    * 2.5×10⁹-comparison task straggler. Output is
     * bit-identical ([[RepetitionSpec]] locks it): same counts, same
     * lex-min top gram (array_min's UTF8 byte order = the shuffle
     * version's ORDER BY), same interval-union coverage.
     */
   def reportRowwise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // EVALUATION SHAPE: higher-order functions are INTERPRETED (no
-    // codegen, no cross-invocation CSE), so any non-trivial
-    // expression referenced INSIDE a lambda is re-evaluated per array
-    // element. The gram arrays are therefore staged as COLUMNS in a
-    // separate projection, and every lambda touches only attribute
-    // references — each gram array is built once per row, and the
-    // per-row cost is the honest O(G²) comparisons, not O(G²) array
-    // RECONSTRUCTIONS (observed 50×: a per-position exists() over an
-    // inlined flags tree wedged a task for minutes at 90-token docs).
-    // Each staged column is referenced more than once downstream,
-    // which is also what keeps CollapseProject from inlining it back.
     val base = docs.select(col(idCol),
       col(textCol).as("_txt"),
       split(col(textCol), "\n").as("_ln"),
       Text.tokens(translate(col(textCol), "\n", " ")).as("_tk"))
+    rowwiseFrom(base, idCol, Nil)
+  }
+
+  /** [[reportRowwise]] with a LONG-DOCUMENT GUARD: the row-wise form
+    * is O(G²) in the doc's own gram count by design (the zero-exchange
+    * trade), so a pathological 50k-token web document is a
+    * 2.5×10⁹-comparison task straggler. Here metrics are computed on
+    * a CAPPED PREFIX with defined semantics — first `maxLines` lines,
+    * then the first `maxTokens` tokens of that line-capped text (the
+    * top-2-gram char denominator is the line-capped text's length) —
+    * and a `truncated` flag (between `dup_5gram_char_frac` and
+    * `pass`) records whether either cap bit. On docs under both caps
+    * the output rows equal
+    * [[reportRowwise]]'s exactly (plus `truncated = false`), so the
+    * guard is free to leave on at ingest; bounded per-row cost is
+    * O(maxTokens²) regardless of input size (RepetitionSpec
+    * time-bounds a 50k-token doc).
+    */
+  def reportCapped(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, maxLines: Int): DataFrame = {
+    require(maxTokens > 0 && maxLines > 0, "caps must be positive")
+    val base = docs.select(col(idCol),
+        split(col(textCol), "\n").as("_lnAll"))
+      .withColumn("_ln", slice(col("_lnAll"), 1, maxLines))
+      .withColumn("_txt", array_join(col("_ln"), "\n"))
+      .withColumn("_tkAll", Text.tokens(translate(col("_txt"), "\n", " ")))
+      .withColumn("_tk", slice(col("_tkAll"), 1, maxTokens))
+      .withColumn("_trunc",
+        size(col("_lnAll")) > maxLines || size(col("_tkAll")) > maxTokens)
+    rowwiseFrom(base, idCol, Seq(col("_trunc").as("truncated")))
+  }
+
+  /** The shared row-wise kernel over a staged (`_txt`,`_ln`,`_tk`)
+    * frame; `extra` columns (e.g. the cap's `truncated` flag) ride
+    * through to the output after `pass`.
+    *
+    * EVALUATION SHAPE: higher-order functions are INTERPRETED (no
+    * codegen, no cross-invocation CSE), so any non-trivial
+    * expression referenced INSIDE a lambda is re-evaluated per array
+    * element. The gram arrays are therefore staged as COLUMNS in a
+    * separate projection, and every lambda touches only attribute
+    * references — each gram array is built once per row, and the
+    * per-row cost is the honest O(G²) comparisons, not O(G²) array
+    * RECONSTRUCTIONS (observed 50×: a per-position exists() over an
+    * inlined flags tree wedged a task for minutes at 90-token docs).
+    * Each staged column is referenced more than once downstream,
+    * which is also what keeps CollapseProject from inlining it back.
+    */
+  private def rowwiseFrom(base: DataFrame, idCol: String,
+      extra: Seq[Column]): DataFrame = {
     val staged = base
       .withColumn("_g2", grams(col("_tk"), 2))
       .withColumn("_w5", grams(col("_tk"), 5))
@@ -194,7 +248,7 @@ object Repetition {
     val dup5Frac = when(tokChars > 0,
       r6(covChars.cast("double") / tokChars.cast("double"))).otherwise(0.0)
 
-    staged.select(col(idCol),
+    staged.select(Seq(col(idCol),
       nLines.cast("long").as("n_lines"),
       r6((nLines - size(array_distinct(col("_ln")))).cast("double") /
         nLines.cast("double")).as("dup_line_frac"),
@@ -202,7 +256,7 @@ object Repetition {
         r6(dupLineChars.cast("double") / lineChars.cast("double")))
         .otherwise(0.0).as("dup_line_char_frac"),
       top2Frac.as("top_2gram_char_frac"),
-      dup5Frac.as("dup_5gram_char_frac"))
+      dup5Frac.as("dup_5gram_char_frac")) ++ extra: _*)
       .withColumn("pass",
         col("dup_line_frac") <= MaxDupLineFrac &&
           col("dup_line_char_frac") <= MaxDupLineCharFrac &&

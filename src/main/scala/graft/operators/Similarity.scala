@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
 import graft.core.OpCache.TrackedPersist
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -1386,25 +1386,64 @@ object Similarity {
     * SQL-replayable (the q132 `probes` CTE). Output: (query_id, cell).
     */
   def topSeedCells(queries: DataFrame, seeds: DataFrame, idCol: String,
-      vecCol: String, nProbe: Int): DataFrame = {
+      vecCol: String, nProbe: Int): DataFrame =
+    topSeedCellsFull(queries, seeds, idCol, vecCol, nProbe)
+      .select("query_id", "cell")
+
+  /** [[topSeedCells]] keeping the probe's raw query·centroid dot
+    * (`qcdot`, the [[dotExact]] value the cosine was built from) —
+    * the residual-ADC estimate needs exactly this per-(query, probed
+    * cell) term, and ranking and dot come out of ONE dotExact per
+    * (query, seed) rather than two. Output: (query_id, cell, qcdot).
+    */
+  private[graft] def topSeedCellsFull(queries: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
     val model = collectSeeds(seeds.select(col(idCol).as("_cell"),
       col(vecCol).as("_sv"),
       sqrt(dotExact(col(vecCol), col(vecCol))).as("_sn")))
-    def den(i: Int) = col("_qn") * lit(model(i).norm)
-    def sim(i: Int) =
-      when(den(i) > 0, dotExact(col("_qv"), lit(model(i).vec)) / den(i))
-        .otherwise(0.0)
     val cells = array(model.map(m => lit(m.cell)).toIndexedSeq: _*)
+    val norms = array(model.map(m => lit(m.norm)).toIndexedSeq: _*)
     queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"))
-      .select(col("query_id"),
-        posexplode(array(model.indices.map(sim).toIndexedSeq: _*))
-          .as(Seq("_p", "_sim")))
+      .select(col("query_id"), col("_qn"),
+        posexplode(array(model.indices.map(i =>
+          dotExact(col("_qv"), lit(model(i).vec))).toIndexedSeq: _*))
+          .as(Seq("_p", "qcdot")))
+      .withColumn("_den", col("_qn") * element_at(norms, col("_p") + 1))
+      .withColumn("_sim",
+        when(col("_den") > 0, col("qcdot") / col("_den")).otherwise(0.0))
       .withColumn("cell", element_at(cells, col("_p") + 1))
       .withColumn("_rn", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("_sim").desc, col("cell"))))
       .filter(col("_rn") <= nProbe)
-      .select("query_id", "cell")
+      .select("query_id", "cell", "qcdot")
+  }
+
+  /** RESIDUAL codebooks for IVF-PQ (Jégou TPAMI 2011 §IV.A): codeword
+    * c of subspace j is the j-th sub-vector of book-seed c's residual
+    * to its own coarse cell, r = b − centroid(cell(b)) — computed IN
+    * the engine (exact-argmax [[assignCells]] + float-minus-float
+    * double subtraction) so a SQL oracle replays every codeword from
+    * named rows alone. Pass a `bookSeeds` frame DISJOINT from the
+    * coarse seeds: a coarse seed's residual to itself is the zero
+    * vector and carries no codebook signal.
+    */
+  def pqResidualCodebooksSeeded(bookSeeds: DataFrame, seeds: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val ds = dim / m
+    val seedVecs = seeds.select(col(idCol).as("cell"), col(vecCol).as("_sv"))
+    val rows = bookSeeds.select(col(idCol), col(vecCol).as("_bv"))
+      .join(assignCells(bookSeeds, seeds, idCol, vecCol), idCol)
+      .join(broadcast(seedVecs), "cell")
+      .select(col(idCol),
+        zip_with(col("_bv"), col("_sv"),
+          (a, b) => a.cast("double") - b.cast("double")).as("_rv"))
+      .orderBy(col(idCol))
+      .collect() // book-seed-set-sized (the collectSeeds precedent)
+      .map(_.getSeq[Double](1).toArray)
+    require(rows.nonEmpty, "empty book-seed set")
+    Array.tabulate(m)(j => rows.map(_.slice(j * ds, (j + 1) * ds)))
   }
 
   /** The COMPOSED IVF-PQ retriever (Jégou TPAMI 2011 §IV, the
@@ -1412,26 +1451,91 @@ object Similarity {
     * candidate set to the query's `nProbe` nearest cells, and within
     * probed cells candidates rank by the PQ ADC estimate over the
     * CODES table — the corpus' full vectors are touched only at
-    * encode time. Probe locality trades the [[pqTopK]] certificate
-    * for cost, which is exactly the regime the recall report exists
-    * for: q196 gates this ranking's recall against exact gold with
-    * every coarse assignment, probe choice, code, and estimate
-    * replayed in SQL (seeded cells + seeded codebooks + decimal-exact
+    * encode time.
+    *
+    * `residual = true` is IVFADC PROPER (§IV.A): each vector is
+    * PQ-encoded as its residual r = v − centroid(cell(v)) against
+    * [[pqResidualCodebooksSeeded]] residual codewords, which points
+    * the whole codebook budget at WITHIN-cell detail — the coarse
+    * term is carried exactly instead of being re-approximated by the
+    * codes. On the inner-product/cosine metric the decomposition is
+    * q·v = q·c_cell + q·r ≈ q·c_cell + Σⱼ lut[j][codeⱼ]: the
+    * per-(query, probed cell) term q·c_cell is the SAME dotExact the
+    * probe selection already computes ([[topSeedCellsFull]] — zero
+    * extra vector math), and the LUT is the query against the
+    * residual codewords. `residual = false` keeps the raw-encoding
+    * diagnostic (codes from the vectors themselves, no coarse term) —
+    * the baseline the residual-superiority property is measured
+    * against (PqSpec).
+    *
+    * Probe locality trades the [[pqTopK]] certificate for cost, which
+    * is exactly the regime the recall report exists for: q196 gates
+    * this ranking's recall against exact gold with every coarse
+    * assignment, probe choice, residual, code, and estimate replayed
+    * in SQL (seeded cells + seeded residual codebooks + decimal-exact
     * arithmetic throughout). At 100 TB the codes table is written
-    * `partitionBy(cell)` ([[cellOf]]) and a probe reads nProbe
-    * directories. Output: (query_id, neighbor_id, est, rank).
+    * `partitionBy(cell)` and a probe reads nProbe directories —
+    * [[writeIvfPqIndex]]/[[pqIvfTopKFromIndex]] are that serving
+    * path, plan-locked to prune partitions. Output: (query_id,
+    * neighbor_id, est, rank).
     */
   def pqIvfAdcRank(queries: DataFrame, corpus: DataFrame, seeds: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int, m: Int): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    val books = pqCodebooksSeeded(seeds, idCol, vecCol, dim, m)
-    val ks = books(0).length
-    val ds = dim / m
-    val codes = pqEncode(corpus, idCol, vecCol, books, exact = true)
-      .select("neighbor_id", "_cn", "_codes")
+      idCol: String, vecCol: String, k: Int, nProbe: Int, m: Int, dim: Int,
+      bookSeeds: DataFrame = null, residual: Boolean = true): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val bs = Option(bookSeeds).getOrElse(seeds)
+    val books =
+      if (residual) pqResidualCodebooksSeeded(bs, seeds, idCol, vecCol, dim, m)
+      else pqCodebooksSeeded(bs, idCol, vecCol, dim, m)
+    val codes = ivfPqCodes(corpus, seeds, idCol, vecCol, books, residual)
+    val probes = topSeedCellsFull(queries, seeds, idCol, vecCol, nProbe)
+    pqIvfRankFromCodes(queries, probes, codes, idCol, vecCol,
+      books, k, residual)
+  }
+
+  /** The IVF-PQ codes table: (neighbor_id, cell, _cn exact norm of the
+    * ORIGINAL vector, _codes) with the exact-decimal per-subspace
+    * argmin assignment over the residual (or raw) vector — one
+    * map-side projection per corpus row after the [[assignCells]]
+    * exchange; the full vectors never ride past the encode.
+    */
+  private def ivfPqCodes(corpus: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String, books: Array[Array[Array[Double]]],
+      residual: Boolean): DataFrame = {
+    val m = books.length
+    val ds = books(0)(0).length
+    val seedVecs = seeds.select(col(idCol).as("cell"), col(vecCol).as("_sv"))
+    val withCell = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"),
+        sqrt(dotExact(col(vecCol), col(vecCol))).as("_cn"))
       .join(assignCells(corpus, seeds, idCol, vecCol)
         .select(col(idCol).as("neighbor_id"), col("cell")), "neighbor_id")
-    val probes = topSeedCells(queries, seeds, idCol, vecCol, nProbe)
+    val enc =
+      if (residual) withCell.join(broadcast(seedVecs), "cell")
+        .withColumn("_cv", zip_with(col("_v"), col("_sv"),
+          (a, b) => a.cast("double") - b.cast("double")))
+      else withCell.withColumn("_cv", col("_v"))
+    def sub(j: Int) = slice(col("_cv"), j * ds + 1, ds)
+    def assign(j: Int): Column = {
+      val dists = array(books(j).map(c => distExactDecimal(sub(j), c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    enc.select(col("neighbor_id"), col("cell"), col("_cn"),
+      array((0 until m).map(assign): _*).as("_codes"))
+  }
+
+  /** The probe + ADC rank over a prepared codes table — shared by the
+    * in-query [[pqIvfAdcRank]] and the stored-index
+    * [[pqIvfTopKFromIndex]] so the two are the same arithmetic by
+    * construction.
+    */
+  private def pqIvfRankFromCodes(queries: DataFrame, probes: DataFrame,
+      codes: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]], k: Int,
+      residual: Boolean): DataFrame = {
+    val m = books.length
+    val ks = books(0).length
+    val ds = books(0)(0).length
     def qsub(j: Int) = slice(col(vecCol), j * ds + 1, ds)
     val lutExprs = for (j <- 0 until m; cw <- books(j)) yield
       dotExactHof(qsub(j), lit(cw))
@@ -1439,10 +1543,17 @@ object Similarity {
       sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"),
       array(lutExprs: _*).as("_lut"))
     val den = col("_qn") * col("_cn")
-    val estDot = (0 until m).map(j =>
+    // every term is an exact 12-dp value living in a double (dotExact /
+    // dotExactHof contract): the decimal re-casts recover them exactly,
+    // the sum is exact, and ONE double cast + division lands in the
+    // oracle's arithmetic
+    val lutSum = (0 until m).map(j =>
       element_at(col("_lut"),
         lit(j * ks) + element_at(col("_codes"), j + 1) + 1)
-        .cast(DecimalType(20, 12))).reduce(_ + _).cast("double")
+        .cast(DecimalType(20, 12))).reduce(_ + _)
+    val estDot =
+      (if (residual) col("qcdot").cast(DecimalType(20, 12)) + lutSum
+       else lutSum).cast("double")
     val w = Window.partitionBy("query_id")
       .orderBy(col("est").desc, col("neighbor_id"))
     probes.join(codes, "cell")
@@ -1455,6 +1566,87 @@ object Similarity {
       .select("query_id", "neighbor_id", "est", "rank")
   }
 
+  /** Persist an IVF-PQ index, CELL-PARTITIONED — the 100 TB serving
+    * layout the [[pqIvfAdcRank]] scaladoc promises: the slim codes
+    * table (id, exact norm, m codes — 128× smaller than the vectors)
+    * written `partitionBy(cell)` so a probe reads ONLY its nProbe
+    * partition directories, plus three model-sized sidecars: the
+    * residual codebooks (`books`, the [[writePqIndex]] layout), the
+    * coarse cell seeds (`cells` — vectors AND engine-computed norms,
+    * so serving-time probe selection is bit-identical to index-time
+    * assignment), and `meta` (m, dim, residual flag). Encode once,
+    * probe forever — [[pqIvfTopKFromIndex]] is the reader.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String, m: Int, dim: Int, path: String,
+      bookSeeds: DataFrame = null, residual: Boolean = true): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bs = Option(bookSeeds).getOrElse(seeds)
+    val books =
+      if (residual) pqResidualCodebooksSeeded(bs, seeds, idCol, vecCol, dim, m)
+      else pqCodebooksSeeded(bs, idCol, vecCol, dim, m)
+    ivfPqCodes(corpus, seeds, idCol, vecCol, books, residual)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("j", "c", "w").write.mode("overwrite").parquet(s"$path/books")
+    seeds.select(col(idCol).as("cell"), col(vecCol).as("sv"),
+        sqrt(dotExact(col(vecCol), col(vecCol))).as("sn"))
+      .write.mode("overwrite").parquet(s"$path/cells")
+    Seq((m, dim, residual)).toDF("m", "dim", "residual")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Serve IVF-PQ from a STORED index ([[writeIvfPqIndex]]): probe
+    * selection against the `cells` sidecar, then the ADC rank reads
+    * ONLY the probed cells' partition directories — the union of the
+    * query batch's probed cells (≤ |cells|, model-sized by the seed
+    * contract) lands as an `IN` filter on the PARTITION column, so
+    * the parquet scan's PartitionFilters prune every unprobed
+    * directory (plan-locked in PlanShapeSpec). Output is identical to
+    * the in-query [[pqIvfAdcRank]] with the same seeds/books — the
+    * two share [[pqIvfRankFromCodes]], and the index stores exact
+    * norms/codes/codebooks losslessly.
+    */
+  def pqIvfTopKFromIndex(queries: DataFrame, path: String, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val residual = meta.getBoolean(meta.fieldIndex("residual"))
+    val books = readPqBooks(spark, path)
+    val seeds = spark.read.parquet(s"$path/cells")
+      .select(col("cell").as(idCol), col("sv").as(vecCol))
+    val probes = topSeedCellsFull(queries, seeds, idCol, vecCol, nProbe)
+      .persistTracked
+    // the probed-cell union is bounded by the CELL count (model-sized
+    // by the coarse-seed contract), not the query count — a driver-side
+    // constant is the price of literal partition pruning, same as q104
+    val codesRaw = spark.read.parquet(s"$path/codes")
+    val cellType = codesRaw.schema("cell").dataType
+    val probed = probes.select("cell").distinct().collect().map(_.get(0))
+      .map { v => // match the inferred partition-column type so the IN
+                  // lands on the attribute itself, not under a cast
+        (v, cellType) match {
+          case (n: Number, IntegerType) => n.intValue()
+          case (n: Number, LongType) => n.longValue()
+          case _ => v
+        }
+      }
+    val codes = codesRaw.filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .withColumn("cell", col("cell").cast(LongType))
+    pqIvfRankFromCodes(queries, probes, codes, idCol, vecCol,
+      books, k, residual)
+  }
+
+  /** DIAGNOSTIC ONLY — O(|Q|·|C|) by construction: flat ADC with no
+    * coarse layer and no certificate, joining every query to every
+    * code row (a theta join that plans as BroadcastNestedLoop). It
+    * exists so q190's recall report can measure what PURE codes-table
+    * ranking costs in isolation; the query side is model-sized there.
+    * Never the serving path at scale — that is [[pqIvfAdcRank]] /
+    * [[pqIvfTopKFromIndex]] (cell-pruned) or [[pqTopK]] (certified).
+    */
   def pqAdcRank(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, books: Array[Array[Array[Double]]]): DataFrame = {
     val m = books.length

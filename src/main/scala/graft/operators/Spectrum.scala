@@ -5,6 +5,8 @@ import java.math.{BigDecimal => JBig, RoundingMode}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.OpCache.TrackedPersist
+
 /** Embedding-space spectrum diagnostics: the corpus mean vector, the
   * covariance trace (total variance), and the TOP principal component
   * (leading eigenvalue + loading vector) of the embedding covariance —
@@ -194,7 +196,13 @@ object Spectrum {
       iters: Int): SpectrumModel = {
     import org.apache.spark.sql.types.DecimalType
     val spark = momentsDf.sparkSession
-    val diag = momentsDf.filter(col("i") === col("j"))
+    // the moments aggregation is the expensive corpus pass — cache it so
+    // the diagonal collect and the `full` covariance build below read it
+    // once, not twice (tracked: the harness's OpCache.release frees it;
+    // the eager local unpersist after `full` materializes is the fast
+    // path)
+    val moments = momentsDf.persistTracked
+    val diag = moments.filter(col("i") === col("j"))
       .select(col("i"),
         round(col("sx").cast("double") / n, 9).as("m9"))
     val mean9Rows = diag.collect() // d-sized
@@ -204,7 +212,7 @@ object Spectrum {
       a
     }
     val mLit = array(mean9.map(lit(_)).toIndexedSeq: _*)
-    val upper = momentsDf.select(col("i"), col("j"), col("s"))
+    val upper = moments.select(col("i"), col("j"), col("s"))
     val full = upper.unionByName(
         upper.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("s")))
@@ -217,6 +225,7 @@ object Spectrum {
       val traceDec = full.filter(col("i") === col("j"))
         .agg(sum(col("c9").cast(DecimalType(18, 9))).as("t"))
         .head().getDecimal(0)
+      moments.unpersist(false) // `full` is materialized; moments done
       val trace = traceDec.doubleValue()
       var v = Array.fill(dim)(1.0)
       var lambda = 0.0

@@ -4970,7 +4970,136 @@ object Oracles {
     * the exact brute-force gold (q132's tail).
     */
   private lazy val pqRecallSql: String = pqRecallSqlWith(ivf = false)
-  private lazy val pqIvfRecallSql: String = pqRecallSqlWith(ivf = true)
+
+  /** q196/q201: RESIDUAL-encoded IVF-PQ (IVFADC proper) replay —
+    * seeded coarse cells (vec_id < 16), residual codebooks seeded
+    * from the DISJOINT vec_id 16..31 set (codeword = book seed's
+    * residual to its own assigned cell, index = rank in vec_id
+    * order), corpus vectors encoded as residuals with decimal-exact
+    * per-subspace assignment, and the ADC estimate = exact q·c_cell
+    * (the probe's own decimal-exact dot) + the residual LUT sum —
+    * every residual, code, estimate, and rank replayed; recall vs the
+    * exact brute-force gold.
+    */
+  private lazy val pqIvfResidualRecallSql: String = {
+    // residual arrays are already DOUBLE — no per-element cast, matching
+    // the engine's float-minus-float double subtraction feeding the
+    // decimal-quantized kernels directly
+    def subDistD(a: String, b: String) =
+      s"""list_sum([CAST(($a[j.j*16 + i] - $b[j.j*16 + i])
+         |      * ($a[j.j*16 + i] - $b[j.j*16 + i]) AS DECIMAL(18,12))
+         |      FOR i IN range(1, 17)])""".stripMargin
+    def subDotFD(a: String, b: String) =
+      s"""CAST(list_sum([CAST(CAST($a[j.j*16 + i] AS DOUBLE)
+         |      * $b[j.j*16 + i] AS DECIMAL(38,12))
+         |      FOR i IN range(1, 17)]) AS DOUBLE)""".stripMargin
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
+       |  FROM embeddings
+       |),
+       |ex AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CASE WHEN q.nrm * c.nrm > 0
+       |          THEN ${dotX("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |          ELSE 0.0 END DESC, c.vec_id) AS rn
+       |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 50)
+       |  WHERE rn <= 5
+       |),
+       |sc AS (SELECT vec_id AS cell, embedding AS sv, nrm AS sn FROM n WHERE vec_id < 16),
+       |cvs AS MATERIALIZED (
+       |  SELECT v.vec_id, s.cell, ${dotX("v.embedding", "s.sv")} AS qcdot,
+       |    CASE WHEN v.nrm * s.sn > 0 THEN ${dotX("v.embedding", "s.sv")} / (v.nrm * s.sn)
+       |    ELSE 0.0 END AS csim
+       |  FROM n v CROSS JOIN sc s
+       |),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+       |    FROM cvs) WHERE rn = 1
+       |),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cell, qcdot FROM (
+       |    SELECT vec_id, cell, qcdot,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+       |    FROM cvs WHERE vec_id < 50) WHERE rn <= 4
+       |),
+       |bs AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+       |  FROM embeddings WHERE vec_id >= 16 AND vec_id < 32
+       |),
+       |bsr AS MATERIALIZED (
+       |  SELECT b.c,
+       |    [CAST(b.embedding[i] AS DOUBLE) - CAST(s.sv[i] AS DOUBLE)
+       |      FOR i IN range(1, 65)] AS rw
+       |  FROM bs b JOIN assign a ON a.vec_id = b.vec_id
+       |  JOIN sc s ON s.cell = a.cell
+       |),
+       |vr AS MATERIALIZED (
+       |  SELECT v.vec_id, a.cell,
+       |    [CAST(v.embedding[i] AS DOUBLE) - CAST(s.sv[i] AS DOUBLE)
+       |      FOR i IN range(1, 65)] AS rv
+       |  FROM embeddings v JOIN assign a ON a.vec_id = v.vec_id
+       |  JOIN sc s ON s.cell = a.cell
+       |),
+       |ad AS MATERIALIZED (
+       |  SELECT v.vec_id, j.j, b.c, ${subDistD("v.rv", "b.rw")} AS dist
+       |  FROM vr v CROSS JOIN generate_series(0, 3) j(j) CROSS JOIN bsr b
+       |),
+       |code AS MATERIALIZED (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT vec_id, j, c,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+       |    FROM ad) WHERE rn = 1
+       |),
+       |lut AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, j.j, b.c,
+       |    ${subDotFD("q.embedding", "b.rw")} AS d
+       |  FROM embeddings q CROSS JOIN generate_series(0, 3) j(j) CROSS JOIN bsr b
+       |  WHERE q.vec_id < 50
+       |),
+       |est AS MATERIALIZED (
+       |  SELECT l.query_id, cd.vec_id AS neighbor_id,
+       |    CAST(CAST(p.qcdot AS DECIMAL(38,12))
+       |      + SUM(CAST(l.d AS DECIMAL(38,12))) AS DOUBLE) AS dsum
+       |  FROM code cd
+       |  JOIN assign a ON a.vec_id = cd.vec_id
+       |  JOIN lut l ON l.j = cd.j AND l.c = cd.c AND l.query_id <> cd.vec_id
+       |  JOIN probes p ON p.query_id = l.query_id AND p.cell = a.cell
+       |  GROUP BY 1, 2, p.qcdot
+       |),
+       |adc AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT e.query_id, e.neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.query_id ORDER BY
+       |        ROUND(CASE WHEN qn.nrm * cn.nrm > 0
+       |          THEN e.dsum / (qn.nrm * cn.nrm) ELSE 0.0 END, 6) DESC,
+       |        e.neighbor_id) AS rn
+       |    FROM est e JOIN n qn ON qn.vec_id = e.query_id
+       |    JOIN n cn ON cn.vec_id = e.neighbor_id)
+       |  WHERE rn <= 5
+       |),
+       |m AS (
+       |  SELECT ex.query_id,
+       |    CAST(SUM(CASE WHEN adc.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |    CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM ex LEFT JOIN adc
+       |    ON adc.query_id = ex.query_id AND adc.neighbor_id = ex.neighbor_id
+       |  GROUP BY ex.query_id
+       |),
+       |mr AS (
+       |  SELECT ROUND(CAST(SUM(n_matched) AS DOUBLE)
+       |    / CAST(COUNT(*) * 5 AS DOUBLE), 6) AS mean_recall FROM m
+       |)
+       |SELECT query_id, n_matched,
+       |  ROUND(CAST(n_matched AS DOUBLE) / CAST(k AS DOUBLE), 6) AS recall,
+       |  (SELECT mean_recall FROM mr) AS mean_recall
+       |FROM m ORDER BY query_id""".stripMargin
+  }
 
   /** Shared q190/q196 replay. `ivf = true` adds the seeded coarse
     * layer (q132's assign/probes CTEs) and restricts the ADC ranking
@@ -5261,8 +5390,14 @@ object Oracles {
       "q191_lang_segments_nb" -> langSegmentsNbSql,
       // stream ≡ batch for the stateless NB scoring projection
       "q195_streaming_langid" -> langidNbSql,
-      // composed IVF-PQ: the q190 replay + the q132 coarse layer
-      "q196_pq_ivf_recall" -> pqIvfRecallSql,
+      // composed IVF-PQ, residual-encoded (IVFADC proper): coarse
+      // layer + residual codebooks + exact coarse term, replayed
+      "q196_pq_ivf_recall" -> pqIvfResidualRecallSql,
+      // stored cell-partitioned IVF-PQ index: serving ≡ in-query
+      "q201_ivfpq_stored_index" -> pqIvfResidualRecallSql,
+      // streaming ANN serving: per-trigger certified screen + exact
+      // re-score against the stored codes — stream ≡ exact brute force
+      "q202_streaming_ann_serve" -> cosineTopKSql,
       // Avro evolution: defaults land on every record — the oracle
       // aggregates the original parquet with the defaults as literals
       "q197_avro_evolution" ->
@@ -5276,6 +5411,13 @@ object Oracles {
       "q198_gopher_repetition" -> gopherRepetitionSql,
       // stream ≡ batch for the zero-shuffle row-wise form
       "q199_streaming_repetition" -> gopherRepetitionSql,
+      // Gopher FORMAT rules: planted single-rule fixtures, every
+      // count/ratio/verdict replayed
+      "q203_gopher_quality" -> gopherQualitySql,
+      // long-doc guard: capped-prefix repetition metrics + truncated
+      "q205_capped_repetition" -> cappedRepetitionSql,
+      // stream ≡ batch for the stateless format projection
+      "q204_streaming_gopher_quality" -> gopherQualitySql,
 
       // skip-gram pairs: offset fan-out + pair rollup
       "q181_skipgram_pairs" ->
@@ -5445,6 +5587,190 @@ object Oracles {
            |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
            |    / CAST(SUM(c) AS DOUBLE), 6) AS p_unseen
            |FROM wc GROUP BY lang ORDER BY lang""".stripMargin)
+
+  /** q203/q204: Gopher Table A1 FORMAT rules replay — the planted
+    * fixture itself is rebuilt from the SAME
+    * [[graft.queries.Queries.GopherQualityBranches]] segments (doc-id
+    * spliced between them), then every count (tokens, '#' chars,
+    * greedy non-overlapping '...' + '…' occurrences, bullet/ellipsis
+    * lines, alpha-bearing words, distinct stop words), every 6-dp
+    * ratio, and the eight-way conjunction verdict.
+    */
+  private lazy val gopherQualitySql: String = {
+    def sqlLit(s: String): String =
+      s.split("\n", -1).map(p => "'" + p.replace("'", "''") + "'")
+        .mkString(" || chr(10) || ")
+    def branchExpr(segs: Seq[String]): String =
+      segs.map(sqlLit).mkString(" || CAST(doc_id AS VARCHAR) || ")
+    val cases = graft.queries.Queries.GopherQualityBranches.zipWithIndex
+      .map { case (segs, i) => s"WHEN $i THEN ${branchExpr(segs)}" }
+      .mkString("\n      ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, CASE doc_id % 9
+       |      $cases
+       |    END AS text
+       |  FROM documents
+       |),
+       |t AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |    string_split(text, chr(10)) AS ln,
+       |    list_filter(string_split(replace(text, chr(10), ' '), ' '),
+       |      x -> len(x) > 0) AS tk
+       |  FROM d
+       |),
+       |m AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CAST(COALESCE(list_sum([length(x) FOR x IN tk]), 0) AS BIGINT) AS tok_chars,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+       |    CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+       |      + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS ellipses,
+       |    CAST(len(ln) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(ln, l -> starts_with(ltrim(l), '• ')
+       |      OR starts_with(ltrim(l), '- ')
+       |      OR starts_with(ltrim(l), '* '))) AS BIGINT) AS bullet_lines,
+       |    CAST(len(list_filter(ln, l -> ends_with(rtrim(l), '...')
+       |      OR ends_with(rtrim(l), '…'))) AS BIGINT) AS ell_lines,
+       |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+       |    CAST(len(list_intersect(list_distinct([lower(x) FOR x IN tk]),
+       |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+       |  FROM t
+       |)
+       |SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
+       |  ellipsis_word_ratio, bullet_line_frac, ellipsis_line_frac,
+       |  alpha_word_frac, stop_hits,
+       |  (n_words >= 50 AND n_words <= 100000
+       |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |   AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+       |   AND bullet_line_frac <= 0.90 AND ellipsis_line_frac <= 0.30
+       |   AND alpha_word_frac >= 0.80 AND stop_hits >= 2) AS pass
+       |FROM (
+       |  SELECT doc_id, n_words,
+       |    CASE WHEN n_words > 0 THEN ROUND(CAST(tok_chars AS DOUBLE) / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS mean_word_len,
+       |    CASE WHEN n_words > 0 THEN ROUND(CAST(hashes AS DOUBLE) / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS hash_word_ratio,
+       |    CASE WHEN n_words > 0 THEN ROUND(CAST(ellipses AS DOUBLE) / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS ellipsis_word_ratio,
+       |    ROUND(CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS bullet_line_frac,
+       |    ROUND(CAST(ell_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS ellipsis_line_frac,
+       |    CASE WHEN n_words > 0 THEN ROUND(CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS alpha_word_frac,
+       |    stop_hits
+       |  FROM m
+       |)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q205: the capped-prefix repetition replay — q198's corpus plus
+    * planted spam/extra-line docs, lines sliced to 4 FIRST, tokens of
+    * the line-capped text sliced to 120 SECOND, the q198 metrics over
+    * those prefixes, and the `truncated` flag from the uncapped
+    * counts.
+    */
+  private lazy val cappedRepetitionSql: String =
+    s"""WITH d0 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    'nav home about contact' || chr(10) || text || chr(10) ||
+       |    CASE WHEN doc_id % 4 = 0 THEN 'nav home about contact'
+       |         ELSE 'footer f' || CAST(doc_id AS VARCHAR) END || chr(10) ||
+       |    CASE WHEN doc_id % 5 = 0
+       |         THEN 'buy now buy now buy now buy now buy now buy now'
+       |         ELSE 'tail t' || CAST(doc_id AS VARCHAR) END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' ' || rtrim(repeat('spam token ', 60))
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |         THEN chr(10) || 'extra alpha line' || chr(10) || 'extra beta line'
+       |         ELSE '' END AS text
+       |  FROM documents
+       |),
+       |dc AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_slice(string_split(text, chr(10)), 1, 4) AS lnc,
+       |    len(string_split(text, chr(10))) AS n_lines_all
+       |  FROM d0
+       |),
+       |t AS MATERIALIZED (
+       |  SELECT doc_id, lnc,
+       |    array_to_string(lnc, chr(10)) AS text,
+       |    list_slice(tk_all, 1, 120) AS tk,
+       |    (n_lines_all > 4 OR len(tk_all) > 120) AS truncated
+       |  FROM (
+       |    SELECT doc_id, lnc, n_lines_all,
+       |      list_filter(string_split(replace(array_to_string(lnc, chr(10)),
+       |        chr(10), ' '), ' '), x -> len(x) > 0) AS tk_all
+       |    FROM dc)
+       |),
+       |l AS (SELECT doc_id, unnest(lnc) AS line FROM dc),
+       |lc AS MATERIALIZED (
+       |  SELECT doc_id, line, CAST(COUNT(*) AS BIGINT) AS c FROM l GROUP BY 1, 2
+       |),
+       |lm AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(SUM(c) AS BIGINT) AS n_lines,
+       |    ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS dup_line_frac,
+       |    CASE WHEN SUM(c * length(line)) > 0 THEN
+       |      ROUND(CAST(SUM(CASE WHEN c >= 2 THEN c * length(line) ELSE 0 END) AS DOUBLE) /
+       |            CAST(SUM(c * length(line)) AS DOUBLE), 6)
+       |    ELSE 0.0 END AS dup_line_char_frac
+       |  FROM lc GROUP BY doc_id
+       |),
+       |g2 AS (
+       |  SELECT doc_id,
+       |    array_to_string(tk[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)], ' ') AS g
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM t)
+       |),
+       |g2c AS MATERIALIZED (
+       |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM g2 GROUP BY 1, 2
+       |),
+       |top2 AS MATERIALIZED (
+       |  SELECT x.doc_id,
+       |    ROUND(CAST(x.c * length(x.g) AS DOUBLE) /
+       |          CAST(length(t2.text) AS DOUBLE), 6) AS top2
+       |  FROM (SELECT doc_id, g, c,
+       |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+       |        FROM g2c) x
+       |  JOIN t t2 ON t2.doc_id = x.doc_id
+       |  WHERE x.rn = 1
+       |),
+       |g5 AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    array_to_string(tk[CAST(i AS BIGINT):CAST(i + 4 AS BIGINT)], ' ') AS w
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM t)
+       |),
+       |g5d AS MATERIALIZED (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, w, COUNT(*) AS c FROM g5 GROUP BY 1, 2) WHERE c >= 2
+       |),
+       |cpos AS MATERIALIZED (
+       |  SELECT DISTINCT g5.doc_id, g5.i + o.off AS pos
+       |  FROM g5 JOIN g5d ON g5d.doc_id = g5.doc_id AND g5d.w = g5.w
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS off) o
+       |),
+       |cov AS MATERIALIZED (
+       |  SELECT c.doc_id,
+       |    CAST(SUM(length(t.tk[CAST(c.pos AS BIGINT)])) AS BIGINT) AS cc
+       |  FROM cpos c JOIN t ON t.doc_id = c.doc_id GROUP BY 1
+       |),
+       |tkc AS (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(list_sum([length(x) FOR x IN tk]), 0) AS BIGINT) AS n
+       |  FROM t
+       |)
+       |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       |  top_2gram_char_frac, dup_5gram_char_frac, truncated,
+       |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+       |   AND top_2gram_char_frac <= 0.20
+       |   AND dup_5gram_char_frac <= 0.15) AS pass
+       |FROM (
+       |  SELECT lm.doc_id, lm.n_lines, lm.dup_line_frac, lm.dup_line_char_frac,
+       |    COALESCE(top2.top2, 0.0) AS top_2gram_char_frac,
+       |    CASE WHEN tkc.n > 0 THEN
+       |      ROUND(CAST(COALESCE(cov.cc, 0) AS DOUBLE) / CAST(tkc.n AS DOUBLE), 6)
+       |    ELSE 0.0 END AS dup_5gram_char_frac,
+       |    tr.truncated
+       |  FROM lm JOIN tkc ON tkc.doc_id = lm.doc_id
+       |  JOIN (SELECT doc_id, truncated FROM t) tr ON tr.doc_id = lm.doc_id
+       |  LEFT JOIN top2 ON top2.doc_id = lm.doc_id
+       |  LEFT JOIN cov ON cov.doc_id = lm.doc_id
+       |)
+       |ORDER BY doc_id""".stripMargin
 
   private lazy val gopherRepetitionSql: String =
     s"""WITH d AS MATERIALIZED (

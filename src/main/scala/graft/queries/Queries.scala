@@ -5079,12 +5079,17 @@ object Queries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
-  /** The COMPOSED IVF-PQ recall report ([[Similarity.pqIvfAdcRank]]):
-    * seeded coarse cells (q132's IVF machinery) prune candidates to
-    * nProbe = 4 cells per query, PQ ADC ranks within probed cells
-    * over the codes table, and recall@5 vs exact gold quantifies what
-    * the two-level approximation costs — coarse assignment, probe
-    * choice, codes, estimates, and ranks ALL replayed in SQL.
+  /** The COMPOSED IVF-PQ recall report, RESIDUAL-encoded (IVFADC
+    * proper, Jégou TPAMI 2011 §IV.A — [[Similarity.pqIvfAdcRank]]):
+    * seeded coarse cells (q132's IVF machinery, vec_id < 16) prune
+    * candidates to nProbe = 4 cells per query; each corpus vector is
+    * PQ-encoded as its RESIDUAL to its cell centroid against residual
+    * codebooks seeded from a DISJOINT book-seed set (vec_id 16..31);
+    * the ADC estimate carries the coarse term exactly (q·c_cell, the
+    * probe's own dotExact) plus the residual LUT sum; and recall@5 vs
+    * exact gold quantifies what the two-level approximation costs —
+    * coarse assignment, residuals, codes, estimates, and ranks ALL
+    * replayed in SQL.
     */
   val q196PqIvfRecall: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
@@ -5099,8 +5104,16 @@ object Queries {
     val exact = s.read.parquet(exactPath)
     val approx = Similarity.pqIvfAdcRank(q, emb,
         emb.filter(col("vec_id") < 16), "vec_id", "embedding",
-        k = 5, nProbe = 4, m = 4)
+        k = 5, nProbe = 4, m = 4, dim = 64,
+        bookSeeds = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
       .select(col("query_id"), col("neighbor_id"))
+    pqRecallReport(exact, approx)
+  }
+
+  /** Shared q196/q201 recall-report tail: per-query matched count +
+    * recall, plus the broadcast mean.
+    */
+  private def pqRecallReport(exact: DataFrame, approx: DataFrame): DataFrame = {
     val matched = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_matched"))
     val perQ = exact.groupBy("query_id").agg(count(lit(1)).as("_k"))
@@ -5203,6 +5216,200 @@ object Queries {
         "vec_id", "embedding", k = 5, idx, roundDp = -1)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
+  }
+
+  /** IVF-PQ served from the STORED, CELL-PARTITIONED index
+    * ([[Similarity.writeIvfPqIndex]]/[[Similarity.pqIvfTopKFromIndex]]
+    * — the q104/q200 index-once discipline applied to IVFADC): codes
+    * written `partitionBy(cell)`, codebooks + coarse seeds + meta as
+    * sidecars, and serving reads ONLY the probed cells' partition
+    * directories (the probed-cell union lands as an IN on the
+    * partition column — PlanShapeSpec locks the PartitionFilters).
+    * Output ≡ q196's in-query recall report, so the oracle is q196's
+    * SQL verbatim — index storage must be lossless and serving-time
+    * probe selection bit-identical for the hash to match.
+    */
+  val q201IvfPqStoredIndex: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 50)
+    val exact = s.read.parquet(memoFixture("q132exact", dir) { p =>
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+          k = 5, roundDp = -1, exact = true)
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(p)
+      graft.core.OpCache.release()
+    })
+    val idx = memoFixture("q201idx", dir) { p =>
+      Similarity.writeIvfPqIndex(emb, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", m = 4, dim = 64, p,
+        bookSeeds = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
+      graft.core.OpCache.release()
+    }
+    val approx = Similarity.pqIvfTopKFromIndex(q, idx, "vec_id", "embedding",
+        k = 5, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+    pqRecallReport(exact, approx)
+  }
+
+  /** STREAMING ANN serving ([[Similarity.pqTopKFromIndex]] against
+    * q200's stored PQ index): a QUERY stream arrives in micro-batches
+    * and each trigger runs the full certified ADC screen + exact
+    * re-score against the static stored codes table (stream-static:
+    * the index is encode-once, the per-trigger work reads the slim
+    * codes + survivor vectors only). Per-query results are
+    * independent of batching, so the streamed union ≡ the batch
+    * stored-index query bit-for-bit and the oracle is q17's exact
+    * brute-force SQL verbatim (the q149/q156 discipline). The rank
+    * window runs INSIDE foreachBatch on the bounded micro-batch —
+    * no unbounded streaming state.
+    */
+  val q202StreamingAnnServe: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val idx = memoFixture("q200idx", dir) { p =>
+      val books = Similarity.pqCodebooksExact(emb, "vec_id", "embedding",
+        dim = 64, m = 4, ks = 16, iters = 2)
+      Similarity.writePqIndex(emb, "vec_id", "embedding", books, p)
+    }
+    val tmp = Scratch.fresh("q202")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val queries = emb.filter(col("vec_id") < 50)
+    val in = memoFixture("q202in", dir) { p =>
+      queries.write.mode("overwrite").parquet(p)
+    }
+    val stateParts = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS",
+      math.min(4, s.sparkContext.defaultParallelism).toString)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts)
+    try {
+      val stream = s.readStream.schema(queries.schema).parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Similarity.pqTopKFromIndex(batch, emb, "vec_id", "embedding",
+              k = 5, idx, roundDp = -1)
+            .withColumn("rank", col("rank").cast("long"))
+            .write.mode("append").parquet(out)
+          graft.core.OpCache.release()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      stream.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    Scratch.drop(chk)
+    s.read.parquet(out).orderBy("query_id", "rank")
+  }
+
+  /** Planted single-rule fixtures for the Gopher FORMAT-quality filter
+    * (q203/q204): branch `doc_id % 9` violates exactly ONE Table A1
+    * rule (0 = clean pass) — word-count, mean-word-length, hash
+    * ratio, ellipsis ratio, bullet lines, ellipsis lines, alpha
+    * fraction, stop words, in rule order. Each branch is the text
+    * SEGMENTS around doc-id insertions (engine: concat with the id
+    * column; oracle: `|| CAST(doc_id AS VARCHAR) ||`), shared by both
+    * sides so the fixture itself is replayed, not just the metrics.
+    */
+  val GopherQualityBranches: Seq[Seq[String]] = {
+    def rep(s: String, n: Int) = Seq.fill(n)(s).mkString(" ")
+    val fill =
+      "the data of training and that model have with pipeline quality works"
+    Seq(
+      // 0: clean — 62 filler words, every rule passes
+      Seq(rep(fill, 5) + " doc", " end"),
+      // 1: word count < 50 (stop words present so only rule 1 trips)
+      Seq("the short doc", " has that"),
+      // 2: mean word length > 10
+      Seq("the have doc",
+        " " + rep("extraordinarily sophisticated implementations", 19)),
+      // 3: hash symbol-to-word ratio > 0.1 (8 '#' / 68 words)
+      Seq(rep(fill, 5) + " #tag", " # # # # # # #"),
+      // 4: ellipsis-to-word ratio > 0.1 (8 '...' / 69 words; the line
+      //    does NOT end in an ellipsis so rule 6 stays clean)
+      Seq(rep(fill, 5) +
+        " well... maybe... yes... truly... sure... indeed... fine..." +
+        " later... end", ""),
+      // 5: 10/10 bullet lines (alpha frac 50/60 stays ≥ 0.8)
+      Seq("• the item") ++ Seq.fill(9)(" with alpha beta\n• the item") ++
+        Seq(" with alpha beta"),
+      // 6: 4/10 lines end with an ellipsis (4 '...' / 86 words ≤ 0.1).
+      //    Line i = "the data of training and that item<id>" + suffix,
+      //    suffix = " see..." for i < 4, " goes on" for i >= 4
+      {
+        val p = "the data of training and that item"
+        Seq(p) ++ (0 until 9).map(i =>
+          (if (i < 4) " see...\n" else " goes on\n") + p) ++ Seq(" goes on")
+      },
+      // 7: alpha-word fraction 60/80 = 0.75 < 0.8
+      Seq(rep(fill, 5) + " 1234") ++ Seq.fill(19)(" 1234") ++ Seq(""),
+      // 8: zero Gopher stop words
+      Seq("data model pipeline training quality corpus tokens doc") ++
+        Seq.fill(5)(
+          " metrics eval data model pipeline training quality corpus tokens doc") ++
+        Seq(" metrics eval"))
+  }
+
+  private def gopherQualityCorpus(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    def branchText(segs: Seq[String]): Column =
+      concat(segs.zipWithIndex.flatMap { case (seg, i) =>
+        (if (i == 0) Seq.empty[Column] else Seq(ids)) :+ lit(seg)
+      }: _*)
+    val branches = GopherQualityBranches.map(branchText)
+    docs(s, dir).select(id,
+      branches.zipWithIndex.tail.foldLeft(
+        when(id % 9 === 0, branches(0))) {
+        case (acc, (b, i)) => acc.when(id % 9 === i, b)
+      }.as("text"))
+  }
+
+  /** Long-document guard on the Gopher repetition filters
+    * ([[Repetition.reportCapped]]): the q198 corpus with PLANTED
+    * pathological docs — every 7th doc's tail line grows a 120-token
+    * spam run (trips the token cap), every 11th doc gains two extra
+    * lines (trips the line cap) — run through the capped row-wise
+    * form at maxTokens = 120, maxLines = 4. The oracle replays the
+    * capped-prefix semantics exactly: lines sliced first, tokens of
+    * the line-capped text sliced second, metrics + the `truncated`
+    * flag over those prefixes.
+    */
+  val q205CappedRepetition: Q = (s, dir) => {
+    val id = col("doc_id")
+    val spam = " " + ("spam token " * 60).trim
+    val corpus = repetitionCorpus(s, dir).select(id, concat(col("text"),
+      when(id % 7 === 0, lit(spam)).otherwise(lit("")),
+      when(id % 11 === 0, lit("\nextra alpha line\nextra beta line"))
+        .otherwise(lit(""))).as("text"))
+    Repetition.reportCapped(corpus, "doc_id", "text",
+      maxTokens = 120, maxLines = 4).orderBy("doc_id")
+  }
+
+  /** Gopher Table A1 FORMAT-quality filter ([[GopherQuality.report]],
+    * Rae et al. 2021): the eight format rules (word count, mean word
+    * length, hash/ellipsis symbol ratios, bullet/ellipsis line
+    * fractions, alpha-word fraction, stop-word presence) over planted
+    * single-rule pass/fail fixtures, every count, 6-dp ratio, and the
+    * conjunction verdict replayed in SQL.
+    */
+  val q203GopherQuality: Q = (s, dir) =>
+    GopherQuality.report(gopherQualityCorpus(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** STREAMING Gopher format filter — [[GopherQuality.report]] is a
+    * pure per-row projection, so it runs at ingest as a stateless
+    * zero-exchange stream transform; bit-identical to batch, oracle =
+    * q203's SQL verbatim (the q199 discipline).
+    */
+  val q204StreamingGopherQuality: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q204")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val mixed = gopherQualityCorpus(s, dir)
+    val in = memoFixture("q204in", dir) { p =>
+      mixed.write.mode("overwrite").parquet(p)
+    }
+    val scored = GopherQuality.report(
+      s.readStream.schema(mixed.schema).parquet(in), "doc_id", "text")
+    runToSink(scored, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("doc_id")
   }
 
   val all: Map[String, Q] = Map(
@@ -5406,5 +5613,10 @@ object Queries {
     "q198_gopher_repetition" -> q198GopherRepetition,
     "q199_streaming_repetition" -> q199StreamingRepetition,
     "q200_pq_stored_index" -> q200PqStoredIndex,
+    "q201_ivfpq_stored_index" -> q201IvfPqStoredIndex,
+    "q202_streaming_ann_serve" -> q202StreamingAnnServe,
+    "q203_gopher_quality" -> q203GopherQuality,
+    "q204_streaming_gopher_quality" -> q204StreamingGopherQuality,
+    "q205_capped_repetition" -> q205CappedRepetition,
   )
 }

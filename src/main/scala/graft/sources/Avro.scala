@@ -5,8 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.avro.Schema
 import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -131,8 +130,14 @@ object Avro {
     val sparkSchema = df.schema
     val schema = avroSchema(sparkSchema)
     val schemaJson = schema.toString
+    // the SESSION's hadoop conf, not a fresh Configuration(): configured
+    // filesystems (defaultFS, object-store credentials) must apply, and
+    // Path.getFileSystem handles URI-special characters (spaces) that a
+    // raw new URI(path) would reject
+    val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
     val dir = new Path(path)
-    val fs = FileSystem.get(dir.toUri, new Configuration())
+    val fs = dir.getFileSystem(hadoopConf)
     if (fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
     val out = fs.create(new Path(dir, "_schema.avsc"))
@@ -142,9 +147,8 @@ object Avro {
       if (rows.isEmpty) Iterator.empty
       else {
         val taskSchema = new Schema.Parser().parse(schemaJson)
-        val taskFs = FileSystem.get(
-          new java.net.URI(path), new Configuration())
-        val file = new Path(path, f"part-$i%05d.avro")
+        val file = new Path(new Path(path), f"part-$i%05d.avro")
+        val taskFs = file.getFileSystem(serConf.value)
         val w = new DataFileWriter(
           new GenericDatumWriter[GenericRecord](taskSchema))
           .setCodec(CodecFactory.deflateCodec(6))
@@ -161,8 +165,8 @@ object Avro {
 
   /** Spark StructType recovered from the `_schema.avsc` sidecar. */
   def sparkSchemaOf(spark: SparkSession, path: String): StructType = {
-    val p = new Path(path, "_schema.avsc")
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val p = new Path(new Path(path), "_schema.avsc")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
     val json = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
@@ -261,8 +265,10 @@ object Avro {
     }
     val readerJson = Schema.createRecord("row", null, "graft", false,
       fields.toList.asJava).toString
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
     val dir = new Path(path)
-    val fs = FileSystem.get(dir.toUri, new Configuration())
+    val fs = dir.getFileSystem(hadoopConf)
     val files = fs.listStatus(dir)
       .map(_.getPath).filter(_.getName.endsWith(".avro"))
       .map(_.toString).sorted.toSeq
@@ -273,14 +279,24 @@ object Avro {
       .parallelize(files, files.size)
       .flatMap { f =>
         val reader = new Schema.Parser().parse(readerJson)
-        val taskFs = FileSystem.get(new java.net.URI(f), new Configuration())
+        val p = new Path(f)
+        val taskFs = p.getFileSystem(serConf.value)
         val stream = new DataFileStream(
-          taskFs.open(new Path(f)),
+          taskFs.open(p),
           new GenericDatumReader[GenericRecord](null, reader))
+        // a downstream limit/take (or task failure) can abandon the
+        // iterator before it drains — the completion listener closes
+        // the handle either way; `closed` keeps the drain-time close
+        // idempotent with it
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; stream.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         new Iterator[Row] {
           def hasNext: Boolean = {
+            if (closed) return false
             val h = stream.hasNext
-            if (!h) stream.close()
+            if (!h) closeOnce()
             h
           }
           def next(): Row = {

@@ -558,6 +558,49 @@ class PlanShapeSpec extends SparkSpec {
     graft.core.OpCache.release(blocking = true)
   }
 
+  test("stored IVF-PQ index (q201 shape): probe reads only probed cell directories") {
+    val rnd = new scala.util.Random(31)
+    val centers = Array.tabulate(4, 8)((c, d) => if (d / 2 == c) 4f else 0f)
+    val corpus = (0 until 48).map { i =>
+      val c = i % 4
+      val v = if (i < 4) centers(c).toSeq
+        else centers(c).map(x => x + (rnd.nextInt(17) - 8).toFloat / 8f).toSeq
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_prune")
+      .toString + "/idx"
+    Similarity.writeIvfPqIndex(corpus, corpus.filter($"vec_id" < 4),
+      "vec_id", "embedding", m = 4, dim = 8, path,
+      bookSeeds = corpus.filter($"vec_id" >= 4 && $"vec_id" < 12))
+    graft.core.OpCache.release(blocking = true)
+    // one query, nProbe = 1 → exactly ONE of the 4 cell directories
+    // may be touched by the codes scan. AQE wraps stages in leaf nodes
+    // that hide the scan from collect() — turn it off for the
+    // assertion (the pruning itself is a non-AQE planning property).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      val q = Similarity.pqIvfTopKFromIndex(corpus.filter($"vec_id" === 20L),
+        path, "vec_id", "embedding", k = 3, nProbe = 1)
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val codesScan = scans.find(_.relation.location.rootPaths
+      .exists(_.toString.contains("/codes")))
+    assert(codesScan.isDefined,
+      s"no codes-table scan found among ${scans.size} scans")
+    // the probed-cell IN must land as a PARTITION filter on the scan…
+    assert(codesScan.get.partitionFilters.exists(_.references
+        .exists(_.name == "cell")),
+      s"no cell partition filter: ${codesScan.get.partitionFilters}")
+    // …and prune the read down to the single probed directory
+    assert(codesScan.get.relation.location
+        .listFiles(codesScan.get.partitionFilters, Nil).size === 1,
+      "partition pruning did not reduce the codes read to nProbe=1 directory")
+    graft.core.OpCache.release(blocking = true)
+  }
+
   test("LR training round: one mergeable aggregation, gradients partial-agg") {
     val feats = (1 to 300).map(i =>
         (i.toLong, (i % 2).toDouble, Array(1.0, i / 100.0)))

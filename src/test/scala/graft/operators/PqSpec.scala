@@ -82,13 +82,14 @@ class PqSpec extends SparkSpec {
     val flat = Similarity.pqAdcRank(q, corpus, "vec_id", "embedding", 4, books)
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     // probing every cell -> same candidate set -> identical ranking
+    // (raw encoding: flat ADC has no coarse term to compare against)
     val ivfAll = Similarity.pqIvfAdcRank(q, corpus, seeds, "vec_id",
-        "embedding", k = 4, nProbe = 4, m = 4)
+        "embedding", k = 4, nProbe = 4, m = 4, dim = 8, residual = false)
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     assert(ivfAll === flat)
     // nProbe = 1 prunes: every candidate's cell is its query's top cell
     val ivf1 = Similarity.pqIvfAdcRank(q, corpus, seeds, "vec_id",
-      "embedding", k = 4, nProbe = 1, m = 4)
+      "embedding", k = 4, nProbe = 1, m = 4, dim = 8, residual = false)
     val probed = Similarity.topSeedCells(q, seeds, "vec_id", "embedding", 1)
     val cellsOf = Similarity.assignCells(corpus, seeds, "vec_id", "embedding")
     val bad = ivf1.join(cellsOf.withColumnRenamed("vec_id", "neighbor_id"),
@@ -113,5 +114,73 @@ class PqSpec extends SparkSpec {
     val r1 = run(1)
     assert(r1 === run(7))
     assert(r1.size === 40) // 10 queries x k=4
+  }
+
+  // CLUSTERED corpus for the residual-encoding property: 4 well-
+  // separated cluster centers (disjoint coordinate blocks), ±jitter
+  // that carries ALL the within-cluster neighbor structure. ids 0-3 =
+  // coarse seeds (near centers), 4-19 = book seeds (16 codewords),
+  // 20+ = corpus fill.
+  private def clustered = {
+    val rnd = new scala.util.Random(23)
+    val centers = Array.tabulate(4, 8)((c, d) =>
+      if (d / 2 == c) 4f else 0f)
+    (0 until 72).map { i =>
+      val c = i % 4
+      // ids 0-3 are the coarse seeds and sit AT the centers (the
+      // centroid role); everyone else is center + jitter, so residuals
+      // to the seed ARE the jitter — the regime §IV.A is about
+      val v = if (i < 4) centers(c).toSeq
+        else centers(c).map(x =>
+          x + (rnd.nextInt(33) - 16).toFloat / 16f).toSeq
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVFADC residual encoding beats raw encoding on clustered data") {
+    val seeds = clustered.filter(col("vec_id") < 4)
+    val bookSeeds = clustered.filter(col("vec_id") >= 4 && col("vec_id") < 20)
+    val q = clustered.filter(col("vec_id") >= 20 && col("vec_id") < 32)
+    val gold = Similarity.bruteForceTopK(q, clustered, "vec_id", "embedding",
+        k = 4, roundDp = -1, exact = true)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.OpCache.release()
+    def recall(residual: Boolean): Double = {
+      val got = Similarity.pqIvfAdcRank(q, clustered, seeds, "vec_id",
+          "embedding", k = 4, nProbe = 2, m = 4, dim = 8,
+          bookSeeds = bookSeeds, residual = residual)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.core.OpCache.release()
+      got.count(gold.contains).toDouble / gold.size
+    }
+    val raw = recall(residual = false)
+    val res = recall(residual = true)
+    info(s"recall@4: residual=$res raw=$raw")
+    // the §IV.A claim, measured: pointing the codebook budget at the
+    // residual recovers within-cell detail raw encoding blurs away
+    assert(res >= raw, s"residual recall $res < raw recall $raw")
+    assert(res > 0.4, s"residual recall $res suspiciously low (raw $raw)")
+  }
+
+  test("stored cell-partitioned IVF-PQ index serves the in-query ranking") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+      .toString + "/idx"
+    val seeds = clustered.filter(col("vec_id") < 4)
+    val bookSeeds = clustered.filter(col("vec_id") >= 4 && col("vec_id") < 20)
+    val q = clustered.filter(col("vec_id") >= 20 && col("vec_id") < 28)
+    val inQuery = Similarity.pqIvfAdcRank(q, clustered, seeds, "vec_id",
+        "embedding", k = 4, nProbe = 2, m = 4, dim = 8,
+        bookSeeds = bookSeeds)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    Similarity.writeIvfPqIndex(clustered, seeds, "vec_id", "embedding",
+      m = 4, dim = 8, path, bookSeeds = bookSeeds)
+    val served = Similarity.pqIvfTopKFromIndex(q, path, "vec_id",
+        "embedding", k = 4, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    assert(served === inQuery)
   }
 }

@@ -68,4 +68,48 @@ class RepetitionSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(go(1) === go(7))
   }
+
+  test("capped form equals uncapped on docs under both caps") {
+    val docs = Seq(
+      (1L, "aa bb\naa bb\ncc"),
+      (2L, "a b c d e a b c d e a b c d e zz"),
+      (3L, "")).toDF("doc_id", "text")
+    val un = Repetition.reportRowwise(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val cap = Repetition.reportCapped(docs, "doc_id", "text",
+        maxTokens = 100, maxLines = 100)
+      .orderBy("doc_id").collect()
+    assert(cap.forall(!_.getAs[Boolean]("truncated")))
+    // same metric values, truncated column dropped
+    val capVals = cap.map(r => r.toSeq.patch(6, Nil, 1)).toSeq
+    assert(capVals === un)
+  }
+
+  test("long-doc guard: 50k-token doc is bounded by the cap, flagged") {
+    // uncapped this is ~2.5e9 window comparisons — the straggler the
+    // guard exists for; capped at 2000 tokens it is ~4e6 and returns
+    // promptly
+    val long = (1 to 50000).map(i => s"t${i % 700}").mkString(" ")
+    val docs = Seq((1L, long), (2L, "aa bb\naa bb\ncc")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = Repetition.reportCapped(docs, "doc_id", "text",
+        maxTokens = 2000, maxLines = 50)
+      .orderBy("doc_id").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120.0, s"capped long-doc run took ${secs}s")
+    assert(out(0).getAs[Boolean]("truncated"))
+    assert(!out(1).getAs[Boolean]("truncated"))
+    // the capped prefix of 2000 tokens over a 700-token vocab is
+    // saturated with duplicate 5-gram windows
+    assert(out(0).getAs[Double]("dup_5gram_char_frac") > 0.5)
+  }
+
+  test("line cap truncates before tokenization; token cap on the line-capped text") {
+    val docs = Seq((1L, "aa bb\ncc dd\nee ff")).toDF("doc_id", "text")
+    val r = Repetition.reportCapped(docs, "doc_id", "text",
+        maxTokens = 3, maxLines = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_lines") === 2L) // third line dropped
+    assert(r.getAs[Boolean]("truncated"))   // both caps bit
+  }
 }
