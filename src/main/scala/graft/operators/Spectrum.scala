@@ -136,18 +136,21 @@ object Spectrum {
       s"$bad of $n embeddings are null or not length-$dim — " +
         "filter or repair malformed vectors before the spectrum pass")
 
-    // pass 2 — fused moments: upper-triangle cross-moments Σxᵢxⱼ
-    // (d(d+1)/2 slim rows) with the per-dim sums Σxᵢ riding the
-    // diagonal (i,i) groups' second aggregate
-    val momentsDf = x
-      .select(col("x"), posexplode(col("x")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("x")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .groupBy("i", "j")
-      .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("s"),
-        sum(col("xi").cast("decimal(38,12)")).as("sx"))
-    if (distributeCov) distributedPower(momentsDf, dim, n, iters)
+    if (distributeCov) distributedPower(x, dim, n, iters)
     else {
+      // pass 2 — fused moments: upper-triangle cross-moments Σxᵢxⱼ
+      // (d(d+1)/2 slim rows) with the per-dim sums Σxᵢ riding the
+      // diagonal (i,i) groups' second aggregate. Fusing is right for
+      // THIS path because one collect consumes both aggregates from
+      // one corpus pass; the distributed path deliberately splits
+      // them (see [[distributedPower]]).
+      val momentsDf = x
+        .select(col("x"), posexplode(col("x")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi"), posexplode(col("x")).as(Seq("j", "xj")))
+        .filter(col("j") >= col("i"))
+        .groupBy("i", "j")
+        .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("s"),
+          sum(col("xi").cast("decimal(38,12)")).as("sx"))
       val moments = momentsDf.collect()
       val cross = moments
         .map(row => (row.getInt(0), row.getInt(1)) -> row.getDecimal(2)).toMap
@@ -186,33 +189,50 @@ object Spectrum {
 
   /** Matvec-as-aggregation power iteration over a DISTRIBUTED 9-dp
     * covariance. mean9 is the only model-sized collect before the
-    * loop (d values, from the diagonal groups); the full covariance
-    * is materialized as a cached d²-row frame (both triangles —
-    * mirror of the upper-triangle moments) whose entries replicate
-    * the driver path's arithmetic exactly: c9ᵢⱼ = round(Sᵢⱼ/n −
-    * mᵢ·mⱼ, 9) with the same decimal→double cast and IEEE ops.
+    * loop (d values); the full covariance is materialized as a cached
+    * d²-row frame (both triangles — mirror of the upper-triangle
+    * moments) whose entries replicate the driver path's arithmetic
+    * exactly: c9ᵢⱼ = round(Sᵢⱼ/n − mᵢ·mⱼ, 9) with the same
+    * decimal→double cast and IEEE ops.
+    *
+    * TWO explicit corpus passes, deliberately NOT the driver path's
+    * fused moments frame: the mean needs only a SINGLE-explode
+    * d-group aggregate (n·d generated rows), and the cross-moments
+    * pass then carries no per-element Σxᵢ decimal aggregate at all.
+    * Measured at sf0.1/d=64 (min-of-3 pairs, same window): this shape
+    * 14.3–15.7 s vs 19.5–21.8 s for the "one cached fused pass" fix —
+    * the fused d²-group pass pays the second decimal sum on every one
+    * of its n·d²/2 aggregate inputs, which costs far more than the
+    * extra cheap mean pass saves. (The un-cached fused variant gets
+    * the same win only implicitly, from Catalyst pruning `s` out of
+    * the diagonal action and `sx` out of the cross action — this
+    * makes the shape explicit instead of optimizer-dependent.) The
+    * mean's decimal sum is the SAME order-independent exact Σxᵢ the
+    * fused diagonal group carries, so parity with the driver path is
+    * unchanged (SpectrumPowerSpec locks bit-equality).
     */
-  private def distributedPower(momentsDf: DataFrame, dim: Int, n: Long,
+  private def distributedPower(x: DataFrame, dim: Int, n: Long,
       iters: Int): SpectrumModel = {
     import org.apache.spark.sql.types.DecimalType
-    val spark = momentsDf.sparkSession
-    // the moments aggregation is the expensive corpus pass — cache it so
-    // the diagonal collect and the `full` covariance build below read it
-    // once, not twice (tracked: the harness's OpCache.release frees it;
-    // the eager local unpersist after `full` materializes is the fast
-    // path)
-    val moments = momentsDf.persistTracked
-    val diag = moments.filter(col("i") === col("j"))
-      .select(col("i"),
-        round(col("sx").cast("double") / n, 9).as("m9"))
-    val mean9Rows = diag.collect() // d-sized
+    val spark = x.sparkSession
+    val mean9Rows = x
+      .select(posexplode(col("x")).as(Seq("i", "xi")))
+      .groupBy("i")
+      .agg(sum(col("xi").cast("decimal(38,12)")).as("sx"))
+      .select(col("i"), round(col("sx").cast("double") / n, 9).as("m9"))
+      .collect() // d-sized
     val mean9 = {
       val a = new Array[Double](dim)
       mean9Rows.foreach(r0 => a(r0.getInt(0)) = r0.getDouble(1))
       a
     }
     val mLit = array(mean9.map(lit(_)).toIndexedSeq: _*)
-    val upper = moments.select(col("i"), col("j"), col("s"))
+    val upper = x
+      .select(col("x"), posexplode(col("x")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("x")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("s"))
     val full = upper.unionByName(
         upper.filter(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("s")))
@@ -225,7 +245,6 @@ object Spectrum {
       val traceDec = full.filter(col("i") === col("j"))
         .agg(sum(col("c9").cast(DecimalType(18, 9))).as("t"))
         .head().getDecimal(0)
-      moments.unpersist(false) // `full` is materialized; moments done
       val trace = traceDec.doubleValue()
       var v = Array.fill(dim)(1.0)
       var lambda = 0.0
