@@ -5660,7 +5660,7 @@ object Oracles {
 
   /** q205: the capped-prefix repetition replay — q198's corpus plus
     * planted spam/extra-line docs, lines sliced to 4 FIRST, tokens of
-    * the line-capped text sliced to 120 SECOND, the q198 metrics over
+    * the line-capped text sliced to 64 SECOND, the q198 metrics over
     * those prefixes, and the `truncated` flag from the uncapped
     * counts.
     */
@@ -5689,8 +5689,8 @@ object Oracles {
        |t AS MATERIALIZED (
        |  SELECT doc_id, lnc,
        |    array_to_string(lnc, chr(10)) AS text,
-       |    list_slice(tk_all, 1, 120) AS tk,
-       |    (n_lines_all > 4 OR len(tk_all) > 120) AS truncated
+       |    list_slice(tk_all, 1, 64) AS tk,
+       |    (n_lines_all > 4 OR len(tk_all) > 64) AS truncated
        |  FROM (
        |    SELECT doc_id, lnc, n_lines_all,
        |      list_filter(string_split(replace(array_to_string(lnc, chr(10)),

@@ -5367,7 +5367,7 @@ object Queries {
     * pathological docs — every 7th doc's tail line grows a 120-token
     * spam run (trips the token cap), every 11th doc gains two extra
     * lines (trips the line cap) — run through the capped row-wise
-    * form at maxTokens = 120, maxLines = 4. The oracle replays the
+    * form at maxTokens = 64, maxLines = 4. The oracle replays the
     * capped-prefix semantics exactly: lines sliced first, tokens of
     * the line-capped text sliced second, metrics + the `truncated`
     * flag over those prefixes.
@@ -5380,7 +5380,7 @@ object Queries {
       when(id % 11 === 0, lit("\nextra alpha line\nextra beta line"))
         .otherwise(lit(""))).as("text"))
     Repetition.reportCapped(corpus, "doc_id", "text",
-      maxTokens = 120, maxLines = 4).orderBy("doc_id")
+      maxTokens = 64, maxLines = 4).orderBy("doc_id")
   }
 
   /** Gopher Table A1 FORMAT-quality filter ([[GopherQuality.report]],
