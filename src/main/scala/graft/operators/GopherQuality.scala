@@ -28,7 +28,12 @@ import graft.functions.Text
   *                            the/be/to/of/and/that/have/with,
   *                            lowercased match), ≥ 2.
   *
-  * `pass` is the conjunction of all eight thresholds.
+  * `pass` is the conjunction of all eight thresholds. Thresholds are
+  * DEFAULTED PARAMETERS (Gopher's Table A1 values) — a real user
+  * tunes them per corpus, the way [[Repetition.reportCapped]] takes
+  * its caps. A NULL text column yields all-zero counts/ratios and
+  * `pass = false` (the same `when`-guard discipline on every
+  * denominator — no silent null rows).
   *
   * 100 TB shape: every metric is a function of ONE document — the
   * whole report is a single per-row projection of higher-order
@@ -55,7 +60,16 @@ object GopherQuality {
 
   private def r6(c: Column): Column = round(c, 6)
 
-  def report(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def report(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Long = MinWords, maxWords: Long = MaxWords,
+      minMeanWordLen: Double = MinMeanWordLen,
+      maxMeanWordLen: Double = MaxMeanWordLen,
+      maxSymbolWordRatio: Double = MaxSymbolWordRatio,
+      maxBulletLineFrac: Double = MaxBulletLineFrac,
+      maxEllipsisLineFrac: Double = MaxEllipsisLineFrac,
+      minAlphaWordFrac: Double = MinAlphaWordFrac,
+      minStopWords: Long = MinStopWords,
+      stopWords: Seq[String] = StopWords): DataFrame = {
     val base = docs.select(col(idCol),
       col(textCol).as("_txt"),
       split(col(textCol), "\n").as("_ln"),
@@ -88,33 +102,38 @@ object GopherQuality {
       t => t.rlike("[A-Za-z]"))).cast("long")
     val stopHits = size(array_intersect(
       array_distinct(transform(col("_tk"), t => lower(t))),
-      array(StopWords.map(lit(_)): _*))).cast("long")
+      array(stopWords.map(lit(_)): _*))).cast("long")
 
     def perWord(c: Column): Column =
       when(nWords > 0, r6(c.cast("double") / nWords.cast("double")))
         .otherwise(0.0)
+    // same discipline on the line denominators: for non-null text
+    // split() yields ≥ 1 element so this can't divide by zero, but a
+    // NULL text nulls nLines — the guard lands 0.0 there instead of
+    // silently nulling the whole row
+    def perLine(c: Column): Column =
+      when(nLines > 0, r6(c.cast("double") / nLines.cast("double")))
+        .otherwise(0.0)
 
     base.select(col(idCol),
-        nWords.as("n_words"),
+        coalesce(nWords, lit(0L)).as("n_words"),
         when(nWords > 0, r6(tokChars.cast("double") / nWords.cast("double")))
           .otherwise(0.0).as("mean_word_len"),
         perWord(hashes).as("hash_word_ratio"),
         perWord(ellipses).as("ellipsis_word_ratio"),
-        r6(bulletLines.cast("double") / nLines.cast("double"))
-          .as("bullet_line_frac"),
-        r6(ellLines.cast("double") / nLines.cast("double"))
-          .as("ellipsis_line_frac"),
+        perLine(bulletLines).as("bullet_line_frac"),
+        perLine(ellLines).as("ellipsis_line_frac"),
         perWord(alphaWords).as("alpha_word_frac"),
-        stopHits.as("stop_hits"))
+        coalesce(stopHits, lit(0L)).as("stop_hits"))
       .withColumn("pass",
-        col("n_words") >= MinWords && col("n_words") <= MaxWords &&
-          col("mean_word_len") >= MinMeanWordLen &&
-          col("mean_word_len") <= MaxMeanWordLen &&
-          col("hash_word_ratio") <= MaxSymbolWordRatio &&
-          col("ellipsis_word_ratio") <= MaxSymbolWordRatio &&
-          col("bullet_line_frac") <= MaxBulletLineFrac &&
-          col("ellipsis_line_frac") <= MaxEllipsisLineFrac &&
-          col("alpha_word_frac") >= MinAlphaWordFrac &&
-          col("stop_hits") >= MinStopWords)
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen &&
+          col("hash_word_ratio") <= maxSymbolWordRatio &&
+          col("ellipsis_word_ratio") <= maxSymbolWordRatio &&
+          col("bullet_line_frac") <= maxBulletLineFrac &&
+          col("ellipsis_line_frac") <= maxEllipsisLineFrac &&
+          col("alpha_word_frac") >= minAlphaWordFrac &&
+          col("stop_hits") >= minStopWords)
   }
 }

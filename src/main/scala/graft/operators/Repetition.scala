@@ -40,12 +40,16 @@ import graft.functions.Text
   *
   * `pass` applies Gopher's thresholds (0.30 / 0.20 / 0.20 / 0.15).
   *
-  * 100 TB shape: the line metrics are pure per-row HOFs (O(L²) in a
-  * doc's own line count — doc-bounded, no shuffle); the n-gram
-  * metrics shuffle (doc, gram) rows with map-side partials and windows
-  * partitioned BY DOC — never corpus-sized keys. Every ratio is one
-  * IEEE division of exact integers rounded 6 dp, so the oracle
-  * replays bit-for-bit.
+  * 100 TB shape ([[report]], the batch/shuffle form): the line
+  * metrics explode (doc, line) rows into a within-doc line-group
+  * partial aggregate — O(L) per doc riding the doc-keyed exchange
+  * the n-gram metrics already pay (the rowwise form keeps the
+  * per-row-HOF O(L²) as the price of ZERO exchanges; cap it with
+  * [[reportCapped]] on hostile corpora); the n-gram metrics shuffle
+  * (doc, gram) rows with map-side partials and windows partitioned
+  * BY DOC — never corpus-sized keys. Every ratio is one IEEE
+  * division of exact integers rounded 6 dp, so the oracle replays
+  * bit-for-bit.
   */
 object Repetition {
 
@@ -69,20 +73,27 @@ object Repetition {
         Text.tokens(translate(col(textCol), "\n", " ")).as("_tk"))
       .persistTracked
 
-    // ---- line metrics: per-row HOFs, zero shuffle -------------------
-    val nLines = size(col("_ln"))
-    val lineChars = aggregate(col("_ln"), lit(0L),
-      (a, l) => a + length(l).cast("long"))
-    val dupLineChars = aggregate(col("_ln"), lit(0L), (a, l) =>
-      a + when(size(filter(col("_ln"), x => x === l)) >= 2,
-        length(l).cast("long")).otherwise(lit(0L)))
-    val lines = base.select(col(idCol),
-      nLines.cast("long").as("n_lines"),
-      r6((nLines - size(array_distinct(col("_ln")))).cast("double") /
-        nLines.cast("double")).as("dup_line_frac"),
-      when(lineChars > 0,
-        r6(dupLineChars.cast("double") / lineChars.cast("double")))
-        .otherwise(0.0).as("dup_line_char_frac"))
+    // ---- line metrics: explode → within-doc line groups, O(L)/doc --
+    // (was a filter-inside-aggregate HOF — O(L²) in the doc's own line
+    // count, 4×10⁸ comparisons in one task at 20k lines). The
+    // (doc, line) aggregate combines map-side; every doc has ≥ 1 line
+    // (split of non-null text yields ≥ 1 element) so no doc drops out.
+    val lineChars = (col("_c") * length(col("_l")).cast("long"))
+    val lines = base.select(col(idCol), explode(col("_ln")).as("_l"))
+      .groupBy(col(idCol), col("_l"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(idCol)
+      .agg(sum(col("_c")).as("_nl"),
+        count(lit(1)).as("_dl"),
+        sum(lineChars).as("_lc"),
+        sum(when(col("_c") >= 2, lineChars).otherwise(0L)).as("_dc"))
+      .select(col(idCol),
+        col("_nl").as("n_lines"),
+        r6((col("_nl") - col("_dl")).cast("double") /
+          col("_nl").cast("double")).as("dup_line_frac"),
+        when(col("_lc") > 0,
+          r6(col("_dc").cast("double") / col("_lc").cast("double")))
+          .otherwise(0.0).as("dup_line_char_frac"))
 
     // ---- top-2-gram char coverage: cnt × len(gram) / len(text) ------
     val byDoc = Window.partitionBy(idCol)

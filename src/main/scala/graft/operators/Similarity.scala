@@ -659,10 +659,14 @@ object Similarity {
     *      flat when() chain on the exploded position — each decimal
     *      kernel appears exactly once (a nested reduce would inline
     *      them up to 2^k times; CSE excludes lambdas);
-    *  (e) winner via groupBy(id).max(struct(sim, -cell)): map-side
-    *      combinable, ties → LOWEST cell id, and the only exchange in
-    *      the whole assignment carries (id, sim, cell) — ~24 bytes/row
-    *      with ~1 row per id, not vector payloads.
+    *  (e) winner via groupBy(id).min(struct(−sim, cell)): map-side
+    *      combinable, ties → LOWEST cell id under the id type's own
+    *      ordering (negating the SIM — always a double — instead of
+    *      the cell keeps string/any-typed cell ids working; csim is
+    *      never −0.0, it is a decimal-quotient or the literal 0.0),
+    *      and the only exchange in the whole assignment carries
+    *      (id, sim, cell) — ~24 bytes/row with ~1 row per id, not
+    *      vector payloads.
     */
   private def assignCellsFromModel(
       cN: DataFrame,
@@ -690,8 +694,9 @@ object Similarity {
       .filter(col("_fsim") >= col("_fmax") - 1e-9)
       .select(col(idCol), csimByPos.as("_csim"), cellByPos.as("_cell"))
       .groupBy(idCol)
-      .agg(max(struct(col("_csim").as("_s"), (-col("_cell")).as("_negc"))).as("_m"))
-      .select(col(idCol), (-col("_m._negc")).as("cell"), col("_m._s").as("_sim"))
+      .agg(min(struct((-col("_csim")).as("_negs"), col("_cell").as("_c"),
+        col("_csim").as("_s"))).as("_m"))
+      .select(col(idCol), col("_m._c").as("cell"), col("_m._s").as("_sim"))
   }
 
   /** Nearest seed WITH its exact cosine: (`idCol`, cell, sim DOUBLE —
@@ -1483,6 +1488,7 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nProbe: Int, m: Int, dim: Int,
       bookSeeds: DataFrame = null, residual: Boolean = true): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    requireDim(corpus, vecCol, dim, "pqIvfAdcRank")
     val bs = Option(bookSeeds).getOrElse(seeds)
     val books =
       if (residual) pqResidualCodebooksSeeded(bs, seeds, idCol, vecCol, dim, m)
@@ -1491,6 +1497,20 @@ object Similarity {
     val probes = topSeedCellsFull(queries, seeds, idCol, vecCol, nProbe)
     pqIvfRankFromCodes(queries, probes, codes, idCol, vecCol,
       books, k, residual)
+  }
+
+  /** Fail-fast check that the vectors actually have the
+    * caller-declared dimensionality — ONE first-row job (limit-1
+    * scan, milliseconds): a wrong `dim` would otherwise silently
+    * slice short/empty sub-vectors into wrong codes and estimates.
+    */
+  private def requireDim(df: DataFrame, vecCol: String, dim: Int,
+      who: String): Unit = {
+    df.select(size(col(vecCol)).as("_d")).head() match {
+      case r if r.getInt(0) == dim => ()
+      case r => throw new IllegalArgumentException(
+        s"$who: dim=$dim but '$vecCol' vectors have length ${r.getInt(0)}")
+    }
   }
 
   /** The IVF-PQ codes table: (neighbor_id, cell, _cn exact norm of the
@@ -1582,11 +1602,13 @@ object Similarity {
       bookSeeds: DataFrame = null, residual: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    requireDim(corpus, vecCol, dim, "writeIvfPqIndex")
     val bs = Option(bookSeeds).getOrElse(seeds)
     val books =
       if (residual) pqResidualCodebooksSeeded(bs, seeds, idCol, vecCol, dim, m)
       else pqCodebooksSeeded(bs, idCol, vecCol, dim, m)
     ivfPqCodes(corpus, seeds, idCol, vecCol, books, residual)
+      .withColumn("_gen", lit(0L))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     books.zipWithIndex.flatMap { case (bk, j) =>
       bk.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
@@ -1596,6 +1618,59 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/cells")
     Seq((m, dim, residual)).toDF("m", "dim", "residual")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** INCREMENTAL APPEND to a stored IVF-PQ index ([[writeIvfPqIndex]])
+    * — the q85/q148/q179 incremental discipline applied to the ANN
+    * tier: a 100 TB corpus is never re-encoded from scratch per crawl.
+    * Delta vectors are encoded against the FROZEN books/cells
+    * sidecars (codes are a pure per-row function of the vector and
+    * the frozen model, so appended codes ≡ the codes a full rebuild
+    * would produce) and appended into the cell partition directories;
+    * nothing existing is rewritten. RE-INGESTED ids supersede their
+    * stale codes through a TOMBSTONE sidecar: each append records
+    * (neighbor_id, gen) rows, and serving drops any codes row with a
+    * newer tombstone for its id — necessary because a changed vector
+    * can land in a DIFFERENT cell, where a within-partition dedup
+    * would never see the stale row partition pruning keeps alive.
+    * The tombstone table is cumulative-re-ingest-sized (slim id+gen
+    * rows, broadcast at serve time); when re-ingests grow large,
+    * compact by rebuilding the index. Precondition (the q179
+    * disjoint-delta contract): ids are unique WITHIN one delta.
+    * Serving over the appended index ≡ [[writeIvfPqIndex]] over
+    * (base \ re-ingested) ∪ delta (PqSpec locks it; q207 gates it
+    * against q201's oracle verbatim over the union corpus).
+    */
+  def appendToIvfPqIndex(delta: DataFrame, path: String, idCol: String,
+      vecCol: String): Unit = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val m = meta.getInt(meta.fieldIndex("m"))
+    val dim = meta.getInt(meta.fieldIndex("dim"))
+    val residual = meta.getBoolean(meta.fieldIndex("residual"))
+    requireDim(delta, vecCol, dim, "appendToIvfPqIndex")
+    val books = readPqBooks(spark, path)
+    val seeds = spark.read.parquet(s"$path/cells")
+      .select(col("cell").as(idCol), col("sv").as(vecCol))
+    val gen = 1L + readTombstones(spark, path)
+      .map(_.agg(max("gen")).head().getLong(0)).getOrElse(0L)
+    ivfPqCodes(delta, seeds, idCol, vecCol, books, residual)
+      .withColumn("_gen", lit(gen))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    delta.select(col(idCol).as("neighbor_id"), lit(gen).as("gen"))
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** The tombstone sidecar if any append has happened, else None —
+    * a base index's serving plan stays byte-identical to pre-append
+    * (no join is added until the first tombstone exists).
+    */
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
   /** Serve IVF-PQ from a STORED index ([[writeIvfPqIndex]]): probe
@@ -1624,18 +1699,40 @@ object Similarity {
     // constant is the price of literal partition pruning, same as q104
     val codesRaw = spark.read.parquet(s"$path/codes")
     val cellType = codesRaw.schema("cell").dataType
+    val probeCellType = probes.schema("cell").dataType
     val probed = probes.select("cell").distinct().collect().map(_.get(0))
       .map { v => // match the inferred partition-column type so the IN
                   // lands on the attribute itself, not under a cast
         (v, cellType) match {
           case (n: Number, IntegerType) => n.intValue()
           case (n: Number, LongType) => n.longValue()
-          case _ => v
+          case (_, t) if t == probeCellType => v
+          case (_, t) => throw new IllegalArgumentException(
+            s"pqIvfTopKFromIndex: codes partition column 'cell' at " +
+              s"$path/codes has type $t but the cells sidecar probes " +
+              s"are $probeCellType — the index id type and the " +
+              "serving idCol do not line up (a silent pass-through " +
+              "here would serve empty results)")
         }
       }
+    // cast back to the SIDECAR's cell type (not a hard-coded Long):
+    // the join key in pqIvfRankFromCodes must match the probes side,
+    // whatever id type the index was written with
     val codes = codesRaw.filter(col("cell").isin(probed.toIndexedSeq: _*))
-      .withColumn("cell", col("cell").cast(LongType))
-    pqIvfRankFromCodes(queries, probes, codes, idCol, vecCol,
+      .withColumn("cell", col("cell").cast(probeCellType))
+    // appended index: drop codes rows superseded by a newer tombstone
+    // for the same id (the stale row may live in a DIFFERENT cell than
+    // its replacement, so this must be an id-level filter, not a
+    // within-partition dedup). Broadcast: tombstones are slim
+    // re-ingest-sized (id, gen) rows. Base indexes have no tombstone
+    // sidecar and keep their pre-append plan byte-identical.
+    val live = readTombstones(spark, path).map { t =>
+      val tmax = t.groupBy("neighbor_id").agg(max("gen").as("_tg"))
+      codes.join(broadcast(tmax), Seq("neighbor_id"), "left")
+        .filter(col("_tg").isNull || col("_gen") >= col("_tg"))
+        .drop("_tg")
+    }.getOrElse(codes)
+    pqIvfRankFromCodes(queries, probes, live, idCol, vecCol,
       books, k, residual)
   }
 

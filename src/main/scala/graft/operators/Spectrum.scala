@@ -5,8 +5,6 @@ import java.math.{BigDecimal => JBig, RoundingMode}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.OpCache.TrackedPersist
-
 /** Embedding-space spectrum diagnostics: the corpus mean vector, the
   * covariance trace (total variance), and the TOP principal component
   * (leading eigenvalue + loading vector) of the embedding covariance —

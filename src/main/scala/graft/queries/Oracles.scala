@@ -562,6 +562,53 @@ object Oracles {
   private def dotX(a: String, b: String) =
     s"CAST(list_sum([CAST(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len($a) + 1)]) AS DOUBLE)"
 
+  /** Two UNROLLED exact Lloyd's iterations (k=8, dim=64) as a CTE
+    * chain — bit-for-bit the [[graft.operators.Similarity
+    * .kmeansCentroidsExact]] recurrence: init = 8 lowest-id vectors;
+    * assignment = argmin of the per-term-quantized squared distance
+    * (ties → lowest cell; squares are tie-free under the scale-12
+    * cast — even dyadic exponent — so HALF_UP vs HALF_EVEN never
+    * diverges); means = 2^43-integer-scaled exact sums divided as
+    * doubles (raw float VALUES can tie at scale 12 — 1625/2^13 does —
+    * so no decimal cast of raw values); empty cells keep their
+    * centroid (the COALESCE). `p` prefixes every CTE name so the
+    * chain composes into larger replays (q206's trained-coarse
+    * IVFADC) without colliding with their aliases; the trained model
+    * is `${p}c2 (cell, c)`.
+    */
+  private def kmeansCtes(p: String): String = {
+    val dist = (c: String) =>
+      s"list_sum([CAST((w.e[i] - $c.c[i]) * (w.e[i] - $c.c[i]) AS DECIMAL(18,12)) FOR i IN range(1, 65)])"
+    def iter(aN: String, mN: String, cPrev: String, cN: String) =
+      s"""$aN AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT w.vec_id, $cPrev.cell,
+         |      row_number() OVER (PARTITION BY w.vec_id ORDER BY ${dist(cPrev)}, $cPrev.cell) AS rn
+         |    FROM ${p}v w CROSS JOIN $cPrev
+         |  ) WHERE rn = 1
+         |),
+         |$mN AS (
+         |  SELECT $aN.cell, pz.i AS pos,
+         |    CAST(SUM(CAST(floor(w.e[pz.i] * 8796093022208.0) AS BIGINT)) AS DOUBLE) / 8796093022208.0 / COUNT(*) AS m
+         |  FROM $aN JOIN ${p}v w USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) pz
+         |  GROUP BY $aN.cell, pz.i
+         |),
+         |$cN AS (
+         |  SELECT $cPrev.cell, coalesce(mm.c, $cPrev.c) AS c
+         |  FROM $cPrev LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c FROM $mN GROUP BY cell) mm USING (cell)
+         |)""".stripMargin
+    s"""${p}v AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
+       |),
+       |${p}c0 AS (
+       |  SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cell, e AS c
+       |  FROM (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+       |        FROM embeddings ORDER BY vec_id LIMIT 8)
+       |),
+       |${iter(s"${p}a1", s"${p}m1", s"${p}c0", s"${p}c1")},
+       |${iter(s"${p}a2", s"${p}m2", s"${p}c1", s"${p}c2")}""".stripMargin
+  }
+
   /** BM25 oracle generator for an arbitrary term list — the q75
     * handwritten SQL with the per-term df/tf/score blocks emitted in
     * a loop, score terms summed LEFT-ASSOCIATIVELY in list order
@@ -907,41 +954,11 @@ object Oracles {
     // 1625/2^13 does — so no decimal cast of raw values); empty cells
     // keep their centroid (the COALESCE) — bit-for-bit the
     // kmeansCentroidsExact recurrence
-    "q44_kmeans_train" -> {
-      val dist = (c: String) =>
-        s"list_sum([CAST((v.e[i] - $c.c[i]) * (v.e[i] - $c.c[i]) AS DECIMAL(18,12)) FOR i IN range(1, 65)])"
-      def iter(aN: String, mN: String, cPrev: String, cN: String) =
-        s"""$aN AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT v.vec_id, $cPrev.cell,
-           |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist(cPrev)}, $cPrev.cell) AS rn
-           |    FROM v CROSS JOIN $cPrev
-           |  ) WHERE rn = 1
-           |),
-           |$mN AS (
-           |  SELECT $aN.cell, p.i AS pos,
-           |    CAST(SUM(CAST(floor(v.e[p.i] * 8796093022208.0) AS BIGINT)) AS DOUBLE) / 8796093022208.0 / COUNT(*) AS m
-           |  FROM $aN JOIN v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) p
-           |  GROUP BY $aN.cell, p.i
-           |),
-           |$cN AS (
-           |  SELECT $cPrev.cell, coalesce(mm.c, $cPrev.c) AS c
-           |  FROM $cPrev LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS c FROM $mN GROUP BY cell) mm USING (cell)
-           |)""".stripMargin
-      s"""WITH v AS (
-         |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e FROM embeddings
-         |),
-         |c0 AS (
-         |  SELECT (row_number() OVER (ORDER BY vec_id) - 1) AS cell, e AS c
-         |  FROM (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
-         |        FROM embeddings ORDER BY vec_id LIMIT 8)
-         |),
-         |${iter("a1", "m1", "c0", "c1")},
-         |${iter("a2", "m2", "c1", "c2")}
+    "q44_kmeans_train" ->
+      s"""WITH ${kmeansCtes("")}
          |SELECT cell, i - 1 AS pos, c2.c[i] AS c
          |FROM c2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) u
-         |ORDER BY cell, pos""".stripMargin
-    },
+         |ORDER BY cell, pos""".stripMargin,
 
     // the oracle asserts the EXACT distinct count and that the Spark
     // side's merged-HLL estimate landed within the ±5% bound (TRUE)
@@ -4981,7 +4998,27 @@ object Oracles {
     * every residual, code, estimate, and rank replayed; recall vs the
     * exact brute-force gold.
     */
-  private lazy val pqIvfResidualRecallSql: String = {
+  private lazy val pqIvfResidualRecallSql: String =
+    pqIvfResidualRecallSqlWith("", pqIvfSeededScSql, nProbe = 4)
+
+  /** The seeded coarse-cell model (q196/q201/q207): cells = the 16
+    * lowest-id corpus vectors themselves.
+    */
+  private val pqIvfSeededScSql: String =
+    "SELECT vec_id AS cell, embedding AS sv, nrm AS sn FROM n WHERE vec_id < 16"
+
+  /** The CTE chain shared by every residual-IVFADC replay (q196/q201/
+    * q206/q207/q208): norms, the coarse-cell model (`scSql` — seeded
+    * corpus vectors or the k-means-trained float-cast centroids, any
+    * SELECT producing (cell, sv DOUBLE-compatible list, sn)),
+    * assignment, the query probes at `nProbe`, the disjoint book-seed
+    * residual codebooks, corpus residual encoding, the query LUTs,
+    * and the ADC estimate `dsum` (exact coarse term + residual LUT
+    * sum). `leading` prepends extra CTEs (the q44 k-means chain for
+    * q206) before everything.
+    */
+  private def pqIvfResidualPrefix(leading: String, scSql: String,
+      nProbe: Int): String = {
     // residual arrays are already DOUBLE — no per-element cast, matching
     // the engine's float-minus-float double subtraction feeding the
     // decimal-quantized kernels directly
@@ -4993,23 +5030,12 @@ object Oracles {
       s"""CAST(list_sum([CAST(CAST($a[j.j*16 + i] AS DOUBLE)
          |      * $b[j.j*16 + i] AS DECIMAL(38,12))
          |      FOR i IN range(1, 17)]) AS DOUBLE)""".stripMargin
-    s"""WITH n AS MATERIALIZED (
+    s"""${leading}n AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
        |  FROM embeddings
        |),
-       |ex AS MATERIALIZED (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-       |        CASE WHEN q.nrm * c.nrm > 0
-       |          THEN ${dotX("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
-       |          ELSE 0.0 END DESC, c.vec_id) AS rn
-       |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
-       |    WHERE q.vec_id < 50)
-       |  WHERE rn <= 5
-       |),
-       |sc AS (SELECT vec_id AS cell, embedding AS sv, nrm AS sn FROM n WHERE vec_id < 16),
+       |sc AS ($scSql),
        |cvs AS MATERIALIZED (
        |  SELECT v.vec_id, s.cell, ${dotX("v.embedding", "s.sv")} AS qcdot,
        |    CASE WHEN v.nrm * s.sn > 0 THEN ${dotX("v.embedding", "s.sv")} / (v.nrm * s.sn)
@@ -5026,7 +5052,7 @@ object Oracles {
        |  SELECT vec_id AS query_id, cell, qcdot FROM (
        |    SELECT vec_id, cell, qcdot,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
-       |    FROM cvs WHERE vec_id < 50) WHERE rn <= 4
+       |    FROM cvs WHERE vec_id < 50) WHERE rn <= $nProbe
        |),
        |bs AS MATERIALIZED (
        |  SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
@@ -5071,6 +5097,26 @@ object Oracles {
        |  JOIN lut l ON l.j = cd.j AND l.c = cd.c AND l.query_id <> cd.vec_id
        |  JOIN probes p ON p.query_id = l.query_id AND p.cell = a.cell
        |  GROUP BY 1, 2, p.qcdot
+       |)""".stripMargin
+  }
+
+  /** The recall-report tail over the shared prefix: exact gold,
+    * the rounded-then-ranked ADC top-5, per-query matched counts and
+    * the mean.
+    */
+  private def pqIvfResidualRecallSqlWith(leading: String, scSql: String,
+      nProbe: Int): String =
+    s"""WITH ${pqIvfResidualPrefix(leading, scSql, nProbe)},
+       |ex AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CASE WHEN q.nrm * c.nrm > 0
+       |          THEN ${dotX("q.embedding", "c.embedding")} / (q.nrm * c.nrm)
+       |          ELSE 0.0 END DESC, c.vec_id) AS rn
+       |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 50)
+       |  WHERE rn <= 5
        |),
        |adc AS MATERIALIZED (
        |  SELECT query_id, neighbor_id FROM (
@@ -5099,7 +5145,39 @@ object Oracles {
        |  ROUND(CAST(n_matched AS DOUBLE) / CAST(k AS DOUBLE), 6) AS recall,
        |  (SELECT mean_recall FROM mr) AS mean_recall
        |FROM m ORDER BY query_id""".stripMargin
-  }
+
+  /** q206: the trained-coarse sc — the q44 k-means chain (prefixed
+    * `k` so its CTE names cannot collide with the replay's aliases)
+    * feeds the trained centroids through a FLOAT32 cast (CAST AS
+    * REAL — IEEE round-to-nearest, bit-identical to the engine's
+    * .toFloat) and the exact-decimal norm.
+    */
+  private lazy val pqIvfTrainedRecallSql: String =
+    pqIvfResidualRecallSqlWith(kmeansCtes("k") + ",\n",
+      s"""SELECT cell, sv,
+         |    sqrt(CAST(list_sum([CAST(sv[i] * sv[i] AS DECIMAL(38,12)) FOR i IN range(1, 65)]) AS DOUBLE)) AS sn
+         |  FROM (SELECT cell, [CAST(CAST(c[i] AS REAL) AS DOUBLE) FOR i IN range(1, 65)] AS sv FROM kc2) tsc""".stripMargin,
+      nProbe = 2)
+
+  /** q208: the RANKING tail — the streamed serve emits the candidate
+    * rows themselves (est + rank), so the oracle replays the rounded
+    * estimate and the per-query rank order, not just the recall
+    * aggregate.
+    */
+  private lazy val pqIvfResidualRankSql: String =
+    s"""WITH ${pqIvfResidualPrefix("", pqIvfSeededScSql, 4)}
+       |SELECT query_id, neighbor_id, est, rank FROM (
+       |  SELECT e.query_id, e.neighbor_id,
+       |    ROUND(CASE WHEN qn.nrm * cn.nrm > 0
+       |      THEN e.dsum / (qn.nrm * cn.nrm) ELSE 0.0 END, 6) AS est,
+       |    ROW_NUMBER() OVER (PARTITION BY e.query_id ORDER BY
+       |      ROUND(CASE WHEN qn.nrm * cn.nrm > 0
+       |        THEN e.dsum / (qn.nrm * cn.nrm) ELSE 0.0 END, 6) DESC,
+       |      e.neighbor_id) AS rank
+       |  FROM est e JOIN n qn ON qn.vec_id = e.query_id
+       |  JOIN n cn ON cn.vec_id = e.neighbor_id)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Shared q190/q196 replay. `ivf = true` adds the seeded coarse
     * layer (q132's assign/probes CTEs) and restricts the ADC ranking
@@ -5418,6 +5496,22 @@ object Oracles {
       "q205_capped_repetition" -> cappedRepetitionSql,
       // stream ≡ batch for the stateless format projection
       "q204_streaming_gopher_quality" -> gopherQualitySql,
+      // trained-coarse IVFADC: the q44 k-means chain composed with
+      // the residual replay — training through recall in one statement
+      "q206_trained_ivfpq" -> pqIvfTrainedRecallSql,
+      // incremental append ≡ full rebuild: the served state is the
+      // full true corpus, so q201's replay gates it verbatim
+      "q207_ivfpq_append" -> pqIvfResidualRecallSql,
+      // streaming IVFADC serving emits the ranking rows themselves:
+      // est + rank per candidate under the residual replay
+      "q208_streaming_ivfpq_serve" -> pqIvfResidualRankSql,
+      // main-content extraction: block split, densities, both class
+      // passes, and the kept-blocks reassembly replayed
+      "q209_main_content" -> mainContentExtractSql,
+      // the per-block diagnostics under the same replay
+      "q210_main_content_blocks" -> mainContentBlocksSql,
+      // stream ≡ batch for the zero-exchange extraction projection
+      "q211_streaming_main_content" -> mainContentExtractSql,
 
       // skip-gram pairs: offset fan-out + pair rollup
       "q181_skipgram_pairs" ->
@@ -5596,6 +5690,99 @@ object Oracles {
     * lines, alpha-bearing words, distinct stop words), every 6-dp
     * ratio, and the eight-way conjunction verdict.
     */
+  /** q209/q210/q211: main-content extraction replay — the planted
+    * page fixtures (CASE over Queries.MainContentBranches, the shared
+    * segments), the block split / tag strip / anchor capture with the
+    * SAME regex constants the engine uses (Java∩RE2-agreeing subset),
+    * per-block word counts and 6-dp link/stop densities, the
+    * threshold classes, the neighbor context pass, and the kept-
+    * blocks reassembly. DuckDB 1-based list indexing out-of-range
+    * yields NULL, which the guarded AND/OR conditions treat exactly
+    * as the engine's coalesce('') does.
+    */
+  private lazy val mainContentCtes: String = {
+    def sqlLit(s: String): String =
+      s.split("\n", -1).map(p => "'" + p.replace("'", "''") + "'")
+        .mkString(" || chr(10) || ")
+    def branchExpr(segs: Seq[String]): String =
+      segs.map(sqlLit).mkString(" || CAST(doc_id AS VARCHAR) || ")
+    val cases = graft.queries.Queries.MainContentBranches.zipWithIndex
+      .map { case (segs, i) => s"WHEN $i THEN ${branchExpr(segs)}" }
+      .mkString("\n      ")
+    val splitPat = graft.operators.MainContent.BlockSplitPattern
+    val anchorPat = graft.operators.MainContent.AnchorPattern
+    val ws = "[ \t\n\r]+"
+    val stops = graft.operators.MainContent.StopWords
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val mld = graft.operators.MainContent.DefaultMaxLinkDensity
+    val mw = graft.operators.MainContent.DefaultMinWords
+    val sh = graft.operators.MainContent.DefaultStopHigh
+    val sl = graft.operators.MainContent.DefaultStopLow
+    s"""d AS MATERIALIZED (
+       |  SELECT doc_id, CASE doc_id % 6
+       |      $cases
+       |    END AS html
+       |  FROM documents
+       |),
+       |bk AS (
+       |  SELECT doc_id, regexp_split_to_array(html, '$splitPat') AS bka FROM d
+       |),
+       |st AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    [trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '$ws', ' ', 'g')) FOR b IN bka] AS ta,
+       |    [COALESCE(list_sum([CAST(len(trim(regexp_replace(a, '$ws', ' ', 'g'))) AS BIGINT) FOR a IN regexp_extract_all(b, '$anchorPat', 1)]), 0) FOR b IN bka] AS la
+       |  FROM bk
+       |),
+       |flt AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    [ta[i] FOR i IN range(1, len(ta) + 1) IF len(ta[i]) > 0] AS bt,
+       |    [la[i] FOR i IN range(1, len(ta) + 1) IF len(ta[i]) > 0] AS lc
+       |  FROM st
+       |),
+       |met AS MATERIALIZED (
+       |  SELECT doc_id, bt,
+       |    [CAST(len(string_split(t, ' ')) AS BIGINT) FOR t IN bt] AS nw,
+       |    [ROUND(CAST(len([w FOR w IN string_split(t, ' ') IF list_contains($stops, lower(w))]) AS DOUBLE)
+       |       / CAST(len(string_split(t, ' ')) AS DOUBLE), 6) FOR t IN bt] AS sf,
+       |    [ROUND(CAST(lc[i] AS DOUBLE) / CAST(len(bt[i]) AS DOUBLE), 6) FOR i IN range(1, len(bt) + 1)] AS ld
+       |  FROM flt
+       |),
+       |cl AS MATERIALIZED (
+       |  SELECT doc_id, bt, nw, sf, ld,
+       |    [CASE WHEN ld[i] > $mld THEN 'bad'
+       |          WHEN nw[i] < $mw THEN 'short'
+       |          WHEN sf[i] >= $sh THEN 'good'
+       |          WHEN sf[i] >= $sl THEN 'near_good'
+       |          ELSE 'bad' END FOR i IN range(1, len(bt) + 1)] AS cls
+       |  FROM met
+       |),
+       |fin AS MATERIALIZED (
+       |  SELECT doc_id, bt, nw, sf, ld, cls,
+       |    [CASE WHEN cls[i] = 'good' THEN 'good'
+       |          WHEN cls[i] = 'bad' THEN 'bad'
+       |          WHEN (i > 1 AND cls[i-1] = 'good')
+       |            OR (i < len(cls) AND cls[i+1] = 'good') THEN 'good'
+       |          ELSE 'bad' END FOR i IN range(1, len(cls) + 1)] AS fn
+       |  FROM cl
+       |)""".stripMargin
+  }
+
+  private lazy val mainContentExtractSql: String =
+    s"""WITH $mainContentCtes
+       |SELECT doc_id, CAST(len(bt) AS BIGINT) AS n_blocks,
+       |  CAST(len([x FOR x IN fn IF x = 'good']) AS BIGINT) AS n_kept,
+       |  COALESCE(array_to_string([bt[i] FOR i IN range(1, len(bt) + 1) IF fn[i] = 'good'], chr(10)), '') AS content
+       |FROM fin ORDER BY doc_id""".stripMargin
+
+  private lazy val mainContentBlocksSql: String =
+    s"""WITH $mainContentCtes,
+       |ix AS (SELECT doc_id, unnest(range(1, len(bt) + 1)) AS bi FROM fin)
+       |SELECT doc_id, CAST(ix.bi AS BIGINT) AS block_idx,
+       |  f.nw[ix.bi] AS n_words, f.ld[ix.bi] AS link_density,
+       |  f.sf[ix.bi] AS stop_frac, f.cls[ix.bi] AS cls, f.fn[ix.bi] AS "final"
+       |FROM ix JOIN fin f USING (doc_id)
+       |ORDER BY doc_id, block_idx""".stripMargin
+
   private lazy val gopherQualitySql: String = {
     def sqlLit(s: String): String =
       s.split("\n", -1).map(p => "'" + p.replace("'", "''") + "'")

@@ -69,4 +69,30 @@ class GopherQualitySpec extends SparkSpec {
     assert(r.getAs[Double]("mean_word_len") === 0.0)
     assert(r.getAs[Boolean]("pass") === false)
   }
+
+  test("NULL text yields all-zero metrics and pass=false, never nulls") {
+    val r = GopherQuality.report(
+        Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        "doc_id", "text").collect().head
+    assert(!r.anyNull, r.toString)
+    assert(r.getAs[Long]("n_words") === 0L)
+    assert(r.getAs[Double]("bullet_line_frac") === 0.0)
+    assert(r.getAs[Double]("ellipsis_line_frac") === 0.0)
+    assert(r.getAs[Long]("stop_hits") === 0L)
+    assert(r.getAs[Boolean]("pass") === false)
+  }
+
+  test("thresholds are tunable parameters") {
+    // the clean doc fails under a stricter corpus-specific word floor,
+    // and the 2-word doc passes once every bound is relaxed
+    val strict = GopherQuality.report(
+        Seq((1L, clean)).toDF("doc_id", "text"), "doc_id", "text",
+        minWords = 100L).collect().head
+    assert(strict.getAs[Boolean]("pass") === false)
+    val lax = GopherQuality.report(
+        Seq((1L, "the of")).toDF("doc_id", "text"), "doc_id", "text",
+        minWords = 1L, minMeanWordLen = 0.0, minStopWords = 1L)
+      .collect().head
+    assert(lax.getAs[Boolean]("pass") === true)
+  }
 }

@@ -153,8 +153,9 @@ class PlanShapeSpec extends SparkSpec {
       s"cell assignment uses a per-id window over the fanned frame:\n$plan")
     assert(!plan.contains("Join"),
       s"cell assignment joins the seed frame instead of using literals:\n$plan")
-    assert(plan.contains("partial_max"),
-      s"argmax lacks map-side partial aggregation:\n$plan")
+    // min over struct(−sim, cell) — the id-type-generic argmax form
+    assert(plan.contains("partial_min"),
+      s"argmax (min over (−sim, cell)) lacks map-side partial aggregation:\n$plan")
     // the embedding payload must not ride the argmax exchange — only
     // (id, sim, cell) may cross
     val exchanged = plan.linesIterator.filter(_.contains("Exchange"))
@@ -598,6 +599,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(codesScan.get.relation.location
         .listFiles(codesScan.get.partitionFilters, Nil).size === 1,
       "partition pruning did not reduce the codes read to nProbe=1 directory")
+    graft.core.OpCache.release(blocking = true)
+  }
+
+  test("streaming IVF-PQ serve (q208 shape): each micro-batch plan prunes to probed cell directories") {
+    val rnd = new scala.util.Random(37)
+    val centers = Array.tabulate(4, 8)((c, d) => if (d / 2 == c) 4f else 0f)
+    val corpus = (0 until 48).map { i =>
+      val c = i % 4
+      val v = if (i < 4) centers(c).toSeq
+        else centers(c).map(x => x + (rnd.nextInt(17) - 8).toFloat / 8f).toSeq
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("ivfpq_stream")
+      .toString
+    val (path, in, out, chk) =
+      (s"$base/idx", s"$base/in", s"$base/out", s"$base/chk")
+    Similarity.writeIvfPqIndex(corpus, corpus.filter($"vec_id" < 4),
+      "vec_id", "embedding", m = 4, dim = 8, path,
+      bookSeeds = corpus.filter($"vec_id" >= 4 && $"vec_id" < 12))
+    graft.core.OpCache.release(blocking = true)
+    corpus.filter($"vec_id" === 20L).write.parquet(in)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    @volatile var prunedDirs = -1
+    try {
+      val stream = spark.readStream.schema(corpus.schema).parquet(in)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val q = Similarity.pqIvfTopKFromIndex(batch, path, "vec_id",
+              "embedding", k = 3, nProbe = 1)
+            q.write.mode("overwrite").parquet(s"$out/b$batchId")
+            val scans = q.queryExecution.executedPlan.collect {
+              case s: FileSourceScanExec => s }
+            prunedDirs = scans.find(_.relation.location.rootPaths
+                .exists(_.toString.contains("/codes")))
+              .map(s => s.relation.location
+                .listFiles(s.partitionFilters, Nil).size)
+              .getOrElse(-1)
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      stream.awaitTermination()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(prunedDirs === 1,
+      s"micro-batch codes read touched $prunedDirs directories (want 1)")
     graft.core.OpCache.release(blocking = true)
   }
 

@@ -164,6 +164,76 @@ class PqSpec extends SparkSpec {
     assert(res > 0.4, s"residual recall $res suspiciously low (raw $raw)")
   }
 
+  test("wrong dim fails fast instead of slicing short sub-vectors") {
+    val seeds = clustered.filter(col("vec_id") < 4)
+    val q = clustered.filter(col("vec_id") >= 20 && col("vec_id") < 24)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqIvfAdcRank(q, clustered, seeds, "vec_id", "embedding",
+        k = 4, nProbe = 2, m = 4, dim = 16)
+    }
+    assert(e1.getMessage.contains("dim=16"), e1.getMessage)
+    val path = java.nio.file.Files.createTempDirectory("graft_dim")
+      .toString + "/idx"
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.writeIvfPqIndex(clustered, seeds, "vec_id", "embedding",
+        m = 4, dim = 16, path)
+    }
+    assert(e2.getMessage.contains("dim=16"), e2.getMessage)
+  }
+
+  test("mis-typed stored index fails loudly, not with empty results") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mistyped")
+      .toString + "/idx"
+    val seeds = clustered.filter(col("vec_id") < 4)
+    Similarity.writeIvfPqIndex(clustered, seeds, "vec_id", "embedding",
+      m = 4, dim = 8, path)
+    // corrupt the cells sidecar to a string id type: probes become
+    // strings while the codes partition directories stay numeric —
+    // the silent pre-r18 behavior was an empty serve
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(concat(lit("c"), col("cell")).as("cell"),
+        col("sv"), col("sn")).collect()
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(cells.toIndexedSeq),
+        spark.read.parquet(s"$path/cells").schema
+          .copy(fields = spark.read.parquet(s"$path/cells").schema.fields
+            .map(f => if (f.name == "cell")
+              f.copy(dataType = org.apache.spark.sql.types.StringType)
+            else f)))
+      .write.mode("overwrite").parquet(s"$path/cells")
+    val q = clustered.filter(col("vec_id") >= 20 && col("vec_id") < 24)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqIvfTopKFromIndex(q, path, "vec_id", "embedding",
+        k = 4, nProbe = 2).collect()
+    }
+    assert(e.getMessage.contains("cell"), e.getMessage)
+  }
+
+  test("string-id corpus roundtrips the stored IVF-PQ index") {
+    // the generic-idCol path: string cells partition as string
+    // directories, the sidecar probes are strings, and serving matches
+    // the in-query ranking — no hard-coded Long cast anywhere
+    val sc = clustered.select(
+      format_string("v%02d", col("vec_id")).as("vec_id"), col("embedding"))
+    val seeds = sc.filter(col("vec_id") < "v04")
+    val bookSeeds = sc.filter(col("vec_id") >= "v04" && col("vec_id") < "v20")
+    val q = sc.filter(col("vec_id") >= "v20" && col("vec_id") < "v28")
+    val inQuery = Similarity.pqIvfAdcRank(q, sc, seeds, "vec_id",
+        "embedding", k = 4, nProbe = 2, m = 4, dim = 8,
+        bookSeeds = bookSeeds)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    val path = java.nio.file.Files.createTempDirectory("graft_strid")
+      .toString + "/idx"
+    Similarity.writeIvfPqIndex(sc, seeds, "vec_id", "embedding",
+      m = 4, dim = 8, path, bookSeeds = bookSeeds)
+    val served = Similarity.pqIvfTopKFromIndex(q, path, "vec_id",
+        "embedding", k = 4, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    assert(served === inQuery)
+  }
+
   test("stored cell-partitioned IVF-PQ index serves the in-query ranking") {
     val path = java.nio.file.Files.createTempDirectory("graft_ivfpq")
       .toString + "/idx"
@@ -182,5 +252,94 @@ class PqSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     graft.core.OpCache.release()
     assert(served === inQuery)
+  }
+
+  test("incremental append: appended index serves the full-rebuild ranking; stale codes superseded") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfpq_app")
+      .toString
+    val (inc, full) = (s"$base/inc", s"$base/full")
+    val seeds = clustered.filter(col("vec_id") < 4)
+    val bookSeeds = clustered.filter(col("vec_id") >= 4 && col("vec_id") < 20)
+    val q = clustered.filter(col("vec_id") >= 20 && col("vec_id") < 28)
+    // re-ingested ids (every 3rd vector from 20 up) start out STALE —
+    // negated vectors land in different cells than their replacements,
+    // the case a within-partition dedup cannot fix
+    val reIngested = col("vec_id") >= 20 && col("vec_id") % 3 === 0
+    val stale = clustered.withColumn("embedding",
+      when(reIngested, transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")))
+    Similarity.writeIvfPqIndex(stale, seeds, "vec_id", "embedding",
+      m = 4, dim = 8, inc, bookSeeds = bookSeeds)
+    Similarity.appendToIvfPqIndex(clustered.filter(reIngested), inc,
+      "vec_id", "embedding")
+    graft.core.OpCache.release()
+    Similarity.writeIvfPqIndex(clustered, seeds, "vec_id", "embedding",
+      m = 4, dim = 8, full, bookSeeds = bookSeeds)
+    val servedInc = Similarity.pqIvfTopKFromIndex(q, inc, "vec_id",
+        "embedding", k = 4, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    val servedFull = Similarity.pqIvfTopKFromIndex(q, full, "vec_id",
+        "embedding", k = 4, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    assert(servedInc === servedFull)
+    // a second append supersedes the first for the same id
+    Similarity.appendToIvfPqIndex(
+      clustered.filter(col("vec_id") === 21L), inc, "vec_id", "embedding")
+    graft.core.OpCache.release()
+    val again = Similarity.pqIvfTopKFromIndex(q, inc, "vec_id",
+        "embedding", k = 4, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    assert(again === servedFull)
+  }
+
+  // SKEWED-SEED corpus: the 4 lowest ids — the seeded coarse model —
+  // all sit in cluster 0, so seeded cells cannot discriminate the
+  // other three clusters; k-means training escapes the bad init
+  // (ids 4+ cycle clusters as in `clustered`)
+  private def skewSeeded = {
+    val rnd = new scala.util.Random(41)
+    val centers = Array.tabulate(4, 8)((c, d) =>
+      if (d / 2 == c) 4f else 0f)
+    (0 until 72).map { i =>
+      val c = if (i < 4) 0 else i % 4
+      val v = centers(c).map(x =>
+        x + (rnd.nextInt(33) - 16).toFloat / 16f).toSeq
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("trained coarse cells beat seeded cells at equal nProbe") {
+    val corpus = skewSeeded
+    val bookSeeds = corpus.filter(col("vec_id") >= 4 && col("vec_id") < 20)
+    val q = corpus.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+    val gold = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding",
+        k = 4, roundDp = -1, exact = true)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.OpCache.release()
+    def recall(seeds: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.pqIvfAdcRank(q, corpus, seeds, "vec_id",
+          "embedding", k = 4, nProbe = 1, m = 4, dim = 8,
+          bookSeeds = bookSeeds)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.core.OpCache.release()
+      got.count(gold.contains).toDouble / gold.size
+    }
+    val seededR = recall(corpus.filter(col("vec_id") < 4))
+    // trained coarse centroids (float-quantized for the serving
+    // layout — the q206 composition) from the SAME bad init
+    val cents = Similarity.kmeansCentroidsExact(corpus, "vec_id",
+      "embedding", k = 4, iters = 3)
+    val trained = cents.zipWithIndex.toSeq.map { case (c, i) =>
+      (i.toLong, c.map(_.toFloat).toSeq) }.toDF("vec_id", "embedding")
+    val trainedR = recall(trained)
+    info(s"recall@4 at nProbe=1: trained=$trainedR seeded=$seededR")
+    assert(trainedR >= seededR,
+      s"trained recall $trainedR < seeded recall $seededR")
+    assert(trainedR > 0.3, s"trained recall $trainedR suspiciously low")
   }
 }

@@ -104,6 +104,22 @@ class RepetitionSpec extends SparkSpec {
     assert(out(0).getAs[Double]("dup_5gram_char_frac") > 0.5)
   }
 
+  test("batch form: 20k-line doc line metrics are O(L)/doc, bounded") {
+    // the pre-r18 filter-inside-aggregate HOF was O(L²) in the doc's
+    // own line count — 4×10⁸ comparisons in one task at 20k lines;
+    // the explode → within-doc line-group form is O(L)
+    val big = (1 to 20000).map(i => s"line ${i % 300}").mkString("\n")
+    val t0 = System.nanoTime()
+    val out = run(Seq((1L, big), (2L, "aa bb\naa bb\ncc")))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120.0, s"20k-line batch run took ${secs}s")
+    assert(out(0).getLong(1) === 20000L)
+    assert(out(0).getDouble(2) === 0.985) // (20000-300)/20000
+    assert(out(0).getDouble(3) === 1.0)   // every line is a dup group
+    // the small doc's hand-computed values are untouched by the rewrite
+    assert(out(1).getDouble(2) === 0.333333 && out(1).getDouble(3) === 0.833333)
+  }
+
   test("line cap truncates before tokenization; token cap on the line-capped text") {
     val docs = Seq((1L, "aa bb\ncc dd\nee ff")).toDF("doc_id", "text")
     val r = Repetition.reportCapped(docs, "doc_id", "text",
