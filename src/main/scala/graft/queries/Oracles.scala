@@ -5512,6 +5512,8 @@ object Oracles {
       "q210_main_content_blocks" -> mainContentBlocksSql,
       // stream ≡ batch for the zero-exchange extraction projection
       "q211_streaming_main_content" -> mainContentExtractSql,
+      // stored trained-coarse index: serving ≡ q206's in-query report
+      "q212_trained_ivfpq_stored" -> pqIvfTrainedRecallSql,
 
       // skip-gram pairs: offset fan-out + pair rollup
       "q181_skipgram_pairs" ->
