@@ -295,6 +295,37 @@ class PqSpec extends SparkSpec {
     assert(again === servedFull)
   }
 
+  test("incremental append supersedes correctly on a string-id index") {
+    val sc = clustered.select(
+      format_string("v%02d", col("vec_id")).as("vec_id"), col("embedding"))
+    val seeds = sc.filter(col("vec_id") < "v04")
+    val bookSeeds = sc.filter(col("vec_id") >= "v04" && col("vec_id") < "v20")
+    val q = sc.filter(col("vec_id") >= "v20" && col("vec_id") < "v28")
+    val reIngested = col("vec_id") >= "v20" && col("vec_id").endsWith("1")
+    val stale = sc.withColumn("embedding",
+      when(reIngested, transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")))
+    val base = java.nio.file.Files.createTempDirectory("graft_app_str")
+      .toString
+    val (inc, full) = (s"$base/inc", s"$base/full")
+    Similarity.writeIvfPqIndex(stale, seeds, "vec_id", "embedding",
+      m = 4, dim = 8, inc, bookSeeds = bookSeeds)
+    Similarity.appendToIvfPqIndex(sc.filter(reIngested), inc,
+      "vec_id", "embedding")
+    graft.core.OpCache.release()
+    Similarity.writeIvfPqIndex(sc, seeds, "vec_id", "embedding",
+      m = 4, dim = 8, full, bookSeeds = bookSeeds)
+    val servedInc = Similarity.pqIvfTopKFromIndex(q, inc, "vec_id",
+        "embedding", k = 4, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    val servedFull = Similarity.pqIvfTopKFromIndex(q, full, "vec_id",
+        "embedding", k = 4, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    assert(servedInc === servedFull)
+  }
+
   // SKEWED-SEED corpus: the 4 lowest ids — the seeded coarse model —
   // all sit in cluster 0, so seeded cells cannot discriminate the
   // other three clusters; k-means training escapes the bad init
