@@ -5514,6 +5514,27 @@ object Oracles {
       "q211_streaming_main_content" -> mainContentExtractSql,
       // stored trained-coarse index: serving ≡ q206's in-query report
       "q212_trained_ivfpq_stored" -> pqIvfTrainedRecallSql,
+      // end-to-end web ingestion: main-content extraction chained
+      // into the Gopher format tail (minWords tuned to the fixture)
+      "q213_web_pipeline" -> webPipelineSql,
+      // mergeable GK quantile sketch gated within its rank-error
+      // bound (the q45 HLL within-bounds discipline)
+      "q214_quantile_sketch" ->
+        s"""WITH c AS (SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+           |n AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs FROM c GROUP BY lang),
+           |cum AS (
+           |  SELECT lang, n_chars,
+           |    SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cumc
+           |  FROM c
+           |),
+           |med AS (
+           |  SELECT cum.lang, MIN(n_chars) AS exact_median
+           |  FROM cum JOIN n USING (lang)
+           |  WHERE cumc >= CAST(floor((n_docs + 1) / 2.0) AS BIGINT)
+           |  GROUP BY cum.lang
+           |)
+           |SELECT lang, n_docs, exact_median, TRUE AS within_bounds
+           |FROM n JOIN med USING (lang) ORDER BY lang""".stripMargin,
 
       // skip-gram pairs: offset fan-out + pair rollup
       "q181_skipgram_pairs" ->
@@ -5769,6 +5790,16 @@ object Oracles {
        |)""".stripMargin
   }
 
+  /** q213: the extraction chained into the Gopher format tail — one
+    * statement from raw fixture HTML to the conjunction verdict.
+    */
+  private lazy val webPipelineSql: String =
+    gopherMetricSql(mainContentCtes + ",\n",
+      s"""SELECT doc_id,
+         |    COALESCE(array_to_string([bt[i] FOR i IN range(1, len(bt) + 1) IF fn[i] = 'good'], chr(10)), '') AS text
+         |  FROM fin""".stripMargin,
+      minWords = 8L)
+
   private lazy val mainContentExtractSql: String =
     s"""WITH $mainContentCtes
        |SELECT doc_id, CAST(len(bt) AS BIGINT) AS n_blocks,
@@ -5794,18 +5825,30 @@ object Oracles {
     val cases = graft.queries.Queries.GopherQualityBranches.zipWithIndex
       .map { case (segs, i) => s"WHEN $i THEN ${branchExpr(segs)}" }
       .mkString("\n      ")
-    s"""WITH d AS MATERIALIZED (
-       |  SELECT doc_id, CASE doc_id % 9
-       |      $cases
-       |    END AS text
-       |  FROM documents
+    gopherMetricSql("",
+      s"""SELECT doc_id, CASE doc_id % 9
+         |      $cases
+         |    END AS text
+         |  FROM documents""".stripMargin)
+  }
+
+  /** The generic Gopher Table A1 FORMAT-metric tail over any
+    * `(doc_id, text)` input CTE (`gdSql`; `leading` prepends extra
+    * CTEs — q213 chains the main-content extraction in front).
+    * `minWords` mirrors the engine's tunable threshold (q213 tunes it
+    * to the fixture's content size; everything else at the defaults).
+    */
+  private def gopherMetricSql(leading: String, gdSql: String,
+      minWords: Long = 50L): String =
+    s"""WITH ${leading}gd AS MATERIALIZED (
+       |  $gdSql
        |),
        |t AS MATERIALIZED (
        |  SELECT doc_id, text,
        |    string_split(text, chr(10)) AS ln,
        |    list_filter(string_split(replace(text, chr(10), ' '), ' '),
        |      x -> len(x) > 0) AS tk
-       |  FROM d
+       |  FROM gd
        |),
        |m AS MATERIALIZED (
        |  SELECT doc_id,
@@ -5828,7 +5871,7 @@ object Oracles {
        |SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
        |  ellipsis_word_ratio, bullet_line_frac, ellipsis_line_frac,
        |  alpha_word_frac, stop_hits,
-       |  (n_words >= 50 AND n_words <= 100000
+       |  (n_words >= $minWords AND n_words <= 100000
        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
        |   AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
        |   AND bullet_line_frac <= 0.90 AND ellipsis_line_frac <= 0.30
@@ -5845,7 +5888,6 @@ object Oracles {
        |  FROM m
        |)
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** q205: the capped-prefix repetition replay — q198's corpus plus
     * planted spam/extra-line docs, lines sliced to 4 FIRST, tokens of

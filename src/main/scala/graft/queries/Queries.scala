@@ -5705,6 +5705,73 @@ object Queries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** END-TO-END web ingestion (the q49/q100 e2e discipline applied to
+    * the round-18 tier): raw HTML pages → [[MainContent.extract]]
+    * main-content text → [[GopherQuality.report]] format filter over
+    * the EXTRACTED content — the real first two stages of a web
+    * corpus pipeline composed under one gate. `minWords` is tuned to
+    * the fixture's content size (8 — exercising the r18 tunable
+    * thresholds; everything else at Gopher defaults). The oracle
+    * chains the main-content replay into the generic Gopher metric
+    * tail — block split through the conjunction verdict in one SQL
+    * statement.
+    */
+  val q213WebPipeline: Q = (s, dir) => {
+    val content = MainContent.extract(mainContentCorpus(s, dir),
+        "doc_id", "html")
+      .select(col("doc_id"), col("content"))
+    GopherQuality.report(content, "doc_id", "content", minWords = 8L)
+      .orderBy("doc_id")
+  }
+
+  /** MERGEABLE QUANTILE SKETCH (Greenwald–Khanna via Spark's
+    * `percentile_approx`) — the quantile member of the sketch family
+    * beside HLL (q45/q78), KMV (q103/q130/q185) and count-min (q97):
+    * per-language doc-length medians where each partition ships a
+    * fixed-size summary and the merge is associative — the 100 TB
+    * shape (an exact median needs a per-group sort or cumulative
+    * pass; the sketch needs one scan). GK is deterministic but
+    * MERGE-ORDER-dependent, so the gate is the q45 within-bounds
+    * discipline: the approximate median's RANK interval must land
+    * within 2·N/accuracy + 1 ranks of p·N — 2ε because the
+    * distributed MERGE degrades GK's single-summary ε guarantee to
+    * ε₁+ε₂ (measured live: accuracy = 100 missed the single-ε bound
+    * by one rank on this corpus), +1 for integer-rank discreteness;
+    * accuracy = 1000. The boolean is under the hash gate with the
+    * exact DISCRETE median (smallest value at cumulative rank
+    * ≥ ⌊(N+1)/2⌋, integer logic both engines) and the count.
+    */
+  val q214QuantileSketch: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val counts = d.groupBy("lang", "n_chars").agg(count(lit(1)).as("_c"))
+    val n = counts.groupBy("lang").agg(sum(col("_c")).as("n_docs"))
+    val appr = d.groupBy("lang")
+      .agg(percentile_approx(col("n_chars"), lit(0.5), lit(1000)).as("_a"))
+    val w = Window.partitionBy("lang").orderBy("n_chars")
+    val med = counts.withColumn("_cum", sum(col("_c")).over(w))
+      .join(n, "lang")
+      .filter(col("_cum") >=
+        floor((col("n_docs") + 1) / 2).cast("long"))
+      .groupBy("lang").agg(min(col("n_chars")).as("exact_median"))
+    val bounds = counts.join(appr, "lang").join(n, "lang")
+      .groupBy(col("lang"), col("n_docs"))
+      .agg(
+        sum(when(col("n_chars") < col("_a"), col("_c")).otherwise(0L))
+          .as("_lo"),
+        sum(when(col("n_chars") <= col("_a"), col("_c")).otherwise(0L))
+          .as("_hi"))
+      .select(col("lang"),
+        (lit(0.5) * col("n_docs") >=
+          col("_lo") + 1 - (lit(2.0) * col("n_docs") / 1000.0 + 1) &&
+          lit(0.5) * col("n_docs") <=
+            col("_hi") + lit(2.0) * col("n_docs") / 1000.0 + 1)
+          .as("within_bounds"))
+    n.join(med, "lang").join(bounds, "lang")
+      .select(col("lang"), col("n_docs"), col("exact_median"),
+        col("within_bounds"))
+      .orderBy("lang")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -5918,5 +5985,7 @@ object Queries {
     "q210_main_content_blocks" -> q210MainContentBlocks,
     "q211_streaming_main_content" -> q211StreamingMainContent,
     "q212_trained_ivfpq_stored" -> q212TrainedIvfPqStored,
+    "q213_web_pipeline" -> q213WebPipeline,
+    "q214_quantile_sketch" -> q214QuantileSketch,
   )
 }
