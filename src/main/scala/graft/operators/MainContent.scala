@@ -94,6 +94,16 @@ object MainContent {
       (a, s) => a + length(trim(regexp_replace(s, "[ \t\n\r]+", " ")))
         .cast("long"))
 
+  /** 1-based index-driven transform over `arr`'s positions, safe on
+    * EMPTY arrays: `sequence(1, 0)` DESCENDS to [1, 0] rather than
+    * being empty, so the index range must be gated on the size (found
+    * live: an ANSI element_at(…, 1) throw on a zero-block page).
+    */
+  private def transformIdx(arr: Column, resultType: String,
+      f: Column => Column): Column =
+    when(size(arr) > 0, transform(sequence(lit(1), size(arr)), f))
+      .otherwise(array().cast(s"array<$resultType>"))
+
   /** The staged per-doc block frame: `_bt` block texts (non-empty
     * only), `_lc` their anchor-char counts, `_nw` word counts, `_sf`
     * stop fractions, `_ld` link densities, `_cls` initial classes,
@@ -107,7 +117,10 @@ object MainContent {
       stopWords: Seq[String]): DataFrame = {
     val stops = array(stopWords.map(lit(_)): _*)
     docs
-      .select(col(idCol), split(col(htmlCol), BlockSplitPattern).as("_bk"))
+      // NULL page → zero blocks / empty content, never a null row
+      // (the GopherQuality null discipline)
+      .select(col(idCol),
+        split(coalesce(col(htmlCol), lit("")), BlockSplitPattern).as("_bk"))
       .withColumn("_bs", filter(
         transform(col("_bk"), b =>
           struct(blockText(b).as("t"), linkChars(b).as("l"))),
@@ -119,16 +132,16 @@ object MainContent {
       .withColumn("_sf", transform(col("_tk"), w =>
         r6(size(filter(w, t => array_contains(stops, lower(t))))
           .cast("double") / size(w).cast("double"))))
-      .withColumn("_ld", transform(sequence(lit(1), size(col("_bt"))), i =>
+      .withColumn("_ld", transformIdx(col("_bt"), "double", i =>
         r6(element_at(col("_lc"), i).cast("double") /
           length(element_at(col("_bt"), i)).cast("double"))))
-      .withColumn("_cls", transform(sequence(lit(1), size(col("_bt"))), i =>
+      .withColumn("_cls", transformIdx(col("_bt"), "string", i =>
         when(element_at(col("_ld"), i) > maxLinkDensity, "bad")
           .when(element_at(col("_nw"), i) < minWords, "short")
           .when(element_at(col("_sf"), i) >= stopHigh, "good")
           .when(element_at(col("_sf"), i) >= stopLow, "near_good")
           .otherwise("bad")))
-      .withColumn("_fin", transform(sequence(lit(1), size(col("_cls"))), i =>
+      .withColumn("_fin", transformIdx(col("_cls"), "string", i =>
         when(element_at(col("_cls"), i) === "good", "good")
           .when(element_at(col("_cls"), i) === "bad", "bad")
           .otherwise( // short / near_good: promoted by a good neighbor

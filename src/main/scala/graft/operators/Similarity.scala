@@ -1506,9 +1506,11 @@ object Similarity {
     */
   private def requireDim(df: DataFrame, vecCol: String, dim: Int,
       who: String): Unit = {
-    df.select(size(col(vecCol)).as("_d")).head() match {
-      case r if r.getInt(0) == dim => ()
-      case r => throw new IllegalArgumentException(
+    df.select(size(col(vecCol)).as("_d")).take(1) match {
+      case Array() => throw new IllegalArgumentException(
+        s"$who: input frame is empty — nothing to encode")
+      case Array(r) if r.getInt(0) == dim => ()
+      case Array(r) => throw new IllegalArgumentException(
         s"$who: dim=$dim but '$vecCol' vectors have length ${r.getInt(0)}")
     }
   }
@@ -1649,12 +1651,16 @@ object Similarity {
     val m = meta.getInt(meta.fieldIndex("m"))
     val dim = meta.getInt(meta.fieldIndex("dim"))
     val residual = meta.getBoolean(meta.fieldIndex("residual"))
+    // an empty crawl delta is a NO-OP, not an error (and not a new
+    // generation): nothing to encode, nothing to supersede
+    if (delta.select(col(idCol)).take(1).isEmpty) return
     requireDim(delta, vecCol, dim, "appendToIvfPqIndex")
     val books = readPqBooks(spark, path)
     val seeds = spark.read.parquet(s"$path/cells")
       .select(col("cell").as(idCol), col("sv").as(vecCol))
     val gen = 1L + readTombstones(spark, path)
-      .map(_.agg(max("gen")).head().getLong(0)).getOrElse(0L)
+      .map(_.agg(coalesce(max("gen"), lit(0L))).head().getLong(0))
+      .getOrElse(0L)
     ivfPqCodes(delta, seeds, idCol, vecCol, books, residual)
       .withColumn("_gen", lit(gen))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")

@@ -78,6 +78,19 @@ class MainContentSpec extends SparkSpec {
     assert(r.getAs[Long]("n_kept") === 2L)
   }
 
+  test("NULL and empty pages yield zero blocks and empty content, never nulls") {
+    val out = MainContent.extract(
+        Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "<div></div>"))
+          .toDF("doc_id", "html"),
+        "doc_id", "html")
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(!r.anyNull, r.toString)
+      assert(r.getAs[Long]("n_blocks") === 0L)
+      assert(r.getAs[String]("content") === "")
+    }
+  }
+
   test("zero-exchange plan; whole operator is one per-row projection") {
     val docs = (1L to 20L).map(i =>
       (i, s"<p>$good $i</p><p>see $i</p>")).toDF("doc_id", "html")

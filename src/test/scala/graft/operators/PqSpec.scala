@@ -295,6 +295,29 @@ class PqSpec extends SparkSpec {
     assert(again === servedFull)
   }
 
+  test("empty delta append is a no-op: no new generation, serving unchanged") {
+    val path = java.nio.file.Files.createTempDirectory("graft_app_empty")
+      .toString + "/idx"
+    val seeds = clustered.filter(col("vec_id") < 4)
+    val bookSeeds = clustered.filter(col("vec_id") >= 4 && col("vec_id") < 20)
+    val q = clustered.filter(col("vec_id") >= 20 && col("vec_id") < 24)
+    Similarity.writeIvfPqIndex(clustered, seeds, "vec_id", "embedding",
+      m = 4, dim = 8, path, bookSeeds = bookSeeds)
+    val before = Similarity.pqIvfTopKFromIndex(q, path, "vec_id",
+        "embedding", k = 4, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    Similarity.appendToIvfPqIndex(clustered.filter(col("vec_id") < 0),
+      path, "vec_id", "embedding")
+    // no tombstone sidecar appears for an empty delta
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    val after = Similarity.pqIvfTopKFromIndex(q, path, "vec_id",
+        "embedding", k = 4, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    assert(after === before)
+  }
+
   test("incremental append supersedes correctly on a string-id index") {
     val sc = clustered.select(
       format_string("v%02d", col("vec_id")).as("vec_id"), col("embedding"))
