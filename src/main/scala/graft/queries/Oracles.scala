@@ -5517,6 +5517,11 @@ object Oracles {
       // end-to-end web ingestion: main-content extraction chained
       // into the Gopher format tail (minWords tuned to the fixture)
       "q213_web_pipeline" -> webPipelineSql,
+      // C4 line filters: retention, reassembly, sentence count, and
+      // the ordered page-rule verdict replayed
+      "q215_c4_filter" -> c4FilterSql,
+      // stream ≡ batch for the stateless line-filter projection
+      "q216_streaming_c4_filter" -> c4FilterSql,
       // mergeable GK quantile sketch gated within its rank-error
       // bound (the q45 HLL within-bounds discipline)
       "q214_quantile_sketch" ->
@@ -5788,6 +5793,58 @@ object Oracles {
        |          ELSE 'bad' END FOR i IN range(1, len(cls) + 1)] AS fn
        |  FROM cl
        |)""".stripMargin
+  }
+
+  /** q215/q216: the C4 line-filter replay — the planted pages (CASE
+    * over Queries.C4Branches), line retention (terminal punctuation,
+    * ≥5 words, no "javascript"), the kept-text reassembly, the
+    * terminal-mark sentence count, and the ordered page-rule verdict.
+    */
+  private lazy val c4FilterSql: String = {
+    def sqlLit(s: String): String =
+      s.split("\n", -1).map(p => "'" + p.replace("'", "''") + "'")
+        .mkString(" || chr(10) || ")
+    def branchExpr(segs: Seq[String]): String =
+      segs.map(sqlLit).mkString(" || CAST(doc_id AS VARCHAR) || ")
+    val cases = graft.queries.Queries.C4Branches.zipWithIndex
+      .map { case (segs, i) => s"WHEN $i THEN ${branchExpr(segs)}" }
+      .mkString("\n      ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, CASE doc_id % 5
+       |      $cases
+       |    END AS text
+       |  FROM documents
+       |),
+       |k AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, chr(10)), l ->
+       |      (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+       |        OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '."')
+       |        OR ends_with(rtrim(l), '!"') OR ends_with(rtrim(l), '?"'))
+       |      AND len(list_filter(string_split(trim(l), ' '), w -> len(w) > 0)) >= 5
+       |      AND NOT contains(lower(l), 'javascript')) AS kl
+       |  FROM d
+       |),
+       |f AS (
+       |  SELECT doc_id, text,
+       |    COALESCE(array_to_string(kl, chr(10)), '') AS kept_text,
+       |    CAST(len(kl) AS BIGINT) AS n_lines_kept
+       |  FROM k
+       |),
+       |s AS (
+       |  SELECT doc_id, kept_text, n_lines_kept,
+       |    CAST(length(kept_text) - length(translate(kept_text, '.!?', ''))
+       |      AS BIGINT) AS n_sentences,
+       |    CASE WHEN length(kept_text) - length(translate(kept_text, '.!?', '')) < 3
+       |           THEN 'too_few_sentences'
+       |         WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum'
+       |         WHEN contains(text, '{') THEN 'curly_brace'
+       |         ELSE '' END AS drop_reason
+       |  FROM f
+       |)
+       |SELECT doc_id, kept_text, n_lines_kept, n_sentences,
+       |  (drop_reason = '') AS keep_doc, drop_reason
+       |FROM s ORDER BY doc_id""".stripMargin
   }
 
   /** q213: the extraction chained into the Gopher format tail — one

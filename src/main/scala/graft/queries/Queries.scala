@@ -5772,6 +5772,77 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Planted pages for the C4 line filters (q215/q216) — branch
+    * `doc_id % 5`: 0 = clean page (3 good lines survive; a short line
+    * and an unpunctuated line die), 1 = only 2 sentences survive →
+    * page dropped, 2 = "lorem ipsum" page, 3 = curly-brace page (the
+    * code line also fails the terminal-punct rule), 4 = a javascript
+    * warning LINE dies but the PAGE survives. Good lines carry
+    * exactly one terminal mark so sentence counts are exact.
+    */
+  val C4Branches: Seq[Seq[String]] = {
+    val g1 = "the data of training and that model have with pipeline item"
+    val g2 = " works.\nmore data of the training corpus flows through item"
+    val g3 = " cleanly.\nthe final line of page item"
+    Seq(
+      // 0: clean — 3 good lines + 2 dropped lines
+      Seq(s"$g1$g2$g3", " ends here.\nok.\nno terminal punctuation here"),
+      // 1: only 2 surviving sentences → too_few_sentences
+      Seq(s"$g1$g2", " cleanly.\nok."),
+      // 2: lorem ipsum page marker (the line itself survives the
+      //    line rules — the PAGE rule drops the doc)
+      Seq(s"$g1$g2$g3",
+        " ends here.\nLorem ipsum dolor sit amet consectetur item", "."),
+      // 3: curly-brace page; the code line also fails terminal punct
+      Seq(s"$g1$g2$g3", " ends here.\nfunction foo() { return 1; }"),
+      // 4: javascript warning line dies, page survives
+      Seq(s"$g1$g2$g3",
+        " ends here.\nThis site requires JavaScript enabled to work item",
+        "."))
+  }
+
+  private def c4Corpus(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    def branchText(segs: Seq[String]): Column =
+      concat(segs.zipWithIndex.flatMap { case (seg, i) =>
+        (if (i == 0) Seq.empty[Column] else Seq(ids)) :+ lit(seg)
+      }: _*)
+    val branches = C4Branches.map(branchText)
+    docs(s, dir).select(id,
+      branches.zipWithIndex.tail.foldLeft(
+        when(id % 5 === 0, branches(0))) {
+        case (acc, (b, i)) => acc.when(id % 5 === i, b)
+      }.as("text"))
+  }
+
+  /** C4 line-level cleaning (Raffel et al. JMLR 2020 §2.2,
+    * [[C4Filter.clean]]): terminal-punctuation line retention, the
+    * ≥5-word line rule, javascript-line removal, and the three page
+    * rules (≥3 surviving sentences, lorem ipsum, curly brace) over
+    * planted single-rule pages — kept text, counts, the keep verdict
+    * and the first-matching drop reason all replayed in SQL.
+    */
+  val q215C4Filter: Q = (s, dir) =>
+    C4Filter.clean(c4Corpus(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  /** STREAMING C4 cleaning — [[C4Filter.clean]] is a zero-exchange
+    * per-row projection, so it runs at ingest statelessly;
+    * bit-identical to batch, oracle = q215's SQL verbatim.
+    */
+  val q216StreamingC4Filter: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q216")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val mixed = c4Corpus(s, dir)
+    val in = memoFixture("q216in", dir) { p =>
+      mixed.write.mode("overwrite").parquet(p)
+    }
+    val scored = C4Filter.clean(
+      s.readStream.schema(mixed.schema).parquet(in), "doc_id", "text")
+    runToSink(scored, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -5987,5 +6058,7 @@ object Queries {
     "q212_trained_ivfpq_stored" -> q212TrainedIvfPqStored,
     "q213_web_pipeline" -> q213WebPipeline,
     "q214_quantile_sketch" -> q214QuantileSketch,
+    "q215_c4_filter" -> q215C4Filter,
+    "q216_streaming_c4_filter" -> q216StreamingC4Filter,
   )
 }
