@@ -1609,6 +1609,12 @@ object Similarity {
     val books =
       if (residual) pqResidualCodebooksSeeded(bs, seeds, idCol, vecCol, dim, m)
       else pqCodebooksSeeded(bs, idCol, vecCol, dim, m)
+    // a REBUILD resets the generation clock: stale tombstones from a
+    // previous append at this path would otherwise drop the fresh
+    // gen-0 codes at serve time
+    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tfs.exists(tp)) tfs.delete(tp, true)
     ivfPqCodes(corpus, seeds, idCol, vecCol, books, residual)
       .withColumn("_gen", lit(0L))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
@@ -1646,7 +1652,6 @@ object Similarity {
   def appendToIvfPqIndex(delta: DataFrame, path: String, idCol: String,
       vecCol: String): Unit = {
     val spark = delta.sparkSession
-    import spark.implicits._
     val meta = spark.read.parquet(s"$path/meta").head()
     val m = meta.getInt(meta.fieldIndex("m"))
     val dim = meta.getInt(meta.fieldIndex("dim"))

@@ -293,6 +293,16 @@ class PqSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     graft.core.OpCache.release()
     assert(again === servedFull)
+    // a REBUILD at the appended path resets the generation clock:
+    // stale tombstones must not drop the fresh gen-0 codes
+    Similarity.writeIvfPqIndex(clustered, seeds, "vec_id", "embedding",
+      m = 4, dim = 8, inc, bookSeeds = bookSeeds)
+    assert(!new java.io.File(s"$inc/tombstones").exists())
+    val rebuilt = Similarity.pqIvfTopKFromIndex(q, inc, "vec_id",
+        "embedding", k = 4, nProbe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    assert(rebuilt === servedFull)
   }
 
   test("empty delta append is a no-op: no new generation, serving unchanged") {
