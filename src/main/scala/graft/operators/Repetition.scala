@@ -274,4 +274,266 @@ object Repetition {
           col("top_2gram_char_frac") <= MaxTop2GramCharFrac &&
           col("dup_5gram_char_frac") <= MaxDup5GramCharFrac)
   }
+
+  val MaxDupParaFrac = 0.30
+  val MaxDupParaCharFrac = 0.20
+  /** Table A1 thresholds: top-n-gram char fraction, n = 2, 3, 4. */
+  val TopNGramThresholds: Seq[(Int, Double)] =
+    Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  /** Table A1 thresholds: dup-n-gram char coverage, n = 5..10. */
+  val DupNGramThresholds: Seq[(Int, Double)] =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11,
+      10 -> 0.10)
+
+  /** n-gram windows tagged with their size and 1-based start: an
+    * array of (_n, _p, _w) structs, so several n sizes can share one
+    * explode (the flatten-of-arrays is built per row from attribute
+    * references only — the staged-columns HOF discipline).
+    */
+  private def gramsPos(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => struct(lit(n).as("_n"), i.as("_p"),
+          concat_ws(" ", slice(tk, i, lit(n))).as("_w"))))
+      .otherwise(array().cast("array<struct<_n:int,_p:int,_w:string>>"))
+
+  /** The COMPLETE Gopher Table A1 repetition half (Rae et al. 2021):
+    * [[report]]'s four metrics plus PARAGRAPH duplicates (split on a
+    * blank line, empty segments dropped; same dual convention as
+    * lines — excess-copies for the fraction, whole-group for char
+    * coverage), top-{2,3,4}-gram char fractions, and duplicated
+    * {5..10}-gram char COVERAGE (interval union per n, overlaps
+    * counted once) — all thirteen thresholds of the paper's
+    * repetition rules under one `pass` conjunction.
+    *
+    * 100 TB shape: ONE exchange per metric FAMILY, not per n — the
+    * three top-n gram streams ride a single tagged (doc, n, gram)
+    * explode with map-side partial counts and a window partitioned
+    * by (doc, n); the six dup-n window streams ride a single tagged
+    * (doc, n, pos, window) explode (same two-pass
+    * duplicate-window → covered-position union as [[report]], the n
+    * tag just widens the key). Keys are always doc-scoped — never
+    * corpus-sized. Every ratio is one IEEE division of exact
+    * integers rounded 6 dp, so the DuckDB oracle replays
+    * bit-for-bit. A doc with no paragraphs after the empty filter
+    * (empty text) scores 0.0 on the paragraph metrics via the left
+    * join, mirroring [[report]]'s n-gram convention.
+    */
+  def reportFull(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol),
+        col(textCol).as("_txt"),
+        split(col(textCol), "\n").as("_ln"),
+        filter(split(col(textCol), "\n\n"), p => length(p) > 0).as("_pg"),
+        Text.tokens(translate(col(textCol), "\n", " ")).as("_tk"))
+      .persistTracked
+
+    // ---- line + paragraph duplicates: explode → within-doc groups --
+    def dupGroups(arr: String, nName: String, fName: String,
+        cfName: String): DataFrame = {
+      val gc = (col("_c") * length(col("_e")).cast("long"))
+      base.select(col(idCol), explode(col(arr)).as("_e"))
+        .groupBy(col(idCol), col("_e"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(idCol)
+        .agg(sum(col("_c")).as("_n"),
+          count(lit(1)).as("_d"),
+          sum(gc).as("_tc"),
+          sum(when(col("_c") >= 2, gc).otherwise(0L)).as("_dc"))
+        .select(col(idCol),
+          col("_n").as(nName),
+          r6((col("_n") - col("_d")).cast("double") /
+            col("_n").cast("double")).as(fName),
+          when(col("_tc") > 0,
+            r6(col("_dc").cast("double") / col("_tc").cast("double")))
+            .otherwise(0.0).as(cfName))
+    }
+    val lines = dupGroups("_ln", "n_lines", "dup_line_frac",
+      "dup_line_char_frac")
+    val paras = dupGroups("_pg", "n_paras", "dup_para_frac",
+      "dup_para_char_frac")
+
+    // ---- top-{2,3,4}-gram char fractions: ONE tagged exchange ------
+    val topNs = TopNGramThresholds.map(_._1)
+    val topOcc = base.select(col(idCol), length(col("_txt")).as("_tc"),
+        explode(flatten(array(topNs.map(n =>
+          transform(grams(col("_tk"), n),
+            g => struct(lit(n).as("_n"), g.as("_g")))): _*))).as("_s"))
+      .select(col(idCol), col("_tc"),
+        col("_s._n").as("_n"), col("_s._g").as("_g"))
+    val byDocN = Window.partitionBy(col(idCol), col("_n"))
+    val topAggs = topNs.map(n => max(when(col("_n") === n,
+      r6((col("_c") * length(col("_g"))).cast("double") /
+        col("_tc").cast("double"))))
+      .as(s"top_${n}gram_char_frac"))
+    val topN = topOcc
+      .groupBy(col(idCol), col("_tc"), col("_n"), col("_g"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_rn", row_number().over(
+        byDocN.orderBy(col("_c").desc, col("_g"))))
+      .filter(col("_rn") === 1)
+      .groupBy(idCol)
+      .agg(topAggs.head, topAggs.tail: _*)
+
+    // ---- dup-{5..10}-gram char coverage: ONE tagged exchange -------
+    // occ is referenced twice (duplicate-window detection + the
+    // position join-back) with no exchange reuse between the two
+    // subtrees — persist so the 6-family struct build + explode runs
+    // ONCE. Measured isolated at sf0.1 (min of 3): 18.1 s
+    // un-persisted → 11.2 s; merging the top-n families into this
+    // explode with a shared (doc, n, window) count aggregate was
+    // TRIED and measured WORSE (14.7–16.8 s: 1.5× persisted rows +
+    // a second persisted frame + an extra join for the text length
+    // outweigh the saved explode), so the two families stay separate.
+    val dupNs = DupNGramThresholds.map(_._1)
+    val occ = base.select(col(idCol),
+        explode(flatten(array(dupNs.map(n =>
+          gramsPos(col("_tk"), n)): _*))).as("_s"))
+      .select(col(idCol), col("_s._n").as("_n"),
+        col("_s._p").as("_p"), col("_s._w").as("_w"))
+      .persistTracked
+    val dupWins = occ.groupBy(col(idCol), col("_n"), col("_w"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2)
+      .select(col(idCol), col("_n"), col("_w"))
+    val coveredPos = occ.join(dupWins, Seq(idCol, "_n", "_w"))
+      .select(col(idCol), col("_n"),
+        explode(sequence(col("_p"), col("_p") + col("_n") - 1)).as("_pos"))
+      .distinct()
+    val covAggs = dupNs.map(n =>
+      max(when(col("_n") === n, col("_cov"))).as(s"_cov$n"))
+    val covN = coveredPos
+      .join(base.select(col(idCol), col("_tk")), idCol)
+      .groupBy(col(idCol), col("_n"))
+      .agg(sum(length(element_at(col("_tk"), col("_pos"))).cast("long"))
+        .as("_cov"))
+      .groupBy(idCol)
+      .agg(covAggs.head, covAggs.tail: _*)
+    val tokChars = base.select(col(idCol),
+      aggregate(col("_tk"), lit(0L), (a, t) => a + length(t).cast("long"))
+        .as("_tkc"))
+
+    val dupCols = dupNs.map(n =>
+      when(col("_tkc") > 0,
+        r6(coalesce(col(s"_cov$n"), lit(0L)).cast("double") /
+          col("_tkc").cast("double"))).otherwise(0.0)
+        .as(s"dup_${n}gram_char_frac"))
+    val out = lines
+      .join(paras, Seq(idCol), "left")
+      .join(topN, Seq(idCol), "left")
+      .join(tokChars, Seq(idCol))
+      .join(covN, Seq(idCol), "left")
+      .select(Seq(col(idCol), col("n_lines"), col("dup_line_frac"),
+        col("dup_line_char_frac"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("dup_para_frac"), lit(0.0)).as("dup_para_frac"),
+        coalesce(col("dup_para_char_frac"), lit(0.0))
+          .as("dup_para_char_frac")) ++
+        topNs.map(n => coalesce(col(s"top_${n}gram_char_frac"), lit(0.0))
+          .as(s"top_${n}gram_char_frac")) ++
+        dupCols: _*)
+    val pass = (Seq(
+      col("dup_line_frac") <= MaxDupLineFrac,
+      col("dup_line_char_frac") <= MaxDupLineCharFrac,
+      col("dup_para_frac") <= MaxDupParaFrac,
+      col("dup_para_char_frac") <= MaxDupParaCharFrac) ++
+      TopNGramThresholds.map { case (n, t) =>
+        col(s"top_${n}gram_char_frac") <= t } ++
+      DupNGramThresholds.map { case (n, t) =>
+        col(s"dup_${n}gram_char_frac") <= t }).reduce(_ && _)
+    out.withColumn("pass", pass)
+  }
+
+  /** [[reportFull]] as a PURE PER-ROW PROJECTION — the
+    * [[reportRowwise]] trade applied to all thirteen Table A1
+    * metrics: zero exchanges, no state, streaming-capable at ingest;
+    * bit-identical output (RepetitionSpec locks it; q222 gates the
+    * stream against q217's SQL verbatim). Cost is O(G²)/row PER GRAM
+    * FAMILY (nine families: counts for n = 2,3,4, duplicate flags
+    * for n = 5..10) — doc-bounded, and every gram array and derived
+    * count/flag array is STAGED AS A COLUMN before any lambda reads
+    * it (interpreted HOFs re-evaluate non-trivial subtrees per
+    * element; the q199 lesson). On corpora that may contain
+    * pathologically long documents, prefer the shuffle form
+    * [[reportFull]] — there is deliberately no capped variant here:
+    * thirteen capped metrics would silently change the `pass`
+    * semantics of the paper's thresholds.
+    */
+  def reportFullRowwise(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val topNs = TopNGramThresholds.map(_._1)
+    val dupNs = DupNGramThresholds.map(_._1)
+    val staged = docs.select(col(idCol),
+        col(textCol).as("_txt"),
+        split(col(textCol), "\n").as("_ln"),
+        filter(split(col(textCol), "\n\n"), p => length(p) > 0).as("_pg"),
+        Text.tokens(translate(col(textCol), "\n", " ")).as("_tk"))
+      .withColumns(topNs.map(n => s"_g$n" -> grams(col("_tk"), n)).toMap)
+      .withColumns(dupNs.map(n => s"_w$n" -> grams(col("_tk"), n)).toMap)
+      .withColumns(topNs.map(n => s"_c$n" ->
+        transform(col(s"_g$n"),
+          g => size(filter(col(s"_g$n"), x => x === g)))).toMap)
+      .withColumns(dupNs.map(n => s"_f$n" ->
+        transform(col(s"_w$n"),
+          w => size(filter(col(s"_w$n"), x => x === w)) >= 2)).toMap)
+
+    def dupUnit(arr: Column): (Column, Column, Column) = {
+      val n = size(arr)
+      val chars = aggregate(arr, lit(0L),
+        (a, u) => a + length(u).cast("long"))
+      val dupChars = aggregate(arr, lit(0L), (a, u) =>
+        a + when(size(filter(arr, x => x === u)) >= 2,
+          length(u).cast("long")).otherwise(lit(0L)))
+      (n.cast("long"),
+        when(n > 0, r6((n - size(array_distinct(arr))).cast("double") /
+          n.cast("double"))).otherwise(0.0),
+        when(chars > 0, r6(dupChars.cast("double") / chars.cast("double")))
+          .otherwise(0.0))
+    }
+    val (nLines, dupLineFrac, dupLineCharFrac) = dupUnit(col("_ln"))
+    val (nParas, dupParaFrac, dupParaCharFrac) = dupUnit(col("_pg"))
+
+    def topFrac(n: Int): Column = {
+      val maxN = array_max(col(s"_c$n"))
+      val topG = array_min(zip_with(col(s"_g$n"), col(s"_c$n"),
+        (g, c) => when(c === maxN, g)))
+      when(size(col(s"_g$n")) > 0,
+        r6((maxN * length(topG)).cast("double") /
+          length(col("_txt")).cast("double"))).otherwise(0.0)
+    }
+
+    val tokChars = aggregate(col("_tk"), lit(0L),
+      (a, t) => a + length(t).cast("long"))
+    def dupFrac(n: Int): Column = {
+      val covered = when(size(col(s"_w$n")) > 0,
+        array_distinct(flatten(zip_with(col(s"_f$n"),
+          sequence(lit(0), greatest(size(col(s"_w$n")) - 1, lit(0))),
+          (f, j) => when(f, sequence(j, j + (n - 1)))
+            .otherwise(array().cast("array<int>"))))))
+        .otherwise(array().cast("array<int>"))
+      val covChars = aggregate(covered, lit(0L),
+        (a, p) => a + length(element_at(col("_tk"), p + 1)).cast("long"))
+      when(tokChars > 0,
+        r6(covChars.cast("double") / tokChars.cast("double")))
+        .otherwise(0.0)
+    }
+
+    val out = staged.select(Seq(col(idCol),
+      nLines.as("n_lines"),
+      dupLineFrac.as("dup_line_frac"),
+      dupLineCharFrac.as("dup_line_char_frac"),
+      nParas.as("n_paras"),
+      dupParaFrac.as("dup_para_frac"),
+      dupParaCharFrac.as("dup_para_char_frac")) ++
+      topNs.map(n => topFrac(n).as(s"top_${n}gram_char_frac")) ++
+      dupNs.map(n => dupFrac(n).as(s"dup_${n}gram_char_frac")): _*)
+    val pass = (Seq(
+      col("dup_line_frac") <= MaxDupLineFrac,
+      col("dup_line_char_frac") <= MaxDupLineCharFrac,
+      col("dup_para_frac") <= MaxDupParaFrac,
+      col("dup_para_char_frac") <= MaxDupParaCharFrac) ++
+      TopNGramThresholds.map { case (n, t) =>
+        col(s"top_${n}gram_char_frac") <= t } ++
+      DupNGramThresholds.map { case (n, t) =>
+        col(s"dup_${n}gram_char_frac") <= t }).reduce(_ && _)
+    out.withColumn("pass", pass)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Text, TextExpressions}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** BM25 keyword retrieval over a document corpus — the ranking function
@@ -238,5 +238,149 @@ object Retrieval {
       .join(fused, Seq("_q", "_id"))
       .select(col("_q").as(queryCol), col("rank"), col("_id").as(idCol),
         col("rrf"), col("n_lists"))
+  }
+
+  /** Postings rows of a corpus against a fixed bucket count: one
+    * (term, id, dl, tf, bucket) row per distinct term of each doc —
+    * tf from a within-doc (term, doc) partial-aggregated count,
+    * bucket = pmod(murmur3(term), nBuckets). Shared by
+    * [[writeInvertedIndex]] and [[appendToInvertedIndex]] so appended
+    * postings are BY CONSTRUCTION the rows a full rebuild would
+    * produce.
+    */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        Text.tokens(col(textCol)).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+      .select(col("id"), col("dl"), explode(col("_toks")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("id"), col("dl"), col("tf"),
+        pmod(hash(col("term")), lit(nBuckets)).as("bucket"))
+
+  /** One mergeable stats row for a corpus slice: doc count and total
+    * token length (plus the index's bucket count, constant across
+    * rows). Serving SUMS all stats rows, so an append just adds a
+    * row — N and avgdl after an append are exactly the full-rebuild
+    * values.
+    */
+  private def statsOf(docs: DataFrame, textCol: String,
+      nBuckets: Int): DataFrame =
+    docs.select(Text.tokens(col(textCol)).as("_toks"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("_toks")).cast("long")), lit(0L))
+          .as("total_len"))
+      .withColumn("n_buckets", lit(nBuckets))
+
+  /** STORED INVERTED INDEX — the lexical twin of the stored ANN index
+    * (`Similarity.writeIvfPqIndex`): tokenize and aggregate ONCE,
+    * serve forever. Postings (term, id, dl, tf) are written
+    * `partitionBy(bucket)` with bucket = hash(term) % nBuckets, so a
+    * T-term query reads at most T bucket DIRECTORIES of a
+    * corpus-sized table (PlanShapeSpec locks the partition prune);
+    * the stats sidecar is one mergeable (n_docs, total_len) row.
+    * Per-term df is NOT a sidecar: it is the posting-row count of the
+    * term, exact from the probed bucket alone — nothing corpus-wide
+    * is read at serve time.
+    *
+    * 100 TB shape: the build is one explode + one (term, doc)-keyed
+    * partial-agg exchange (never a vocabulary-sized key — (term, doc)
+    * cardinality is bounded by total tokens); serving reads T
+    * directories, broadcasts a T-row df frame, and ranks with the
+    * same TakeOrdered top-k as [[bm25TopK]] — no global sort, no
+    * full scan per query.
+    */
+  def writeInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    postingsOf(docs, idCol, textCol, nBuckets)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    statsOf(docs, textCol, nBuckets)
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** INCREMENTAL APPEND to a stored inverted index — a 100 TB corpus
+    * is never re-tokenized from scratch per crawl (the q85/q148/q179/
+    * q207 incremental discipline, lexical edition). Delta postings
+    * are a pure per-doc function of (text, nBuckets), appended into
+    * the bucket partition directories; the stats sidecar gains one
+    * row and serving SUMS rows, so N, avgdl and every df — and hence
+    * EVERY score, including those of pre-existing docs — equal the
+    * full-rebuild values exactly (q220 gates serving over
+    * base+append against the full-corpus SQL replay). Precondition
+    * (the q179 disjoint-delta contract): delta ids are NEW — a
+    * re-ingested id would double-count; rebuild to compact.
+    * An empty delta is a no-op, not a new stats row.
+    */
+  def appendToInvertedIndex(deltaDocs: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val spark = deltaDocs.sparkSession
+    if (deltaDocs.select(col(idCol)).take(1).isEmpty) return
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .select(max(col("n_buckets"))).head().getInt(0)
+    postingsOf(deltaDocs, idCol, textCol, nBuckets)
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    statsOf(deltaDocs, textCol, nBuckets)
+      .write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** Top-k BM25 served from a stored index ([[writeInvertedIndex]]):
+    * bit-identical to [[bm25TopK]] over the indexed corpus — the
+    * per-term (tf, df) pairs are pivoted back into the SAME
+    * fixed-`terms`-order left-associative score tree (each pivot
+    * aggregate sums exactly one long, so every input to the float
+    * arithmetic is the integer the full scan would produce), with
+    * (N, total_len) read from the summed stats sidecar as plan
+    * constants. The probed-bucket values are resolved by one
+    * T-row job against the engine's own hash (never reimplemented
+    * driver-side), then land as literals IN the partition column —
+    * the codes-scan prune of q201, lexical edition.
+    */
+  def bm25TopKFromIndex(spark: SparkSession, path: String, idCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    import spark.implicits._
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("_n"), sum(col("total_len")).as("_len"),
+        max(col("n_buckets")).as("_nb")).head()
+    val nBuckets = st.getAs[Int]("_nb")
+    // T-row bounded job: bucket of each query term via the same
+    // hash expression the build used
+    val buckets = terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+    val dfs = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("_df"))
+    val pivots = terms.zipWithIndex.flatMap { case (t, i) => Seq(
+      sum(when(col("term") === t, col("tf"))).as(s"_tf$i"),
+      max(when(col("term") === t, col("_df"))).as(s"_df$i")) }
+    val perDoc = postings.join(broadcast(dfs), "term")
+      .groupBy(col("id"), col("dl"))
+      .agg(pivots.head, pivots.tail: _*)
+    val nD = lit(st.getAs[Long]("_n")).cast("double")
+    val avgdl = lit(st.getAs[Long]("_len")).cast("double") / nD
+    val dlD = col("dl").cast("double")
+    val score: Column = terms.indices.map { i =>
+      val tf = coalesce(col(s"_tf$i"), lit(0L)).cast("double")
+      val dfD = col(s"_df$i").cast("double")
+      val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+      when(tf > lit(0.0),
+        (idf * (tf * (lit(k1) + lit(1.0)))) /
+          (tf + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (dlD / avgdl))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    perDoc
+      .withColumn("score", round(score, 6))
+      .filter(col("score") > lit(0.0))
+      .select(col("id").as(idCol), col("dl"), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
   }
 }

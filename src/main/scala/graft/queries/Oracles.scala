@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Ewma, HtmlClean, Redact}
+import graft.operators.{Ewma, HtmlClean, Redact, Repetition}
 
 /** DuckDB oracle SQL twins for [[Queries]] (driver contract: run on the
   * same parquet tables, hash-compared column-by-column).
@@ -5104,10 +5104,12 @@ object Oracles {
     * the rounded-then-ranked ADC top-5, per-query matched counts and
     * the mean.
     */
-  private def pqIvfResidualRecallSqlWith(leading: String, scSql: String,
-      nProbe: Int): String =
-    s"""WITH ${pqIvfResidualPrefix(leading, scSql, nProbe)},
-       |ex AS MATERIALIZED (
+  /** The exact brute-force gold (top-5 cosine per query) and the
+    * rounded-then-ranked ADC top-5 as reusable CTEs over the shared
+    * prefix — referenced by the recall replays and the q221 sweep.
+    */
+  private lazy val pqIvfExAdcCtes: String =
+    s"""ex AS MATERIALIZED (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
@@ -5128,7 +5130,12 @@ object Oracles {
        |    FROM est e JOIN n qn ON qn.vec_id = e.query_id
        |    JOIN n cn ON cn.vec_id = e.neighbor_id)
        |  WHERE rn <= 5
-       |),
+       |)""".stripMargin
+
+  private def pqIvfResidualRecallSqlWith(leading: String, scSql: String,
+      nProbe: Int): String =
+    s"""WITH ${pqIvfResidualPrefix(leading, scSql, nProbe)},
+       |$pqIvfExAdcCtes,
        |m AS (
        |  SELECT ex.query_id,
        |    CAST(SUM(CASE WHEN adc.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
@@ -5158,6 +5165,24 @@ object Oracles {
          |    sqrt(CAST(list_sum([CAST(sv[i] * sv[i] AS DECIMAL(38,12)) FOR i IN range(1, 65)]) AS DOUBLE)) AS sn
          |  FROM (SELECT cell, [CAST(CAST(c[i] AS REAL) AS DOUBLE) FOR i IN range(1, 65)] AS sv FROM kc2) tsc""".stripMargin,
       nProbe = 2)
+
+  /** q221: the OPERATING-POINT SWEEP — one residual-IVFADC replay per
+    * nProbe, each reduced to its mean recall@5 (intersection of the
+    * ADC top-5 with the exact gold over all 50 queries), union'd into
+    * the (n_probe, mean_recall) tuning table.
+    */
+  private lazy val pqIvfProbeSweepSql: String =
+    Seq(1, 2, 4).map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS n_probe, mean_recall FROM (
+         |  WITH ${pqIvfResidualPrefix("", pqIvfSeededScSql, p)},
+         |  $pqIvfExAdcCtes
+         |  SELECT ROUND(
+         |      CAST((SELECT COUNT(*) FROM adc JOIN ex
+         |              ON adc.query_id = ex.query_id
+         |             AND adc.neighbor_id = ex.neighbor_id) AS DOUBLE)
+         |    / CAST((SELECT COUNT(*) FROM ex) AS DOUBLE), 6) AS mean_recall
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY n_probe"
 
   /** q208: the RANKING tail — the streamed serve emits the candidate
     * rows themselves (est + rank), so the oracle replays the rounded
@@ -5517,9 +5542,30 @@ object Oracles {
       // end-to-end web ingestion: main-content extraction chained
       // into the Gopher format tail (minWords tuned to the fixture)
       "q213_web_pipeline" -> webPipelineSql,
+      // stream ≡ batch for the two composed stateless projections
+      // (extraction + format filter) — q213's SQL verbatim
+      "q218_streaming_web_pipeline" -> webPipelineSql,
       // C4 line filters: retention, reassembly, sentence count, and
       // the ordered page-rule verdict replayed
       "q215_c4_filter" -> c4FilterSql,
+      // the complete Table A1 repetition half: paragraph duplicates,
+      // top-{2,3,4}-gram fractions, dup-{5..10}-gram coverage — the
+      // per-n CTEs are GENERATED from the operator's threshold tables
+      "q217_full_repetition" -> fullRepetitionSql,
+      // stream ≡ batch for the thirteen-metric per-row projection
+      "q222_streaming_full_repetition" -> fullRepetitionSql,
+      // stored inverted index: serving from bucket-pruned postings
+      // must be bit-identical to the from-scratch BM25 scan
+      "q219_stored_bm25_index" ->
+        bm25Sql(Seq("spark", "join", "stream"), 20),
+      // incremental index append ≡ full rebuild: serving over
+      // base+delta gates against the FULL-corpus replay (summed
+      // stats rows make N/avgdl/df the rebuild values exactly)
+      "q220_bm25_index_append" ->
+        bm25Sql(Seq("data", "table", "merge", "vector"), 20),
+      // recall-vs-directories-read tuning table: one full IVFADC
+      // replay per nProbe, reduced to mean recall@5
+      "q221_ivfpq_probe_sweep" -> pqIvfProbeSweepSql,
       // stream ≡ batch for the stateless line-filter projection
       "q216_streaming_c4_filter" -> c4FilterSql,
       // mergeable GK quantile sketch gated within its rank-error
@@ -6149,4 +6195,158 @@ object Oracles {
            |  LEFT JOIN cov ON cov.doc_id = lm.doc_id
            |)
            |ORDER BY doc_id""".stripMargin
+
+  /** q217: the COMPLETE Table A1 repetition replay — q198's line/
+    * gram machinery widened to paragraphs, top-{2,3,4} and
+    * dup-{5..10}; the per-n CTE families are generated from the SAME
+    * (n, threshold) tables [[graft.operators.Repetition]] uses, so
+    * operator and oracle cannot drift on n ranges or thresholds.
+    */
+  private lazy val fullRepetitionSql: String = {
+    val ten = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val topNs = graft.operators.Repetition.TopNGramThresholds
+    val dupNs = graft.operators.Repetition.DupNGramThresholds
+    val nn = "chr(10) || chr(10)"
+    val fixture =
+      s"""d AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    'intro ' || text || $nn ||
+         |    CASE WHEN doc_id % 3 = 0 THEN 'shared paragraph body repeated'
+         |         ELSE 'solo para ' || CAST(doc_id AS VARCHAR) END || $nn ||
+         |    CASE WHEN doc_id % 3 = 0 THEN 'shared paragraph body repeated'
+         |         ELSE 'other para ' || CAST(doc_id AS VARCHAR) END || $nn ||
+         |    CASE WHEN doc_id % 7 = 0 THEN '$ten $ten'
+         |         ELSE 'tail ten ' || CAST(doc_id AS VARCHAR) END || $nn ||
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN 'buy now buy now buy now buy now buy now buy now'
+         |         ELSE 'end e' || CAST(doc_id AS VARCHAR) END AS text
+         |  FROM documents
+         |)""".stripMargin
+    def dupGroupCtes(src: String, unit: String, cn: String,
+        mn: String): String =
+      s"""${cn} AS MATERIALIZED (
+         |  SELECT doc_id, $unit, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM $src GROUP BY 1, 2
+         |),
+         |$mn AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(SUM(c) AS BIGINT) AS n_units,
+         |    ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS dup_frac,
+         |    CASE WHEN SUM(c * length($unit)) > 0 THEN
+         |      ROUND(CAST(SUM(CASE WHEN c >= 2 THEN c * length($unit) ELSE 0 END) AS DOUBLE) /
+         |            CAST(SUM(c * length($unit)) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS dup_char_frac
+         |  FROM $cn GROUP BY doc_id
+         |)""".stripMargin
+    def gramSrc(n: Int, outCol: String): String =
+      s"""(
+         |  SELECT doc_id, i,
+         |    array_to_string(tk[CAST(i AS BIGINT):CAST(i + ${n - 1} AS BIGINT)], ' ') AS $outCol
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - ${n - 2})) AS i FROM t)
+         |)""".stripMargin
+    val topCtes = topNs.map { case (n, _) =>
+      s"""g${n}c AS MATERIALIZED (
+         |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM ${gramSrc(n, "g")} GROUP BY 1, 2
+         |),
+         |top$n AS MATERIALIZED (
+         |  SELECT x.doc_id,
+         |    ROUND(CAST(x.c * length(x.g) AS DOUBLE) /
+         |          CAST(length(t2.text) AS DOUBLE), 6) AS v
+         |  FROM (SELECT doc_id, g, c,
+         |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+         |        FROM g${n}c) x
+         |  JOIN t t2 ON t2.doc_id = x.doc_id
+         |  WHERE x.rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val dupCtes = dupNs.map { case (n, _) =>
+      s"""w$n AS MATERIALIZED (
+         |  SELECT doc_id, i, w FROM ${gramSrc(n, "w")}
+         |),
+         |w${n}d AS MATERIALIZED (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, w, COUNT(*) AS c FROM w$n GROUP BY 1, 2) WHERE c >= 2
+         |),
+         |cp$n AS MATERIALIZED (
+         |  SELECT DISTINCT w$n.doc_id, w$n.i + o.off AS pos
+         |  FROM w$n JOIN w${n}d ON w${n}d.doc_id = w$n.doc_id AND w${n}d.w = w$n.w
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${n - 1})) AS off) o
+         |),
+         |cov$n AS MATERIALIZED (
+         |  SELECT c.doc_id,
+         |    CAST(SUM(length(t.tk[CAST(c.pos AS BIGINT)])) AS BIGINT) AS cc
+         |  FROM cp$n c JOIN t ON t.doc_id = c.doc_id GROUP BY 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val topSel = topNs.map { case (n, _) =>
+      s"COALESCE(top$n.v, 0.0) AS top_${n}gram_char_frac" }.mkString(",\n    ")
+    val dupSel = dupNs.map { case (n, _) =>
+      s"""CASE WHEN tkc.n > 0 THEN
+         |      ROUND(CAST(COALESCE(cov$n.cc, 0) AS DOUBLE) / CAST(tkc.n AS DOUBLE), 6)
+         |    ELSE 0.0 END AS dup_${n}gram_char_frac""".stripMargin
+    }.mkString(",\n    ")
+    val joins = (topNs.map { case (n, _) =>
+      s"LEFT JOIN top$n ON top$n.doc_id = lm.doc_id" } ++
+      dupNs.map { case (n, _) =>
+        s"LEFT JOIN cov$n ON cov$n.doc_id = lm.doc_id" }).mkString("\n  ")
+    val metricCols = (Seq("n_paras", "dup_para_frac", "dup_para_char_frac") ++
+      topNs.map { case (n, _) => s"top_${n}gram_char_frac" } ++
+      dupNs.map { case (n, _) => s"dup_${n}gram_char_frac" }).mkString(", ")
+    val pass = (Seq(
+      s"dup_line_frac <= ${Repetition.MaxDupLineFrac}",
+      s"dup_line_char_frac <= ${Repetition.MaxDupLineCharFrac}",
+      s"dup_para_frac <= ${Repetition.MaxDupParaFrac}",
+      s"dup_para_char_frac <= ${Repetition.MaxDupParaCharFrac}") ++
+      topNs.map { case (n, t) => s"top_${n}gram_char_frac <= $t" } ++
+      dupNs.map { case (n, t) => s"dup_${n}gram_char_frac <= $t" })
+      .mkString("\n   AND ")
+    s"""WITH $fixture,
+       |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS u FROM d),
+       |${dupGroupCtes("l", "u", "lcnt", "lmet")},
+       |p AS (
+       |  SELECT doc_id, u FROM (
+       |    SELECT doc_id, unnest(string_split(text, $nn)) AS u FROM d)
+       |  WHERE length(u) > 0
+       |),
+       |${dupGroupCtes("p", "u", "pcnt", "pmet")},
+       |lm AS (
+       |  SELECT doc_id, n_units AS n_lines, dup_frac AS dup_line_frac,
+       |    dup_char_frac AS dup_line_char_frac
+       |  FROM lmet
+       |),
+       |pm AS (
+       |  SELECT doc_id, n_units AS n_paras, dup_frac AS dup_para_frac,
+       |    dup_char_frac AS dup_para_char_frac
+       |  FROM pmet
+       |),
+       |t AS MATERIALIZED (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(replace(text, chr(10), ' '), ' '),
+       |      x -> len(x) > 0) AS tk
+       |  FROM d
+       |),
+       |tkc AS (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(list_sum([length(x) FOR x IN tk]), 0) AS BIGINT) AS n
+       |  FROM t
+       |),
+       |$topCtes,
+       |$dupCtes
+       |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       |  $metricCols,
+       |  ($pass) AS pass
+       |FROM (
+       |  SELECT lm.doc_id, lm.n_lines, lm.dup_line_frac, lm.dup_line_char_frac,
+       |    COALESCE(pm.n_paras, 0) AS n_paras,
+       |    COALESCE(pm.dup_para_frac, 0.0) AS dup_para_frac,
+       |    COALESCE(pm.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+       |    $topSel,
+       |    $dupSel
+       |  FROM lm JOIN tkc ON tkc.doc_id = lm.doc_id
+       |  LEFT JOIN pm ON pm.doc_id = lm.doc_id
+       |  $joins
+       |)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

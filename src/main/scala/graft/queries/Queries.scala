@@ -5843,6 +5843,174 @@ object Queries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** Planted pages for the FULL Gopher repetition filter (q217) —
+    * five "\n\n"-separated paragraphs per doc: para 1 is the varied
+    * base text, paras 2/3 duplicate each other on doc_id % 3
+    * (paragraph metrics), para 4 repeats a 10-token phrase twice on
+    * doc_id % 7 (fires every dup-{5..10} coverage: the k-gram at
+    * window 1 equals the one at window 11 for all k ≤ 10), para 5 is
+    * q198's "buy now" × 6 spam on doc_id % 5 (top-{2,3,4}-gram
+    * fractions — and, being a 2-token phrase repeated 6×, dup-n
+    * signal across the whole n range too). Unique doc-id tails keep
+    * unplanted branches duplicate-free; cross-paragraph k-grams are
+    * unique by construction (each boundary token sequence appears
+    * once per doc).
+    */
+  private def fullRepetitionCorpus(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    val ten = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs(s, dir).select(col("doc_id"), concat(
+      lit("intro "), col("text"), lit("\n\n"),
+      when(id % 3 === 0, lit("shared paragraph body repeated"))
+        .otherwise(concat(lit("solo para "), ids)), lit("\n\n"),
+      when(id % 3 === 0, lit("shared paragraph body repeated"))
+        .otherwise(concat(lit("other para "), ids)), lit("\n\n"),
+      when(id % 7 === 0, lit(s"$ten $ten"))
+        .otherwise(concat(lit("tail ten "), ids)), lit("\n\n"),
+      when(id % 5 === 0,
+        lit("buy now buy now buy now buy now buy now buy now"))
+        .otherwise(concat(lit("end e"), ids))).as("text"))
+  }
+
+  /** The COMPLETE Gopher Table A1 repetition half
+    * ([[Repetition.reportFull]]): q198's line metrics plus paragraph
+    * duplicates, top-{2,3,4}-gram char fractions, and the six
+    * dup-{5..10}-gram interval-union coverages — thirteen thresholds
+    * under one pass verdict, each fired by its own fixture branch
+    * and replayed in SQL (the per-n gram CTEs are GENERATED from the
+    * same (n, threshold) tables the operator uses).
+    */
+  val q217FullRepetition: Q = (s, dir) =>
+    Repetition.reportFull(fullRepetitionCorpus(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** STREAMING end-to-end web ingestion — q213's two stages
+    * ([[MainContent.extract]] → [[GopherQuality.report]] over the
+    * extracted content) are BOTH zero-exchange per-row projections,
+    * so the whole raw-HTML→verdict path runs at ingest as one
+    * stateless stream transform; bit-identical to batch, oracle =
+    * q213's SQL verbatim (the q199/q204/q211/q216 discipline).
+    */
+  val q218StreamingWebPipeline: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q218")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val mixed = mainContentCorpus(s, dir)
+    val in = memoFixture("q218in", dir) { p =>
+      mixed.write.mode("overwrite").parquet(p)
+    }
+    val content = MainContent.extract(
+        s.readStream.schema(mixed.schema).parquet(in), "doc_id", "html")
+      .select(col("doc_id"), col("content"))
+    val scored = GopherQuality.report(content, "doc_id", "content",
+      minWords = 8L)
+    runToSink(scored, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
+  /** STORED BM25 INVERTED INDEX ([[Retrieval.writeInvertedIndex]] /
+    * [[Retrieval.bm25TopKFromIndex]]) — the lexical twin of the
+    * stored ANN index tier (q200/q201): tokenize and aggregate the
+    * corpus ONCE into bucket-partitioned postings + a mergeable
+    * stats sidecar, then serve q75's exact query from T partition
+    * directories instead of a full corpus scan. Oracle = the q75
+    * three-term BM25 SQL replay verbatim — served scores must be
+    * bit-identical to the from-scratch scan.
+    */
+  val q219StoredBm25Index: Q = (s, dir) => {
+    val idx = memoFixture("q219idx", dir) { p =>
+      Retrieval.writeInvertedIndex(docs(s, dir), "doc_id", "text", p,
+        nBuckets = 16)
+    }
+    Retrieval.bm25TopKFromIndex(s, idx, "doc_id",
+      Seq("spark", "join", "stream"), k = 20)
+  }
+
+  /** INCREMENTAL APPEND to the stored BM25 index
+    * ([[Retrieval.appendToInvertedIndex]]): base index over 3/4 of
+    * the corpus, one crawl delta appended — postings are a pure
+    * per-doc function of (text, nBuckets) and the stats sidecar is
+    * summed at serve time, so N/avgdl/df — and hence every score,
+    * including those of BASE docs — equal the full-rebuild values
+    * exactly. Oracle = the full-corpus BM25 SQL replay (append ≡
+    * rebuild, the q207 gate shape for the lexical tier).
+    */
+  val q220Bm25IndexAppend: Q = (s, dir) => {
+    val idx = memoFixture("q220idx", dir) { p =>
+      val d = docs(s, dir)
+      Retrieval.writeInvertedIndex(d.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", p, nBuckets = 16)
+      Retrieval.appendToInvertedIndex(d.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", p)
+    }
+    Retrieval.bm25TopKFromIndex(s, idx, "doc_id",
+      Seq("data", "table", "merge", "vector"), k = 20)
+  }
+
+  /** OPERATING-POINT SWEEP over the stored IVF-PQ index (the q133
+    * LSH-tuning discipline applied to the ANN serving tier): mean
+    * recall@5 of the cell-pruned serve at nProbe ∈ {1, 2, 4} against
+    * the exact gold — the measured recall-vs-directories-read
+    * tradeoff a 100 TB deployment tunes, since each +1 nProbe reads
+    * exactly one more codes partition directory per query. Reuses
+    * q201's stored index and q132's exact-gold fixtures; each
+    * operating point's full ranking replays in SQL, so the hash gate
+    * covers all three, not just the headline number. The sweep
+    * MEASURES rather than assumes monotonicity: on an unclustered
+    * corpus with seeded cells, extra probes can slightly LOWER
+    * recall (more ADC candidates can displace gold from the rounded
+    * top-5) — exactly the effect a tuning table exists to surface
+    * (observed at sf0.01: 0.160 / 0.168 / 0.164 for nProbe 1/2/4).
+    */
+  val q221IvfPqProbeSweep: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 50)
+    val exact = s.read.parquet(memoFixture("q132exact", dir) { p =>
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+          k = 5, roundDp = -1, exact = true)
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(p)
+      graft.core.OpCache.release()
+    })
+    val idx = memoFixture("q201idx", dir) { p =>
+      Similarity.writeIvfPqIndex(emb, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", m = 4, dim = 64, p,
+        bookSeeds = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
+      graft.core.OpCache.release()
+    }
+    Seq(1, 2, 4).map { p =>
+      Similarity.pqIvfTopKFromIndex(q, idx, "vec_id", "embedding",
+          k = 5, nProbe = p)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("_m"))
+        .crossJoin(exact.agg(count(lit(1)).as("_t")))
+        .select(lit(p.toLong).as("n_probe"),
+          round(col("_m").cast("double") / col("_t").cast("double"), 6)
+            .as("mean_recall"))
+    }.reduce(_ unionByName _).orderBy("n_probe")
+  }
+
+  /** STREAMING full Table A1 repetition filter
+    * ([[Repetition.reportFullRowwise]] — all thirteen metrics as one
+    * zero-exchange per-row projection, the q199 trade extended to
+    * the complete rule set): runs at ingest statelessly,
+    * bit-identical to q217's shuffle form, oracle = q217's SQL
+    * verbatim.
+    */
+  val q222StreamingFullRepetition: Q = (s, dir) => {
+    val tmp = Scratch.fresh("q222")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val mixed = fullRepetitionCorpus(s, dir)
+    val in = memoFixture("q222in", dir) { p =>
+      mixed.write.mode("overwrite").parquet(p)
+    }
+    val scored = Repetition.reportFullRowwise(
+      s.readStream.schema(mixed.schema).parquet(in), "doc_id", "text")
+    runToSink(scored, in, out, chk, dropInput = false, needsFlushBatch = false)
+    s.read.parquet(out).orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -6060,5 +6228,11 @@ object Queries {
     "q214_quantile_sketch" -> q214QuantileSketch,
     "q215_c4_filter" -> q215C4Filter,
     "q216_streaming_c4_filter" -> q216StreamingC4Filter,
+    "q217_full_repetition" -> q217FullRepetition,
+    "q218_streaming_web_pipeline" -> q218StreamingWebPipeline,
+    "q219_stored_bm25_index" -> q219StoredBm25Index,
+    "q220_bm25_index_append" -> q220Bm25IndexAppend,
+    "q221_ivfpq_probe_sweep" -> q221IvfPqProbeSweep,
+    "q222_streaming_full_repetition" -> q222StreamingFullRepetition,
   )
 }

@@ -663,4 +663,42 @@ class PlanShapeSpec extends SparkSpec {
       s"gradient aggregation lacks map-side partials:\n$plan")
     assert(!plan.contains("Window"), s"gradient pass uses a window:\n$plan")
   }
+
+  test("stored BM25 index (q219 shape): postings scan prunes to the query terms' bucket directories") {
+    import spark.implicits._
+    val vocab = Vector("spark", "join", "stream", "data", "row", "table")
+    val rnd = new scala.util.Random(41)
+    val docs = (1L to 60L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("invidx_prune")
+      .toString + "/idx"
+    val nBuckets = 8
+    Retrieval.writeInvertedIndex(docs, "doc_id", "text", path, nBuckets)
+    val terms = Seq("spark", "stream")
+    val termBuckets = terms.toDF("term")
+      .select(pmod(hash($"term"), lit(nBuckets))).distinct().count().toInt
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      val q = Retrieval.bm25TopKFromIndex(spark, path, "doc_id", terms, k = 5)
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val postingsScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("/postings")))
+    assert(postingsScans.nonEmpty, s"no postings scan among ${scans.size}")
+    postingsScans.foreach { sc =>
+      // the probed-bucket IN must land as a PARTITION filter…
+      assert(sc.partitionFilters.exists(_.references
+          .exists(_.name == "bucket")),
+        s"no bucket partition filter: ${sc.partitionFilters}")
+      // …pruning the read to at most the terms' distinct buckets
+      assert(sc.relation.location
+          .listFiles(sc.partitionFilters, Nil).size <= termBuckets,
+        "partition pruning did not reduce the postings read to the probed buckets")
+    }
+  }
 }

@@ -120,6 +120,79 @@ class RepetitionSpec extends SparkSpec {
     assert(out(1).getDouble(2) === 0.333333 && out(1).getDouble(3) === 0.833333)
   }
 
+  test("full form: hand-computed paragraph metrics and top-{2,3,4}") {
+    // lines: [p one, "", p one, "", p two] → 5, dups {p one×2, ""×2}
+    // paras: [p one, p one, p two] → 3; tokens: p one p one p two
+    val r = Repetition.reportFull(
+        Seq((1L, "p one\n\np one\n\np two")).toDF("doc_id", "text"),
+        "doc_id", "text").collect().head
+    assert(r.getLong(1) === 5L && r.getDouble(2) === 0.4)
+    assert(r.getDouble(3) === 0.666667)            // 10/15 line chars
+    assert(r.getLong(4) === 3L && r.getDouble(5) === 0.333333)
+    assert(r.getDouble(6) === 0.666667)            // 10/15 para chars
+    assert(r.getDouble(7) === 0.526316)            // "one p"×2: 10/19
+    assert(r.getDouble(8) === 0.736842)            // "p one p"×2: 14/19
+    assert(r.getDouble(9) === 0.578947)            // lex-min 1× 4-gram: 11/19
+    (10 to 15).foreach(i => assert(r.getDouble(i) === 0.0, s"col $i"))
+    assert(!r.getBoolean(16))                      // dup_line_frac 0.4 > 0.30
+  }
+
+  test("full form: a twice-repeated 10-gram saturates every dup-n coverage") {
+    val r = Repetition.reportFull(
+        Seq((1L, "a b c d e f g h i j a b c d e f g h i j"))
+          .toDF("doc_id", "text"), "doc_id", "text").collect().head
+    (10 to 15).foreach(i => assert(r.getDouble(i) === 1.0, s"col $i"))
+    assert(!r.getBoolean(16))
+    // empty text: no paragraphs survive the filter → zeros, pass
+    val e = Repetition.reportFull(Seq((1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(e.getLong(4) === 0L)
+    ((5 to 15)).foreach(i => assert(e.getDouble(i) === 0.0, s"col $i"))
+    assert(e.getBoolean(16))
+  }
+
+  test("full form agrees with report on the shared four metrics") {
+    val rnd = new scala.util.Random(18)
+    val vocab = Vector("aa", "bb", "cc", "dd", "buy", "now")
+    val docs = ((1L to 50L).map { i =>
+      val paras = (0 until 1 + rnd.nextInt(3)).map(_ =>
+        (0 until 1 + rnd.nextInt(3)).map(_ =>
+          Seq.fill(3 + rnd.nextInt(9))(vocab(rnd.nextInt(6))).mkString(" "))
+          .mkString("\n"))
+      (i, paras.mkString("\n\n"))
+    } ++ Seq((100L, ""), (101L, "one"))).toDF("doc_id", "text")
+    val a = Repetition.report(docs, "doc_id", "text")
+      .select("doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "dup_5gram_char_frac")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Repetition.reportFull(docs, "doc_id", "text")
+      .select("doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "dup_5gram_char_frac")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("full rowwise form is bit-identical to the shuffle form; zero exchanges") {
+    val rnd = new scala.util.Random(21)
+    val vocab = Vector("aa", "bb", "cc", "dd", "buy", "now")
+    val docs = ((1L to 50L).map { i =>
+      val paras = (0 until 1 + rnd.nextInt(3)).map(_ =>
+        (0 until 1 + rnd.nextInt(3)).map(_ =>
+          Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(6))).mkString(" "))
+          .mkString("\n"))
+      (i, paras.mkString("\n\n"))
+    } ++ Seq((100L, ""), (101L, "one"),
+      (102L, "a b c d e f g h i j a b c d e f g h i j"))).toDF("doc_id", "text")
+    val a = Repetition.reportFull(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = Repetition.reportFullRowwise(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    val plan = Repetition.reportFullRowwise(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("line cap truncates before tokenization; token cap on the line-capped text") {
     val docs = Seq((1L, "aa bb\ncc dd\nee ff")).toDF("doc_id", "text")
     val r = Repetition.reportCapped(docs, "doc_id", "text",
