@@ -327,6 +327,117 @@ object Retrieval {
       .write.mode("append").parquet(s"$path/stats")
   }
 
+  /** POSITIONAL inverted index — [[writeInvertedIndex]]'s layout with
+    * a per-(term, doc) sorted positions list (the classic Lucene
+    * positions tradeoff: bigger postings buy phrase/proximity
+    * queries without ever re-reading text). Kept as a SEPARATE
+    * writer so the frequency-only index stays slim. Postings:
+    * (term, id, dl, tf, positions) partitioned by
+    * hash(term) % nBuckets; a meta sidecar carries the bucket count.
+    */
+  def writePositionalIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("id"),
+        Text.tokens(col(textCol)).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+      .select(col("id"), col("dl"),
+        posexplode(col("_toks")).as(Seq("_p", "term")))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(sort_array(collect_list(col("_p") + 1)).as("positions"),
+        count(lit(1)).as("tf"))
+      .select(col("term"), col("id"), col("dl"), col("tf"),
+        col("positions"),
+        pmod(hash(col("term")), lit(nBuckets)).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** PHRASE occurrence counts served from a positional index
+    * ([[writePositionalIndex]]): docs containing the exact token
+    * sequence `phrase`, with their occurrence count. Reads ONLY the
+    * phrase terms' bucket directories, pivots each distinct term's
+    * positions array onto one row per doc, and counts the alignment
+    * (positions p of the first term where every later term i sits at
+    * p + i) — equivalent, by construction over whitespace tokens, to
+    * counting the phrase's m-grams in the text (which is exactly how
+    * the q225 oracle replays it; overlapping occurrences each
+    * count). A doc missing any phrase term never aligns (missing
+    * arrays coalesce to empty). Output: (idCol, phrase_tf) for docs
+    * with phrase_tf > 0, which keeps the result a pure function of
+    * the probed buckets.
+    */
+  def phraseOccurrencesFromIndex(spark: SparkSession, path: String,
+      idCol: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    import spark.implicits._
+    val nBuckets = spark.read.parquet(s"$path/meta")
+      .select(max(col("n_buckets"))).head().getInt(0)
+    val terms = phrase.distinct
+    val buckets = terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+    val emptyPos = array().cast("array<int>")
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("positions"))).as(s"_pos$i") }
+    val perDoc = postings.groupBy(col("id"))
+      .agg(pivots.head, pivots.tail: _*)
+    def posOf(i: Int): Column =
+      coalesce(col(s"_pos${terms.indexOf(phrase(i))}"), emptyPos)
+    val aligned = filter(posOf(0), p =>
+      phrase.indices.tail.map(i => array_contains(posOf(i), p + i))
+        .reduce(_ && _))
+    perDoc
+      .select(col("id").as(idCol),
+        size(aligned).cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") > 0)
+  }
+
+  /** COMPACTION for a stored inverted index: after many crawl appends
+    * a bucket directory holds one small file per append and the stats
+    * sidecar one row per slice — compaction rewrites the postings
+    * into fresh bucket partitions and merges the stats to ONE row, at
+    * a NEW path (write-new-flip-pointer, the object-store-safe shape;
+    * an in-place rewrite would race its own input). Serving from the
+    * compacted index is bit-identical to the source (same postings
+    * rows, same stats sums — InvertedIndexSpec locks it, q226 gates
+    * it against the full-corpus replay).
+    */
+  def compactInvertedIndex(spark: SparkSession, srcPath: String,
+      dstPath: String): Unit = {
+    val nBuckets = spark.read.parquet(s"$srcPath/stats")
+      .select(max(col("n_buckets"))).head().getInt(0)
+    spark.read.parquet(s"$srcPath/postings")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dstPath/postings")
+    spark.read.parquet(s"$srcPath/stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_len")).as("total_len"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$dstPath/stats")
+  }
+
+  /** VOCABULARY REPORT from a stored index — corpus term statistics
+    * (document frequency, collection frequency) as ONE aggregate over
+    * the slim postings table, never re-reading text: df = posting-row
+    * count, cf = tf sum. Returns the top-k terms by (df desc, term) —
+    * the q70 heavy-hitters shape served from the index.
+    */
+  def vocabularyFromIndex(spark: SparkSession, path: String,
+      k: Int): DataFrame =
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+
   /** Top-k BM25 served from a stored index ([[writeInvertedIndex]]):
     * bit-identical to [[bm25TopK]] over the indexed corpus — the
     * per-term (tf, df) pairs are pivoted back into the SAME
@@ -339,10 +450,60 @@ object Retrieval {
     * driver-side), then land as literals IN the partition column —
     * the codes-scan prune of q201, lexical edition.
     */
-  def bm25TopKFromIndex(spark: SparkSession, path: String, idCol: String,
-      terms: Seq[String], k: Int,
+  /** BATCH multi-query BM25 served from a stored index — the
+    * standing-queries workload ([[bm25TopKBatch]]) without the corpus
+    * scan: the UNION of all query terms prunes the postings read to
+    * its bucket directories once, per-doc (tf, df) pairs pivot back
+    * into each query's OWN fixed-term-order score tree, and the
+    * per-query top-k is the same mergeable grouped bottom-k on the
+    * negated 6-dp-scaled score. Output rows are bit-identical to
+    * [[bm25TopKBatch]] over the indexed corpus (InvertedIndexSpec
+    * locks it; q223 gates serving against the per-query SQL replays)
+    * — same scores, same ranks, same tie-breaks.
+    */
+  def bm25TopKBatchFromIndex(spark: SparkSession, path: String,
+      idCol: String, queries: Seq[(Long, Seq[String])], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "BM25 needs at least one query term")
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "each query needs at least one term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val (perDoc, nD, avgdl) =
+      pivotedFromIndex(spark, path, allTerms)
+    val dlD = col("dl").cast("double")
+    def termScore(i: Int): Column = {
+      val tf = coalesce(col(s"_tf$i"), lit(0L)).cast("double")
+      val dfD = col(s"_df$i").cast("double")
+      val idf = log(lit(1.0) + (nD - dfD + lit(0.5)) / (dfD + lit(0.5)))
+      when(tf > lit(0.0),
+        (idf * (tf * (lit(k1) + lit(1.0)))) /
+          (tf + lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (dlD / avgdl))))
+        .otherwise(lit(0.0))
+    }
+    val qStructs = queries.map { case (qid, terms) =>
+      val sc = terms.map(t => termScore(allTerms.indexOf(t))).reduce(_ + _)
+      struct(lit(qid).as("q"), round(sc, 6).as("s"))
+    }
+    perDoc
+      .select(col("id"), explode(array(qStructs: _*)).as("_e"))
+      .filter(col("_e.s") > lit(0.0))
+      .select(col("_e.q").as("query_id"),
+        (-round(col("_e.s") * 1e6)).cast("long").as("_k"),
+        col("id").cast("long").as("_id"))
+      .groupBy("query_id")
+      .agg(graft.functions.BottomK.bottomK(k)(col("_k"), col("_id")).as("_s"))
+      .select(col("query_id"), posexplode(col("_s")))
+      .select(col("query_id"), (col("pos") + 1L).cast("long").as("rank"),
+        col("col._2").as(idCol),
+        (-col("col._1").cast("double") / 1e6).as("score"))
+  }
+
+  /** The shared serve-side read: probed-bucket postings pivoted to
+    * one row per doc with (_tf_i, _df_i) per term of `terms`, plus
+    * the summed-stats (N, avgdl) plan constants. Factored so the
+    * single-query and multi-query serves score IDENTICAL inputs.
+    */
+  private def pivotedFromIndex(spark: SparkSession, path: String,
+      terms: Seq[String]): (DataFrame, Column, Column) = {
     import spark.implicits._
     val st = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("_n"), sum(col("total_len")).as("_len"),
@@ -366,6 +527,14 @@ object Retrieval {
       .agg(pivots.head, pivots.tail: _*)
     val nD = lit(st.getAs[Long]("_n")).cast("double")
     val avgdl = lit(st.getAs[Long]("_len")).cast("double") / nD
+    (perDoc, nD, avgdl)
+  }
+
+  def bm25TopKFromIndex(spark: SparkSession, path: String, idCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val (perDoc, nD, avgdl) = pivotedFromIndex(spark, path, terms)
     val dlD = col("dl").cast("double")
     val score: Column = terms.indices.map { i =>
       val tf = coalesce(col(s"_tf$i"), lit(0L)).cast("double")

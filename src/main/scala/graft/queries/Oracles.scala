@@ -649,6 +649,59 @@ object Oracles {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** q223: multi-query BM25 replay — shared d/st/tf CTEs over the
+    * UNION term list, one ROUND(score, 6) column per query built in
+    * that query's OWN term order, then per-query ROW_NUMBER top-k
+    * with the engine's exact output quantization (round6 → ×10⁶ →
+    * round → BIGINT → ÷10⁶ — the bottom-k path's long key replayed
+    * op-for-op so the `score` doubles match bitwise).
+    */
+  private def bm25BatchSql(queries: Seq[(Long, Seq[String])],
+      k: Int): String = {
+    val allTerms = queries.flatMap(_._2).distinct
+    val dfCols = allTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(",\n    ")
+    val tfCols = allTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n      ")
+    def scoreExpr(terms: Seq[String]): String = terms.map { t =>
+      val i = allTerms.indexOf(t)
+      s"(CASE WHEN tf$i > 0.0 THEN (ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * (1.2 + 1.0))) / (tf$i + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (total_len / n)))) ELSE 0.0 END)"
+    }.mkString("\n      + ")
+    val sCols = queries.map { case (qid, terms) =>
+      s"ROUND(${scoreExpr(terms)}, 6) AS s$qid" }.mkString(",\n    ")
+    val parts = queries.map { case (qid, _) =>
+      s"""SELECT query_id, rank, doc_id, score FROM (
+         |  SELECT CAST($qid AS BIGINT) AS query_id,
+         |    ROW_NUMBER() OVER (ORDER BY s$qid DESC, doc_id) AS rank,
+         |    doc_id,
+         |    CAST(CAST(ROUND(s$qid * 1000000.0, 0) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+         |  FROM scq WHERE s$qid > 0.0)
+         |WHERE rank <= $k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+       |  SELECT doc_id, $toksExpr AS toks, len($toksExpr) AS dl
+       |  FROM documents
+       |),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS total_len,
+       |    $dfCols
+       |  FROM d
+       |),
+       |scq AS (
+       |  SELECT doc_id,
+       |    $sCols
+       |  FROM (
+       |    SELECT doc_id, dl,
+       |      $tfCols
+       |    FROM d
+       |  ) CROSS JOIN st
+       |)
+       |$parts
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Hybrid-RRF oracle generator: per-query BM25 replays (q75 score
     * tree over the UNION term list's tf/df columns, ranked top-kList),
     * the q17 decimal-exact dense top-kList, and the integer RRF
@@ -5566,6 +5619,48 @@ object Oracles {
       // recall-vs-directories-read tuning table: one full IVFADC
       // replay per nProbe, reduced to mean recall@5
       "q221_ivfpq_probe_sweep" -> pqIvfProbeSweepSql,
+      // multi-query serving from the stored index: eight per-query
+      // BM25 replays (each over its own fixed term order, ranked and
+      // 6-dp-scale-quantized exactly as the engine's bottom-k path)
+      "q223_bm25_batch_serve" ->
+        bm25BatchSql(graft.queries.Queries.HybridQueries, 10),
+      // stream ≡ batch for index serving: per-query results are
+      // batch-independent, so the streamed union replays identically
+      "q224_streaming_bm25_serve" ->
+        bm25BatchSql(graft.queries.Queries.HybridQueries, 10),
+      // compaction is invisible to serving: full-corpus replay again
+      "q226_bm25_index_compact" -> bm25Sql(Seq("join", "hash", "row"), 20),
+      // df/cf heavy hitters replayed from raw tokens (df = docs
+      // containing the term, cf = total occurrences), ranked
+      // (df DESC, term) top-20 like the engine's index aggregate
+      "q227_vocab_from_index" ->
+        s"""WITH t AS (SELECT doc_id, $toksExpr AS tk FROM documents),
+           |occ AS (SELECT doc_id, unnest(tk) AS term FROM t)
+           |SELECT term,
+           |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           |  CAST(COUNT(*) AS BIGINT) AS cf
+           |FROM occ GROUP BY term
+           |ORDER BY df DESC, term LIMIT 20""".stripMargin,
+      // positional-index phrase serve: position alignment over
+      // whitespace tokens == counting the phrase's 3-grams in text
+      "q225_phrase_from_index" ->
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    'prefix ' || text || ' ' ||
+           |    CASE WHEN doc_id % 4 = 0 THEN 'alpha beta gamma alpha beta gamma'
+           |         WHEN doc_id % 4 = 1 THEN 'alpha beta gamma'
+           |         WHEN doc_id % 4 = 2 THEN 'alpha beta delta'
+           |         ELSE 'filler f' || CAST(doc_id AS VARCHAR) END ||
+           |    ' suffix' AS text
+           |  FROM documents
+           |),
+           |t AS (SELECT doc_id, $toksExpr AS tk FROM d)
+           |SELECT doc_id, CAST(cnt AS BIGINT) AS phrase_tf FROM (
+           |  SELECT doc_id,
+           |    len(list_filter(range(1, len(tk) - 1), i ->
+           |      tk[i] = 'alpha' AND tk[i+1] = 'beta' AND tk[i+2] = 'gamma')) AS cnt
+           |  FROM t
+           |) WHERE cnt > 0 ORDER BY doc_id""".stripMargin,
       // stream ≡ batch for the stateless line-filter projection
       "q216_streaming_c4_filter" -> c4FilterSql,
       // mergeable GK quantile sketch gated within its rank-error

@@ -6011,6 +6011,139 @@ object Queries {
     s.read.parquet(out).orderBy("doc_id")
   }
 
+  /** BATCH multi-query serving from the stored BM25 index
+    * ([[Retrieval.bm25TopKBatchFromIndex]]): q119's eight standing
+    * queries answered from q219's index in ONE probed-bucket read —
+    * the union of all 10 distinct terms prunes the postings scan
+    * once, every query's fixed-order score tree is a projection over
+    * the shared (tf, df) pivot, and the per-query top-k is the
+    * mergeable grouped bottom-k. Oracle = eight per-query BM25
+    * replays (each over its OWN term order) union'd — served
+    * scores/ranks/tie-breaks must equal the full-scan batch
+    * retriever bit-for-bit.
+    */
+  val q223Bm25BatchServe: Q = (s, dir) => {
+    val idx = memoFixture("q219idx", dir) { p =>
+      Retrieval.writeInvertedIndex(docs(s, dir), "doc_id", "text", p,
+        nBuckets = 16)
+    }
+    Retrieval.bm25TopKBatchFromIndex(s, idx, "doc_id", HybridQueries, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** STREAMING query serving from the stored BM25 index: standing
+    * queries ARRIVE as a stream of (query_id, terms) rows and each
+    * micro-batch is served stream-static from q219's index — the
+    * batch's queries (a micro-batch-sized, bounded collect) drive
+    * the same probed-bucket read and fixed-order scoring as q223, so
+    * per-query results are batch-independent, the streamed union ≡
+    * the batch serve bit-for-bit, and the oracle is q223's SQL
+    * verbatim. Per-batchId idempotent sink (the q202 discipline).
+    */
+  val q224StreamingBm25Serve: Q = (s, dir) => {
+    import s.implicits._
+    val idx = memoFixture("q219idx", dir) { p =>
+      Retrieval.writeInvertedIndex(docs(s, dir), "doc_id", "text", p,
+        nBuckets = 16)
+    }
+    val tmp = Scratch.fresh("q224")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val qdf = HybridQueries.toDF("query_id", "terms")
+    val in = memoFixture("q224in", dir) { p =>
+      qdf.write.mode("overwrite").parquet(p)
+    }
+    val stream = s.readStream.schema(qdf.schema).parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qs = batch.select(col("query_id"), col("terms")).collect()
+          .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq
+        if (qs.nonEmpty) {
+          Retrieval.bm25TopKBatchFromIndex(s, idx, "doc_id", qs, k = 10)
+            .write.mode("overwrite").parquet(s"$out/b$batchId")
+          graft.core.OpCache.release()
+        }
+      }
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    stream.awaitTermination()
+    Scratch.drop(chk)
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+      .orderBy("query_id", "rank")
+  }
+
+  /** PHRASE QUERY from a POSITIONAL index
+    * ([[Retrieval.writePositionalIndex]] /
+    * [[Retrieval.phraseOccurrencesFromIndex]], the Lucene positions
+    * tradeoff): planted corpus where doc_id % 4 plants the phrase
+    * twice / once / a 2-of-3 prefix / not at all, the index stores
+    * per-(term, doc) sorted position lists in bucket partitions, and
+    * the serve reads ONLY the phrase terms' buckets and counts
+    * position alignments. Position alignment over whitespace tokens
+    * ≡ counting the phrase's m-grams in the text, which is exactly
+    * how the oracle replays it — the base document text rides along
+    * in both engines, so any natural occurrences count identically.
+    */
+  val q225PhraseFromIndex: Q = (s, dir) => {
+    val corp = phraseCorpus(s, dir)
+    val idx = memoFixture("q225idx", dir) { p =>
+      Retrieval.writePositionalIndex(corp, "doc_id", "text", p,
+        nBuckets = 8)
+    }
+    Retrieval.phraseOccurrencesFromIndex(s, idx, "doc_id",
+      Seq("alpha", "beta", "gamma")).orderBy("doc_id")
+  }
+
+  /** Planted phrase corpus for q225 — the phrase, twice the phrase,
+    * a 2-of-3 prefix (must NOT match), or a unique filler, appended
+    * to the varied base text.
+    */
+  private def phraseCorpus(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val ids = id.cast("string")
+    docs(s, dir).select(col("doc_id"), concat(
+      lit("prefix "), col("text"), lit(" "),
+      when(id % 4 === 0, lit("alpha beta gamma alpha beta gamma"))
+        .when(id % 4 === 1, lit("alpha beta gamma"))
+        .when(id % 4 === 2, lit("alpha beta delta"))
+        .otherwise(concat(lit("filler f"), ids)),
+      lit(" suffix")).as("text"))
+  }
+
+  /** INDEX COMPACTION ([[Retrieval.compactInvertedIndex]]): q220's
+    * appended index (2 stats rows, per-append files in each bucket)
+    * compacted to a fresh path — write-new-flip-pointer, the
+    * object-store-safe shape — then served. Oracle = the FULL-corpus
+    * BM25 replay: compaction must be invisible to every score.
+    */
+  val q226Bm25IndexCompact: Q = (s, dir) => {
+    val idx = memoFixture("q226idx", dir) { p =>
+      val d = docs(s, dir)
+      Retrieval.writeInvertedIndex(d.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", s"$p/src", nBuckets = 16)
+      Retrieval.appendToInvertedIndex(d.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", s"$p/src")
+      Retrieval.compactInvertedIndex(s, s"$p/src", s"$p/idx")
+    }
+    Retrieval.bm25TopKFromIndex(s, s"$idx/idx", "doc_id",
+      Seq("join", "hash", "row"), k = 20)
+  }
+
+  /** VOCABULARY REPORT from the stored index
+    * ([[Retrieval.vocabularyFromIndex]]): corpus df/cf heavy hitters
+    * as one aggregate over the slim postings — the q70 shape without
+    * ever re-reading text. Oracle replays df (distinct docs
+    * containing the term) and cf (total occurrences) from the raw
+    * tokens.
+    */
+  val q227VocabFromIndex: Q = (s, dir) => {
+    val idx = memoFixture("q219idx", dir) { p =>
+      Retrieval.writeInvertedIndex(docs(s, dir), "doc_id", "text", p,
+        nBuckets = 16)
+    }
+    Retrieval.vocabularyFromIndex(s, idx, k = 20)
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -6234,5 +6367,10 @@ object Queries {
     "q220_bm25_index_append" -> q220Bm25IndexAppend,
     "q221_ivfpq_probe_sweep" -> q221IvfPqProbeSweep,
     "q222_streaming_full_repetition" -> q222StreamingFullRepetition,
+    "q223_bm25_batch_serve" -> q223Bm25BatchServe,
+    "q224_streaming_bm25_serve" -> q224StreamingBm25Serve,
+    "q225_phrase_from_index" -> q225PhraseFromIndex,
+    "q226_bm25_index_compact" -> q226Bm25IndexCompact,
+    "q227_vocab_from_index" -> q227VocabFromIndex,
   )
 }

@@ -56,6 +56,65 @@ class InvertedIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/stats").count() === 2L)
   }
 
+  test("multi-query serving from the index equals the full-scan batch retriever") {
+    val docs = corpus(70, 31)
+    val path = tmp("invbatch")
+    Retrieval.writeInvertedIndex(docs, "doc_id", "text", path, nBuckets = 8)
+    val queries = Seq(
+      0L -> Seq("spark", "join", "stream"),
+      1L -> Seq("data", "row"),
+      2L -> Seq("merge", "zzz_absent", "scan"))
+    val full = Retrieval.bm25TopKBatch(docs, "doc_id", "text", queries, k = 12)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val served = Retrieval.bm25TopKBatchFromIndex(spark, path, "doc_id",
+        queries, k = 12)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(served === full)
+    assert(full.nonEmpty)
+  }
+
+  test("positional index: phrase counts equal direct m-gram counts, overlaps included") {
+    val docs = Seq(
+      (1L, "x alpha beta gamma y"),
+      (2L, "alpha beta gamma alpha beta gamma"),
+      (3L, "alpha beta delta"),
+      (4L, "a a a a"),
+      (5L, "beta gamma alpha")).toDF("doc_id", "text")
+    val path = tmp("posidx")
+    Retrieval.writePositionalIndex(docs, "doc_id", "text", path, nBuckets = 4)
+    val r = Retrieval.phraseOccurrencesFromIndex(spark, path, "doc_id",
+        Seq("alpha", "beta", "gamma")).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r === Seq((1L, 1L), (2L, 2L)))
+    // repeated-term phrase: "a a" over "a a a a" -> 3 OVERLAPPING hits
+    val aa = Retrieval.phraseOccurrencesFromIndex(spark, path, "doc_id",
+        Seq("a", "a")).collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(aa === Seq((4L, 3L)))
+  }
+
+  test("compaction is invisible to serving; stats merge to one row") {
+    val docs = corpus(50, 37)
+    val src = tmp("invcsrc")
+    val dst = tmp("invcdst")
+    Retrieval.writeInvertedIndex(docs.filter($"doc_id" % 2 === 0L),
+      "doc_id", "text", src, nBuckets = 4)
+    Retrieval.appendToInvertedIndex(docs.filter($"doc_id" % 2 =!= 0L),
+      "doc_id", "text", src)
+    Retrieval.compactInvertedIndex(spark, src, dst)
+    val terms = Seq("spark", "data")
+    val a = Retrieval.bm25TopKFromIndex(spark, src, "doc_id", terms, 15)
+      .collect().map(_.toSeq).toSeq
+    val b = Retrieval.bm25TopKFromIndex(spark, dst, "doc_id", terms, 15)
+      .collect().map(_.toSeq).toSeq
+    assert(b === a)
+    assert(spark.read.parquet(s"$dst/stats").count() === 1L)
+    val va = Retrieval.vocabularyFromIndex(spark, src, 10)
+      .collect().map(_.toSeq).toSeq
+    val vb = Retrieval.vocabularyFromIndex(spark, dst, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(vb === va)
+  }
+
   test("empty delta is a no-op: no stats row, scores unchanged") {
     val docs = corpus(30, 29)
     val path = tmp("invempty")
