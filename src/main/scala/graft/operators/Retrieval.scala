@@ -467,8 +467,9 @@ object Retrieval {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "each query needs at least one term")
     val allTerms = queries.flatMap(_._2).distinct
-    val (perDoc, nD, avgdl) =
+    val (perDoc, nD, lenD, _) =
       pivotedFromIndex(spark, path, allTerms)
+    val avgdl = lenD / nD
     val dlD = col("dl").cast("double")
     def termScore(i: Int): Column = {
       val tf = coalesce(col(s"_tf$i"), lit(0L)).cast("double")
@@ -498,12 +499,15 @@ object Retrieval {
   }
 
   /** The shared serve-side read: probed-bucket postings pivoted to
-    * one row per doc with (_tf_i, _df_i) per term of `terms`, plus
-    * the summed-stats (N, avgdl) plan constants. Factored so the
-    * single-query and multi-query serves score IDENTICAL inputs.
+    * one row per doc with (_tf_i, _df_i) per term of `terms` (df for
+    * idf scoring — only ever read under a tf > 0 guard, so per-doc
+    * is safe), plus the summed-stats (N, total_len) plan constants
+    * and the GLOBAL per-term collection frequencies for
+    * language-model smoothing. Factored so every index-served ranker
+    * scores IDENTICAL inputs.
     */
   private def pivotedFromIndex(spark: SparkSession, path: String,
-      terms: Seq[String]): (DataFrame, Column, Column) = {
+      terms: Seq[String]): (DataFrame, Column, Column, Map[String, Long]) = {
     import spark.implicits._
     val st = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("_n"), sum(col("total_len")).as("_len"),
@@ -518,7 +522,7 @@ object Retrieval {
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
     val dfs = postings.groupBy(col("term"))
-      .agg(count(lit(1)).as("_df"))
+      .agg(count(lit(1)).as("_df"), sum(col("tf")).as("_cf"))
     val pivots = terms.zipWithIndex.flatMap { case (t, i) => Seq(
       sum(when(col("term") === t, col("tf"))).as(s"_tf$i"),
       max(when(col("term") === t, col("_df"))).as(s"_df$i")) }
@@ -526,15 +530,56 @@ object Retrieval {
       .groupBy(col("id"), col("dl"))
       .agg(pivots.head, pivots.tail: _*)
     val nD = lit(st.getAs[Long]("_n")).cast("double")
-    val avgdl = lit(st.getAs[Long]("_len")).cast("double") / nD
-    (perDoc, nD, avgdl)
+    val lenD = lit(st.getAs[Long]("_len")).cast("double")
+    // global per-term collection frequency as a T-row bounded
+    // collect: cf is a CORPUS constant per term (unlike df, which
+    // only ever appears under a tf > 0 guard, cf feeds the
+    // background probability of docs that do NOT contain the term —
+    // a per-doc pivot would silently zero those contributions)
+    val cfByTerm = dfs.select(col("term"), col("_cf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (perDoc, nD, lenD, cfByTerm)
+  }
+
+  /** Top-k DIRICHLET QUERY-LIKELIHOOD retrieval served from a stored
+    * index (Zhai & Lafferty, SIGIR 2001) — a second ranking family
+    * over the SAME postings, exercising what BM25 does not:
+    * collection frequency. score(d) = Σ_t ln((tf + μ·cf_t/C) /
+    * (dl + μ)) over the query terms in fixed order, where C is the
+    * corpus token count from the summed stats sidecar; terms absent
+    * from the corpus (cf = 0, background probability undefined)
+    * contribute 0 by convention. Candidates are docs matching ≥ 1
+    * query term (the index-served candidate set — unmatched docs'
+    * scores are background-only and never reach a top-k that any
+    * matching doc reaches at sane μ). Scores are NEGATIVE log
+    * likelihoods rounded 6 dp; ties on ascending id.
+    */
+  def qlTopKFromIndex(spark: SparkSession, path: String, idCol: String,
+      terms: Seq[String], k: Int, mu: Double = 1000.0): DataFrame = {
+    require(terms.nonEmpty, "QL needs at least one query term")
+    require(mu > 0.0, "mu must be positive")
+    val (perDoc, _, lenD, cfByTerm) = pivotedFromIndex(spark, path, terms)
+    val dlD = col("dl").cast("double")
+    val score: Column = terms.indices.map { i =>
+      val tf = coalesce(col(s"_tf$i"), lit(0L)).cast("double")
+      val cf = lit(cfByTerm.getOrElse(terms(i), 0L)).cast("double")
+      when(cf > lit(0.0),
+        log((tf + lit(mu) * cf / lenD) / (dlD + lit(mu))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    perDoc
+      .withColumn("score", round(score, 6))
+      .select(col("id").as(idCol), col("dl"), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
   }
 
   def bm25TopKFromIndex(spark: SparkSession, path: String, idCol: String,
       terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
-    val (perDoc, nD, avgdl) = pivotedFromIndex(spark, path, terms)
+    val (perDoc, nD, lenD, _) = pivotedFromIndex(spark, path, terms)
+    val avgdl = lenD / nD
     val dlD = col("dl").cast("double")
     val score: Column = terms.indices.map { i =>
       val tf = coalesce(col(s"_tf$i"), lit(0L)).cast("double")

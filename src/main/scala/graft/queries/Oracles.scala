@@ -649,6 +649,48 @@ object Oracles {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** q228: Dirichlet query-likelihood replay — the smoothed
+    * log-likelihood ln((tf + mu*cf/C)/(dl + mu)) summed in fixed
+    * term order over docs matching >= 1 query term; terms with
+    * cf = 0 contribute 0 (background probability undefined).
+    */
+  private def qlFromIndexSql(terms: Seq[String], k: Int): String = {
+    val mu = "1000.0"
+    val cfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(len(list_filter(toks, x -> x = '$t'))) AS DOUBLE) AS cf$i"
+    }.mkString(",\n    ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n      ")
+    val score = terms.indices.map { i =>
+      s"(CASE WHEN cf$i > 0.0 THEN ln((tf$i + $mu * cf$i / c) / (CAST(dl AS DOUBLE) + $mu)) ELSE 0.0 END)"
+    }.mkString("\n    + ")
+    val matched = terms.indices.map(i => s"tf$i > 0.0").mkString(" OR ")
+    s"""WITH d AS (
+       |  SELECT doc_id, $toksExpr AS toks, len($toksExpr) AS dl
+       |  FROM documents
+       |),
+       |st AS (
+       |  SELECT CAST(SUM(dl) AS DOUBLE) AS c,
+       |    $cfCols
+       |  FROM d
+       |),
+       |sc AS (
+       |  SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       |    ROUND(
+       |      $score
+       |    , 6) AS score,
+       |    ($matched) AS m
+       |  FROM (
+       |    SELECT doc_id, dl,
+       |      $tfCols
+       |    FROM d
+       |  ) CROSS JOIN st
+       |)
+       |SELECT doc_id, dl, score FROM sc WHERE m
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** q223: multi-query BM25 replay — shared d/st/tf CTEs over the
     * UNION term list, one ROUND(score, 6) column per query built in
     * that query's OWN term order, then per-query ROW_NUMBER top-k
@@ -5628,6 +5670,9 @@ object Oracles {
       // batch-independent, so the streamed union replays identically
       "q224_streaming_bm25_serve" ->
         bm25BatchSql(graft.queries.Queries.HybridQueries, 10),
+      // Dirichlet QL from the index: smoothed log-likelihood replay
+      "q228_ql_from_index" ->
+        qlFromIndexSql(Seq("spark", "join", "stream", "zzzunseen"), 20),
       // compaction is invisible to serving: full-corpus replay again
       "q226_bm25_index_compact" -> bm25Sql(Seq("join", "hash", "row"), 20),
       // df/cf heavy hitters replayed from raw tokens (df = docs

@@ -6144,6 +6144,23 @@ object Queries {
     Retrieval.vocabularyFromIndex(s, idx, k = 20)
   }
 
+  /** DIRICHLET QUERY-LIKELIHOOD retrieval from the stored index
+    * ([[Retrieval.qlTopKFromIndex]], Zhai & Lafferty SIGIR 2001): a
+    * SECOND ranking family over the same postings, exercising what
+    * BM25 does not — collection frequency and corpus token count
+    * from the summed stats. The query includes a corpus-absent term
+    * (cf = 0 contributes 0 by convention, both engines). Oracle
+    * replays the smoothed log-likelihood tree term-for-term.
+    */
+  val q228QlFromIndex: Q = (s, dir) => {
+    val idx = memoFixture("q219idx", dir) { p =>
+      Retrieval.writeInvertedIndex(docs(s, dir), "doc_id", "text", p,
+        nBuckets = 16)
+    }
+    Retrieval.qlTopKFromIndex(s, idx, "doc_id",
+      Seq("spark", "join", "stream", "zzzunseen"), k = 20)
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -6372,5 +6389,6 @@ object Queries {
     "q225_phrase_from_index" -> q225PhraseFromIndex,
     "q226_bm25_index_compact" -> q226Bm25IndexCompact,
     "q227_vocab_from_index" -> q227VocabFromIndex,
+    "q228_ql_from_index" -> q228QlFromIndex,
   )
 }

@@ -115,6 +115,29 @@ class InvertedIndexSpec extends SparkSpec {
     assert(vb === va)
   }
 
+  test("QL from index: hand-computed Dirichlet scores; absent terms keep background mass") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry kiwi zebra"),
+      (3L, "plum plum plum")).toDF("doc_id", "text")
+    val path = tmp("invql")
+    Retrieval.writeInvertedIndex(docs, "doc_id", "text", path, nBuckets = 4)
+    val out = Retrieval.qlTopKFromIndex(spark, path, "doc_id",
+        Seq("apple", "banana"), k = 10, mu = 1000.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // C = 10 tokens; cf(apple) = 3, cf(banana) = 1
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def term(tf: Double, cf: Double, dl: Double) =
+      math.log((tf + 1000.0 * cf / 10.0) / (dl + 1000.0))
+    // doc 2 does NOT contain banana — its banana term is the
+    // BACKGROUND probability, not zero (the per-doc-pivot bug class)
+    val s1 = r6(term(2.0, 3.0, 3.0) + term(1.0, 1.0, 3.0))
+    val s2 = r6(term(1.0, 3.0, 4.0) + term(0.0, 1.0, 4.0))
+    assert(out === Seq((1L, 3L, s1), (2L, 4L, s2)))
+    assert(s1 > s2)
+  }
+
   test("empty delta is a no-op: no stats row, scores unchanged") {
     val docs = corpus(30, 29)
     val path = tmp("invempty")
