@@ -438,6 +438,41 @@ object Retrieval {
       .orderBy(col("df").desc, col("term"))
       .limit(k)
 
+  /** PROXIMITY search from a positional index
+    * ([[writePositionalIndex]]): docs where `termA` and `termB`
+    * co-occur within `window` tokens, with their minimal absolute
+    * position distance — the slop-query companion to
+    * [[phraseOccurrencesFromIndex]], reading only the two terms'
+    * bucket directories. The per-doc min-over-pairs is two nested
+    * array folds (O(|posA|·|posB|) per row — term-frequency-bounded,
+    * never corpus-shaped). Output: (idCol, min_dist) for docs with
+    * both terms and min_dist ≤ window.
+    */
+  def proximityFromIndex(spark: SparkSession, path: String, idCol: String,
+      termA: String, termB: String, window: Int): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    require(termA != termB, "proximity needs two distinct terms")
+    import spark.implicits._
+    val nBuckets = spark.read.parquet(s"$path/meta")
+      .select(max(col("n_buckets"))).head().getInt(0)
+    val buckets = Seq(termA, termB).toDF("term")
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(termA, termB))
+    val perDoc = postings.groupBy(col("id"))
+      .agg(max(when(col("term") === termA, col("positions"))).as("_pa"),
+        max(when(col("term") === termB, col("positions"))).as("_pb"))
+      .filter(col("_pa").isNotNull && col("_pb").isNotNull)
+    val minDist = aggregate(col("_pa"), lit(Int.MaxValue), (acc, pa) =>
+      least(acc, aggregate(col("_pb"), lit(Int.MaxValue),
+        (a2, pb) => least(a2, abs(pa - pb)))))
+    perDoc
+      .select(col("id").as(idCol), minDist.cast("long").as("min_dist"))
+      .filter(col("min_dist") <= window)
+  }
+
   /** Top-k BM25 served from a stored index ([[writeInvertedIndex]]):
     * bit-identical to [[bm25TopK]] over the indexed corpus — the
     * per-term (tf, df) pairs are pivoted back into the SAME

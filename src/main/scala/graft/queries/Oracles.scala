@@ -5670,6 +5670,34 @@ object Oracles {
       // batch-independent, so the streamed union replays identically
       "q224_streaming_bm25_serve" ->
         bm25BatchSql(graft.queries.Queries.HybridQueries, 10),
+      // proximity from the positional index: min |posA - posB| over
+      // the pair product, replayed from raw token positions
+      "q229_proximity_from_index" ->
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    'prefix ' || text || ' ' ||
+           |    CASE WHEN doc_id % 4 = 0 THEN 'alpha beta gamma alpha beta gamma'
+           |         WHEN doc_id % 4 = 1 THEN 'alpha beta gamma'
+           |         WHEN doc_id % 4 = 2 THEN 'alpha beta delta'
+           |         ELSE 'filler f' || CAST(doc_id AS VARCHAR) END ||
+           |    ' suffix' AS text
+           |  FROM documents
+           |),
+           |t AS (SELECT doc_id, $toksExpr AS tk FROM d),
+           |pa AS (
+           |  SELECT doc_id, i FROM (
+           |    SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)
+           |  WHERE tk[i] = 'alpha'
+           |),
+           |pb AS (
+           |  SELECT doc_id, i FROM (
+           |    SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)
+           |  WHERE tk[i] = 'gamma'
+           |)
+           |SELECT doc_id, min_dist FROM (
+           |  SELECT pa.doc_id, CAST(MIN(ABS(pa.i - pb.i)) AS BIGINT) AS min_dist
+           |  FROM pa JOIN pb ON pb.doc_id = pa.doc_id GROUP BY 1)
+           |WHERE min_dist <= 2 ORDER BY doc_id""".stripMargin,
       // Dirichlet QL from the index: smoothed log-likelihood replay
       "q228_ql_from_index" ->
         qlFromIndexSql(Seq("spark", "join", "stream", "zzzunseen"), 20),

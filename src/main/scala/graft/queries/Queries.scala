@@ -6161,6 +6161,22 @@ object Queries {
       Seq("spark", "join", "stream", "zzzunseen"), k = 20)
   }
 
+  /** PROXIMITY query from the positional index
+    * ([[Retrieval.proximityFromIndex]]): "alpha within 2 tokens of
+    * gamma" over q225's planted corpus and stored index — the
+    * slop-query companion to the exact phrase. Oracle replays the
+    * min-over-position-pairs from raw tokens.
+    */
+  val q229ProximityFromIndex: Q = (s, dir) => {
+    val corp = phraseCorpus(s, dir)
+    val idx = memoFixture("q225idx", dir) { p =>
+      Retrieval.writePositionalIndex(corp, "doc_id", "text", p,
+        nBuckets = 8)
+    }
+    Retrieval.proximityFromIndex(s, idx, "doc_id", "alpha", "gamma",
+      window = 2).orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -6390,5 +6406,6 @@ object Queries {
     "q226_bm25_index_compact" -> q226Bm25IndexCompact,
     "q227_vocab_from_index" -> q227VocabFromIndex,
     "q228_ql_from_index" -> q228QlFromIndex,
+    "q229_proximity_from_index" -> q229ProximityFromIndex,
   )
 }

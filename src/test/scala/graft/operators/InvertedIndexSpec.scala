@@ -138,6 +138,20 @@ class InvertedIndexSpec extends SparkSpec {
     assert(s1 > s2)
   }
 
+  test("proximity from positional index: min pair distance, window filter") {
+    val docs = Seq(
+      (1L, "alpha x y gamma"),        // dist 3 — outside window 2
+      (2L, "alpha x gamma z alpha"),  // dists {2, 2} -> 2
+      (3L, "gamma alpha"),            // dist 1 (order-free)
+      (4L, "alpha only here")).toDF("doc_id", "text")
+    val path = tmp("posprox")
+    Retrieval.writePositionalIndex(docs, "doc_id", "text", path, nBuckets = 4)
+    val r = Retrieval.proximityFromIndex(spark, path, "doc_id",
+        "alpha", "gamma", window = 2).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r === Seq((2L, 2L), (3L, 1L)))
+  }
+
   test("empty delta is a no-op: no stats row, scores unchanged") {
     val docs = corpus(30, 29)
     val path = tmp("invempty")
