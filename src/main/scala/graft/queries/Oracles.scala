@@ -3094,6 +3094,12 @@ object Oracles {
     "q119_hybrid_rrf" ->
       hybridRrfSql(graft.queries.Queries.HybridQueries, kList = 30, kFused = 20, c = 60),
 
+    // the same pipeline served from STORED indexes: both serves are
+    // proven rank-identical to their scan twins, so q119's replay
+    // gates the production composition verbatim
+    "q230_hybrid_from_indexes" ->
+      hybridRrfSql(graft.queries.Queries.HybridQueries, kList = 30, kFused = 20, c = 60),
+
     // interpolated trigram perplexity: q114's replay one order up —
     // tri/bi/uni counts + context row-sums, five left joins, the
     // fixed 0.6/0.3/0.1 λ-mix tree, 9-dp ln, DECIMAL(38,9) sums

@@ -6177,6 +6177,39 @@ object Queries {
       window = 2).orderBy("doc_id")
   }
 
+  /** The FULL HYBRID SERVING STACK from stored indexes — q119's
+    * retrieve-and-fuse pipeline with BOTH retrievers answering from
+    * encode-once storage instead of corpus scans: sparse = the eight
+    * standing queries from the bucket-pruned BM25 postings (q223
+    * serving, bit-identical to the full scan), dense = the certified
+    * PQ screen + exact re-score over q200's stored codes (output ≡
+    * brute force for any codebook), fused with the integer-exact
+    * RRF. Because both serves are proven rank-identical to their
+    * scan twins, the oracle is q119's SQL VERBATIM — the production
+    * composition gated end-to-end with zero new oracle surface.
+    */
+  val q230HybridFromIndexes: Q = (s, dir) => {
+    val lexIdx = memoFixture("q219idx", dir) { p =>
+      Retrieval.writeInvertedIndex(docs(s, dir), "doc_id", "text", p,
+        nBuckets = 16)
+    }
+    val emb = Tables.embeddings(s, dir)
+    val annIdx = memoFixture("q200idx", dir) { p =>
+      val books = Similarity.pqCodebooksExact(emb, "vec_id", "embedding",
+        dim = 64, m = 4, ks = 16, iters = 2)
+      Similarity.writePqIndex(emb, "vec_id", "embedding", books, p)
+    }
+    val sparse = Retrieval.bm25TopKBatchFromIndex(s, lexIdx, "doc_id",
+        HybridQueries, k = 30)
+      .select("query_id", "doc_id", "rank")
+    val dense = Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 8),
+        emb, "vec_id", "embedding", k = 30, annIdx, roundDp = -1)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Retrieval.rrfFuse(Seq(sparse, dense), "query_id", "doc_id", "rank",
+        k = 20)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -6407,5 +6440,6 @@ object Queries {
     "q227_vocab_from_index" -> q227VocabFromIndex,
     "q228_ql_from_index" -> q228QlFromIndex,
     "q229_proximity_from_index" -> q229ProximityFromIndex,
+    "q230_hybrid_from_indexes" -> q230HybridFromIndexes,
   )
 }
