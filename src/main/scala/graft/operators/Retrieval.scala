@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{Text, TextExpressions}
+import graft.core.OpCache.TrackedPersist
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -108,6 +109,10 @@ object Retrieval {
     * Lucene idf, same fixed left-associative per-term sum, same 6-dp
     * round before ranking, ties on ascending id.
     *
+    * The bottom-k pair key narrows the doc id to BIGINT, so the BATCH
+    * retrievers require a numeric id column (enforced loudly below);
+    * the single-query rankers preserve the native id type.
+    *
     * Output: (query_id BIGINT, rank BIGINT, idCol BIGINT, score).
     */
   def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
@@ -115,6 +120,7 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "each query needs at least one term")
+    requireNumericId(docs, idCol, "bm25TopKBatch")
     val allTerms = queries.flatMap(_._2).distinct
     val toks = docs.select(col(idCol), Text.tokens(col(textCol)).as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast("long"))
@@ -240,38 +246,124 @@ object Retrieval {
         col("rrf"), col("n_lists"))
   }
 
-  /** Postings rows of a corpus against a fixed bucket count: one
-    * (term, id, dl, tf, bucket) row per distinct term of each doc —
-    * tf from a within-doc (term, doc) partial-aggregated count,
-    * bucket = pmod(murmur3(term), nBuckets). Shared by
-    * [[writeInvertedIndex]] and [[appendToInvertedIndex]] so appended
-    * postings are BY CONSTRUCTION the rows a full rebuild would
-    * produce.
+  /** The batch retrievers' bottom-k pair key is a BIGINT, so a
+    * non-numeric id would silently cast to null — fail loudly
+    * instead (ADVICE r18). */
+  private def requireNumericId(df: DataFrame, idCol: String,
+      fn: String): Unit = {
+    val t = df.schema(idCol).dataType
+    require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$fn keys its mergeable bottom-k on a BIGINT doc id; column " +
+        s"'$idCol' has type $t — cast it to a numeric id first (the " +
+        "single-query rankers preserve the native id type)")
+  }
+
+  // ---------------------------------------------------------------
+  // Stored-index internals shared by the frequency and positional
+  // writers/appenders/servers.
+  // ---------------------------------------------------------------
+
+  /** One tokenize pass shared by every sidecar a write/append emits
+    * (postings, stats, doclens — ADVICE r18: the delta was being
+    * re-scanned and re-tokenized three times): (id, _toks, dl).
     */
-  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-        Text.tokens(col(textCol)).as("_toks"))
+  private def tokenized(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("long"))
-      .select(col("id"), col("dl"), explode(col("_toks")).as("term"))
+
+  /** Postings rows of a corpus slice against a fixed bucket count:
+    * one (term, id, dl, tf, _gen, bucket) row per distinct term of
+    * each doc — tf from a within-doc (term, doc) partial-aggregated
+    * count, bucket = pmod(murmur3(term), nBuckets), `_gen` the
+    * generation stamp of the slice (0 for a base build, the append's
+    * generation otherwise). Shared by [[writeInvertedIndex]] and
+    * [[appendToInvertedIndex]] so appended postings are BY
+    * CONSTRUCTION the rows a full rebuild would produce.
+    */
+  private def postingsRows(toks: DataFrame, nBuckets: Int,
+      gen: Long): DataFrame =
+    toks.select(col("id"), col("dl"), explode(col("_toks")).as("term"))
       .groupBy(col("term"), col("id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .select(col("term"), col("id"), col("dl"), col("tf"),
+        lit(gen).as("_gen"),
         pmod(hash(col("term")), lit(nBuckets)).as("bucket"))
 
   /** One mergeable stats row for a corpus slice: doc count and total
     * token length (plus the index's bucket count, constant across
-    * rows). Serving SUMS all stats rows, so an append just adds a
-    * row — N and avgdl after an append are exactly the full-rebuild
-    * values.
+    * rows). Serving SUMS all stats rows — and, when re-ingests have
+    * superseded docs, subtracts the stale instances' contribution
+    * from the doclens sidecar — so N and avgdl after any append
+    * sequence are exactly the full-rebuild values.
     */
-  private def statsOf(docs: DataFrame, textCol: String,
-      nBuckets: Int): DataFrame =
-    docs.select(Text.tokens(col(textCol)).as("_toks"))
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(size(col("_toks")).cast("long")), lit(0L))
-          .as("total_len"))
+  private def statsRow(toks: DataFrame, nBuckets: Int): DataFrame =
+    toks.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_len"))
       .withColumn("n_buckets", lit(nBuckets))
+
+  /** Per-doc length sidecar rows: (id, dl, _gen, bucket) with bucket
+    * = pmod(murmur3(id), nBuckets) — the slim table that makes the
+    * stats CORRECTION for superseded docs a bounded read: a stale
+    * doc's (1, dl) contribution to the summed stats is recovered
+    * from its doclens row, and the tombstoned ids' buckets land as
+    * literals in the partition column, so the correction reads at
+    * most min(|re-ingested|, nBuckets) directories — never the
+    * corpus-sized postings.
+    */
+  private def doclensRows(toks: DataFrame, nBuckets: Int,
+      gen: Long): DataFrame =
+    toks.select(col("id"), col("dl"), lit(gen).as("_gen"),
+      pmod(hash(col("id")), lit(nBuckets)).as("bucket"))
+
+  /** The tombstone sidecar if any append has happened, else None —
+    * a base index's serving plan stays byte-identical to pre-append
+    * (no join is added until the first tombstone exists). Mirrors
+    * `Similarity.readTombstones` (the ANN tier, q207).
+    */
+  private def readTombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Max tombstone generation per re-ingested id — the slim
+    * (cumulative-re-ingest-sized) frame every serve broadcasts. */
+  private def tombstoneMax(t: DataFrame): DataFrame =
+    t.groupBy("id").agg(max("gen").as("_tg"))
+
+  /** Drop rows superseded by a NEWER tombstone for their id. This
+    * must be an id-level broadcast filter, not a within-partition
+    * dedup: a re-crawled doc's stale postings live under the STALE
+    * text's term buckets (resp. the stale doc-hash bucket), which the
+    * replacement's partitions never touch — the exact argument at
+    * `Similarity.scala` (q207's tombstone supersede), lexical
+    * edition. Rows whose `_gen` equals their id's max tombstone
+    * generation are the replacement itself and survive.
+    */
+  private def liveRows(rows: DataFrame,
+      tmax: Option[DataFrame]): DataFrame =
+    tmax.map { t =>
+      rows.join(broadcast(t), Seq("id"), "left")
+        .filter(col("_tg").isNull || col("_gen") >= col("_tg"))
+        .drop("_tg")
+    }.getOrElse(rows)
+
+  /** Next generation stamp for an append at `path`: one past the
+    * newest tombstone (0-generation base rows are never tombstoned,
+    * so the first append is generation 1).
+    */
+  private def nextGen(spark: SparkSession, path: String): Long =
+    1L + readTombstones(spark, path)
+      .map(_.agg(coalesce(max("gen"), lit(0L))).head().getLong(0))
+      .getOrElse(0L)
 
   /** STORED INVERTED INDEX — the lexical twin of the stored ANN index
     * (`Similarity.writeIvfPqIndex`): tokenize and aggregate ONCE,
@@ -279,10 +371,17 @@ object Retrieval {
     * `partitionBy(bucket)` with bucket = hash(term) % nBuckets, so a
     * T-term query reads at most T bucket DIRECTORIES of a
     * corpus-sized table (PlanShapeSpec locks the partition prune);
-    * the stats sidecar is one mergeable (n_docs, total_len) row.
-    * Per-term df is NOT a sidecar: it is the posting-row count of the
-    * term, exact from the probed bucket alone — nothing corpus-wide
-    * is read at serve time.
+    * the stats sidecar is one mergeable (n_docs, total_len) row, and
+    * a slim per-doc `doclens` sidecar (id-hash-bucketed) backs the
+    * stats correction after re-ingest appends. Per-term df is NOT a
+    * sidecar: it is the live posting-row count of the term, exact
+    * from the probed bucket alone — nothing corpus-wide is read at
+    * serve time.
+    *
+    * A REBUILD resets the generation clock: stale tombstones from a
+    * previous append at this path would otherwise drop the fresh
+    * gen-0 postings at serve time (the ANN tier's rebuild rule,
+    * `Similarity.writeIvfPqIndex`).
     *
     * 100 TB shape: the build is one explode + one (term, doc)-keyed
     * partial-agg exchange (never a vocabulary-sized key — (term, doc)
@@ -294,11 +393,17 @@ object Retrieval {
   def writeInvertedIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
-    postingsOf(docs, idCol, textCol, nBuckets)
+    val spark = docs.sparkSession
+    deleteDir(spark, s"$path/tombstones")
+    val toks = tokenized(docs, idCol, textCol).persistTracked
+    postingsRows(toks, nBuckets, 0L)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
-    statsOf(docs, textCol, nBuckets)
+    statsRow(toks, nBuckets)
       .write.mode("overwrite").parquet(s"$path/stats")
+    doclensRows(toks, nBuckets, 0L)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/doclens")
   }
 
   /** INCREMENTAL APPEND to a stored inverted index — a 100 TB corpus
@@ -309,37 +414,105 @@ object Retrieval {
     * row and serving SUMS rows, so N, avgdl and every df — and hence
     * EVERY score, including those of pre-existing docs — equal the
     * full-rebuild values exactly (q220 gates serving over
-    * base+append against the full-corpus SQL replay). Precondition
-    * (the q179 disjoint-delta contract): delta ids are NEW — a
-    * re-ingested id would double-count; rebuild to compact.
-    * An empty delta is a no-op, not a new stats row.
+    * base+append against the full-corpus SQL replay).
+    *
+    * RE-INGESTED ids supersede their stale state through a TOMBSTONE
+    * sidecar (the ANN tier's q207 mechanism, lexical edition): each
+    * append records (id, gen) rows, and serving drops any postings
+    * row with a newer tombstone for its id — necessary because a
+    * re-crawled doc's changed text scatters stale postings across
+    * OTHER term buckets, where no within-bucket dedup can see them.
+    * The summed stats are corrected by subtracting the stale
+    * instances' (1, dl) contributions, recovered from the id-bucketed
+    * doclens sidecar under a literal bucket prune (re-ingest-bounded
+    * directories). Serving over the appended index ≡ a full rebuild
+    * over (base \ re-ingested) ∪ delta — q231 gates it against the
+    * true-corpus SQL replay; when cumulative tombstones grow large,
+    * [[compactInvertedIndex]] folds them away.
+    *
+    * Precondition (the q179 contract, narrowed): ids are unique
+    * WITHIN one delta; re-ingesting ids from the base or earlier
+    * appends is the supported re-crawl path. An empty delta is a
+    * no-op — no stats row, no new generation.
     */
   def appendToInvertedIndex(deltaDocs: DataFrame, idCol: String,
       textCol: String, path: String): Unit = {
     val spark = deltaDocs.sparkSession
-    if (deltaDocs.select(col(idCol)).take(1).isEmpty) return
+    // ONE tokenize pass feeds the emptiness probe and all four
+    // sidecar writes (ADVICE r18: the delta plan was evaluated
+    // three times)
+    val toks = tokenized(deltaDocs, idCol, textCol).persistTracked
+    if (toks.select(col("id")).take(1).isEmpty) return
     val nBuckets = spark.read.parquet(s"$path/stats")
       .select(max(col("n_buckets"))).head().getInt(0)
-    postingsOf(deltaDocs, idCol, textCol, nBuckets)
+    val gen = nextGen(spark, path)
+    postingsRows(toks, nBuckets, gen)
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/postings")
-    statsOf(deltaDocs, textCol, nBuckets)
+    statsRow(toks, nBuckets)
       .write.mode("append").parquet(s"$path/stats")
+    doclensRows(toks, nBuckets, gen)
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/doclens")
+    toks.select(col("id"), lit(gen).as("gen"))
+      .write.mode("append").parquet(s"$path/tombstones")
   }
+
+  /** The stale-instance correction to the SUMMED stats rows: docs
+    * superseded by a newer tombstone contributed (1, dl) to the
+    * stats row of the slice that ingested them — subtract it back
+    * out, reading only the tombstoned ids' doclens bucket
+    * directories (literal partition prune; the bucket list is a
+    * tombstone-table-sized job, ≤ nBuckets values). Returns
+    * (staleDocs, staleLen) — (0, 0) when no tombstones exist.
+    */
+  private def staleStats(spark: SparkSession, path: String,
+      nBuckets: Int, tmax: Option[DataFrame]): (Long, Long) =
+    tmax.map { t =>
+      val buckets = t.select(pmod(hash(col("id")), lit(nBuckets)).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val r = spark.read.parquet(s"$path/doclens")
+        .filter(col("bucket").isin(buckets: _*))
+        .join(broadcast(t), Seq("id"))
+        .filter(col("_gen") < col("_tg"))
+        .agg(count(lit(1)).as("c"),
+          coalesce(sum(col("dl")), lit(0L)).as("l"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }.getOrElse((0L, 0L))
 
   /** POSITIONAL inverted index — [[writeInvertedIndex]]'s layout with
     * a per-(term, doc) sorted positions list (the classic Lucene
     * positions tradeoff: bigger postings buy phrase/proximity
     * queries without ever re-reading text). Kept as a SEPARATE
     * writer so the frequency-only index stays slim. Postings:
-    * (term, id, dl, tf, positions) partitioned by
+    * (term, id, dl, tf, positions, _gen) partitioned by
     * hash(term) % nBuckets; a meta sidecar carries the bucket count.
+    * No stats/doclens sidecars: phrase and proximity serving are
+    * pure per-doc functions of the probed postings, so the lifecycle
+    * ([[appendToPositionalIndex]] / [[compactPositionalIndex]])
+    * needs only the tombstone supersede, no stats correction. A
+    * rebuild resets the generation clock.
     */
   def writePositionalIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
+    deleteDir(spark, s"$path/tombstones")
+    positionalRows(docs, idCol, textCol, nBuckets, 0L)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Positional postings rows for one corpus slice — a pure per-doc
+    * function of (text, nBuckets), shared by the writer and the
+    * appender so appended rows ≡ the rows a full rebuild would
+    * produce. */
+  private def positionalRows(docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int, gen: Long): DataFrame =
     docs.select(col(idCol).as("id"),
         Text.tokens(col(textCol)).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("long"))
@@ -349,12 +522,68 @@ object Retrieval {
       .agg(sort_array(collect_list(col("_p") + 1)).as("positions"),
         count(lit(1)).as("tf"))
       .select(col("term"), col("id"), col("dl"), col("tf"),
-        col("positions"),
+        col("positions"), lit(gen).as("_gen"),
         pmod(hash(col("term")), lit(nBuckets)).as("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
+
+  /** INCREMENTAL APPEND to a positional index — the q231 lifecycle
+    * on the positions layout: delta postings (a pure per-doc
+    * function) land in the bucket partition directories with a fresh
+    * generation stamp, and an (id, gen) tombstone row per delta doc
+    * supersedes any stale postings a re-crawled id left in OTHER
+    * term buckets. No stats sidecar exists to correct — phrase and
+    * proximity are per-doc functions of the live postings — so
+    * append ≡ rebuild needs nothing beyond the supersede (q232
+    * gates the phrase serve, q233 the proximity serve after
+    * compaction, both against the true-corpus replay). Ids unique
+    * within one delta; empty delta is a no-op.
+    */
+  def appendToPositionalIndex(deltaDocs: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val spark = deltaDocs.sparkSession
+    if (deltaDocs.select(col(idCol)).take(1).isEmpty) return
+    val nBuckets = spark.read.parquet(s"$path/meta")
+      .select(max(col("n_buckets"))).head().getInt(0)
+    val gen = nextGen(spark, path)
+    positionalRows(deltaDocs, idCol, textCol, nBuckets, gen)
+      .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/postings")
-    Seq(nBuckets).toDF("n_buckets")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    deltaDocs.select(col(idCol).as("id"), lit(gen).as("gen"))
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** COMPACTION for a positional index: rewrite the LIVE postings
+    * (tombstone supersede applied, generations reset to 0) into
+    * fresh bucket partitions at a NEW path with no tombstone sidecar
+    * — write-new-flip-pointer, as [[compactInvertedIndex]]. Serving
+    * from the compacted index is bit-identical to the source.
+    */
+  def compactPositionalIndex(spark: SparkSession, srcPath: String,
+      dstPath: String): Unit = {
+    val tmax = readTombstones(spark, srcPath).map(tombstoneMax)
+    deleteDir(spark, s"$dstPath/tombstones")
+    liveRows(spark.read.parquet(s"$srcPath/postings"), tmax)
+      .withColumn("_gen", lit(0L))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dstPath/postings")
+    spark.read.parquet(s"$srcPath/meta")
+      .write.mode("overwrite").parquet(s"$dstPath/meta")
+  }
+
+  /** The positional serve-side read shared by phrase and proximity:
+    * probed-bucket postings for `terms`, tombstone supersede
+    * applied. */
+  private def positionalPostings(spark: SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val nBuckets = spark.read.parquet(s"$path/meta")
+      .select(max(col("n_buckets"))).head().getInt(0)
+    val buckets = terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
+      .distinct().as[Int].collect().toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+    liveRows(postings, readTombstones(spark, path).map(tombstoneMax))
   }
 
   /** PHRASE occurrence counts served from a positional index
@@ -366,24 +595,21 @@ object Retrieval {
     * p + i) — equivalent, by construction over whitespace tokens, to
     * counting the phrase's m-grams in the text (which is exactly how
     * the q225 oracle replays it; overlapping occurrences each
-    * count). A doc missing any phrase term never aligns (missing
-    * arrays coalesce to empty). Output: (idCol, phrase_tf) for docs
-    * with phrase_tf > 0, which keeps the result a pure function of
-    * the probed buckets.
+    * count). The alignment is a LEFT FOLD of set intersections over
+    * the sorted positions arrays — aligned = pos₀ ∩ (pos₁ − 1) ∩ …
+    * ∩ (pos_{m−1} − (m−1)), O(Σ tf) per doc via `array_intersect`
+    * (positions are distinct within a doc, so set semantics are
+    * exact), replacing the per-probe `array_contains` walk that was
+    * O(tf₀ · Σ tf) on hot terms (VERDICT r18 item 3). A doc missing
+    * any phrase term never aligns (missing arrays coalesce to
+    * empty). Output: (idCol, phrase_tf) for docs with phrase_tf > 0,
+    * which keeps the result a pure function of the probed buckets.
     */
   def phraseOccurrencesFromIndex(spark: SparkSession, path: String,
       idCol: String, phrase: Seq[String]): DataFrame = {
     require(phrase.size >= 2, "a phrase needs at least two terms")
-    import spark.implicits._
-    val nBuckets = spark.read.parquet(s"$path/meta")
-      .select(max(col("n_buckets"))).head().getInt(0)
     val terms = phrase.distinct
-    val buckets = terms.toDF("term")
-      .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
-      .distinct().as[Int].collect().toSeq
-    val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(buckets: _*) &&
-        col("term").isin(terms: _*))
+    val postings = positionalPostings(spark, path, terms)
     val emptyPos = array().cast("array<int>")
     val pivots = terms.zipWithIndex.map { case (t, i) =>
       max(when(col("term") === t, col("positions"))).as(s"_pos$i") }
@@ -391,9 +617,9 @@ object Retrieval {
       .agg(pivots.head, pivots.tail: _*)
     def posOf(i: Int): Column =
       coalesce(col(s"_pos${terms.indexOf(phrase(i))}"), emptyPos)
-    val aligned = filter(posOf(0), p =>
-      phrase.indices.tail.map(i => array_contains(posOf(i), p + i))
-        .reduce(_ && _))
+    val aligned = phrase.indices.tail.foldLeft(posOf(0)) { (acc, i) =>
+      array_intersect(acc, transform(posOf(i), p => p - i))
+    }
     perDoc
       .select(col("id").as(idCol),
         size(aligned).cast("long").as("phrase_tf"))
@@ -401,38 +627,51 @@ object Retrieval {
   }
 
   /** COMPACTION for a stored inverted index: after many crawl appends
-    * a bucket directory holds one small file per append and the stats
-    * sidecar one row per slice — compaction rewrites the postings
-    * into fresh bucket partitions and merges the stats to ONE row, at
-    * a NEW path (write-new-flip-pointer, the object-store-safe shape;
-    * an in-place rewrite would race its own input). Serving from the
-    * compacted index is bit-identical to the source (same postings
-    * rows, same stats sums — InvertedIndexSpec locks it, q226 gates
-    * it against the full-corpus replay).
+    * a bucket directory holds one small file per append, the stats
+    * sidecar one row per slice, and re-ingests pile up tombstones —
+    * compaction rewrites the LIVE postings (supersede applied,
+    * generations reset to 0) into fresh bucket partitions and
+    * recomputes the stats as ONE row from the live doclens (exactly
+    * the rebuild values, folding every tombstone correction away), at
+    * a NEW path with no tombstone sidecar (write-new-flip-pointer,
+    * the object-store-safe shape; an in-place rewrite would race its
+    * own input). Serving from the compacted index is bit-identical to
+    * the source (InvertedIndexSpec locks it, q226 gates it against
+    * the full-corpus replay).
     */
   def compactInvertedIndex(spark: SparkSession, srcPath: String,
       dstPath: String): Unit = {
     val nBuckets = spark.read.parquet(s"$srcPath/stats")
       .select(max(col("n_buckets"))).head().getInt(0)
-    spark.read.parquet(s"$srcPath/postings")
+    val tmax = readTombstones(spark, srcPath).map(tombstoneMax)
+    deleteDir(spark, s"$dstPath/tombstones")
+    liveRows(spark.read.parquet(s"$srcPath/postings"), tmax)
+      .withColumn("_gen", lit(0L))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dstPath/postings")
-    spark.read.parquet(s"$srcPath/stats")
-      .agg(sum(col("n_docs")).as("n_docs"),
-        sum(col("total_len")).as("total_len"))
+    val liveDl = liveRows(spark.read.parquet(s"$srcPath/doclens"), tmax)
+      .persistTracked
+    liveDl.select(col("id"), col("dl"), lit(0L).as("_gen"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dstPath/doclens")
+    liveDl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_len"))
       .withColumn("n_buckets", lit(nBuckets))
       .write.mode("overwrite").parquet(s"$dstPath/stats")
   }
 
   /** VOCABULARY REPORT from a stored index — corpus term statistics
     * (document frequency, collection frequency) as ONE aggregate over
-    * the slim postings table, never re-reading text: df = posting-row
-    * count, cf = tf sum. Returns the top-k terms by (df desc, term) —
-    * the q70 heavy-hitters shape served from the index.
+    * the slim LIVE postings (tombstone supersede applied — a
+    * re-crawled doc's stale terms must not count), never re-reading
+    * text: df = posting-row count, cf = tf sum. Returns the top-k
+    * terms by (df desc, term) — the q70 heavy-hitters shape served
+    * from the index.
     */
   def vocabularyFromIndex(spark: SparkSession, path: String,
       k: Int): DataFrame =
-    spark.read.parquet(s"$path/postings")
+    liveRows(spark.read.parquet(s"$path/postings"),
+        readTombstones(spark, path).map(tombstoneMax))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       .orderBy(col("df").desc, col("term"))
@@ -443,31 +682,50 @@ object Retrieval {
     * co-occur within `window` tokens, with their minimal absolute
     * position distance — the slop-query companion to
     * [[phraseOccurrencesFromIndex]], reading only the two terms'
-    * bucket directories. The per-doc min-over-pairs is two nested
-    * array folds (O(|posA|·|posB|) per row — term-frequency-bounded,
-    * never corpus-shaped). Output: (idCol, min_dist) for docs with
-    * both terms and min_dist ≤ window.
+    * bucket directories. The per-doc min distance is a MERGE WALK:
+    * tag each (already sorted) positions array with its source,
+    * `array_sort` the union, and one linear fold tracks the last
+    * position seen from each side — in ascending order the minimal
+    * |a − b| is always realized by an adjacent cross-source pair, so
+    * the fold is exact. O((tf_A + tf_B) log(tf_A + tf_B)) per doc,
+    * replacing the nested O(tf_A · tf_B) pair fold that made two
+    * stop-words in a 100k-token doc a 10¹⁰-op row (VERDICT r18
+    * item 3; the hot-term bound is spec-locked). Output:
+    * (idCol, min_dist) for docs with both terms and
+    * min_dist ≤ window.
     */
   def proximityFromIndex(spark: SparkSession, path: String, idCol: String,
       termA: String, termB: String, window: Int): DataFrame = {
     require(window >= 1, "window must be at least 1")
     require(termA != termB, "proximity needs two distinct terms")
-    import spark.implicits._
-    val nBuckets = spark.read.parquet(s"$path/meta")
-      .select(max(col("n_buckets"))).head().getInt(0)
-    val buckets = Seq(termA, termB).toDF("term")
-      .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
-      .distinct().as[Int].collect().toSeq
-    val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(buckets: _*) &&
-        col("term").isin(termA, termB))
+    val postings = positionalPostings(spark, path, Seq(termA, termB))
     val perDoc = postings.groupBy(col("id"))
       .agg(max(when(col("term") === termA, col("positions"))).as("_pa"),
         max(when(col("term") === termB, col("positions"))).as("_pb"))
       .filter(col("_pa").isNotNull && col("_pb").isNotNull)
-    val minDist = aggregate(col("_pa"), lit(Int.MaxValue), (acc, pa) =>
-      least(acc, aggregate(col("_pb"), lit(Int.MaxValue),
-        (a2, pb) => least(a2, abs(pa - pb)))))
+    // merged (pos, src) stream, ascending by position (a position
+    // belongs to exactly one term, so no cross-source ties exist)
+    val tagged = concat(
+      transform(col("_pa"), p => struct(p.as("pos"), lit(0).as("src"))),
+      transform(col("_pb"), p => struct(p.as("pos"), lit(1).as("src"))))
+    val st0 = struct(lit(-1).as("la"), lit(-1).as("lb"),
+      lit(Int.MaxValue).as("best"))
+    val minDist = aggregate(array_sort(tagged), st0,
+      (st, e) => {
+        val pos = e.getField("pos")
+        val isA = e.getField("src") === 0
+        val best =
+          when(isA && st.getField("lb") >= 0,
+            least(st.getField("best"), pos - st.getField("lb")))
+          .when(!isA && st.getField("la") >= 0,
+            least(st.getField("best"), pos - st.getField("la")))
+          .otherwise(st.getField("best"))
+        struct(
+          when(isA, pos).otherwise(st.getField("la")).as("la"),
+          when(!isA, pos).otherwise(st.getField("lb")).as("lb"),
+          best.as("best"))
+      },
+      st => st.getField("best"))
     perDoc
       .select(col("id").as(idCol), minDist.cast("long").as("min_dist"))
       .filter(col("min_dist") <= window)
@@ -494,7 +752,9 @@ object Retrieval {
     * negated 6-dp-scaled score. Output rows are bit-identical to
     * [[bm25TopKBatch]] over the indexed corpus (InvertedIndexSpec
     * locks it; q223 gates serving against the per-query SQL replays)
-    * — same scores, same ranks, same tie-breaks.
+    * — same scores, same ranks, same tie-breaks. Requires a NUMERIC
+    * id (the [[bm25TopKBatch]] bottom-k key contract, checked
+    * loudly); the single-query rankers preserve the native id type.
     */
   def bm25TopKBatchFromIndex(spark: SparkSession, path: String,
       idCol: String, queries: Seq[(Long, Seq[String])], k: Int,
@@ -504,6 +764,7 @@ object Retrieval {
     val allTerms = queries.flatMap(_._2).distinct
     val (perDoc, nD, lenD, _) =
       pivotedFromIndex(spark, path, allTerms)
+    requireNumericId(perDoc, "id", "bm25TopKBatchFromIndex")
     val avgdl = lenD / nD
     val dlD = col("dl").cast("double")
     def termScore(i: Int): Column = {
@@ -533,13 +794,14 @@ object Retrieval {
         (-col("col._1").cast("double") / 1e6).as("score"))
   }
 
-  /** The shared serve-side read: probed-bucket postings pivoted to
-    * one row per doc with (_tf_i, _df_i) per term of `terms` (df for
-    * idf scoring — only ever read under a tf > 0 guard, so per-doc
-    * is safe), plus the summed-stats (N, total_len) plan constants
-    * and the GLOBAL per-term collection frequencies for
-    * language-model smoothing. Factored so every index-served ranker
-    * scores IDENTICAL inputs.
+  /** The shared serve-side read: probed-bucket LIVE postings
+    * (tombstone supersede applied — see [[appendToInvertedIndex]])
+    * pivoted to one row per doc with (_tf_i, _df_i) per term of
+    * `terms` (df for idf scoring — only ever read under a tf > 0
+    * guard, so per-doc is safe), plus the corrected-summed-stats
+    * (N, total_len) plan constants and the GLOBAL per-term
+    * collection frequencies for language-model smoothing. Factored
+    * so every index-served ranker scores IDENTICAL inputs.
     */
   private def pivotedFromIndex(spark: SparkSession, path: String,
       terms: Seq[String]): (DataFrame, Column, Column, Map[String, Long]) = {
@@ -548,14 +810,21 @@ object Retrieval {
       .agg(sum(col("n_docs")).as("_n"), sum(col("total_len")).as("_len"),
         max(col("n_buckets")).as("_nb")).head()
     val nBuckets = st.getAs[Int]("_nb")
+    val tmax = readTombstones(spark, path).map(tombstoneMax)
+    // superseded docs still ride in the summed stats rows — subtract
+    // their (1, dl) back out (bounded doclens read; (0, 0) when the
+    // index has never seen a re-ingest)
+    val (staleN, staleLen) = staleStats(spark, path, nBuckets, tmax)
     // T-row bounded job: bucket of each query term via the same
     // hash expression the build used
     val buckets = terms.toDF("term")
       .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
       .distinct().as[Int].collect().toSeq
-    val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(buckets: _*) &&
-        col("term").isin(terms: _*))
+    val postings = liveRows(
+      spark.read.parquet(s"$path/postings")
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("term").isin(terms: _*)),
+      tmax)
     val dfs = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("_df"), sum(col("tf")).as("_cf"))
     val pivots = terms.zipWithIndex.flatMap { case (t, i) => Seq(
@@ -564,8 +833,8 @@ object Retrieval {
     val perDoc = postings.join(broadcast(dfs), "term")
       .groupBy(col("id"), col("dl"))
       .agg(pivots.head, pivots.tail: _*)
-    val nD = lit(st.getAs[Long]("_n")).cast("double")
-    val lenD = lit(st.getAs[Long]("_len")).cast("double")
+    val nD = lit(st.getAs[Long]("_n") - staleN).cast("double")
+    val lenD = lit(st.getAs[Long]("_len") - staleLen).cast("double")
     // global per-term collection frequency as a T-row bounded
     // collect: cf is a CORPUS constant per term (unlike df, which
     // only ever appears under a tf > 0 guard, cf feeds the
@@ -583,10 +852,13 @@ object Retrieval {
     * (dl + μ)) over the query terms in fixed order, where C is the
     * corpus token count from the summed stats sidecar; terms absent
     * from the corpus (cf = 0, background probability undefined)
-    * contribute 0 by convention. Candidates are docs matching ≥ 1
-    * query term (the index-served candidate set — unmatched docs'
-    * scores are background-only and never reach a top-k that any
-    * matching doc reaches at sane μ). Scores are NEGATIVE log
+    * contribute 0 by convention. The candidate set is docs matching
+    * ≥ 1 query term — the standard IR serving convention for an
+    * inverted index (only probed postings are read), stated here as
+    * a deliberate RANKING CONVENTION, not a no-loss guarantee: all
+    * score terms are negative, so a short unmatched doc can in
+    * principle outscore a long matched one — the oracle replays the
+    * same convention (ADVICE r18). Scores are NEGATIVE log
     * likelihoods rounded 6 dp; ties on ascending id.
     */
   def qlTopKFromIndex(spark: SparkSession, path: String, idCol: String,

@@ -1340,8 +1340,15 @@ object Similarity {
       books: Array[Array[Array[Double]]], path: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a REBUILD resets the generation clock (the writeIvfPqIndex
+    // rule): stale tombstones from a previous append at this path
+    // would otherwise drop the fresh gen-0 codes at serve time
+    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tfs.exists(tp)) tfs.delete(tp, true)
     pqEncode(corpus, idCol, vecCol, books)
       .select("neighbor_id", "_cn", "_codes", "_r")
+      .withColumn("_gen", lit(0L))
       .write.mode("overwrite").parquet(s"$path/codes")
     books.zipWithIndex.flatMap { case (bk, j) =>
       bk.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
@@ -1358,16 +1365,62 @@ object Similarity {
       rows.filter(_._1 == j).sortBy(_._2).map(_._3))
   }
 
+  /** INCREMENTAL APPEND to a stored flat-PQ index ([[writePqIndex]])
+    * — [[appendToIvfPqIndex]] without the coarse layer: delta vectors
+    * are encoded against the FROZEN codebooks (codes, norms, and
+    * residual bounds are pure per-row functions of the vector and the
+    * frozen books, so appended rows ≡ the rows a full rebuild with
+    * those books would produce) and appended to the codes table;
+    * re-ingested ids supersede their stale codes through the same
+    * (id, gen) tombstone sidecar, applied as an id-level broadcast
+    * filter at serve time. The supersede is CORRECTNESS-critical
+    * here, not just dedup: a stale codes row encodes the OLD vector,
+    * so its ADC estimate and residual bound say nothing about the
+    * re-crawled vector — an unsuperseded stale row could certify
+    * away a true neighbor. With the filter, the certified screen +
+    * exact re-score of [[pqTopKFromIndex]] stays ≡ brute force over
+    * the TRUE corpus for any codebook (PqSpec locks it; q234 gates
+    * the hybrid composition over live indexes). Ids unique within
+    * one delta; empty delta is a no-op.
+    */
+  def appendToPqIndex(delta: DataFrame, path: String, idCol: String,
+      vecCol: String): Unit = {
+    val spark = delta.sparkSession
+    if (delta.select(col(idCol)).take(1).isEmpty) return
+    val books = readPqBooks(spark, path)
+    requireDim(delta, vecCol, books.length * books(0)(0).length,
+      "appendToPqIndex")
+    val gen = 1L + readTombstones(spark, path)
+      .map(_.agg(coalesce(max("gen"), lit(0L))).head().getLong(0))
+      .getOrElse(0L)
+    pqEncode(delta, idCol, vecCol, books)
+      .select("neighbor_id", "_cn", "_codes", "_r")
+      .withColumn("_gen", lit(gen))
+      .write.mode("append").parquet(s"$path/codes")
+    delta.select(col(idCol).as("neighbor_id"), lit(gen).as("gen"))
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
   /** [[pqTopK]] against a STORED index: the screen scans the persisted
     * codes table (queries never touch full vectors until the survivor
-    * re-score, which joins them from `corpus` by id). Same certificate
-    * — output ≡ exact brute force.
+    * re-score, which joins them from `corpus` by id), with appended
+    * indexes' superseded rows dropped by the tombstone filter (see
+    * [[appendToPqIndex]] — stale codes would break the certificate).
+    * Same certificate — output ≡ exact brute force over the corpus.
     */
   def pqTopKFromIndex(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, path: String, roundDp: Int = -1): DataFrame = {
     val spark = corpus.sparkSession
     val books = readPqBooks(spark, path)
-    val codes = spark.read.parquet(s"$path/codes").persistTracked
+    val codesRaw = spark.read.parquet(s"$path/codes")
+    val codes = readTombstones(spark, path).map { t =>
+        val tmax = t.groupBy("neighbor_id").agg(max("gen").as("_tg"))
+        codesRaw.join(broadcast(tmax), Seq("neighbor_id"), "left")
+          .filter(col("_tg").isNull || col("_gen") >= col("_tg"))
+          .drop("_tg")
+      }.getOrElse(codesRaw)
+      .select("neighbor_id", "_cn", "_codes", "_r")
+      .persistTracked
     pqCertifiedTopK(queries, idCol, vecCol, codes,
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
         .join(codes.select("neighbor_id", "_cn"), "neighbor_id"),

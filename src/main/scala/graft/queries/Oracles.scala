@@ -691,6 +691,64 @@ object Oracles {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** q225/q232: phrase counts from the planted phrase corpus —
+    * position alignment over whitespace tokens ≡ counting the
+    * phrase's 3-grams in the text. Shared verbatim by the base-index
+    * serve (q225) and the append-lifecycle serve (q232): both serve
+    * the same TRUE corpus.
+    */
+  private lazy val phraseFromIndexSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'prefix ' || text || ' ' ||
+       |    CASE WHEN doc_id % 4 = 0 THEN 'alpha beta gamma alpha beta gamma'
+       |         WHEN doc_id % 4 = 1 THEN 'alpha beta gamma'
+       |         WHEN doc_id % 4 = 2 THEN 'alpha beta delta'
+       |         ELSE 'filler f' || CAST(doc_id AS VARCHAR) END ||
+       |    ' suffix' AS text
+       |  FROM documents
+       |),
+       |t AS (SELECT doc_id, $toksExpr AS tk FROM d)
+       |SELECT doc_id, CAST(cnt AS BIGINT) AS phrase_tf FROM (
+       |  SELECT doc_id,
+       |    len(list_filter(range(1, len(tk) - 1), i ->
+       |      tk[i] = 'alpha' AND tk[i+1] = 'beta' AND tk[i+2] = 'gamma')) AS cnt
+       |  FROM t
+       |) WHERE cnt > 0 ORDER BY doc_id""".stripMargin
+
+  /** q229/q233: min |posA − posB| over the position pair product,
+    * replayed from raw token positions — the engine's merge walk
+    * must land on the identical minima. Shared verbatim by the
+    * base-index serve (q229) and the compacted-lifecycle serve
+    * (q233).
+    */
+  private lazy val proximityFromIndexSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'prefix ' || text || ' ' ||
+       |    CASE WHEN doc_id % 4 = 0 THEN 'alpha beta gamma alpha beta gamma'
+       |         WHEN doc_id % 4 = 1 THEN 'alpha beta gamma'
+       |         WHEN doc_id % 4 = 2 THEN 'alpha beta delta'
+       |         ELSE 'filler f' || CAST(doc_id AS VARCHAR) END ||
+       |    ' suffix' AS text
+       |  FROM documents
+       |),
+       |t AS (SELECT doc_id, $toksExpr AS tk FROM d),
+       |pa AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)
+       |  WHERE tk[i] = 'alpha'
+       |),
+       |pb AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)
+       |  WHERE tk[i] = 'gamma'
+       |)
+       |SELECT doc_id, min_dist FROM (
+       |  SELECT pa.doc_id, CAST(MIN(ABS(pa.i - pb.i)) AS BIGINT) AS min_dist
+       |  FROM pa JOIN pb ON pb.doc_id = pa.doc_id GROUP BY 1)
+       |WHERE min_dist <= 2 ORDER BY doc_id""".stripMargin
+
   /** q223: multi-query BM25 replay — shared d/st/tf CTEs over the
     * UNION term list, one ROUND(score, 6) column per query built in
     * that query's OWN term order, then per-query ROW_NUMBER top-k
@@ -3098,6 +3156,12 @@ object Oracles {
     // proven rank-identical to their scan twins, so q119's replay
     // gates the production composition verbatim
     "q230_hybrid_from_indexes" ->
+      hybridRrfSql(graft.queries.Queries.HybridQueries, kList = 30, kFused = 20, c = 60),
+
+    // the hybrid stack over LIVE indexes: both retrievers serve the
+    // TRUE corpus after their append + tombstone lifecycles, so the
+    // q119 replay still gates the fusion verbatim
+    "q234_hybrid_live_indexes" ->
       hybridRrfSql(graft.queries.Queries.HybridQueries, kList = 30, kFused = 20, c = 60),
 
     // interpolated trigram perplexity: q114's replay one order up —
@@ -5678,32 +5742,20 @@ object Oracles {
         bm25BatchSql(graft.queries.Queries.HybridQueries, 10),
       // proximity from the positional index: min |posA - posB| over
       // the pair product, replayed from raw token positions
-      "q229_proximity_from_index" ->
-        s"""WITH d AS (
-           |  SELECT doc_id,
-           |    'prefix ' || text || ' ' ||
-           |    CASE WHEN doc_id % 4 = 0 THEN 'alpha beta gamma alpha beta gamma'
-           |         WHEN doc_id % 4 = 1 THEN 'alpha beta gamma'
-           |         WHEN doc_id % 4 = 2 THEN 'alpha beta delta'
-           |         ELSE 'filler f' || CAST(doc_id AS VARCHAR) END ||
-           |    ' suffix' AS text
-           |  FROM documents
-           |),
-           |t AS (SELECT doc_id, $toksExpr AS tk FROM d),
-           |pa AS (
-           |  SELECT doc_id, i FROM (
-           |    SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)
-           |  WHERE tk[i] = 'alpha'
-           |),
-           |pb AS (
-           |  SELECT doc_id, i FROM (
-           |    SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM t)
-           |  WHERE tk[i] = 'gamma'
-           |)
-           |SELECT doc_id, min_dist FROM (
-           |  SELECT pa.doc_id, CAST(MIN(ABS(pa.i - pb.i)) AS BIGINT) AS min_dist
-           |  FROM pa JOIN pb ON pb.doc_id = pa.doc_id GROUP BY 1)
-           |WHERE min_dist <= 2 ORDER BY doc_id""".stripMargin,
+      "q229_proximity_from_index" -> proximityFromIndexSql,
+      // re-crawl supersede on the BM25 index: serving over
+      // (base \ re-ingested) ∪ delta IS the true corpus, so the
+      // plain-corpus replay gates it — the stale-only query term
+      // ("placeholder") must contribute zero everywhere
+      "q231_bm25_index_reingest" ->
+        bm25Sql(Seq("spark", "data", "placeholder"), 20),
+      // positional append ≡ rebuild: q225's phrase replay verbatim
+      // over the true corpus (stale texts planted the terms in the
+      // WRONG order, so a failed supersede cannot hash-match)
+      "q232_positional_index_append" -> phraseFromIndexSql,
+      // positional compaction invisible (and tombstones folded, not
+      // dropped): q229's proximity replay verbatim
+      "q233_positional_index_compact" -> proximityFromIndexSql,
       // Dirichlet QL from the index: smoothed log-likelihood replay
       "q228_ql_from_index" ->
         qlFromIndexSql(Seq("spark", "join", "stream", "zzzunseen"), 20),
@@ -5722,24 +5774,7 @@ object Oracles {
            |ORDER BY df DESC, term LIMIT 20""".stripMargin,
       // positional-index phrase serve: position alignment over
       // whitespace tokens == counting the phrase's 3-grams in text
-      "q225_phrase_from_index" ->
-        s"""WITH d AS (
-           |  SELECT doc_id,
-           |    'prefix ' || text || ' ' ||
-           |    CASE WHEN doc_id % 4 = 0 THEN 'alpha beta gamma alpha beta gamma'
-           |         WHEN doc_id % 4 = 1 THEN 'alpha beta gamma'
-           |         WHEN doc_id % 4 = 2 THEN 'alpha beta delta'
-           |         ELSE 'filler f' || CAST(doc_id AS VARCHAR) END ||
-           |    ' suffix' AS text
-           |  FROM documents
-           |),
-           |t AS (SELECT doc_id, $toksExpr AS tk FROM d)
-           |SELECT doc_id, CAST(cnt AS BIGINT) AS phrase_tf FROM (
-           |  SELECT doc_id,
-           |    len(list_filter(range(1, len(tk) - 1), i ->
-           |      tk[i] = 'alpha' AND tk[i+1] = 'beta' AND tk[i+2] = 'gamma')) AS cnt
-           |  FROM t
-           |) WHERE cnt > 0 ORDER BY doc_id""".stripMargin,
+      "q225_phrase_from_index" -> phraseFromIndexSql,
       // stream ≡ batch for the stateless line-filter projection
       "q216_streaming_c4_filter" -> c4FilterSql,
       // mergeable GK quantile sketch gated within its rank-error

@@ -5852,9 +5852,14 @@ object Queries {
     * q198's "buy now" × 6 spam on doc_id % 5 (top-{2,3,4}-gram
     * fractions — and, being a 2-token phrase repeated 6×, dup-n
     * signal across the whole n range too). Unique doc-id tails keep
-    * unplanted branches duplicate-free; cross-paragraph k-grams are
-    * unique by construction (each boundary token sequence appears
-    * once per doc).
+    * unplanted branches free of duplicate LINES/PARAGRAPHS and of
+    * duplicate grams at n ≥ 3 — but NOT fully duplicate-free at
+    * n = 2: paras 2 and 3 both end "… para <id>", so every unplanted
+    * doc carries that one repeated 2-gram (harmless — engine and
+    * oracle replay the same text — but it does contribute to the
+    * 2-gram metrics; ADVICE r18). Cross-paragraph k-grams are
+    * otherwise unique by construction (each boundary token sequence
+    * appears once per doc).
     */
   private def fullRepetitionCorpus(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
@@ -6193,12 +6198,25 @@ object Queries {
       Retrieval.writeInvertedIndex(docs(s, dir), "doc_id", "text", p,
         nBuckets = 16)
     }
-    val emb = Tables.embeddings(s, dir)
     val annIdx = memoFixture("q200idx", dir) { p =>
+      val emb = Tables.embeddings(s, dir)
       val books = Similarity.pqCodebooksExact(emb, "vec_id", "embedding",
         dim = 64, m = 4, ks = 16, iters = 2)
       Similarity.writePqIndex(emb, "vec_id", "embedding", books, p)
     }
+    hybridFromIndexes(s, dir, lexIdx, annIdx)
+  }
+
+  /** The shared hybrid-serving composition: q119's retrieve-and-fuse
+    * with sparse = batch BM25 from `lexIdx` and dense = the certified
+    * PQ screen + exact re-score from the stored codes at `annIdx`,
+    * fused with the integer-exact RRF. q230 feeds it freshly-built
+    * base indexes; q234 the re-crawl-superseded pair — both serve
+    * the same TRUE corpus, so q119's oracle gates both verbatim.
+    */
+  private def hybridFromIndexes(s: SparkSession, dir: String,
+      lexIdx: String, annIdx: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
     val sparse = Retrieval.bm25TopKBatchFromIndex(s, lexIdx, "doc_id",
         HybridQueries, k = 30)
       .select("query_id", "doc_id", "rank")
@@ -6208,6 +6226,122 @@ object Queries {
     Retrieval.rrfFuse(Seq(sparse, dense), "query_id", "doc_id", "rank",
         k = 20)
       .orderBy("query_id", "rank")
+  }
+
+  /** The re-crawl-superseded BM25 index: base = 3/4 of the corpus
+    * with STALE text for the %8==1 docs, one append re-ingesting
+    * those docs (true text) alongside the new %4==0 docs — the
+    * production index state after a crawl cycle. Shared by q231
+    * (direct serve gate) and q234 (hybrid composition over it).
+    */
+  private def reingestInvertedIndex(s: SparkSession, dir: String): String =
+    memoFixture("q231idx", dir) { p =>
+      val d = docs(s, dir)
+      val base = d.filter(col("doc_id") % 4 =!= 0).select(col("doc_id"),
+        when(col("doc_id") % 8 === 1,
+          concat(lit("stale placeholder s"), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      Retrieval.writeInvertedIndex(base, "doc_id", "text", p, nBuckets = 16)
+      Retrieval.appendToInvertedIndex(
+        d.filter(col("doc_id") % 4 === 0 || col("doc_id") % 8 === 1),
+        "doc_id", "text", p)
+    }
+
+  /** RE-CRAWL SUPERSEDE on the stored BM25 index
+    * ([[Retrieval.appendToInvertedIndex]]'s (id, gen) tombstone
+    * sidecar — the ANN tier's q207 mechanism, lexical edition): a
+    * re-ingested doc's stale postings are scattered across OTHER
+    * term buckets than its replacement's, so serving kills them with
+    * an id-level broadcast filter, and the summed stats shed the
+    * stale docs' (1, dl) through the id-bucketed doclens correction
+    * (literal-pruned to the tombstoned ids' directories). Serving ≡
+    * a full rebuild over (base \ re-ingested) ∪ delta = the TRUE
+    * corpus, so the oracle is the plain-corpus BM25 replay verbatim;
+    * the query's stale-only term ("placeholder") must contribute
+    * zero everywhere.
+    */
+  val q231Bm25IndexReingest: Q = (s, dir) =>
+    Retrieval.bm25TopKFromIndex(s, reingestInvertedIndex(s, dir), "doc_id",
+      Seq("spark", "data", "placeholder"), k = 20)
+
+  /** The re-crawl-superseded POSITIONAL index over q225's planted
+    * phrase corpus: stale %8==1 texts plant the phrase terms in the
+    * WRONG order (no "alpha beta gamma" trigram, but an alpha/gamma
+    * bigram at distance 1) so BOTH the phrase gate (q232) and the
+    * proximity gate (q233) would catch a failed supersede.
+    */
+  private def reingestPositionalIndex(s: SparkSession, dir: String): String =
+    memoFixture("q232idx", dir) { p =>
+      val corp = phraseCorpus(s, dir)
+      val base = corp.filter(col("doc_id") % 4 =!= 0).select(col("doc_id"),
+        when(col("doc_id") % 8 === 1,
+          lit("stale gamma alpha gamma alpha end"))
+          .otherwise(col("text")).as("text"))
+      Retrieval.writePositionalIndex(base, "doc_id", "text", p, nBuckets = 8)
+      Retrieval.appendToPositionalIndex(
+        corp.filter(col("doc_id") % 4 === 0 || col("doc_id") % 8 === 1),
+        "doc_id", "text", p)
+    }
+
+  /** POSITIONAL-INDEX LIFECYCLE, append half
+    * ([[Retrieval.appendToPositionalIndex]]): positional postings
+    * are pure per-doc functions, so append ≡ rebuild needs only the
+    * tombstone supersede — no stats sidecar exists to correct.
+    * Phrase serving over base+delta must equal q225's oracle
+    * verbatim over the TRUE corpus.
+    */
+  val q232PositionalIndexAppend: Q = (s, dir) =>
+    Retrieval.phraseOccurrencesFromIndex(s,
+      reingestPositionalIndex(s, dir), "doc_id",
+      Seq("alpha", "beta", "gamma")).orderBy("doc_id")
+
+  /** POSITIONAL-INDEX LIFECYCLE, compaction half
+    * ([[Retrieval.compactPositionalIndex]]): the appended +
+    * tombstoned index of q232 rewritten live-only (generations
+    * reset, no tombstone sidecar) at a new path —
+    * write-new-flip-pointer. Proximity serving from the compacted
+    * index must equal q229's oracle verbatim (min pair distance via
+    * the merge walk), proving compaction invisible AND the
+    * supersede folded away rather than dropped.
+    */
+  val q233PositionalIndexCompact: Q = (s, dir) => {
+    val src = reingestPositionalIndex(s, dir)
+    val idx = memoFixture("q233idx", dir) { p =>
+      Retrieval.compactPositionalIndex(s, src, p)
+    }
+    Retrieval.proximityFromIndex(s, idx, "doc_id", "alpha", "gamma",
+      window = 2).orderBy("doc_id")
+  }
+
+  /** The FULL HYBRID STACK over LIVE indexes — q230's composition
+    * re-gated in the PRODUCTION index state: the lexical side serves
+    * from q231's re-crawl-superseded BM25 index, the dense side from
+    * a flat-PQ index built over a STALE embedding base (%8==1
+    * vectors reversed, %4==0 missing, codebooks trained on that
+    * stale corpus) then appended with the true vectors
+    * ([[Similarity.appendToPqIndex]] — frozen books, tombstone
+    * supersede; stale codes would break the ADC certificate, so the
+    * supersede is correctness-critical, not hygiene). Both serves
+    * equal their scan twins over the TRUE corpus after the
+    * lifecycle, so q119's oracle gates the fusion verbatim — zero
+    * new oracle surface for the whole production composition.
+    */
+  val q234HybridLiveIndexes: Q = (s, dir) => {
+    val lexIdx = reingestInvertedIndex(s, dir)
+    val annIdx = memoFixture("q234idx", dir) { p =>
+      val emb = Tables.embeddings(s, dir)
+      val staleBase = emb.filter(col("vec_id") % 4 =!= 0).select(
+        col("vec_id"),
+        when(col("vec_id") % 8 === 1, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      val books = Similarity.pqCodebooksExact(staleBase, "vec_id",
+        "embedding", dim = 64, m = 4, ks = 16, iters = 2)
+      Similarity.writePqIndex(staleBase, "vec_id", "embedding", books, p)
+      Similarity.appendToPqIndex(
+        emb.filter(col("vec_id") % 4 === 0 || col("vec_id") % 8 === 1),
+        p, "vec_id", "embedding")
+    }
+    hybridFromIndexes(s, dir, lexIdx, annIdx)
   }
 
   val all: Map[String, Q] = Map(
@@ -6441,5 +6575,9 @@ object Queries {
     "q228_ql_from_index" -> q228QlFromIndex,
     "q229_proximity_from_index" -> q229ProximityFromIndex,
     "q230_hybrid_from_indexes" -> q230HybridFromIndexes,
+    "q231_bm25_index_reingest" -> q231Bm25IndexReingest,
+    "q232_positional_index_append" -> q232PositionalIndexAppend,
+    "q233_positional_index_compact" -> q233PositionalIndexCompact,
+    "q234_hybrid_live_indexes" -> q234HybridLiveIndexes,
   )
 }

@@ -152,6 +152,159 @@ class InvertedIndexSpec extends SparkSpec {
     assert(r === Seq((2L, 2L), (3L, 1L)))
   }
 
+  test("re-ingest supersede: serving over (base \\ re-ingested) ∪ delta equals the true-corpus scan") {
+    val docs = corpus(60, 41) // the TRUE corpus
+    // base: 2/3 of the corpus, where %6==1 docs carry a STALE text
+    // whose terms/length pollute every serving statistic until
+    // superseded
+    val base = docs.filter($"doc_id" % 3 =!= 0L).select($"doc_id",
+      when($"doc_id" % 6 === 1L,
+        concat(lit("zzstale zzstale s"), $"doc_id".cast("string")))
+        .otherwise($"text").as("text"))
+    val delta = docs.filter($"doc_id" % 3 === 0L || $"doc_id" % 6 === 1L)
+    val path = tmp("invreing")
+    Retrieval.writeInvertedIndex(base, "doc_id", "text", path, nBuckets = 8)
+    Retrieval.appendToInvertedIndex(delta, "doc_id", "text", path)
+    // zzstale exists ONLY in superseded texts: its postings must be
+    // dead in every bucket, its df contribution gone
+    val terms = Seq("spark", "data", "zzstale")
+    val full = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 20)
+      .collect().map(_.toSeq).toSeq
+    val served = Retrieval.bm25TopKFromIndex(spark, path, "doc_id",
+      terms, k = 20).collect().map(_.toSeq).toSeq
+    assert(served === full)
+    // N / total_len corrections are load-bearing: QL's corpus token
+    // count C comes from the corrected stats
+    val truePath = tmp("invtruth")
+    Retrieval.writeInvertedIndex(docs, "doc_id", "text", truePath, nBuckets = 8)
+    val qlTrue = Retrieval.qlTopKFromIndex(spark, truePath, "doc_id",
+      Seq("spark", "data"), k = 15).collect().map(_.toSeq).toSeq
+    val qlServed = Retrieval.qlTopKFromIndex(spark, path, "doc_id",
+      Seq("spark", "data"), k = 15).collect().map(_.toSeq).toSeq
+    assert(qlServed === qlTrue)
+    // vocabulary: stale terms must not survive into df/cf
+    val vTrue = Retrieval.vocabularyFromIndex(spark, truePath, 15)
+      .collect().map(_.toSeq).toSeq
+    val vServed = Retrieval.vocabularyFromIndex(spark, path, 15)
+      .collect().map(_.toSeq).toSeq
+    assert(vServed === vTrue)
+    assert(!vServed.exists(_.head == "zzstale"))
+  }
+
+  test("rebuild resets the generation clock: prior tombstones do not leak into gen-0 serving") {
+    val docs = corpus(40, 43)
+    val path = tmp("invgen")
+    Retrieval.writeInvertedIndex(docs.filter($"doc_id" % 2 === 0L),
+      "doc_id", "text", path, nBuckets = 4)
+    Retrieval.appendToInvertedIndex(docs.filter($"doc_id" % 2 =!= 0L),
+      "doc_id", "text", path) // tombstones now exist at `path`
+    Retrieval.writeInvertedIndex(docs, "doc_id", "text", path, nBuckets = 4)
+    val terms = Seq("spark", "row")
+    val full = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 12)
+      .collect().map(_.toSeq).toSeq
+    val served = Retrieval.bm25TopKFromIndex(spark, path, "doc_id",
+      terms, k = 12).collect().map(_.toSeq).toSeq
+    assert(served === full)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    assert(spark.read.parquet(s"$path/stats").count() === 1L)
+  }
+
+  test("compaction folds tombstones away: re-ingested index compacts to the rebuild state") {
+    val docs = corpus(50, 47)
+    val base = docs.filter($"doc_id" % 3 =!= 0L).select($"doc_id",
+      when($"doc_id" % 6 === 2L,
+        concat(lit("zzdead s"), $"doc_id".cast("string")))
+        .otherwise($"text").as("text"))
+    val delta = docs.filter($"doc_id" % 3 === 0L || $"doc_id" % 6 === 2L)
+    val src = tmp("invfsrc")
+    val dst = tmp("invfdst")
+    Retrieval.writeInvertedIndex(base, "doc_id", "text", src, nBuckets = 4)
+    Retrieval.appendToInvertedIndex(delta, "doc_id", "text", src)
+    Retrieval.compactInvertedIndex(spark, src, dst)
+    val terms = Seq("data", "scan", "zzdead")
+    val full = Retrieval.bm25TopK(docs, "doc_id", "text", terms, k = 15)
+      .collect().map(_.toSeq).toSeq
+    val served = Retrieval.bm25TopKFromIndex(spark, dst, "doc_id",
+      terms, k = 15).collect().map(_.toSeq).toSeq
+    assert(served === full)
+    // the compacted index IS the rebuild state: one stats row, no
+    // tombstone sidecar, no superseded postings or doclens rows
+    assert(!new java.io.File(s"$dst/tombstones").exists())
+    assert(spark.read.parquet(s"$dst/stats").count() === 1L)
+    assert(spark.read.parquet(s"$dst/doclens").count() === docs.count())
+    assert(spark.read.parquet(s"$dst/postings")
+      .filter(col("term") === "zzdead").count() === 0L)
+  }
+
+  test("positional append + supersede: phrase and proximity equal the rebuild; compaction invisible") {
+    val docs = Seq( // the TRUE corpus
+      (1L, "x alpha beta gamma y"),
+      (2L, "alpha beta gamma alpha beta gamma"),
+      (3L, "alpha beta delta"),
+      (4L, "q w e r t"),
+      (5L, "beta gamma alpha")).toDF("doc_id", "text")
+    // base holds 1-3, doc 2 STALE (phrase absent; different terms)
+    val base = Seq(
+      (1L, "x alpha beta gamma y"),
+      (2L, "nothing here at all"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val delta = Seq( // new docs 4-5 + re-crawled doc 2
+      (2L, "alpha beta gamma alpha beta gamma"),
+      (4L, "q w e r t"),
+      (5L, "beta gamma alpha")).toDF("doc_id", "text")
+    val src = tmp("posapp")
+    val dst = tmp("poscmp")
+    Retrieval.writePositionalIndex(base, "doc_id", "text", src, nBuckets = 4)
+    Retrieval.appendToPositionalIndex(delta, "doc_id", "text", src)
+    val ph = Retrieval.phraseOccurrencesFromIndex(spark, src, "doc_id",
+        Seq("alpha", "beta", "gamma")).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(ph === Seq((1L, 1L), (2L, 2L)))
+    val px = Retrieval.proximityFromIndex(spark, src, "doc_id",
+        "alpha", "gamma", window = 2).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    // doc 1 dist 2, doc 2 dist 1 (gamma@3, alpha@4), doc 5 dist 1
+    assert(px === Seq((1L, 2L), (2L, 1L), (5L, 1L)))
+    // stale "nothing" postings are dead
+    assert(Retrieval.phraseOccurrencesFromIndex(spark, src, "doc_id",
+      Seq("nothing", "here")).count() === 0L)
+    Retrieval.compactPositionalIndex(spark, src, dst)
+    assert(!new java.io.File(s"$dst/tombstones").exists())
+    val phC = Retrieval.phraseOccurrencesFromIndex(spark, dst, "doc_id",
+        Seq("alpha", "beta", "gamma")).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(phC === ph)
+    val pxC = Retrieval.proximityFromIndex(spark, dst, "doc_id",
+        "alpha", "gamma", window = 2).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(pxC === px)
+    assert(spark.read.parquet(s"$dst/postings")
+      .filter(col("term") === "nothing").count() === 0L)
+  }
+
+  test("hot-term merge walk: 100k positions per side stays linear, not the pair product") {
+    // two stop-words alternating through a 200k-token doc: the old
+    // nested fold is O(tf_A · tf_B) = 10^10 ops/row; the merge walk
+    // is O((tf_A + tf_B) log) and must finish comfortably
+    val text = Seq.fill(100000)("aa bb").mkString(" ")
+    val docs = Seq((1L, text), (2L, "aa x bb")).toDF("doc_id", "text")
+    val path = tmp("poshot")
+    Retrieval.writePositionalIndex(docs, "doc_id", "text", path, nBuckets = 2)
+    val t0 = System.nanoTime()
+    val px = Retrieval.proximityFromIndex(spark, path, "doc_id",
+        "aa", "bb", window = 5).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(px === Seq((1L, 1L), (2L, 2L)))
+    assert(secs < 60.0, s"hot-term proximity took ${secs}s — merge walk regressed?")
+    // phrase alignment on the same hot terms: intersection fold,
+    // overlapping occurrences all counted
+    val ph = Retrieval.phraseOccurrencesFromIndex(spark, path, "doc_id",
+        Seq("aa", "bb")).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(ph === Seq((1L, 100000L)))
+  }
+
   test("empty delta is a no-op: no stats row, scores unchanged") {
     val docs = corpus(30, 29)
     val path = tmp("invempty")

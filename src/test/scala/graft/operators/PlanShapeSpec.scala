@@ -701,4 +701,50 @@ class PlanShapeSpec extends SparkSpec {
         "partition pruning did not reduce the postings read to the probed buckets")
     }
   }
+
+  test("superseded BM25 index (q231 shape): the tombstone broadcast join keeps the bucket prune") {
+    import spark.implicits._
+    val vocab = Vector("spark", "join", "stream", "data", "row", "table")
+    val rnd = new scala.util.Random(43)
+    val docs = (1L to 60L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("invidx_tomb")
+      .toString + "/idx"
+    val nBuckets = 8
+    Retrieval.writeInvertedIndex(docs.filter($"doc_id" % 3 =!= 0L),
+      "doc_id", "text", path, nBuckets)
+    Retrieval.appendToInvertedIndex(docs.filter($"doc_id" % 3 === 0L),
+      "doc_id", "text", path)
+    val terms = Seq("spark", "stream")
+    val termBuckets = terms.toDF("term")
+      .select(pmod(hash($"term"), lit(nBuckets))).distinct().count().toInt
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      val q = Retrieval.bm25TopKFromIndex(spark, path, "doc_id", terms, k = 5)
+      q.collect()
+      q.queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    val postingsScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("/postings")))
+    assert(postingsScans.nonEmpty, s"no postings scan among ${scans.size}")
+    postingsScans.foreach { sc =>
+      // the id-level tombstone join must NOT cost the partition
+      // prune: the bucket IN sits on the scan, the join above it
+      assert(sc.partitionFilters.exists(_.references
+          .exists(_.name == "bucket")),
+        s"no bucket partition filter under the tombstone join: " +
+          s"${sc.partitionFilters}")
+      assert(sc.relation.location
+          .listFiles(sc.partitionFilters, Nil).size <= termBuckets,
+        "tombstone join broke the probed-bucket prune")
+    }
+    // and the tombstone side really is a broadcast, never a shuffle
+    // of the postings
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      "tombstone supersede should be a broadcast hash join")
+  }
 }

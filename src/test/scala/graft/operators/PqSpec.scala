@@ -406,4 +406,43 @@ class PqSpec extends SparkSpec {
       s"trained recall $trainedR < seeded recall $seededR")
     assert(trainedR > 0.3, s"trained recall $trainedR suspiciously low")
   }
+
+  test("flat-PQ append + tombstone supersede: certified serve ≡ brute force over the true corpus") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pqapp").toString + "/idx"
+    // the BASE index holds a STALE corpus: %3==0 docs missing, %6==1
+    // docs carry a reversed (wrong) vector — the re-crawl state
+    val stale = corpus.select(col("vec_id"),
+        when(col("vec_id") % 6 === 1L, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      .filter(col("vec_id") % 3 =!= 0L)
+    // books trained on the STALE base — the certificate must not
+    // care (≡ brute force for ANY codebook), only the codes must be
+    // live
+    val books = Similarity.pqCodebooksExact(stale, "vec_id", "embedding",
+      dim = 8, m = 4, ks = 4, iters = 2)
+    Similarity.writePqIndex(stale, "vec_id", "embedding", books, path)
+    // one crawl delta: the new docs AND the re-crawled true vectors
+    Similarity.appendToPqIndex(
+      corpus.filter(col("vec_id") % 3 === 0L || col("vec_id") % 6 === 1L),
+      path, "vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 10)
+    val gold = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding",
+        k = 4, roundDp = -1, exact = true)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    val served = Similarity.pqTopKFromIndex(q, corpus, "vec_id", "embedding",
+        k = 4, path, roundDp = -1)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    assert(served === gold)
+    // a REBUILD at the same path resets the generation clock: stale
+    // tombstones must not drop the fresh gen-0 codes
+    Similarity.writePqIndex(corpus, "vec_id", "embedding", books, path)
+    val rebuilt = Similarity.pqTopKFromIndex(q, corpus, "vec_id", "embedding",
+        k = 4, path, roundDp = -1)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    assert(rebuilt === gold)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+  }
 }

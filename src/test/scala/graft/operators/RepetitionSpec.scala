@@ -201,4 +201,29 @@ class RepetitionSpec extends SparkSpec {
     assert(r.getAs[Long]("n_lines") === 2L) // third line dropped
     assert(r.getAs[Boolean]("truncated"))   // both caps bit
   }
+
+  test("rowwise maxLines guard: over-limit doc fails LOUDLY with a counted error; under-limit untouched") {
+    // a 20k-line doc in a stream would make the O(lines²) dup-char
+    // fold a trigger straggler — the guard rejects it with the doc id
+    // and line count rather than hanging (semantics of `pass` under
+    // the limit are bit-identical to the unguarded form)
+    val big = (1 to 20000).map(i => s"line ${i % 7}").mkString("\n")
+    val docs = Seq((1L, "aa bb\naa bb"), (2L, big)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Repetition.reportFullRowwise(docs, "doc_id", "text", maxLines = 5000)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m =>
+      m.contains("20000") && m.contains("maxLines=5000")), e.toString)
+    // under the limit, guarded ≡ unguarded (and the default injects
+    // no guard expression at all)
+    val small = docs.filter($"doc_id" === 1L)
+    val guarded = Repetition.reportFullRowwise(small, "doc_id", "text",
+      maxLines = 5000).collect().map(_.toSeq).toSeq
+    val plain = Repetition.reportFullRowwise(small, "doc_id", "text")
+      .collect().map(_.toSeq).toSeq
+    assert(guarded === plain)
+  }
 }
