@@ -273,53 +273,64 @@ object Retrieval {
       .withColumn("dl", size(col("_toks")).cast("long"))
 
   /** Postings rows of a corpus slice against a fixed bucket count:
-    * one (term, id, dl, tf, _gen, bucket) row per distinct term of
-    * each doc — tf from a within-doc (term, doc) partial-aggregated
-    * count, bucket = pmod(murmur3(term), nBuckets), `_gen` the
-    * generation stamp of the slice (0 for a base build, the append's
-    * generation otherwise). Shared by [[writeInvertedIndex]] and
-    * [[appendToInvertedIndex]] so appended postings are BY
+    * one (term, id, dl, tf, _gen, _slice, bucket) row per distinct
+    * term of each doc — tf from a within-doc (term, doc)
+    * partial-aggregated count, bucket = pmod(murmur3(term),
+    * nBuckets), `_gen` the generation stamp of the slice (0 for a
+    * base build, the append's generation otherwise), `_slice` the
+    * slice's COMMIT nonce (see [[appendToInvertedIndex]]). Shared by
+    * the writer and the appender so appended postings are BY
     * CONSTRUCTION the rows a full rebuild would produce.
     */
   private def postingsRows(toks: DataFrame, nBuckets: Int,
-      gen: Long): DataFrame =
+      gen: Long, slice: String): DataFrame =
     toks.select(col("id"), col("dl"), explode(col("_toks")).as("term"))
       .groupBy(col("term"), col("id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .select(col("term"), col("id"), col("dl"), col("tf"),
-        lit(gen).as("_gen"),
+        lit(gen).as("_gen"), lit(slice).as("_slice"),
         pmod(hash(col("term")), lit(nBuckets)).as("bucket"))
 
   /** One mergeable stats row for a corpus slice: doc count and total
     * token length (plus the index's bucket count, constant across
-    * rows). Serving SUMS all stats rows — and, when re-ingests have
-    * superseded docs, subtracts the stale instances' contribution
-    * from the doclens sidecar — so N and avgdl after any append
-    * sequence are exactly the full-rebuild values.
+    * rows). Serving SUMS the COMMITTED stats rows — and, when
+    * re-ingests have superseded docs, subtracts the stale instances'
+    * contribution from the doclens sidecar — so N and avgdl after
+    * any append sequence are exactly the full-rebuild values.
     */
-  private def statsRow(toks: DataFrame, nBuckets: Int): DataFrame =
+  private def statsRow(toks: DataFrame, nBuckets: Int,
+      slice: String): DataFrame =
     toks.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("total_len"))
       .withColumn("n_buckets", lit(nBuckets))
+      .withColumn("_slice", lit(slice))
 
-  /** Per-doc length sidecar rows: (id, dl, _gen, bucket) with bucket
-    * = pmod(murmur3(id), nBuckets) — the slim table that makes the
-    * stats CORRECTION for superseded docs a bounded read: a stale
-    * doc's (1, dl) contribution to the summed stats is recovered
-    * from its doclens row, and the tombstoned ids' buckets land as
-    * literals in the partition column, so the correction reads at
-    * most min(|re-ingested|, nBuckets) directories — never the
-    * corpus-sized postings.
+  /** Per-doc length sidecar rows: (id, dl, _gen, _slice, bucket)
+    * with bucket = pmod(murmur3(id), nBuckets) — the slim table that
+    * makes the stats CORRECTION for superseded docs a bounded read:
+    * a stale doc's (1, dl) contribution to the summed stats is
+    * recovered from its doclens row, and the tombstoned ids' buckets
+    * land as literals in the partition column, so the correction
+    * reads at most min(|re-ingested|, nBuckets) directories — never
+    * the corpus-sized postings.
     */
   private def doclensRows(toks: DataFrame, nBuckets: Int,
-      gen: Long): DataFrame =
+      gen: Long, slice: String): DataFrame =
     toks.select(col("id"), col("dl"), lit(gen).as("_gen"),
+      lit(slice).as("_slice"),
       pmod(hash(col("id")), lit(nBuckets)).as("bucket"))
+
+  /** The base build's slice label — always committed by definition
+    * (overwrite semantics: a base write either completes or the
+    * index does not exist). */
+  private val BaseSlice = "base"
 
   /** The tombstone sidecar if any append has happened, else None —
     * a base index's serving plan stays byte-identical to pre-append
-    * (no join is added until the first tombstone exists). Mirrors
-    * `Similarity.readTombstones` (the ANN tier, q207).
+    * (no join or slice filter is added until the first tombstone
+    * exists). Mirrors `Similarity.readTombstones` (the ANN tier,
+    * q207). The tombstone table doubles as the COMMIT MANIFEST:
+    * (id, gen, slice, batch_key) rows, written LAST by every append.
     */
   private def readTombstones(spark: SparkSession,
       path: String): Option[DataFrame] = {
@@ -334,36 +345,91 @@ object Retrieval {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  /** Max tombstone generation per re-ingested id — the slim
-    * (cumulative-re-ingest-sized) frame every serve broadcasts. */
-  private def tombstoneMax(t: DataFrame): DataFrame =
-    t.groupBy("id").agg(max("gen").as("_tg"))
+  /** Everything serving needs from the tombstone/commit manifest, in
+    * ONE slim read: the committed slice labels (+ "base") and the
+    * max tombstone generation per re-ingested id. Both are
+    * manifest-sized (cumulative appends / re-ingests), the same
+    * bounded-collect discipline as the probe-bucket jobs.
+    */
+  private case class TombState(committed: Seq[String], tmax: DataFrame)
 
-  /** Drop rows superseded by a NEWER tombstone for their id. This
-    * must be an id-level broadcast filter, not a within-partition
-    * dedup: a re-crawled doc's stale postings live under the STALE
-    * text's term buckets (resp. the stale doc-hash bucket), which the
-    * replacement's partitions never touch — the exact argument at
-    * `Similarity.scala` (q207's tombstone supersede), lexical
-    * edition. Rows whose `_gen` equals their id's max tombstone
-    * generation are the replacement itself and survive.
+  private def tombState(spark: SparkSession,
+      path: String): Option[TombState] =
+    readTombstones(spark, path).map { t =>
+      val committed = t.select(col("slice")).distinct()
+        .collect().map(_.getString(0)).toSeq :+ BaseSlice
+      TombState(committed, t.groupBy("id").agg(max("gen").as("_tg")))
+    }
+
+  /** Keep only rows of COMMITTED slices — the exactly-once half of
+    * the lifecycle: an append attempt that died before its tombstone
+    * write left rows whose `_slice` nonce never reached the manifest,
+    * and this filter makes them permanently invisible (the retry
+    * writes fresh rows under a NEW nonce). A conjunctive data filter
+    * on the scan: pushes to parquet, never disturbs the bucket
+    * partition prune.
+    */
+  private def committedRows(rows: DataFrame,
+      ts: Option[TombState]): DataFrame =
+    ts.map(s => rows.filter(col("_slice").isin(s.committed: _*)))
+      .getOrElse(rows)
+
+  /** [[committedRows]] + drop rows superseded by a NEWER tombstone
+    * for their id. The supersede must be an id-level broadcast
+    * filter, not a within-partition dedup: a re-crawled doc's stale
+    * postings live under the STALE text's term buckets (resp. the
+    * stale doc-hash bucket), which the replacement's partitions
+    * never touch — the exact argument at `Similarity.scala` (q207's
+    * tombstone supersede), lexical edition. Rows whose `_gen` equals
+    * their id's max tombstone generation are the replacement itself
+    * and survive.
     */
   private def liveRows(rows: DataFrame,
-      tmax: Option[DataFrame]): DataFrame =
-    tmax.map { t =>
-      rows.join(broadcast(t), Seq("id"), "left")
+      ts: Option[TombState]): DataFrame =
+    ts.map { s =>
+      committedRows(rows, ts)
+        .join(broadcast(s.tmax), Seq("id"), "left")
         .filter(col("_tg").isNull || col("_gen") >= col("_tg"))
         .drop("_tg")
     }.getOrElse(rows)
 
   /** Next generation stamp for an append at `path`: one past the
-    * newest tombstone (0-generation base rows are never tombstoned,
-    * so the first append is generation 1).
+    * newest COMMITTED tombstone (0-generation base rows are never
+    * tombstoned, so the first append is generation 1). A failed
+    * attempt never reached the manifest, so its retry recomputes the
+    * SAME generation — harmless, because the orphan rows differ by
+    * slice nonce and stay uncommitted forever.
     */
   private def nextGen(spark: SparkSession, path: String): Long =
     1L + readTombstones(spark, path)
       .map(_.agg(coalesce(max("gen"), lit(0L))).head().getLong(0))
       .getOrElse(0L)
+
+  /** True iff `batchKey` already appears in the commit manifest —
+    * the idempotent-re-delivery guard for streaming ingest. */
+  private def batchCommitted(spark: SparkSession, path: String,
+      batchKey: String): Boolean =
+    readTombstones(spark, path).exists(
+      _.filter(col("batch_key") === batchKey).take(1).nonEmpty)
+
+  /** Create an EMPTY commit manifest (schema, zero rows) before the
+    * FIRST append's data writes. Without it, a first append dying
+    * mid-write would leave orphan rows indistinguishable from a
+    * never-appended base index — whose fast path skips the committed
+    * filter. With it, the manifest's existence flips serving to
+    * committed-slices mode BEFORE any uncommitted row can exist; a
+    * base index that has never seen an append keeps its
+    * filter-free plan.
+    */
+  private def ensureManifest(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      ids.select(col("id"), lit(0L).as("gen"), lit("").as("slice"),
+          lit(null).cast("string").as("batch_key"))
+        .limit(0).write.mode("append").parquet(p.toString)
+  }
 
   /** STORED INVERTED INDEX — the lexical twin of the stored ANN index
     * (`Similarity.writeIvfPqIndex`): tokenize and aggregate ONCE,
@@ -396,12 +462,12 @@ object Retrieval {
     val spark = docs.sparkSession
     deleteDir(spark, s"$path/tombstones")
     val toks = tokenized(docs, idCol, textCol).persistTracked
-    postingsRows(toks, nBuckets, 0L)
+    postingsRows(toks, nBuckets, 0L, BaseSlice)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
-    statsRow(toks, nBuckets)
+    statsRow(toks, nBuckets, BaseSlice)
       .write.mode("overwrite").parquet(s"$path/stats")
-    doclensRows(toks, nBuckets, 0L)
+    doclensRows(toks, nBuckets, 0L, BaseSlice)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/doclens")
   }
@@ -430,14 +496,29 @@ object Retrieval {
     * true-corpus SQL replay; when cumulative tombstones grow large,
     * [[compactInvertedIndex]] folds them away.
     *
+    * EXACTLY-ONCE commit protocol (what makes streaming ingest safe,
+    * q237): every append stamps its postings/stats/doclens rows with
+    * a fresh SLICE NONCE and writes the tombstone manifest LAST —
+    * the manifest write is the commit point. Serving reads only
+    * committed slices ([[committedRows]]), so an attempt that died
+    * mid-append left rows that are permanently invisible; the retry
+    * recomputes the same generation (the manifest didn't change) but
+    * a new nonce, and only its completed write commits. Re-delivery
+    * of an already-COMMITTED batch is skipped via `batchKey` (the
+    * Structured Streaming replay contract: a batchId re-runs only
+    * until its foreachBatch returns). The one non-atomicity left is
+    * the manifest append itself — a parquet file create, atomic on
+    * HDFS/posix renames and object-store PUTs alike.
+    *
     * Precondition (the q179 contract, narrowed): ids are unique
     * WITHIN one delta; re-ingesting ids from the base or earlier
     * appends is the supported re-crawl path. An empty delta is a
     * no-op — no stats row, no new generation.
     */
   def appendToInvertedIndex(deltaDocs: DataFrame, idCol: String,
-      textCol: String, path: String): Unit = {
+      textCol: String, path: String, batchKey: String = null): Unit = {
     val spark = deltaDocs.sparkSession
+    if (batchKey != null && batchCommitted(spark, path, batchKey)) return
     // ONE tokenize pass feeds the emptiness probe and all four
     // sidecar writes (ADVICE r18: the delta plan was evaluated
     // three times)
@@ -445,16 +526,20 @@ object Retrieval {
     if (toks.select(col("id")).take(1).isEmpty) return
     val nBuckets = spark.read.parquet(s"$path/stats")
       .select(max(col("n_buckets"))).head().getInt(0)
+    ensureManifest(toks, path)
     val gen = nextGen(spark, path)
-    postingsRows(toks, nBuckets, gen)
+    val slice = java.util.UUID.randomUUID().toString
+    postingsRows(toks, nBuckets, gen, slice)
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/postings")
-    statsRow(toks, nBuckets)
+    statsRow(toks, nBuckets, slice)
       .write.mode("append").parquet(s"$path/stats")
-    doclensRows(toks, nBuckets, gen)
+    doclensRows(toks, nBuckets, gen, slice)
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/doclens")
-    toks.select(col("id"), lit(gen).as("gen"))
+    // the COMMIT: manifest rows land last
+    toks.select(col("id"), lit(gen).as("gen"), lit(slice).as("slice"),
+        lit(batchKey).cast("string").as("batch_key"))
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
@@ -467,13 +552,17 @@ object Retrieval {
     * (staleDocs, staleLen) — (0, 0) when no tombstones exist.
     */
   private def staleStats(spark: SparkSession, path: String,
-      nBuckets: Int, tmax: Option[DataFrame]): (Long, Long) =
-    tmax.map { t =>
-      val buckets = t.select(pmod(hash(col("id")), lit(nBuckets)).as("b"))
+      nBuckets: Int, ts: Option[TombState]): (Long, Long) =
+    ts.map { s =>
+      val buckets = s.tmax
+        .select(pmod(hash(col("id")), lit(nBuckets)).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      val r = spark.read.parquet(s"$path/doclens")
-        .filter(col("bucket").isin(buckets: _*))
-        .join(broadcast(t), Seq("id"))
+      // committed slices only: an orphan doclens row was never
+      // counted in the (committed-filtered) summed stats, so it must
+      // not be subtracted either
+      val r = committedRows(spark.read.parquet(s"$path/doclens")
+          .filter(col("bucket").isin(buckets: _*)), ts)
+        .join(broadcast(s.tmax), Seq("id"))
         .filter(col("_gen") < col("_tg"))
         .agg(count(lit(1)).as("c"),
           coalesce(sum(col("dl")), lit(0L)).as("l"))
@@ -500,7 +589,7 @@ object Retrieval {
     val spark = docs.sparkSession
     import spark.implicits._
     deleteDir(spark, s"$path/tombstones")
-    positionalRows(docs, idCol, textCol, nBuckets, 0L)
+    positionalRows(docs, idCol, textCol, nBuckets, 0L, BaseSlice)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings")
     Seq(nBuckets).toDF("n_buckets")
@@ -512,7 +601,8 @@ object Retrieval {
     * appender so appended rows ≡ the rows a full rebuild would
     * produce. */
   private def positionalRows(docs: DataFrame, idCol: String,
-      textCol: String, nBuckets: Int, gen: Long): DataFrame =
+      textCol: String, nBuckets: Int, gen: Long,
+      slice: String): DataFrame =
     docs.select(col(idCol).as("id"),
         Text.tokens(col(textCol)).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("long"))
@@ -522,7 +612,7 @@ object Retrieval {
       .agg(sort_array(collect_list(col("_p") + 1)).as("positions"),
         count(lit(1)).as("tf"))
       .select(col("term"), col("id"), col("dl"), col("tf"),
-        col("positions"), lit(gen).as("_gen"),
+        col("positions"), lit(gen).as("_gen"), lit(slice).as("_slice"),
         pmod(hash(col("term")), lit(nBuckets)).as("bucket"))
 
   /** INCREMENTAL APPEND to a positional index — the q231 lifecycle
@@ -538,16 +628,21 @@ object Retrieval {
     * within one delta; empty delta is a no-op.
     */
   def appendToPositionalIndex(deltaDocs: DataFrame, idCol: String,
-      textCol: String, path: String): Unit = {
+      textCol: String, path: String, batchKey: String = null): Unit = {
     val spark = deltaDocs.sparkSession
+    if (batchKey != null && batchCommitted(spark, path, batchKey)) return
     if (deltaDocs.select(col(idCol)).take(1).isEmpty) return
     val nBuckets = spark.read.parquet(s"$path/meta")
       .select(max(col("n_buckets"))).head().getInt(0)
+    ensureManifest(deltaDocs.select(col(idCol).as("id")), path)
     val gen = nextGen(spark, path)
-    positionalRows(deltaDocs, idCol, textCol, nBuckets, gen)
+    val slice = java.util.UUID.randomUUID().toString
+    positionalRows(deltaDocs, idCol, textCol, nBuckets, gen, slice)
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/postings")
-    deltaDocs.select(col(idCol).as("id"), lit(gen).as("gen"))
+    deltaDocs.select(col(idCol).as("id"), lit(gen).as("gen"),
+        lit(slice).as("slice"),
+        lit(batchKey).cast("string").as("batch_key"))
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
@@ -559,10 +654,10 @@ object Retrieval {
     */
   def compactPositionalIndex(spark: SparkSession, srcPath: String,
       dstPath: String): Unit = {
-    val tmax = readTombstones(spark, srcPath).map(tombstoneMax)
+    val ts = tombState(spark, srcPath)
     deleteDir(spark, s"$dstPath/tombstones")
-    liveRows(spark.read.parquet(s"$srcPath/postings"), tmax)
-      .withColumn("_gen", lit(0L))
+    liveRows(spark.read.parquet(s"$srcPath/postings"), ts)
+      .withColumn("_gen", lit(0L)).withColumn("_slice", lit(BaseSlice))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dstPath/postings")
     spark.read.parquet(s"$srcPath/meta")
@@ -583,7 +678,7 @@ object Retrieval {
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
-    liveRows(postings, readTombstones(spark, path).map(tombstoneMax))
+    liveRows(postings, tombState(spark, path))
   }
 
   /** PHRASE occurrence counts served from a positional index
@@ -643,20 +738,22 @@ object Retrieval {
       dstPath: String): Unit = {
     val nBuckets = spark.read.parquet(s"$srcPath/stats")
       .select(max(col("n_buckets"))).head().getInt(0)
-    val tmax = readTombstones(spark, srcPath).map(tombstoneMax)
+    val ts = tombState(spark, srcPath)
     deleteDir(spark, s"$dstPath/tombstones")
-    liveRows(spark.read.parquet(s"$srcPath/postings"), tmax)
-      .withColumn("_gen", lit(0L))
+    liveRows(spark.read.parquet(s"$srcPath/postings"), ts)
+      .withColumn("_gen", lit(0L)).withColumn("_slice", lit(BaseSlice))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dstPath/postings")
-    val liveDl = liveRows(spark.read.parquet(s"$srcPath/doclens"), tmax)
+    val liveDl = liveRows(spark.read.parquet(s"$srcPath/doclens"), ts)
       .persistTracked
-    liveDl.select(col("id"), col("dl"), lit(0L).as("_gen"), col("bucket"))
+    liveDl.select(col("id"), col("dl"), lit(0L).as("_gen"),
+        lit(BaseSlice).as("_slice"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dstPath/doclens")
     liveDl.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("total_len"))
       .withColumn("n_buckets", lit(nBuckets))
+      .withColumn("_slice", lit(BaseSlice))
       .write.mode("overwrite").parquet(s"$dstPath/stats")
   }
 
@@ -671,7 +768,7 @@ object Retrieval {
   def vocabularyFromIndex(spark: SparkSession, path: String,
       k: Int): DataFrame =
     liveRows(spark.read.parquet(s"$path/postings"),
-        readTombstones(spark, path).map(tombstoneMax))
+        tombState(spark, path))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       .orderBy(col("df").desc, col("term"))
@@ -806,15 +903,15 @@ object Retrieval {
   private def pivotedFromIndex(spark: SparkSession, path: String,
       terms: Seq[String]): (DataFrame, Column, Column, Map[String, Long]) = {
     import spark.implicits._
-    val st = spark.read.parquet(s"$path/stats")
+    val ts = tombState(spark, path)
+    val st = committedRows(spark.read.parquet(s"$path/stats"), ts)
       .agg(sum(col("n_docs")).as("_n"), sum(col("total_len")).as("_len"),
         max(col("n_buckets")).as("_nb")).head()
     val nBuckets = st.getAs[Int]("_nb")
-    val tmax = readTombstones(spark, path).map(tombstoneMax)
     // superseded docs still ride in the summed stats rows — subtract
     // their (1, dl) back out (bounded doclens read; (0, 0) when the
     // index has never seen a re-ingest)
-    val (staleN, staleLen) = staleStats(spark, path, nBuckets, tmax)
+    val (staleN, staleLen) = staleStats(spark, path, nBuckets, ts)
     // T-row bounded job: bucket of each query term via the same
     // hash expression the build used
     val buckets = terms.toDF("term")
@@ -824,7 +921,7 @@ object Retrieval {
       spark.read.parquet(s"$path/postings")
         .filter(col("bucket").isin(buckets: _*) &&
           col("term").isin(terms: _*)),
-      tmax)
+      ts)
     val dfs = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("_df"), sum(col("tf")).as("_cf"))
     val pivots = terms.zipWithIndex.flatMap { case (t, i) => Seq(

@@ -1348,7 +1348,7 @@ object Similarity {
     if (tfs.exists(tp)) tfs.delete(tp, true)
     pqEncode(corpus, idCol, vecCol, books)
       .select("neighbor_id", "_cn", "_codes", "_r")
-      .withColumn("_gen", lit(0L))
+      .withColumn("_gen", lit(0L)).withColumn("_slice", lit("base"))
       .write.mode("overwrite").parquet(s"$path/codes")
     books.zipWithIndex.flatMap { case (bk, j) =>
       bk.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
@@ -1384,20 +1384,25 @@ object Similarity {
     * one delta; empty delta is a no-op.
     */
   def appendToPqIndex(delta: DataFrame, path: String, idCol: String,
-      vecCol: String): Unit = {
+      vecCol: String, batchKey: String = null): Unit = {
     val spark = delta.sparkSession
+    if (batchKey != null && batchCommitted(spark, path, batchKey)) return
     if (delta.select(col(idCol)).take(1).isEmpty) return
     val books = readPqBooks(spark, path)
     requireDim(delta, vecCol, books.length * books(0)(0).length,
       "appendToPqIndex")
+    ensureManifest(delta.select(col(idCol).as("neighbor_id")), path)
     val gen = 1L + readTombstones(spark, path)
       .map(_.agg(coalesce(max("gen"), lit(0L))).head().getLong(0))
       .getOrElse(0L)
+    val slice = java.util.UUID.randomUUID().toString
     pqEncode(delta, idCol, vecCol, books)
       .select("neighbor_id", "_cn", "_codes", "_r")
-      .withColumn("_gen", lit(gen))
+      .withColumn("_gen", lit(gen)).withColumn("_slice", lit(slice))
       .write.mode("append").parquet(s"$path/codes")
-    delta.select(col(idCol).as("neighbor_id"), lit(gen).as("gen"))
+    delta.select(col(idCol).as("neighbor_id"), lit(gen).as("gen"),
+        lit(slice).as("slice"),
+        lit(batchKey).cast("string").as("batch_key"))
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
@@ -1412,13 +1417,7 @@ object Similarity {
       vecCol: String, k: Int, path: String, roundDp: Int = -1): DataFrame = {
     val spark = corpus.sparkSession
     val books = readPqBooks(spark, path)
-    val codesRaw = spark.read.parquet(s"$path/codes")
-    val codes = readTombstones(spark, path).map { t =>
-        val tmax = t.groupBy("neighbor_id").agg(max("gen").as("_tg"))
-        codesRaw.join(broadcast(tmax), Seq("neighbor_id"), "left")
-          .filter(col("_tg").isNull || col("_gen") >= col("_tg"))
-          .drop("_tg")
-      }.getOrElse(codesRaw)
+    val codes = liveCodes(spark, path, spark.read.parquet(s"$path/codes"))
       .select("neighbor_id", "_cn", "_codes", "_r")
       .persistTracked
     pqCertifiedTopK(queries, idCol, vecCol, codes,
@@ -1669,7 +1668,7 @@ object Similarity {
     val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (tfs.exists(tp)) tfs.delete(tp, true)
     ivfPqCodes(corpus, seeds, idCol, vecCol, books, residual)
-      .withColumn("_gen", lit(0L))
+      .withColumn("_gen", lit(0L)).withColumn("_slice", lit("base"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     books.zipWithIndex.flatMap { case (bk, j) =>
       bk.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
@@ -1696,15 +1695,17 @@ object Similarity {
     * would never see the stale row partition pruning keeps alive.
     * The tombstone table is cumulative-re-ingest-sized (slim id+gen
     * rows, broadcast at serve time); when re-ingests grow large,
-    * compact by rebuilding the index. Precondition (the q179
+    * [[compactIvfPqIndex]] folds them away without re-encoding a
+    * single vector (codes are already stored). Precondition (the q179
     * disjoint-delta contract): ids are unique WITHIN one delta.
     * Serving over the appended index ≡ [[writeIvfPqIndex]] over
     * (base \ re-ingested) ∪ delta (PqSpec locks it; q207 gates it
     * against q201's oracle verbatim over the union corpus).
     */
   def appendToIvfPqIndex(delta: DataFrame, path: String, idCol: String,
-      vecCol: String): Unit = {
+      vecCol: String, batchKey: String = null): Unit = {
     val spark = delta.sparkSession
+    if (batchKey != null && batchCommitted(spark, path, batchKey)) return
     val meta = spark.read.parquet(s"$path/meta").head()
     val m = meta.getInt(meta.fieldIndex("m"))
     val dim = meta.getInt(meta.fieldIndex("dim"))
@@ -1716,13 +1717,20 @@ object Similarity {
     val books = readPqBooks(spark, path)
     val seeds = spark.read.parquet(s"$path/cells")
       .select(col("cell").as(idCol), col("sv").as(vecCol))
+    ensureManifest(delta.select(col(idCol).as("neighbor_id")), path)
     val gen = 1L + readTombstones(spark, path)
       .map(_.agg(coalesce(max("gen"), lit(0L))).head().getLong(0))
       .getOrElse(0L)
+    // slice nonce + manifest-written-last = the commit protocol (see
+    // appendToPqIndex scaladoc): a mid-append crash leaves orphan
+    // codes that serving never reads
+    val slice = java.util.UUID.randomUUID().toString
     ivfPqCodes(delta, seeds, idCol, vecCol, books, residual)
-      .withColumn("_gen", lit(gen))
+      .withColumn("_gen", lit(gen)).withColumn("_slice", lit(slice))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
-    delta.select(col(idCol).as("neighbor_id"), lit(gen).as("gen"))
+    delta.select(col(idCol).as("neighbor_id"), lit(gen).as("gen"),
+        lit(slice).as("slice"),
+        lit(batchKey).cast("string").as("batch_key"))
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
@@ -1735,6 +1743,97 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Drop codes rows of UNCOMMITTED slices, then rows superseded by
+    * a newer tombstone for their id — the serve-side half of the
+    * append commit protocol (see [[appendToPqIndex]]), shared by
+    * both stored-index serve paths and the compactors. The supersede
+    * must be an id-level broadcast filter (the stale row may live in
+    * a DIFFERENT cell than its replacement — never a
+    * within-partition dedup); the committed filter is a conjunctive
+    * data filter on the scan. Tombstones are slim re-ingest-sized
+    * rows; an index with no tombstone sidecar keeps its pre-append
+    * plan byte-identical.
+    */
+  private def liveCodes(spark: org.apache.spark.sql.SparkSession,
+      path: String, codes: DataFrame): DataFrame =
+    readTombstones(spark, path).map { t =>
+      val committed = t.select(col("slice")).distinct()
+        .collect().map(_.getString(0)).toSeq :+ "base"
+      val tmax = t.groupBy("neighbor_id").agg(max("gen").as("_tg"))
+      codes.filter(col("_slice").isin(committed: _*))
+        .join(broadcast(tmax), Seq("neighbor_id"), "left")
+        .filter(col("_tg").isNull || col("_gen") >= col("_tg"))
+        .drop("_tg")
+    }.getOrElse(codes)
+
+  /** Create an EMPTY commit manifest before the FIRST append's codes
+    * write — without it, a first append dying mid-write would leave
+    * orphan codes indistinguishable from a never-appended base index
+    * (whose fast path skips the committed filter). See the lexical
+    * twin in `Retrieval.ensureManifest`.
+    */
+  private def ensureManifest(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      ids.select(col("neighbor_id"), lit(0L).as("gen"),
+          lit("").as("slice"),
+          lit(null).cast("string").as("batch_key"))
+        .limit(0).write.mode("append").parquet(p.toString)
+  }
+
+  /** True iff `batchKey` already appears in the commit manifest —
+    * the idempotent-re-delivery guard for streaming ingest. */
+  private def batchCommitted(spark: org.apache.spark.sql.SparkSession,
+      path: String, batchKey: String): Boolean =
+    readTombstones(spark, path).exists(
+      _.filter(col("batch_key") === batchKey).take(1).nonEmpty)
+
+  /** COMPACTION for a stored IVF-PQ index ([[writeIvfPqIndex]] after
+    * [[appendToIvfPqIndex]] cycles): rewrite the LIVE codes
+    * (tombstone supersede applied, generations reset to 0) into fresh
+    * cell partitions at a NEW path — with the books/cells/meta
+    * sidecars copied verbatim — and no tombstone sidecar
+    * (write-new-flip-pointer, the object-store-safe shape the
+    * lexical tier's q226/q233 use). MUCH cheaper than the
+    * rebuild-to-compact the append scaladoc used to prescribe: codes
+    * are already encoded, so compaction is one partitioned rewrite
+    * of the slim codes table, no re-encoding pass over the vectors.
+    * Serving from the compacted index is bit-identical to the source
+    * (q236 gates it against q201's oracle verbatim).
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(s"$dstPath/tombstones")
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tfs.exists(tp)) tfs.delete(tp, true)
+    liveCodes(spark, srcPath, spark.read.parquet(s"$srcPath/codes"))
+      .withColumn("_gen", lit(0L)).withColumn("_slice", lit("base"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dstPath/codes")
+    Seq("books", "cells", "meta").foreach { s =>
+      spark.read.parquet(s"$srcPath/$s")
+        .write.mode("overwrite").parquet(s"$dstPath/$s")
+    }
+  }
+
+  /** [[compactIvfPqIndex]] for the FLAT certified-PQ index
+    * ([[writePqIndex]] after [[appendToPqIndex]] cycles): live codes
+    * rewritten gen-0, books copied, no tombstones. PqSpec locks
+    * serve-invisibility.
+    */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(s"$dstPath/tombstones")
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tfs.exists(tp)) tfs.delete(tp, true)
+    liveCodes(spark, srcPath, spark.read.parquet(s"$srcPath/codes"))
+      .withColumn("_gen", lit(0L)).withColumn("_slice", lit("base"))
+      .write.mode("overwrite").parquet(s"$dstPath/codes")
+    spark.read.parquet(s"$srcPath/books")
+      .write.mode("overwrite").parquet(s"$dstPath/books")
   }
 
   /** Serve IVF-PQ from a STORED index ([[writeIvfPqIndex]]): probe
@@ -1785,17 +1884,8 @@ object Similarity {
     val codes = codesRaw.filter(col("cell").isin(probed.toIndexedSeq: _*))
       .withColumn("cell", col("cell").cast(probeCellType))
     // appended index: drop codes rows superseded by a newer tombstone
-    // for the same id (the stale row may live in a DIFFERENT cell than
-    // its replacement, so this must be an id-level filter, not a
-    // within-partition dedup). Broadcast: tombstones are slim
-    // re-ingest-sized (id, gen) rows. Base indexes have no tombstone
-    // sidecar and keep their pre-append plan byte-identical.
-    val live = readTombstones(spark, path).map { t =>
-      val tmax = t.groupBy("neighbor_id").agg(max("gen").as("_tg"))
-      codes.join(broadcast(tmax), Seq("neighbor_id"), "left")
-        .filter(col("_tg").isNull || col("_gen") >= col("_tg"))
-        .drop("_tg")
-    }.getOrElse(codes)
+    // for the same id (see liveCodes — id-level broadcast filter)
+    val live = liveCodes(spark, path, codes)
     pqIvfRankFromCodes(queries, probes, live, idCol, vecCol,
       books, k, residual)
   }

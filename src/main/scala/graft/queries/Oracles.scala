@@ -5756,6 +5756,22 @@ object Oracles {
       // positional compaction invisible (and tombstones folded, not
       // dropped): q229's proximity replay verbatim
       "q233_positional_index_compact" -> proximityFromIndexSql,
+      // streaming serve over the superseded index: per-trigger
+      // stream-static reads run the tombstone filter + stats
+      // correction; the served state is the true corpus, so the
+      // batch replay gates the streamed union verbatim
+      "q235_streaming_superseded_serve" ->
+        bm25BatchSql(graft.queries.Queries.HybridQueries, 10),
+      // IVF-PQ compaction invisible to serving: the appended index's
+      // replay (= the full-rebuild replay) verbatim
+      "q236_ivfpq_index_compact" -> pqIvfResidualRecallSql,
+      // streaming crawl ingest: micro-batch appends under the
+      // slice-commit protocol serve the true corpus exactly
+      "q237_streaming_index_ingest" ->
+        bm25Sql(Seq("table", "stream", "placeholder"), 20),
+      // streaming ANN ingest: the served state is the true corpus,
+      // so the q201/q207 recall replay gates it verbatim
+      "q238_streaming_ann_ingest" -> pqIvfResidualRecallSql,
       // Dirichlet QL from the index: smoothed log-likelihood replay
       "q228_ql_from_index" ->
         qlFromIndexSql(Seq("spark", "join", "stream", "zzzunseen"), 20),

@@ -6344,6 +6344,172 @@ object Queries {
     hybridFromIndexes(s, dir, lexIdx, annIdx)
   }
 
+  /** STREAMING query serving over the SUPERSEDED index — the last
+    * serving-shape × lifecycle-state cell: q224's stream-static
+    * per-trigger serve pointed at q231's re-crawl-superseded index
+    * instead of the freshly-built base. The tombstone broadcast
+    * filter and the doclens stats correction run inside every
+    * micro-batch plan; since the superseded index serves the TRUE
+    * corpus, the oracle is q223/q224's batch SQL verbatim.
+    */
+  val q235StreamingSupersededServe: Q = (s, dir) => {
+    import s.implicits._
+    val idx = reingestInvertedIndex(s, dir)
+    val tmp = Scratch.fresh("q235")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val qdf = HybridQueries.toDF("query_id", "terms")
+    val in = memoFixture("q224in", dir) { p =>
+      qdf.write.mode("overwrite").parquet(p)
+    }
+    val stream = s.readStream.schema(qdf.schema).parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qs = batch.select(col("query_id"), col("terms")).collect()
+          .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq
+        if (qs.nonEmpty) {
+          Retrieval.bm25TopKBatchFromIndex(s, idx, "doc_id", qs, k = 10)
+            .write.mode("overwrite").parquet(s"$out/b$batchId")
+          graft.core.OpCache.release()
+        }
+      }
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    stream.awaitTermination()
+    Scratch.drop(chk)
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+      .orderBy("query_id", "rank")
+  }
+
+  /** COMPACTION for the stored IVF-PQ index
+    * ([[Similarity.compactIvfPqIndex]]) — the ANN twin of q226/q233:
+    * q207's appended + tombstoned index rewritten live-only
+    * (supersede applied, generations reset, books/cells/meta copied,
+    * no tombstone sidecar) at a new path, WITHOUT re-encoding a
+    * single vector — codes are already stored, so compaction is one
+    * partitioned rewrite of the slim codes table (vs the
+    * rebuild-to-compact the tier used to prescribe). Serving from
+    * the compacted index ≡ the appended index ≡ the full rebuild:
+    * q201/q207's oracle verbatim.
+    */
+  val q236IvfPqIndexCompact: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 50)
+    val exact = s.read.parquet(memoFixture("q132exact", dir) { p =>
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+          k = 5, roundDp = -1, exact = true)
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(p)
+      graft.core.OpCache.release()
+    })
+    val src = memoFixture("q207idx", dir) { p =>
+      val stale = emb.withColumn("embedding",
+        when(col("vec_id") % 3 === 0, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")))
+      Similarity.writeIvfPqIndex(stale, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", m = 4, dim = 64, p,
+        bookSeeds = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
+      Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 3 === 0),
+        p, "vec_id", "embedding")
+      graft.core.OpCache.release()
+    }
+    val idx = memoFixture("q236idx", dir) { p =>
+      Similarity.compactIvfPqIndex(s, src, p)
+    }
+    val approx = Similarity.pqIvfTopKFromIndex(q, idx, "vec_id",
+        "embedding", k = 5, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+    pqRecallReport(exact, approx)
+  }
+
+  /** STREAMING CRAWL INGEST into the stored BM25 index
+    * ([[graft.streaming.StreamingIndexIngest]]): the crawl arrives
+    * as a document stream — micro-batch 1 the new docs, micro-batch
+    * 2 a RE-CRAWL of the %8==1 docs whose stale text sits in the
+    * base index — and each batch becomes one append generation under
+    * the slice-commit protocol (exactly-once: committed batchIds
+    * skip on re-delivery, mid-append orphans never reach the
+    * manifest). Cross-batch supersede is the point: the later
+    * batch's tombstones kill the base's stale postings. Served state
+    * ≡ a rebuild over the TRUE corpus, so the oracle is the
+    * plain-corpus BM25 replay with a stale-only term.
+    */
+  val q237StreamingIndexIngest: Q = (s, dir) => {
+    val idx = memoFixture("q237idx", dir) { p =>
+      val d = docs(s, dir)
+      val base = d.filter(col("doc_id") % 4 =!= 0).select(col("doc_id"),
+        when(col("doc_id") % 8 === 1,
+          concat(lit("stale placeholder s"), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      Retrieval.writeInvertedIndex(base, "doc_id", "text", s"$p/idx",
+        nBuckets = 16)
+      val in = s"$p/in"
+      d.filter(col("doc_id") % 4 === 0).repartition(1)
+        .write.mode("append").parquet(in)
+      d.filter(col("doc_id") % 8 === 1).repartition(1)
+        .write.mode("append").parquet(in)
+      graft.streaming.StreamingIndexIngest.start(
+        s.readStream.schema(d.schema).option("maxFilesPerTrigger", 1)
+          .parquet(in),
+        "doc_id", "text", s"$p/idx", s"$p/chk").awaitTermination()
+    }
+    Retrieval.bm25TopKFromIndex(s, s"$idx/idx", "doc_id",
+      Seq("table", "stream", "placeholder"), k = 20)
+  }
+
+  /** STREAMING CRAWL INGEST into the stored IVF-PQ index — q237's
+    * shape on the ANN tier ([[Similarity.appendToIvfPqIndex]] per
+    * micro-batch under the same slice-commit protocol): batch 1 the
+    * new vectors, batch 2 a RE-CRAWL of vectors whose negated stale
+    * versions sit in the base index; encode against the FROZEN
+    * books/cells, generations monotone in batchId, committed
+    * batchIds skip on re-delivery. Served state ≡ a rebuild over the
+    * TRUE corpus, so q201/q207's recall oracle gates it verbatim.
+    */
+  val q238StreamingAnnIngest: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 50)
+    val exact = s.read.parquet(memoFixture("q132exact", dir) { p =>
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+          k = 5, roundDp = -1, exact = true)
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(p)
+      graft.core.OpCache.release()
+    })
+    val idx = memoFixture("q238idx", dir) { p =>
+      // base: %3==0 vectors stale (negated), exactly q207's fixture —
+      // but the true vectors now ARRIVE AS A STREAM in two batches
+      val stale = emb.withColumn("embedding",
+        when(col("vec_id") % 3 === 0, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")))
+      Similarity.writeIvfPqIndex(stale, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", m = 4, dim = 64, s"$p/idx",
+        bookSeeds = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
+      val delta = emb.filter(col("vec_id") % 3 === 0)
+      val in = s"$p/in"
+      delta.filter(col("vec_id") % 2 === 0).repartition(1)
+        .write.mode("append").parquet(in)
+      delta.filter(col("vec_id") % 2 =!= 0).repartition(1)
+        .write.mode("append").parquet(in)
+      s.readStream.schema(delta.schema).option("maxFilesPerTrigger", 1)
+        .parquet(in)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Similarity.appendToIvfPqIndex(batch, s"$p/idx", "vec_id",
+            "embedding", batchKey = s"stream-$batchId")
+          graft.core.OpCache.release()
+        }
+        .option("checkpointLocation", s"$p/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      graft.core.OpCache.release()
+    }
+    val approx = Similarity.pqIvfTopKFromIndex(q, s"$idx/idx", "vec_id",
+        "embedding", k = 5, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+    pqRecallReport(exact, approx)
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -6579,5 +6745,9 @@ object Queries {
     "q232_positional_index_append" -> q232PositionalIndexAppend,
     "q233_positional_index_compact" -> q233PositionalIndexCompact,
     "q234_hybrid_live_indexes" -> q234HybridLiveIndexes,
+    "q235_streaming_superseded_serve" -> q235StreamingSupersededServe,
+    "q236_ivfpq_index_compact" -> q236IvfPqIndexCompact,
+    "q237_streaming_index_ingest" -> q237StreamingIndexIngest,
+    "q238_streaming_ann_ingest" -> q238StreamingAnnIngest,
   )
 }

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** STREAMING CRAWL INGEST into a stored inverted index — the write
+  * half of the 100 TB lexical serving story (the read half is
+  * q219/q223/q224): documents arrive as a stream (a crawler's
+  * output), and every micro-batch becomes ONE append generation of
+  * `Retrieval.appendToInvertedIndex`, re-ingested ids superseding
+  * their stale postings exactly as in the batch path (q231).
+  *
+  * Exactly-once, spelled out (the q202 idempotency discipline, append
+  * edition — an appending sink cannot use per-batchId OVERWRITE
+  * directories, so it uses the index's slice-commit protocol
+  * instead):
+  *
+  *  - Re-delivery of a COMMITTED batch: Structured Streaming re-runs
+  *    a batchId only until its foreachBatch returns; on restart the
+  *    same batchId may be offered again, and the append SKIPS it
+  *    because its `batchKey` is already in the commit manifest.
+  *  - A crash MID-APPEND (postings written, manifest not): the
+  *    orphan rows carry a slice nonce that never reached the
+  *    manifest, so serving never sees them; the re-run appends the
+  *    same docs under a fresh nonce and commits.
+  *
+  * Ordering: micro-batches execute sequentially, so generations are
+  * monotone in batchId and a doc re-crawled in a LATER batch
+  * supersedes its earlier ingest — cross-batch re-ingest is the
+  * supported path; ids must be unique within one batch (the q179
+  * delta contract).
+  *
+  * The caller owns the base index (`writeInvertedIndex` — possibly
+  * over an empty frame for a from-scratch crawl) and the checkpoint
+  * location; concurrent writers outside this stream are not
+  * supported (single-writer, the usual lakehouse-lite caveat).
+  */
+object StreamingIndexIngest {
+
+  /** Start ingesting `docsStream(idCol, textCol)` into the index at
+    * `path`. `trigger` defaults to AvailableNow (drain-and-stop, the
+    * batch-backfill shape); pass a processing-time trigger for a
+    * long-running crawl.
+    */
+  def start(docsStream: DataFrame, idCol: String, textCol: String,
+      path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Retrieval.appendToInvertedIndex(batch, idCol, textCol, path,
+          batchKey = s"stream-$batchId")
+        graft.core.OpCache.release()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+}

@@ -305,6 +305,82 @@ class InvertedIndexSpec extends SparkSpec {
     assert(ph === Seq((1L, 100000L)))
   }
 
+  test("commit protocol: mid-append orphans are invisible; the retry commits cleanly") {
+    val docs = corpus(40, 53)
+    val base = docs.filter($"doc_id" % 2 === 0L)
+    val delta = docs.filter($"doc_id" % 2 =!= 0L)
+    val path = tmp("invorphan")
+    Retrieval.writeInvertedIndex(base, "doc_id", "text", path, nBuckets = 4)
+    val before = Retrieval.bm25TopKFromIndex(spark, path, "doc_id",
+      Seq("spark", "row"), k = 10).collect().map(_.toSeq).toSeq
+    // simulate a FIRST append that died between the data writes and
+    // the manifest commit: postings/stats/doclens rows exist under an
+    // uncommitted slice nonce, the manifest exists but is EMPTY
+    Seq(("zzorphan", 77L, 3L, 5L, 1L, "dead-nonce"))
+      .toDF("term", "id", "dl", "tf", "_gen", "_slice")
+      .withColumn("bucket", pmod(hash($"term"), lit(4)))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    Seq((1L, 999L, 4, "dead-nonce"))
+      .toDF("n_docs", "total_len", "n_buckets", "_slice")
+      .write.mode("append").parquet(s"$path/stats")
+    Seq((77L, 3L, 1L, "dead-nonce"))
+      .toDF("id", "dl", "_gen", "_slice")
+      .withColumn("bucket", pmod(hash($"id"), lit(4)))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/doclens")
+    Seq.empty[(Long, Long, String, String)]
+      .toDF("id", "gen", "slice", "batch_key")
+      .write.mode("append").parquet(s"$path/tombstones")
+    // serving sees NONE of it: scores, stats, df all unchanged
+    val withOrphans = Retrieval.bm25TopKFromIndex(spark, path, "doc_id",
+      Seq("spark", "row"), k = 10).collect().map(_.toSeq).toSeq
+    assert(withOrphans === before)
+    assert(Retrieval.bm25TopKFromIndex(spark, path, "doc_id",
+      Seq("zzorphan"), k = 5).count() === 0L)
+    assert(!Retrieval.vocabularyFromIndex(spark, path, 100)
+      .collect().exists(_.getString(0) == "zzorphan"))
+    // the retry commits under a fresh nonce: serving = the full corpus
+    Retrieval.appendToInvertedIndex(delta, "doc_id", "text", path)
+    val full = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "row"), k = 10).collect().map(_.toSeq).toSeq
+    val served = Retrieval.bm25TopKFromIndex(spark, path, "doc_id",
+      Seq("spark", "row"), k = 10).collect().map(_.toSeq).toSeq
+    assert(served === full)
+    // and compaction drops the orphan rows entirely
+    val dst = tmp("invorphanc")
+    Retrieval.compactInvertedIndex(spark, path, dst)
+    assert(spark.read.parquet(s"$dst/postings")
+      .filter(col("term") === "zzorphan").count() === 0L)
+    assert(spark.read.parquet(s"$dst/doclens").count() === docs.count())
+  }
+
+  test("commit protocol: a committed batchKey is skipped on re-delivery") {
+    val docs = corpus(30, 59)
+    val path = tmp("invbatchkey")
+    Retrieval.writeInvertedIndex(docs.filter($"doc_id" % 2 === 0L),
+      "doc_id", "text", path, nBuckets = 4)
+    val d1 = docs.filter($"doc_id" % 2 =!= 0L)
+    Retrieval.appendToInvertedIndex(d1, "doc_id", "text", path,
+      batchKey = "stream-0")
+    val after = Retrieval.bm25TopKFromIndex(spark, path, "doc_id",
+      Seq("spark", "data"), k = 10).collect().map(_.toSeq).toSeq
+    // re-delivery of the SAME batchId (even with different content —
+    // the streaming contract says that cannot happen, the guard makes
+    // it harmless anyway) is a no-op
+    Retrieval.appendToInvertedIndex(docs.limit(5), "doc_id", "text", path,
+      batchKey = "stream-0")
+    val again = Retrieval.bm25TopKFromIndex(spark, path, "doc_id",
+      Seq("spark", "data"), k = 10).collect().map(_.toSeq).toSeq
+    assert(again === after)
+    assert(spark.read.parquet(s"$path/stats").count() === 2L)
+    // a NEW batchKey applies normally
+    Retrieval.appendToInvertedIndex(
+      corpus(6, 61).select($"doc_id" + 5000L as "doc_id", $"text"),
+      "doc_id", "text", path, batchKey = "stream-1")
+    assert(spark.read.parquet(s"$path/stats").count() === 3L)
+  }
+
   test("empty delta is a no-op: no stats row, scores unchanged") {
     val docs = corpus(30, 29)
     val path = tmp("invempty")

@@ -445,4 +445,52 @@ class PqSpec extends SparkSpec {
     assert(rebuilt === gold)
     assert(!new java.io.File(s"$path/tombstones").exists())
   }
+
+  test("PQ commit protocol: orphan codes invisible, batchKey idempotent, compaction folds tombstones") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = java.nio.file.Files.createTempDirectory("graft_pqcommit").toString + "/idx"
+    val base = corpus.filter(col("vec_id") % 3 =!= 0L)
+    val delta = corpus.filter(col("vec_id") % 3 === 0L)
+    val books = Similarity.pqCodebooksExact(base, "vec_id", "embedding",
+      dim = 8, m = 4, ks = 4, iters = 2)
+    Similarity.writePqIndex(base, "vec_id", "embedding", books, path)
+    val q = corpus.filter(col("vec_id") < 10)
+    def serve() = {
+      val r = Similarity.pqTopKFromIndex(q, corpus, "vec_id", "embedding",
+          k = 4, path, roundDp = -1)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      graft.core.OpCache.release(); r
+    }
+    val before = serve()
+    // a mid-append crash: orphan codes rows + an EMPTY manifest
+    spark.read.parquet(s"$path/codes").limit(2)
+      .withColumn("_gen", lit(9L)).withColumn("_slice", lit("dead-nonce"))
+      .write.mode("append").parquet(s"$path/codes")
+    spark.emptyDataFrame.select(lit(0L).as("neighbor_id"),
+        lit(0L).as("gen"), lit("").as("slice"),
+        lit(null).cast("string").as("batch_key")).limit(0)
+      .write.mode("append").parquet(s"$path/tombstones")
+    assert(serve() === before) // duplicates of live ids stay invisible
+    // the committed retry (as a keyed batch) applies once
+    Similarity.appendToPqIndex(delta, path, "vec_id", "embedding",
+      batchKey = "b0")
+    val gold = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding",
+        k = 4, roundDp = -1, exact = true)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    assert(serve() === gold)
+    Similarity.appendToPqIndex(corpus.limit(3), path, "vec_id", "embedding",
+      batchKey = "b0") // re-delivery: skipped
+    assert(serve() === gold)
+    // compaction: live committed rows only, no tombstones, serve equal
+    val dst = java.nio.file.Files.createTempDirectory("graft_pqcmp").toString + "/idx"
+    Similarity.compactPqIndex(spark, path, dst)
+    assert(!new java.io.File(s"$dst/tombstones").exists())
+    val served = Similarity.pqTopKFromIndex(q, corpus, "vec_id", "embedding",
+        k = 4, dst, roundDp = -1)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    graft.core.OpCache.release()
+    assert(served === gold)
+    assert(spark.read.parquet(s"$dst/codes").count() === corpus.count())
+  }
 }
