@@ -543,6 +543,49 @@ object Retrieval {
       .write.mode("append").parquet(s"$path/tombstones")
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN DELETE from a stored inverted index — the
+    * takedown/opt-out batch a training-data pipeline must honor
+    * without rewriting a corpus-sized table: a delete is a
+    * TOMBSTONE-ONLY append (manifest rows at a fresh generation, no
+    * postings/stats/doclens), and the existing supersede machinery
+    * does the rest. Every postings row of a deleted id carries an
+    * older generation, so serving drops it in EVERY term bucket; the
+    * doclens correction subtracts the doc's (1, dl) instances from
+    * N/total_len (a delete has no replacement rows, so ALL its
+    * instances are stale); df/cf shrink via the live posting-row
+    * counts. A LATER re-ingest of the id resurrects it (its
+    * generation outranks the delete's); [[compactInvertedIndex]]
+    * physically drops deleted rows. O(|deletes|) write cost —
+    * nothing corpus-sized moves until compaction. Atomic: the
+    * manifest write IS the whole delete. `batchKey` gives streaming
+    * deletes the same idempotent re-delivery skip as ingest.
+    */
+  def deleteFromInvertedIndex(ids: DataFrame, idCol: String,
+      path: String, batchKey: String = null): Unit =
+    tombstoneOnlyDelete(ids, idCol, path, batchKey)
+
+  /** [[deleteFromInvertedIndex]] for a positional index — identical
+    * manifest layout, identical semantics (q240 gates the phrase
+    * serve after a delete against the filtered-corpus replay).
+    */
+  def deleteFromPositionalIndex(ids: DataFrame, idCol: String,
+      path: String, batchKey: String = null): Unit =
+    tombstoneOnlyDelete(ids, idCol, path, batchKey)
+
+  private def tombstoneOnlyDelete(ids: DataFrame, idCol: String,
+      path: String, batchKey: String): Unit = {
+    val spark = ids.sparkSession
+    if (batchKey != null && batchCommitted(spark, path, batchKey)) return
+    val keyed = ids.select(col(idCol).as("id"))
+    if (keyed.take(1).isEmpty) return
+    ensureManifest(keyed, path)
+    val gen = nextGen(spark, path)
+    keyed.select(col("id"), lit(gen).as("gen"),
+        lit(java.util.UUID.randomUUID().toString).as("slice"),
+        lit(batchKey).cast("string").as("batch_key"))
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
   /** The stale-instance correction to the SUMMED stats rows: docs
     * superseded by a newer tombstone contributed (1, dl) to the
     * stats row of the slice that ingested them — subtract it back

@@ -1792,6 +1792,33 @@ object Similarity {
     readTombstones(spark, path).exists(
       _.filter(col("batch_key") === batchKey).take(1).nonEmpty)
 
+  /** RIGHT-TO-BE-FORGOTTEN DELETE from a stored PQ index (flat
+    * [[writePqIndex]] or cell-partitioned [[writeIvfPqIndex]] — the
+    * manifest layout is shared): a tombstone-only append at a fresh
+    * generation; the deleted ids' codes rows all carry older
+    * generations, so [[liveCodes]] drops them in every cell, and the
+    * compactors physically remove them. A later re-ingest
+    * resurrects the id. O(|deletes|) write cost; atomic (the
+    * manifest write IS the delete). The lexical twin is
+    * `Retrieval.deleteFromInvertedIndex` (q239); q241 gates this one
+    * against the filtered-corpus recall replay.
+    */
+  def deleteFromPqIndex(ids: DataFrame, path: String, idCol: String,
+      batchKey: String = null): Unit = {
+    val spark = ids.sparkSession
+    if (batchKey != null && batchCommitted(spark, path, batchKey)) return
+    val keyed = ids.select(col(idCol).as("neighbor_id"))
+    if (keyed.take(1).isEmpty) return
+    ensureManifest(keyed, path)
+    val gen = 1L + readTombstones(spark, path)
+      .map(_.agg(coalesce(max("gen"), lit(0L))).head().getLong(0))
+      .getOrElse(0L)
+    keyed.select(col("neighbor_id"), lit(gen).as("gen"),
+        lit(java.util.UUID.randomUUID().toString).as("slice"),
+        lit(batchKey).cast("string").as("batch_key"))
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
   /** COMPACTION for a stored IVF-PQ index ([[writeIvfPqIndex]] after
     * [[appendToIvfPqIndex]] cycles): rewrite the LIVE codes
     * (tombstone supersede applied, generations reset to 0) into fresh

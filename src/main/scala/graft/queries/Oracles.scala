@@ -615,7 +615,8 @@ object Oracles {
     * (DuckDB's `t0 + t1 + ...` parse mirrors the Spark side's
     * `reduce(_ + _)` tree), rounded 6dp before rank/filter.
     */
-  private def bm25Sql(terms: Seq[String], k: Int): String = {
+  private def bm25Sql(terms: Seq[String], k: Int,
+      where: String = ""): String = {
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
     }.mkString(",\n    ")
@@ -627,7 +628,7 @@ object Oracles {
     }.mkString("\n    + ")
     s"""WITH d AS (
        |  SELECT doc_id, $toksExpr AS toks, len($toksExpr) AS dl
-       |  FROM documents
+       |  FROM documents $where
        |),
        |st AS (
        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS total_len,
@@ -697,7 +698,7 @@ object Oracles {
     * serve (q225) and the append-lifecycle serve (q232): both serve
     * the same TRUE corpus.
     */
-  private lazy val phraseFromIndexSql: String =
+  private def phraseFromIndexSql(where: String = ""): String =
     s"""WITH d AS (
        |  SELECT doc_id,
        |    'prefix ' || text || ' ' ||
@@ -706,7 +707,7 @@ object Oracles {
        |         WHEN doc_id % 4 = 2 THEN 'alpha beta delta'
        |         ELSE 'filler f' || CAST(doc_id AS VARCHAR) END ||
        |    ' suffix' AS text
-       |  FROM documents
+       |  FROM documents $where
        |),
        |t AS (SELECT doc_id, $toksExpr AS tk FROM d)
        |SELECT doc_id, CAST(cnt AS BIGINT) AS phrase_tf FROM (
@@ -5183,7 +5184,7 @@ object Oracles {
     * q206) before everything.
     */
   private def pqIvfResidualPrefix(leading: String, scSql: String,
-      nProbe: Int): String = {
+      nProbe: Int, where: String = ""): String = {
     // residual arrays are already DOUBLE — no per-element cast, matching
     // the engine's float-minus-float double subtraction feeding the
     // decimal-quantized kernels directly
@@ -5198,7 +5199,7 @@ object Oracles {
     s"""${leading}n AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    sqrt(CAST(list_sum([CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)) FOR i IN range(1, len(embedding) + 1)]) AS DOUBLE)) AS nrm
-       |  FROM embeddings
+       |  FROM embeddings $where
        |),
        |sc AS ($scSql),
        |cvs AS MATERIALIZED (
@@ -5298,8 +5299,8 @@ object Oracles {
        |)""".stripMargin
 
   private def pqIvfResidualRecallSqlWith(leading: String, scSql: String,
-      nProbe: Int): String =
-    s"""WITH ${pqIvfResidualPrefix(leading, scSql, nProbe)},
+      nProbe: Int, where: String = ""): String =
+    s"""WITH ${pqIvfResidualPrefix(leading, scSql, nProbe, where)},
        |$pqIvfExAdcCtes,
        |m AS (
        |  SELECT ex.query_id,
@@ -5752,7 +5753,7 @@ object Oracles {
       // positional append ≡ rebuild: q225's phrase replay verbatim
       // over the true corpus (stale texts planted the terms in the
       // WRONG order, so a failed supersede cannot hash-match)
-      "q232_positional_index_append" -> phraseFromIndexSql,
+      "q232_positional_index_append" -> phraseFromIndexSql(),
       // positional compaction invisible (and tombstones folded, not
       // dropped): q229's proximity replay verbatim
       "q233_positional_index_compact" -> proximityFromIndexSql,
@@ -5772,6 +5773,20 @@ object Oracles {
       // streaming ANN ingest: the served state is the true corpus,
       // so the q201/q207 recall replay gates it verbatim
       "q238_streaming_ann_ingest" -> pqIvfResidualRecallSql,
+      // right-to-be-forgotten: deleted docs vanish from every
+      // serving statistic, so the replay runs over documents MINUS
+      // the deleted set
+      "q239_index_delete" ->
+        bm25Sql(Seq("spark", "row", "merge"), 20,
+          where = "WHERE doc_id % 16 NOT IN (2, 4)"),
+      "q240_positional_delete" ->
+        phraseFromIndexSql(where = "WHERE doc_id % 16 <> 1"),
+      // ANN delete: the whole CTE chain (norms, assignment, codes,
+      // estimates, exact gold) replays over embeddings minus the
+      // deleted set; queries (vec_id < 50) are untouched
+      "q241_ann_delete" ->
+        pqIvfResidualRecallSqlWith("", pqIvfSeededScSql, nProbe = 4,
+          where = "WHERE NOT (vec_id >= 50 AND vec_id % 7 = 3)"),
       // Dirichlet QL from the index: smoothed log-likelihood replay
       "q228_ql_from_index" ->
         qlFromIndexSql(Seq("spark", "join", "stream", "zzzunseen"), 20),
@@ -5790,7 +5805,7 @@ object Oracles {
            |ORDER BY df DESC, term LIMIT 20""".stripMargin,
       // positional-index phrase serve: position alignment over
       // whitespace tokens == counting the phrase's 3-grams in text
-      "q225_phrase_from_index" -> phraseFromIndexSql,
+      "q225_phrase_from_index" -> phraseFromIndexSql(),
       // stream ≡ batch for the stateless line-filter projection
       "q216_streaming_c4_filter" -> c4FilterSql,
       // mergeable GK quantile sketch gated within its rank-error

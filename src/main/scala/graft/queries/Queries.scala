@@ -6510,6 +6510,102 @@ object Queries {
     pqRecallReport(exact, approx)
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN DELETE from the stored BM25 index
+    * ([[Retrieval.deleteFromInvertedIndex]]) — the takedown/opt-out
+    * path a training-data pipeline must honor: a tombstone-only
+    * append (O(|deletes|), no data file rewritten) removes docs from
+    * EVERY serving statistic — postings die in every term bucket, df
+    * and cf shrink, and N/total_len shed the deleted docs' (1, dl)
+    * via the doclens correction. The fixture deletes from BOTH
+    * lifecycle states (base-resident %16==2 docs and appended %16==4
+    * docs) on top of q231's re-crawl-superseded index; oracle = the
+    * BM25 replay over the corpus MINUS the deleted set.
+    */
+  val q239IndexDelete: Q = (s, dir) => {
+    val idx = memoFixture("q239idx", dir) { p =>
+      val d = docs(s, dir)
+      val base = d.filter(col("doc_id") % 4 =!= 0).select(col("doc_id"),
+        when(col("doc_id") % 8 === 1,
+          concat(lit("stale placeholder s"), col("doc_id").cast("string")))
+          .otherwise(col("text")).as("text"))
+      Retrieval.writeInvertedIndex(base, "doc_id", "text", p, nBuckets = 16)
+      Retrieval.appendToInvertedIndex(
+        d.filter(col("doc_id") % 4 === 0 || col("doc_id") % 8 === 1),
+        "doc_id", "text", p)
+      Retrieval.deleteFromInvertedIndex(
+        d.filter(col("doc_id") % 16 === 2 || col("doc_id") % 16 === 4)
+          .select(col("doc_id")), "doc_id", p)
+    }
+    Retrieval.bm25TopKFromIndex(s, idx, "doc_id",
+      Seq("spark", "row", "merge"), k = 20)
+  }
+
+  /** DELETE from the positional index
+    * ([[Retrieval.deleteFromPositionalIndex]]): q232's appended
+    * index minus the %16==1 docs — which are exactly RE-INGESTED
+    * docs (the delete's generation must outrank BOTH their stale and
+    * their re-crawled instances). Phrase serving afterwards equals
+    * q225's replay over the corpus minus the deleted set.
+    */
+  val q240PositionalDelete: Q = (s, dir) => {
+    val idx = memoFixture("q240idx", dir) { p =>
+      val corp = phraseCorpus(s, dir)
+      val base = corp.filter(col("doc_id") % 4 =!= 0).select(col("doc_id"),
+        when(col("doc_id") % 8 === 1,
+          lit("stale gamma alpha gamma alpha end"))
+          .otherwise(col("text")).as("text"))
+      Retrieval.writePositionalIndex(base, "doc_id", "text", p, nBuckets = 8)
+      Retrieval.appendToPositionalIndex(
+        corp.filter(col("doc_id") % 4 === 0 || col("doc_id") % 8 === 1),
+        "doc_id", "text", p)
+      Retrieval.deleteFromPositionalIndex(
+        corp.filter(col("doc_id") % 16 === 1).select(col("doc_id")),
+        "doc_id", p)
+    }
+    Retrieval.phraseOccurrencesFromIndex(s, idx, "doc_id",
+      Seq("alpha", "beta", "gamma")).orderBy("doc_id")
+  }
+
+  /** DELETE from the stored IVF-PQ index
+    * ([[Similarity.deleteFromPqIndex]]): q207's appended index minus
+    * the (vec_id ≥ 50, %7==3) vectors — ids ≥ 50 so the query set
+    * (vec_id < 50) is untouched; some deleted ids (%3==0 ∧ %7==3)
+    * were RE-INGESTED by the append, so the delete must outrank
+    * generation 1 codes too. Serving reads only live codes, and both
+    * the engine's exact gold and the oracle's entire CTE chain
+    * (assignment, codes, estimates, exact top-5) replay over the
+    * corpus MINUS the deleted set.
+    */
+  val q241AnnDelete: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 50)
+    val deleted = col("vec_id") >= 50 && col("vec_id") % 7 === 3
+    val exact = s.read.parquet(memoFixture("q241exact", dir) { p =>
+      Similarity.bruteForceTopK(q, emb.filter(!deleted), "vec_id",
+          "embedding", k = 5, roundDp = -1, exact = true)
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(p)
+      graft.core.OpCache.release()
+    })
+    val idx = memoFixture("q241idx", dir) { p =>
+      val stale = emb.withColumn("embedding",
+        when(col("vec_id") % 3 === 0, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")))
+      Similarity.writeIvfPqIndex(stale, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", m = 4, dim = 64, p,
+        bookSeeds = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
+      Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 3 === 0),
+        p, "vec_id", "embedding")
+      Similarity.deleteFromPqIndex(emb.filter(deleted).select(col("vec_id")),
+        p, "vec_id")
+      graft.core.OpCache.release()
+    }
+    val approx = Similarity.pqIvfTopKFromIndex(q, idx, "vec_id",
+        "embedding", k = 5, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+    pqRecallReport(exact, approx)
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -6749,5 +6845,8 @@ object Queries {
     "q236_ivfpq_index_compact" -> q236IvfPqIndexCompact,
     "q237_streaming_index_ingest" -> q237StreamingIndexIngest,
     "q238_streaming_ann_ingest" -> q238StreamingAnnIngest,
+    "q239_index_delete" -> q239IndexDelete,
+    "q240_positional_delete" -> q240PositionalDelete,
+    "q241_ann_delete" -> q241AnnDelete,
   )
 }

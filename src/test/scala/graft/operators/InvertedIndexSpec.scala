@@ -381,6 +381,49 @@ class InvertedIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/stats").count() === 3L)
   }
 
+  test("delete: vanishes from every statistic; re-ingest resurrects; compaction drops the rows") {
+    val docs = corpus(40, 67)
+    val path = tmp("invdel")
+    Retrieval.writeInvertedIndex(docs, "doc_id", "text", path, nBuckets = 4)
+    Retrieval.deleteFromInvertedIndex(
+      docs.filter($"doc_id" % 5 === 0L).select($"doc_id"), "doc_id", path)
+    val remaining = docs.filter($"doc_id" % 5 =!= 0L)
+    val terms = Seq("spark", "data")
+    // BM25 (N, avgdl, df all corrected), QL (C corrected), vocabulary
+    // (df/cf shrink) — each equals a from-scratch build over the
+    // remaining corpus
+    val truth = tmp("invdeltruth")
+    Retrieval.writeInvertedIndex(remaining, "doc_id", "text", truth,
+      nBuckets = 4)
+    assert(Retrieval.bm25TopKFromIndex(spark, path, "doc_id", terms, 15)
+        .collect().map(_.toSeq).toSeq ===
+      Retrieval.bm25TopK(remaining, "doc_id", "text", terms, 15)
+        .collect().map(_.toSeq).toSeq)
+    assert(Retrieval.qlTopKFromIndex(spark, path, "doc_id", terms, 15)
+        .collect().map(_.toSeq).toSeq ===
+      Retrieval.qlTopKFromIndex(spark, truth, "doc_id", terms, 15)
+        .collect().map(_.toSeq).toSeq)
+    assert(Retrieval.vocabularyFromIndex(spark, path, 10)
+        .collect().map(_.toSeq).toSeq ===
+      Retrieval.vocabularyFromIndex(spark, truth, 10)
+        .collect().map(_.toSeq).toSeq)
+    // a LATER re-ingest resurrects the doc
+    Retrieval.appendToInvertedIndex(docs.filter($"doc_id" === 10L),
+      "doc_id", "text", path)
+    val resurrected = remaining.unionByName(docs.filter($"doc_id" === 10L))
+    assert(Retrieval.bm25TopKFromIndex(spark, path, "doc_id", terms, 15)
+        .collect().map(_.toSeq).toSeq ===
+      Retrieval.bm25TopK(resurrected, "doc_id", "text", terms, 15)
+        .collect().map(_.toSeq).toSeq)
+    // compaction physically drops the deleted docs' rows
+    val dst = tmp("invdelc")
+    Retrieval.compactInvertedIndex(spark, path, dst)
+    assert(spark.read.parquet(s"$dst/postings")
+      .filter($"id" % 5 === 0L && $"id" =!= 10L).count() === 0L)
+    assert(spark.read.parquet(s"$dst/doclens").count() ===
+      resurrected.count())
+  }
+
   test("empty delta is a no-op: no stats row, scores unchanged") {
     val docs = corpus(30, 29)
     val path = tmp("invempty")

@@ -493,4 +493,36 @@ class PqSpec extends SparkSpec {
     assert(served === gold)
     assert(spark.read.parquet(s"$dst/codes").count() === corpus.count())
   }
+
+  test("PQ delete: served ≡ brute force over the remaining corpus; re-ingest resurrects") {
+    import org.apache.spark.sql.functions.col
+    val path = java.nio.file.Files.createTempDirectory("graft_pqdel").toString + "/idx"
+    val books = Similarity.pqCodebooksExact(corpus, "vec_id", "embedding",
+      dim = 8, m = 4, ks = 4, iters = 2)
+    Similarity.writePqIndex(corpus, "vec_id", "embedding", books, path)
+    Similarity.deleteFromPqIndex(
+      corpus.filter(col("vec_id") % 5 === 0L).select(col("vec_id")),
+      path, "vec_id")
+    val q = corpus.filter(col("vec_id") < 10)
+    val remaining = corpus.filter(col("vec_id") % 5 =!= 0L)
+    def gold(c: org.apache.spark.sql.DataFrame) = {
+      val g = Similarity.bruteForceTopK(q, c, "vec_id", "embedding",
+          k = 4, roundDp = -1, exact = true)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      graft.core.OpCache.release(); g
+    }
+    def serve() = {
+      // the full corpus rides along for the re-score join — deleted
+      // ids drop out because their codes rows are dead
+      val r = Similarity.pqTopKFromIndex(q, corpus, "vec_id", "embedding",
+          k = 4, path, roundDp = -1)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      graft.core.OpCache.release(); r
+    }
+    assert(serve() === gold(remaining))
+    Similarity.appendToPqIndex(corpus.filter(col("vec_id") === 10L),
+      path, "vec_id", "embedding")
+    assert(serve() ===
+      gold(remaining.unionByName(corpus.filter(col("vec_id") === 10L))))
+  }
 }
