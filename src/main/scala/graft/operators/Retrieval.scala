@@ -353,9 +353,16 @@ object Retrieval {
     */
   private case class TombState(committed: Seq[String], tmax: DataFrame)
 
-  private def tombState(spark: SparkSession,
-      path: String): Option[TombState] =
-    readTombstones(spark, path).map { t =>
+  /** `asOf` = TIME TRAVEL: consider only manifest rows with
+    * gen ≤ asOf, so slices committed later — and deletes issued
+    * later — are invisible, reproducing the index state a past
+    * reader saw (generation numbers are the index's commit clock).
+    */
+  private def tombState(spark: SparkSession, path: String,
+      asOf: Long = Long.MaxValue): Option[TombState] =
+    readTombstones(spark, path).map { raw =>
+      val t = if (asOf == Long.MaxValue) raw
+        else raw.filter(col("gen") <= asOf)
       val committed = t.select(col("slice")).distinct()
         .collect().map(_.getString(0)).toSeq :+ BaseSlice
       TombState(committed, t.groupBy("id").agg(max("gen").as("_tg")))
@@ -800,6 +807,26 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$dstPath/stats")
   }
 
+  /** INDEX HISTORY — the `DESCRIBE HISTORY` of the lakehouse-lite
+    * commit manifest: one row per committed generation with its
+    * batch key (null for ad-hoc appends/deletes) and how many doc
+    * ids it touched. Generation numbers are the index's commit
+    * clock; feed one to a serve function's `asOfGen` to TIME-TRAVEL
+    * (q242). A delete generation shows its doc count too — the
+    * manifest cannot distinguish a delete from an append by itself
+    * (both are id rows at a generation; only deletes write no data),
+    * which is exactly why this report exists for auditing. Manifest-
+    * sized read; a never-appended base index reports zero rows.
+    */
+  def indexHistory(spark: SparkSession, path: String): DataFrame =
+    readTombstones(spark, path).map(
+      _.groupBy(col("gen"), col("batch_key"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("gen")))
+      .getOrElse(spark.range(0).select(lit(0L).as("gen"),
+        lit(null).cast("string").as("batch_key"),
+        lit(0L).as("n_docs")))
+
   /** VOCABULARY REPORT from a stored index — corpus term statistics
     * (document frequency, collection frequency) as ONE aggregate over
     * the slim LIVE postings (tombstone supersede applied — a
@@ -944,9 +971,10 @@ object Retrieval {
     * so every index-served ranker scores IDENTICAL inputs.
     */
   private def pivotedFromIndex(spark: SparkSession, path: String,
-      terms: Seq[String]): (DataFrame, Column, Column, Map[String, Long]) = {
+      terms: Seq[String],
+      asOf: Long = Long.MaxValue): (DataFrame, Column, Column, Map[String, Long]) = {
     import spark.implicits._
-    val ts = tombState(spark, path)
+    val ts = tombState(spark, path, asOf)
     val st = committedRows(spark.read.parquet(s"$path/stats"), ts)
       .agg(sum(col("n_docs")).as("_n"), sum(col("total_len")).as("_len"),
         max(col("n_buckets")).as("_nb")).head()
@@ -1021,11 +1049,20 @@ object Retrieval {
       .limit(k)
   }
 
+  /** `asOfGen` = TIME-TRAVEL READ ([[indexHistory]] lists the clock):
+    * serve the index AS OF that commit generation — appends and
+    * deletes committed later are invisible, reproducing the exact
+    * corpus state a past training run retrieved from (the
+    * data-lineage hook: pin the generation in the run's metadata,
+    * re-serve it forever, q242 gates it). Default = latest.
+    */
   def bm25TopKFromIndex(spark: SparkSession, path: String, idCol: String,
       terms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
-    val (perDoc, nD, lenD, _) = pivotedFromIndex(spark, path, terms)
+    val (perDoc, nD, lenD, _) =
+      pivotedFromIndex(spark, path, terms, asOfGen)
     val avgdl = lenD / nD
     val dlD = col("dl").cast("double")
     val score: Column = terms.indices.map { i =>

@@ -5787,6 +5787,23 @@ object Oracles {
       "q241_ann_delete" ->
         pqIvfResidualRecallSqlWith("", pqIvfSeededScSql, nProbe = 4,
           where = "WHERE NOT (vec_id >= 50 AND vec_id % 7 = 3)"),
+      // time travel: the as-of-gen-1 state (post-re-crawl,
+      // pre-delete) IS the true corpus, so the plain replay gates it
+      "q242_time_travel_serve" ->
+        bm25Sql(Seq("spark", "row", "merge"), 20),
+      // DESCRIBE HISTORY: the manifest's generation clock read back
+      // as (gen, batch_key, docs touched), counts recomputed from
+      // the fixture predicates
+      "q243_index_history" ->
+        s"""SELECT CAST(1 AS BIGINT) AS gen,
+           |  CAST(NULL AS VARCHAR) AS batch_key,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs
+           |FROM documents WHERE doc_id % 4 = 0 OR doc_id % 8 = 1
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), CAST(NULL AS VARCHAR),
+           |  CAST(COUNT(*) AS BIGINT)
+           |FROM documents WHERE doc_id % 16 IN (2, 4)
+           |ORDER BY gen""".stripMargin,
       // Dirichlet QL from the index: smoothed log-likelihood replay
       "q228_ql_from_index" ->
         qlFromIndexSql(Seq("spark", "join", "stream", "zzzunseen"), 20),

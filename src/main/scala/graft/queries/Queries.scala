@@ -6521,8 +6521,13 @@ object Queries {
     * docs) on top of q231's re-crawl-superseded index; oracle = the
     * BM25 replay over the corpus MINUS the deleted set.
     */
-  val q239IndexDelete: Q = (s, dir) => {
-    val idx = memoFixture("q239idx", dir) { p =>
+  /** q231's re-crawl index with a takedown batch on top — the full
+    * three-generation lifecycle (base → gen-1 re-crawl append →
+    * gen-2 delete). Shared by q239 (latest-state serve), q242
+    * (time-travel serve as of gen 1), and q243 (the history report).
+    */
+  private def deletedInvertedIndex(s: SparkSession, dir: String): String =
+    memoFixture("q239idx", dir) { p =>
       val d = docs(s, dir)
       val base = d.filter(col("doc_id") % 4 =!= 0).select(col("doc_id"),
         when(col("doc_id") % 8 === 1,
@@ -6536,9 +6541,31 @@ object Queries {
         d.filter(col("doc_id") % 16 === 2 || col("doc_id") % 16 === 4)
           .select(col("doc_id")), "doc_id", p)
     }
-    Retrieval.bm25TopKFromIndex(s, idx, "doc_id",
+
+  val q239IndexDelete: Q = (s, dir) =>
+    Retrieval.bm25TopKFromIndex(s, deletedInvertedIndex(s, dir), "doc_id",
       Seq("spark", "row", "merge"), k = 20)
-  }
+
+  /** TIME-TRAVEL READ ([[Retrieval.bm25TopKFromIndex]]'s `asOfGen`):
+    * q239's index served AS OF generation 1 — after the re-crawl
+    * append, BEFORE the gen-2 delete — reproducing the exact corpus
+    * state a past training run retrieved from (pin the generation in
+    * run metadata, re-serve it forever). The gen-1 state IS the true
+    * corpus, so the oracle is the plain BM25 replay with NO delete
+    * filter — the same terms as q239 return the pre-takedown ranking.
+    */
+  val q242TimeTravelServe: Q = (s, dir) =>
+    Retrieval.bm25TopKFromIndex(s, deletedInvertedIndex(s, dir), "doc_id",
+      Seq("spark", "row", "merge"), k = 20, asOfGen = 1L)
+
+  /** INDEX HISTORY ([[Retrieval.indexHistory]]) — DESCRIBE HISTORY
+    * for the commit manifest: q239's lifecycle reads back as gen 1
+    * (the re-crawl append's doc count) and gen 2 (the takedown's doc
+    * count); the oracle recomputes both counts from the fixture
+    * predicates.
+    */
+  val q243IndexHistory: Q = (s, dir) =>
+    Retrieval.indexHistory(s, deletedInvertedIndex(s, dir))
 
   /** DELETE from the positional index
     * ([[Retrieval.deleteFromPositionalIndex]]): q232's appended
@@ -6848,5 +6875,7 @@ object Queries {
     "q239_index_delete" -> q239IndexDelete,
     "q240_positional_delete" -> q240PositionalDelete,
     "q241_ann_delete" -> q241AnnDelete,
+    "q242_time_travel_serve" -> q242TimeTravelServe,
+    "q243_index_history" -> q243IndexHistory,
   )
 }

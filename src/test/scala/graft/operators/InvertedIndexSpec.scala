@@ -424,6 +424,33 @@ class InvertedIndexSpec extends SparkSpec {
       resurrected.count())
   }
 
+  test("time travel: every past generation re-serves its exact state; history reads the clock") {
+    val docs = corpus(40, 71)
+    val path = tmp("invtt")
+    val base = docs.filter($"doc_id" % 3 === 0L)
+    val d1 = docs.filter($"doc_id" % 3 === 1L)
+    val d2 = docs.filter($"doc_id" % 3 === 2L)
+    Retrieval.writeInvertedIndex(base, "doc_id", "text", path, nBuckets = 4)
+    Retrieval.appendToInvertedIndex(d1, "doc_id", "text", path)
+    Retrieval.appendToInvertedIndex(d2, "doc_id", "text", path,
+      batchKey = "crawl-7")
+    val terms = Seq("spark", "data")
+    def scan(c: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25TopK(c, "doc_id", "text", terms, 12)
+        .collect().map(_.toSeq).toSeq
+    def serve(asOf: Long) =
+      Retrieval.bm25TopKFromIndex(spark, path, "doc_id", terms, 12,
+        asOfGen = asOf).collect().map(_.toSeq).toSeq
+    assert(serve(0L) === scan(base))                 // pristine base
+    assert(serve(1L) === scan(base.unionByName(d1))) // after append 1
+    assert(serve(2L) === scan(docs))                 // latest
+    assert(serve(Long.MaxValue) === scan(docs))      // default clock
+    val hist = Retrieval.indexHistory(spark, path).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSeq
+    assert(hist === Seq((1L, None, d1.count()),
+      (2L, Some("crawl-7"), d2.count())))
+  }
+
   test("empty delta is a no-op: no stats row, scores unchanged") {
     val docs = corpus(30, 29)
     val path = tmp("invempty")
