@@ -718,7 +718,7 @@ object Retrieval {
     * probed-bucket postings for `terms`, tombstone supersede
     * applied. */
   private def positionalPostings(spark: SparkSession, path: String,
-      terms: Seq[String]): DataFrame = {
+      terms: Seq[String], asOf: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     val nBuckets = spark.read.parquet(s"$path/meta")
       .select(max(col("n_buckets"))).head().getInt(0)
@@ -728,7 +728,7 @@ object Retrieval {
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
-    liveRows(postings, tombState(spark, path))
+    liveRows(postings, tombState(spark, path, asOf))
   }
 
   /** PHRASE occurrence counts served from a positional index
@@ -751,10 +751,11 @@ object Retrieval {
     * which keeps the result a pure function of the probed buckets.
     */
   def phraseOccurrencesFromIndex(spark: SparkSession, path: String,
-      idCol: String, phrase: Seq[String]): DataFrame = {
+      idCol: String, phrase: Seq[String],
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     require(phrase.size >= 2, "a phrase needs at least two terms")
     val terms = phrase.distinct
-    val postings = positionalPostings(spark, path, terms)
+    val postings = positionalPostings(spark, path, terms, asOfGen)
     val emptyPos = array().cast("array<int>")
     val pivots = terms.zipWithIndex.map { case (t, i) =>
       max(when(col("term") === t, col("positions"))).as(s"_pos$i") }
@@ -862,10 +863,12 @@ object Retrieval {
     * min_dist ≤ window.
     */
   def proximityFromIndex(spark: SparkSession, path: String, idCol: String,
-      termA: String, termB: String, window: Int): DataFrame = {
+      termA: String, termB: String, window: Int,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     require(window >= 1, "window must be at least 1")
     require(termA != termB, "proximity needs two distinct terms")
-    val postings = positionalPostings(spark, path, Seq(termA, termB))
+    val postings =
+      positionalPostings(spark, path, Seq(termA, termB), asOfGen)
     val perDoc = postings.groupBy(col("id"))
       .agg(max(when(col("term") === termA, col("positions"))).as("_pa"),
         max(when(col("term") === termB, col("positions"))).as("_pb"))
@@ -925,12 +928,13 @@ object Retrieval {
     */
   def bm25TopKBatchFromIndex(spark: SparkSession, path: String,
       idCol: String, queries: Seq[(Long, Seq[String])], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "each query needs at least one term")
     val allTerms = queries.flatMap(_._2).distinct
     val (perDoc, nD, lenD, _) =
-      pivotedFromIndex(spark, path, allTerms)
+      pivotedFromIndex(spark, path, allTerms, asOfGen)
     requireNumericId(perDoc, "id", "bm25TopKBatchFromIndex")
     val avgdl = lenD / nD
     val dlD = col("dl").cast("double")
@@ -1030,10 +1034,12 @@ object Retrieval {
     * likelihoods rounded 6 dp; ties on ascending id.
     */
   def qlTopKFromIndex(spark: SparkSession, path: String, idCol: String,
-      terms: Seq[String], k: Int, mu: Double = 1000.0): DataFrame = {
+      terms: Seq[String], k: Int, mu: Double = 1000.0,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     require(terms.nonEmpty, "QL needs at least one query term")
     require(mu > 0.0, "mu must be positive")
-    val (perDoc, _, lenD, cfByTerm) = pivotedFromIndex(spark, path, terms)
+    val (perDoc, _, lenD, cfByTerm) =
+      pivotedFromIndex(spark, path, terms, asOfGen)
     val dlD = col("dl").cast("double")
     val score: Column = terms.indices.map { i =>
       val tf = coalesce(col(s"_tf$i"), lit(0L)).cast("double")

@@ -1414,10 +1414,12 @@ object Similarity {
     * Same certificate — output ≡ exact brute force over the corpus.
     */
   def pqTopKFromIndex(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, path: String, roundDp: Int = -1): DataFrame = {
+      vecCol: String, k: Int, path: String, roundDp: Int = -1,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     val spark = corpus.sparkSession
     val books = readPqBooks(spark, path)
-    val codes = liveCodes(spark, path, spark.read.parquet(s"$path/codes"))
+    val codes = liveCodes(spark, path,
+        spark.read.parquet(s"$path/codes"), asOfGen)
       .select("neighbor_id", "_cn", "_codes", "_r")
       .persistTracked
     pqCertifiedTopK(queries, idCol, vecCol, codes,
@@ -1757,8 +1759,14 @@ object Similarity {
     * plan byte-identical.
     */
   private def liveCodes(spark: org.apache.spark.sql.SparkSession,
-      path: String, codes: DataFrame): DataFrame =
-    readTombstones(spark, path).map { t =>
+      path: String, codes: DataFrame,
+      asOf: Long = Long.MaxValue): DataFrame =
+    readTombstones(spark, path).map { raw =>
+      // asOf = time travel (the Retrieval.tombState clock): manifest
+      // rows with gen > asOf — later appends AND later deletes — are
+      // invisible, re-serving the exact past index state
+      val t = if (asOf == Long.MaxValue) raw
+        else raw.filter(col("gen") <= asOf)
       val committed = t.select(col("slice")).distinct()
         .collect().map(_.getString(0)).toSeq :+ "base"
       val tmax = t.groupBy("neighbor_id").agg(max("gen").as("_tg"))
@@ -1767,6 +1775,20 @@ object Similarity {
         .filter(col("_tg").isNull || col("_gen") >= col("_tg"))
         .drop("_tg")
     }.getOrElse(codes)
+
+  /** INDEX HISTORY for a stored PQ/IVF-PQ index — the lexical
+    * `Retrieval.indexHistory` readback of the shared manifest
+    * layout: (gen, batch_key, n_docs), one row per committed
+    * generation (q246 gates it). */
+  def indexHistory(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    readTombstones(spark, path).map(
+      _.groupBy(col("gen"), col("batch_key"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("gen")))
+      .getOrElse(spark.range(0).select(lit(0L).as("gen"),
+        lit(null).cast("string").as("batch_key"),
+        lit(0L).as("n_docs")))
 
   /** Create an EMPTY commit manifest before the FIRST append's codes
     * write — without it, a first append dying mid-write would leave
@@ -1875,7 +1897,8 @@ object Similarity {
     * norms/codes/codebooks losslessly.
     */
   def pqIvfTopKFromIndex(queries: DataFrame, path: String, idCol: String,
-      vecCol: String, k: Int, nProbe: Int): DataFrame = {
+      vecCol: String, k: Int, nProbe: Int,
+      asOfGen: Long = Long.MaxValue): DataFrame = {
     val spark = queries.sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
     val residual = meta.getBoolean(meta.fieldIndex("residual"))
@@ -1911,8 +1934,9 @@ object Similarity {
     val codes = codesRaw.filter(col("cell").isin(probed.toIndexedSeq: _*))
       .withColumn("cell", col("cell").cast(probeCellType))
     // appended index: drop codes rows superseded by a newer tombstone
-    // for the same id (see liveCodes — id-level broadcast filter)
-    val live = liveCodes(spark, path, codes)
+    // for the same id (see liveCodes — id-level broadcast filter;
+    // asOfGen = time travel)
+    val live = liveCodes(spark, path, codes, asOfGen)
     pqIvfRankFromCodes(queries, probes, live, idCol, vecCol,
       books, k, residual)
   }

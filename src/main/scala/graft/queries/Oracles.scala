@@ -5791,6 +5791,24 @@ object Oracles {
       // pre-delete) IS the true corpus, so the plain replay gates it
       "q242_time_travel_serve" ->
         bm25Sql(Seq("spark", "row", "merge"), 20),
+      // positional time travel: the as-of-gen-1 state is the true
+      // corpus, so q225's plain phrase replay gates it
+      "q244_positional_time_travel" -> phraseFromIndexSql(),
+      // ANN time travel: as-of-gen-1 is the true corpus — the
+      // q201/q207 recall replay verbatim
+      "q245_ann_time_travel" -> pqIvfResidualRecallSql,
+      // ANN DESCRIBE HISTORY: generation counts recomputed from the
+      // q241 fixture predicates over embeddings
+      "q246_ann_index_history" ->
+        s"""SELECT CAST(1 AS BIGINT) AS gen,
+           |  CAST(NULL AS VARCHAR) AS batch_key,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs
+           |FROM embeddings WHERE vec_id % 3 = 0
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), CAST(NULL AS VARCHAR),
+           |  CAST(COUNT(*) AS BIGINT)
+           |FROM embeddings WHERE vec_id >= 50 AND vec_id % 7 = 3
+           |ORDER BY gen""".stripMargin,
       // DESCRIBE HISTORY: the manifest's generation clock read back
       // as (gen, batch_key, docs touched), counts recomputed from
       // the fixture predicates

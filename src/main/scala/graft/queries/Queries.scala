@@ -6633,6 +6633,91 @@ object Queries {
     pqRecallReport(exact, approx)
   }
 
+  /** TIME TRAVEL on the positional index: q240's lifecycle (base →
+    * gen-1 re-crawl append → gen-2 delete of the re-ingested docs)
+    * served AS OF gen 1 — the pre-takedown state IS the true corpus,
+    * so the oracle is the plain phrase replay (q225's, no delete
+    * filter).
+    */
+  val q244PositionalTimeTravel: Q = (s, dir) => {
+    val idx = memoFixture("q240idx", dir) { p =>
+      val corp = phraseCorpus(s, dir)
+      val base = corp.filter(col("doc_id") % 4 =!= 0).select(col("doc_id"),
+        when(col("doc_id") % 8 === 1,
+          lit("stale gamma alpha gamma alpha end"))
+          .otherwise(col("text")).as("text"))
+      Retrieval.writePositionalIndex(base, "doc_id", "text", p, nBuckets = 8)
+      Retrieval.appendToPositionalIndex(
+        corp.filter(col("doc_id") % 4 === 0 || col("doc_id") % 8 === 1),
+        "doc_id", "text", p)
+      Retrieval.deleteFromPositionalIndex(
+        corp.filter(col("doc_id") % 16 === 1).select(col("doc_id")),
+        "doc_id", p)
+    }
+    Retrieval.phraseOccurrencesFromIndex(s, idx, "doc_id",
+      Seq("alpha", "beta", "gamma"), asOfGen = 1L).orderBy("doc_id")
+  }
+
+  /** TIME TRAVEL on the IVF-PQ index: q241's lifecycle served AS OF
+    * gen 1 — after the re-crawl append, before the takedown — so the
+    * served state is the TRUE corpus and q201/q207's recall replay
+    * gates it verbatim (zero new oracle surface, same as q242's
+    * lexical twin).
+    */
+  val q245AnnTimeTravel: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 50)
+    val deleted = col("vec_id") >= 50 && col("vec_id") % 7 === 3
+    val exact = s.read.parquet(memoFixture("q132exact", dir) { p =>
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+          k = 5, roundDp = -1, exact = true)
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(p)
+      graft.core.OpCache.release()
+    })
+    val idx = memoFixture("q241idx", dir) { p =>
+      val stale = emb.withColumn("embedding",
+        when(col("vec_id") % 3 === 0, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")))
+      Similarity.writeIvfPqIndex(stale, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", m = 4, dim = 64, p,
+        bookSeeds = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
+      Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 3 === 0),
+        p, "vec_id", "embedding")
+      Similarity.deleteFromPqIndex(emb.filter(deleted).select(col("vec_id")),
+        p, "vec_id")
+      graft.core.OpCache.release()
+    }
+    val approx = Similarity.pqIvfTopKFromIndex(q, idx, "vec_id",
+        "embedding", k = 5, nProbe = 4, asOfGen = 1L)
+      .select(col("query_id"), col("neighbor_id"))
+    pqRecallReport(exact, approx)
+  }
+
+  /** INDEX HISTORY on the ANN manifest ([[Similarity.indexHistory]]):
+    * q241's lifecycle reads back as gen 1 (the re-crawl append's
+    * vector count) and gen 2 (the takedown's), counts recomputed by
+    * the oracle from the fixture predicates over `embeddings`.
+    */
+  val q246AnnIndexHistory: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val deleted = col("vec_id") >= 50 && col("vec_id") % 7 === 3
+    val idx = memoFixture("q241idx", dir) { p =>
+      val stale = emb.withColumn("embedding",
+        when(col("vec_id") % 3 === 0, transform(col("embedding"), x => -x))
+          .otherwise(col("embedding")))
+      Similarity.writeIvfPqIndex(stale, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", m = 4, dim = 64, p,
+        bookSeeds = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
+      Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 3 === 0),
+        p, "vec_id", "embedding")
+      Similarity.deleteFromPqIndex(emb.filter(deleted).select(col("vec_id")),
+        p, "vec_id")
+      graft.core.OpCache.release()
+    }
+    Similarity.indexHistory(s, idx)
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -6877,5 +6962,8 @@ object Queries {
     "q241_ann_delete" -> q241AnnDelete,
     "q242_time_travel_serve" -> q242TimeTravelServe,
     "q243_index_history" -> q243IndexHistory,
+    "q244_positional_time_travel" -> q244PositionalTimeTravel,
+    "q245_ann_time_travel" -> q245AnnTimeTravel,
+    "q246_ann_index_history" -> q246AnnIndexHistory,
   )
 }
