@@ -353,20 +353,66 @@ object Retrieval {
     */
   private case class TombState(committed: Seq[String], tmax: DataFrame)
 
+  /** Cheap filesystem fingerprint of a manifest-sized directory —
+    * file names + lengths + modification times, sorted. One LIST
+    * call (no Spark job); any append/delete/compact/rebuild changes
+    * it, which is what keys the serve-state caches below. "none"
+    * when the directory does not exist.
+    */
+  private def dirSig(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "none"
+    else fs.listStatus(p)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
+  /** Small LRU keyed on (session, path, asOf, manifest fingerprint):
+    * [[TombState]] and the serve stats are per-INDEX-STATE, not
+    * per-query (VERDICT r19 item 6) — a high-QPS serving loop was
+    * paying the manifest's distinct-slice collect, the stats head
+    * and the stale-stats probe on EVERY call. The fingerprint key
+    * self-invalidates on any manifest/stats change (the writers
+    * never mutate files in place — append/overwrite only), so a hit
+    * is always the current state; 64 entries bound the footprint
+    * (cached values are a slice-label list, a lazy tmax plan and
+    * five longs — no corpus-sized object).
+    */
+  private def lruCache[V](cap: Int) = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, V]): Boolean = size > cap
+    })
+  private val tombCache = lruCache[TombState](64)
+  private val statsCache = lruCache[(Long, Long, Int, Long, Long)](64)
+
+  /** Drop all cached serve state (spec isolation). */
+  private[graft] def clearServeCaches(): Unit = {
+    tombCache.clear(); statsCache.clear()
+  }
+
   /** `asOf` = TIME TRAVEL: consider only manifest rows with
     * gen ≤ asOf, so slices committed later — and deletes issued
     * later — are invisible, reproducing the index state a past
     * reader saw (generation numbers are the index's commit clock).
+    * Cached per (path, asOf, manifest fingerprint) — repeated serves
+    * of an unchanged index pay the manifest read once.
     */
   private def tombState(spark: SparkSession, path: String,
-      asOf: Long = Long.MaxValue): Option[TombState] =
-    readTombstones(spark, path).map { raw =>
-      val t = if (asOf == Long.MaxValue) raw
-        else raw.filter(col("gen") <= asOf)
-      val committed = t.select(col("slice")).distinct()
-        .collect().map(_.getString(0)).toSeq :+ BaseSlice
-      TombState(committed, t.groupBy("id").agg(max("gen").as("_tg")))
-    }
+      asOf: Long = Long.MaxValue): Option[TombState] = {
+    val sig = dirSig(spark, s"$path/tombstones")
+    if (sig == "none") None
+    else Some(tombCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$asOf|$path|$sig", _ => {
+        val raw = spark.read.parquet(s"$path/tombstones")
+        val t = if (asOf == Long.MaxValue) raw
+          else raw.filter(col("gen") <= asOf)
+        val committed = t.select(col("slice")).distinct()
+          .collect().map(_.getString(0)).toSeq :+ BaseSlice
+        TombState(committed, t.groupBy("id").agg(max("gen").as("_tg")))
+      }))
+  }
 
   /** Keep only rows of COMMITTED slices — the exactly-once half of
     * the lifecycle: an append attempt that died before its tombstone
@@ -375,6 +421,15 @@ object Retrieval {
     * writes fresh rows under a NEW nonce). A conjunctive data filter
     * on the scan: pushes to parquet, never disturbs the bucket
     * partition prune.
+    *
+    * ON-DISK FORMAT note (ADVICE r19): serving requires `_slice` on
+    * the data rows and `slice`/`batch_key` on the manifest — the
+    * slice-commit layout every writer in this version produces. An
+    * index APPENDED under the pre-slice-commit layout fails here
+    * with an AnalysisException on the missing column; REBUILD it
+    * ([[writeInvertedIndex]]/[[writePositionalIndex]]) rather than
+    * migrating in place. A never-appended base index has no manifest
+    * and never reaches this filter.
     */
   private def committedRows(rows: DataFrame,
       ts: Option[TombState]): DataFrame =
@@ -406,6 +461,13 @@ object Retrieval {
     * attempt never reached the manifest, so its retry recomputes the
     * SAME generation — harmless, because the orphan rows differ by
     * slice nonce and stay uncommitted forever.
+    *
+    * SINGLE-WRITER contract: this is read-max-plus-one, not a CAS —
+    * two writers that both read the manifest before either commits
+    * compute the SAME generation, and supersede order between their
+    * rows is undefined. Every committer therefore runs
+    * [[verifySoleWriter]] after its manifest write, turning the
+    * silent corruption into a loud post-commit failure.
     */
   private def nextGen(spark: SparkSession, path: String): Long =
     1L + readTombstones(spark, path)
@@ -418,6 +480,35 @@ object Retrieval {
       batchKey: String): Boolean =
     readTombstones(spark, path).exists(
       _.filter(col("batch_key") === batchKey).take(1).nonEmpty)
+
+  /** POST-COMMIT single-writer verification (VERDICT r19 item 1):
+    * re-read the manifest and fail LOUDLY if a foreign slice shares
+    * this commit's generation — the signature of two concurrent
+    * writers that both read-max-plus-one'd the same [[nextGen]].
+    * Full CAS is out of scope for a parquet-directory manifest; this
+    * closes the SILENT half of the hole at O(manifest) cost: the
+    * corruption (ambiguous supersede order between the two slices at
+    * the shared generation) is still on disk, but both writers raise
+    * with both nonces named, so the operator knows to recover —
+    * serve `asOfGen = gen − 1` (still exact: the shared generation's
+    * rows are ALL later than it) and re-append the two deltas
+    * serially, or compact from that pinned state.
+    */
+  private[graft] def verifySoleWriter(spark: SparkSession, path: String,
+      gen: Long, slice: String): Unit = {
+    val foreign = readTombstones(spark, path).toSeq
+      .flatMap(_.filter(col("gen") === gen && col("slice") =!= slice)
+        .select(col("slice")).distinct().take(3).map(_.getString(0)))
+    if (foreign.nonEmpty)
+      throw new IllegalStateException(
+        s"commit-manifest writer collision at $path: generation $gen " +
+          s"was committed by this writer (slice $slice) AND by foreign " +
+          s"slice(s) ${foreign.mkString(", ")} — two concurrent " +
+          "appenders/deleters raced nextGen. Supersede order within " +
+          s"generation $gen is undefined; recover by serving " +
+          s"asOfGen = ${gen - 1} and re-applying both deltas serially, " +
+          "or compact from that pinned state.")
+  }
 
   /** Create an EMPTY commit manifest (schema, zero rows) before the
     * FIRST append's data writes. Without it, a first append dying
@@ -513,14 +604,22 @@ object Retrieval {
     * a new nonce, and only its completed write commits. Re-delivery
     * of an already-COMMITTED batch is skipped via `batchKey` (the
     * Structured Streaming replay contract: a batchId re-runs only
-    * until its foreachBatch returns). The one non-atomicity left is
-    * the manifest append itself — a parquet file create, atomic on
-    * HDFS/posix renames and object-store PUTs alike.
+    * until its foreachBatch returns). The manifest write itself is
+    * coalesced to ONE part file, so the commit is a single
+    * rename/PUT — atomic on HDFS/posix and object stores alike; a
+    * multi-file manifest job could crash having published only some
+    * of its part files, leaving the slice visible with part of its
+    * supersede rows missing (ADVICE r19).
     *
-    * Precondition (the q179 contract, narrowed): ids are unique
-    * WITHIN one delta; re-ingesting ids from the base or earlier
+    * Preconditions: ids are unique WITHIN one delta (the q179
+    * contract, narrowed); re-ingesting ids from the base or earlier
     * appends is the supported re-crawl path. An empty delta is a
-    * no-op — no stats row, no new generation.
+    * no-op — no stats row, no new generation. SINGLE WRITER per
+    * index path: the generation stamp is read-max-plus-one, not a
+    * CAS, so two concurrent appenders would share a generation —
+    * [[verifySoleWriter]] re-reads the manifest post-commit and
+    * fails LOUDLY (both nonces named) instead of corrupting
+    * supersede order silently.
     */
   def appendToInvertedIndex(deltaDocs: DataFrame, idCol: String,
       textCol: String, path: String, batchKey: String = null): Unit = {
@@ -544,10 +643,17 @@ object Retrieval {
     doclensRows(toks, nBuckets, gen, slice)
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/doclens")
-    // the COMMIT: manifest rows land last
+    // the COMMIT: manifest rows land last, as ONE file (coalesce(1)
+    // — a multi-file manifest job could crash mid-commit having
+    // published a subset of its part files, leaving the slice
+    // half-committed; one file = one rename/PUT, atomic on HDFS and
+    // object stores alike; manifest rows are slim id+gen, so one
+    // task absorbs even a large crawl batch)
     toks.select(col("id"), lit(gen).as("gen"), lit(slice).as("slice"),
         lit(batchKey).cast("string").as("batch_key"))
+      .coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
+    verifySoleWriter(spark, path, gen, slice)
   }
 
   /** RIGHT-TO-BE-FORGOTTEN DELETE from a stored inverted index — the
@@ -564,8 +670,12 @@ object Retrieval {
     * generation outranks the delete's); [[compactInvertedIndex]]
     * physically drops deleted rows. O(|deletes|) write cost —
     * nothing corpus-sized moves until compaction. Atomic: the
-    * manifest write IS the whole delete. `batchKey` gives streaming
-    * deletes the same idempotent re-delivery skip as ingest.
+    * manifest write IS the whole delete, coalesced to one file (one
+    * rename/PUT). `batchKey` gives streaming deletes the same
+    * idempotent re-delivery skip as ingest; the single-writer
+    * contract and post-commit collision check of
+    * [[appendToInvertedIndex]] apply (a delete claims a generation
+    * too).
     */
   def deleteFromInvertedIndex(ids: DataFrame, idCol: String,
       path: String, batchKey: String = null): Unit =
@@ -587,10 +697,14 @@ object Retrieval {
     if (keyed.take(1).isEmpty) return
     ensureManifest(keyed, path)
     val gen = nextGen(spark, path)
-    keyed.select(col("id"), lit(gen).as("gen"),
-        lit(java.util.UUID.randomUUID().toString).as("slice"),
+    val slice = java.util.UUID.randomUUID().toString
+    // one-file commit + post-commit collision check, as in
+    // appendToInvertedIndex (the delete IS its manifest write)
+    keyed.select(col("id"), lit(gen).as("gen"), lit(slice).as("slice"),
         lit(batchKey).cast("string").as("batch_key"))
+      .coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
+    verifySoleWriter(spark, path, gen, slice)
   }
 
   /** The stale-instance correction to the SUMMED stats rows: docs
@@ -675,7 +789,9 @@ object Retrieval {
     * append ≡ rebuild needs nothing beyond the supersede (q232
     * gates the phrase serve, q233 the proximity serve after
     * compaction, both against the true-corpus replay). Ids unique
-    * within one delta; empty delta is a no-op.
+    * within one delta; empty delta is a no-op; single writer per
+    * index path, enforced loudly post-commit
+    * ([[appendToInvertedIndex]]'s contract).
     */
   def appendToPositionalIndex(deltaDocs: DataFrame, idCol: String,
       textCol: String, path: String, batchKey: String = null): Unit = {
@@ -690,10 +806,14 @@ object Retrieval {
     positionalRows(deltaDocs, idCol, textCol, nBuckets, gen, slice)
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/postings")
+    // one-file commit + post-commit collision check (see
+    // appendToInvertedIndex)
     deltaDocs.select(col(idCol).as("id"), lit(gen).as("gen"),
         lit(slice).as("slice"),
         lit(batchKey).cast("string").as("batch_key"))
+      .coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
+    verifySoleWriter(spark, path, gen, slice)
   }
 
   /** COMPACTION for a positional index: rewrite the LIVE postings
@@ -712,6 +832,9 @@ object Retrieval {
       .parquet(s"$dstPath/postings")
     spark.read.parquet(s"$srcPath/meta")
       .write.mode("overwrite").parquet(s"$dstPath/meta")
+    IndexLineage.write(spark, srcPath, dstPath,
+      spark.read.parquet(s"$dstPath/postings")
+        .agg(count_distinct(col("id"))).head().getLong(0))
   }
 
   /** The positional serve-side read shared by phrase and proximity:
@@ -784,6 +907,14 @@ object Retrieval {
     * own input). Serving from the compacted index is bit-identical to
     * the source (InvertedIndexSpec locks it, q226 gates it against
     * the full-corpus replay).
+    *
+    * RETENTION: the compacted index's generation clock restarts at 0,
+    * so a run pinned to `asOfGen = N` of the SOURCE keeps serving
+    * from the source path — compaction never touches it — until the
+    * operator retires the pin and drops the path (q250 gates exactly
+    * that read). The lineage sidecar ([[IndexLineage]], one row:
+    * src_path, src_gen, n_live) records the link; [[indexHistory]]
+    * surfaces it (q249).
     */
   def compactInvertedIndex(spark: SparkSession, srcPath: String,
       dstPath: String): Unit = {
@@ -806,6 +937,12 @@ object Retrieval {
       .withColumn("n_buckets", lit(nBuckets))
       .withColumn("_slice", lit(BaseSlice))
       .write.mode("overwrite").parquet(s"$dstPath/stats")
+    // retention/lineage contract (VERDICT r19 item 3): record the
+    // source's final gen + live count; the OLD path stays servable
+    // for every pinned asOfGen until the operator drops it
+    IndexLineage.write(spark, srcPath, dstPath,
+      spark.read.parquet(s"$dstPath/stats")
+        .agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0))
   }
 
   /** INDEX HISTORY — the `DESCRIBE HISTORY` of the lakehouse-lite
@@ -819,14 +956,20 @@ object Retrieval {
     * which is exactly why this report exists for auditing. Manifest-
     * sized read; a never-appended base index reports zero rows.
     */
-  def indexHistory(spark: SparkSession, path: String): DataFrame =
-    readTombstones(spark, path).map(
+  def indexHistory(spark: SparkSession, path: String): DataFrame = {
+    val hist = readTombstones(spark, path).map(
       _.groupBy(col("gen"), col("batch_key"))
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("gen")))
+        .agg(count(lit(1)).as("n_docs")))
       .getOrElse(spark.range(0).select(lit(0L).as("gen"),
         lit(null).cast("string").as("batch_key"),
         lit(0L).as("n_docs")))
+    // a compacted index leads its history with the lineage row
+    // (gen 0, batch_key compact:gen=<source's final gen>) — the
+    // recorded answer to "where did this fresh clock come from?"
+    IndexLineage.historyRow(spark, path)
+      .map(_.unionByName(hist)).getOrElse(hist)
+      .orderBy(col("gen"))
+  }
 
   /** VOCABULARY REPORT from a stored index — corpus term statistics
     * (document frequency, collection frequency) as ONE aggregate over
@@ -979,14 +1122,26 @@ object Retrieval {
       asOf: Long = Long.MaxValue): (DataFrame, Column, Column, Map[String, Long]) = {
     import spark.implicits._
     val ts = tombState(spark, path, asOf)
-    val st = committedRows(spark.read.parquet(s"$path/stats"), ts)
-      .agg(sum(col("n_docs")).as("_n"), sum(col("total_len")).as("_len"),
-        max(col("n_buckets")).as("_nb")).head()
-    val nBuckets = st.getAs[Int]("_nb")
-    // superseded docs still ride in the summed stats rows — subtract
-    // their (1, dl) back out (bounded doclens read; (0, 0) when the
-    // index has never seen a re-ingest)
-    val (staleN, staleLen) = staleStats(spark, path, nBuckets, ts)
+    // the stats head + stale-stats probe are per-index-state, not
+    // per-query — cached on the same fingerprint discipline as
+    // [[tombState]] (plus the stats dir, which a REBUILD overwrites
+    // without touching a manifest)
+    val (nDocs, totLen, nBuckets, staleN, staleLen) =
+      statsCache.computeIfAbsent(
+        s"${System.identityHashCode(spark)}|$asOf|$path|" +
+          s"${dirSig(spark, s"$path/tombstones")}|" +
+          dirSig(spark, s"$path/stats"), _ => {
+          val st = committedRows(spark.read.parquet(s"$path/stats"), ts)
+            .agg(sum(col("n_docs")).as("_n"),
+              sum(col("total_len")).as("_len"),
+              max(col("n_buckets")).as("_nb")).head()
+          val nb = st.getAs[Int]("_nb")
+          // superseded docs still ride in the summed stats rows —
+          // subtract their (1, dl) back out (bounded doclens read;
+          // (0, 0) when the index has never seen a re-ingest)
+          val (sn, sl) = staleStats(spark, path, nb, ts)
+          (st.getAs[Long]("_n"), st.getAs[Long]("_len"), nb, sn, sl)
+        })
     // T-row bounded job: bucket of each query term via the same
     // hash expression the build used
     val buckets = terms.toDF("term")
@@ -1005,8 +1160,8 @@ object Retrieval {
     val perDoc = postings.join(broadcast(dfs), "term")
       .groupBy(col("id"), col("dl"))
       .agg(pivots.head, pivots.tail: _*)
-    val nD = lit(st.getAs[Long]("_n") - staleN).cast("double")
-    val lenD = lit(st.getAs[Long]("_len") - staleLen).cast("double")
+    val nD = lit(nDocs - staleN).cast("double")
+    val lenD = lit(totLen - staleLen).cast("double")
     // global per-term collection frequency as a T-row bounded
     // collect: cf is a CORPUS constant per term (unlike df, which
     // only ever appears under a tf > 0 guard, cf feeds the

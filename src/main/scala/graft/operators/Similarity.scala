@@ -1381,7 +1381,10 @@ object Similarity {
     * exact re-score of [[pqTopKFromIndex]] stays ≡ brute force over
     * the TRUE corpus for any codebook (PqSpec locks it; q234 gates
     * the hybrid composition over live indexes). Ids unique within
-    * one delta; empty delta is a no-op.
+    * one delta; empty delta is a no-op; SINGLE WRITER per index path
+    * (the generation stamp is read-max-plus-one — a post-commit
+    * re-read fails loudly on a foreign slice at our generation
+    * instead of corrupting supersede order silently).
     */
   def appendToPqIndex(delta: DataFrame, path: String, idCol: String,
       vecCol: String, batchKey: String = null): Unit = {
@@ -1400,10 +1403,15 @@ object Similarity {
       .select("neighbor_id", "_cn", "_codes", "_r")
       .withColumn("_gen", lit(gen)).withColumn("_slice", lit(slice))
       .write.mode("append").parquet(s"$path/codes")
+    // one-file commit + post-commit collision check (see
+    // Retrieval.appendToInvertedIndex — a multi-file manifest job
+    // could publish a subset of its part files on a crash)
     delta.select(col(idCol).as("neighbor_id"), lit(gen).as("gen"),
         lit(slice).as("slice"),
         lit(batchKey).cast("string").as("batch_key"))
+      .coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
+    verifySoleWriter(spark, path, gen, slice)
   }
 
   /** [[pqTopK]] against a STORED index: the screen scans the persisted
@@ -1699,7 +1707,9 @@ object Similarity {
     * rows, broadcast at serve time); when re-ingests grow large,
     * [[compactIvfPqIndex]] folds them away without re-encoding a
     * single vector (codes are already stored). Precondition (the q179
-    * disjoint-delta contract): ids are unique WITHIN one delta.
+    * disjoint-delta contract): ids are unique WITHIN one delta, and
+    * ONE WRITER owns the index path (read-max-plus-one generations;
+    * a post-commit manifest re-read fails loudly on a collision).
     * Serving over the appended index ≡ [[writeIvfPqIndex]] over
     * (base \ re-ingested) ∪ delta (PqSpec locks it; q207 gates it
     * against q201's oracle verbatim over the union corpus).
@@ -1730,10 +1740,14 @@ object Similarity {
     ivfPqCodes(delta, seeds, idCol, vecCol, books, residual)
       .withColumn("_gen", lit(gen)).withColumn("_slice", lit(slice))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    // one-file commit + post-commit collision check (see
+    // appendToPqIndex)
     delta.select(col(idCol).as("neighbor_id"), lit(gen).as("gen"),
         lit(slice).as("slice"),
         lit(batchKey).cast("string").as("batch_key"))
+      .coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
+    verifySoleWriter(spark, path, gen, slice)
   }
 
   /** The tombstone sidecar if any append has happened, else None —
@@ -1757,38 +1771,89 @@ object Similarity {
     * data filter on the scan. Tombstones are slim re-ingest-sized
     * rows; an index with no tombstone sidecar keeps its pre-append
     * plan byte-identical.
+    *
+    * ON-DISK FORMAT note (ADVICE r19): serving requires `_slice` on
+    * the codes rows and `slice`/`batch_key` on the manifest — the
+    * slice-commit layout every writer in this version produces. An
+    * index APPENDED under the pre-slice-commit layout (r18 and
+    * earlier) fails here with an AnalysisException on the missing
+    * column; REBUILD it (`writePqIndex`/`writeIvfPqIndex`) rather
+    * than migrating in place — a never-appended base index has no
+    * manifest and never reaches this filter, so only
+    * already-appended old indexes are affected.
     */
+  private case class AnnTombState(committed: Seq[String], tmax: DataFrame)
+
+  /** Per-index-state LRU for the manifest readback (the
+    * `Retrieval.tombState` caching discipline, ANN edition — VERDICT
+    * r19 item 6): the committed-slice collect is per index STATE,
+    * not per query, and the filesystem fingerprint key (file names +
+    * lengths + mtimes of the manifest dir) self-invalidates on any
+    * append/delete/compact/rebuild. 64 entries of a slice-label list
+    * plus a lazy tmax plan — no corpus-sized object.
+    */
+  private val annTombCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, AnnTombState](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, AnnTombState]): Boolean = size > 64
+    })
+
+  /** Drop all cached serve state (spec isolation). */
+  private[graft] def clearServeCaches(): Unit = annTombCache.clear()
+
+  private def dirSig(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "none"
+    else fs.listStatus(p)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
   private def liveCodes(spark: org.apache.spark.sql.SparkSession,
       path: String, codes: DataFrame,
-      asOf: Long = Long.MaxValue): DataFrame =
-    readTombstones(spark, path).map { raw =>
-      // asOf = time travel (the Retrieval.tombState clock): manifest
-      // rows with gen > asOf — later appends AND later deletes — are
-      // invisible, re-serving the exact past index state
-      val t = if (asOf == Long.MaxValue) raw
-        else raw.filter(col("gen") <= asOf)
-      val committed = t.select(col("slice")).distinct()
-        .collect().map(_.getString(0)).toSeq :+ "base"
-      val tmax = t.groupBy("neighbor_id").agg(max("gen").as("_tg"))
-      codes.filter(col("_slice").isin(committed: _*))
-        .join(broadcast(tmax), Seq("neighbor_id"), "left")
+      asOf: Long = Long.MaxValue): DataFrame = {
+    val sig = dirSig(spark, s"$path/tombstones")
+    if (sig == "none") codes
+    else {
+      val ts = annTombCache.computeIfAbsent(
+        s"${System.identityHashCode(spark)}|$asOf|$path|$sig", _ => {
+          // asOf = time travel (the Retrieval.tombState clock):
+          // manifest rows with gen > asOf — later appends AND later
+          // deletes — are invisible, re-serving the exact past state
+          val raw = spark.read.parquet(s"$path/tombstones")
+          val t = if (asOf == Long.MaxValue) raw
+            else raw.filter(col("gen") <= asOf)
+          AnnTombState(
+            t.select(col("slice")).distinct()
+              .collect().map(_.getString(0)).toSeq :+ "base",
+            t.groupBy("neighbor_id").agg(max("gen").as("_tg")))
+        })
+      codes.filter(col("_slice").isin(ts.committed: _*))
+        .join(broadcast(ts.tmax), Seq("neighbor_id"), "left")
         .filter(col("_tg").isNull || col("_gen") >= col("_tg"))
         .drop("_tg")
-    }.getOrElse(codes)
+    }
+  }
 
   /** INDEX HISTORY for a stored PQ/IVF-PQ index — the lexical
     * `Retrieval.indexHistory` readback of the shared manifest
     * layout: (gen, batch_key, n_docs), one row per committed
     * generation (q246 gates it). */
   def indexHistory(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    readTombstones(spark, path).map(
+      path: String): DataFrame = {
+    val hist = readTombstones(spark, path).map(
       _.groupBy(col("gen"), col("batch_key"))
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("gen")))
+        .agg(count(lit(1)).as("n_docs")))
       .getOrElse(spark.range(0).select(lit(0L).as("gen"),
         lit(null).cast("string").as("batch_key"),
         lit(0L).as("n_docs")))
+    // compacted index: lead with the lineage row (see IndexLineage)
+    IndexLineage.historyRow(spark, path)
+      .map(_.unionByName(hist)).getOrElse(hist)
+      .orderBy(col("gen"))
+  }
 
   /** Create an EMPTY commit manifest before the FIRST append's codes
     * write — without it, a first append dying mid-write would leave
@@ -1814,6 +1879,33 @@ object Similarity {
     readTombstones(spark, path).exists(
       _.filter(col("batch_key") === batchKey).take(1).nonEmpty)
 
+  /** POST-COMMIT single-writer verification — the ANN twin of
+    * `Retrieval.verifySoleWriter` (VERDICT r19 item 1): the
+    * generation stamp is read-max-plus-one, so two concurrent
+    * writers that both read the manifest before either committed
+    * share a generation and supersede order between their codes is
+    * undefined. Re-reading the manifest after our own commit turns
+    * that silent corruption into a loud failure with both nonces
+    * named; recovery = serve `asOfGen = gen − 1` (exact — the shared
+    * generation's rows are all later) and re-apply the deltas
+    * serially, or compact from that pinned state.
+    */
+  private[graft] def verifySoleWriter(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      gen: Long, slice: String): Unit = {
+    val foreign = readTombstones(spark, path).toSeq
+      .flatMap(_.filter(col("gen") === gen && col("slice") =!= slice)
+        .select(col("slice")).distinct().take(3).map(_.getString(0)))
+    if (foreign.nonEmpty)
+      throw new IllegalStateException(
+        s"commit-manifest writer collision at $path: generation $gen " +
+          s"was committed by this writer (slice $slice) AND by foreign " +
+          s"slice(s) ${foreign.mkString(", ")} — two concurrent " +
+          "appenders/deleters raced the generation clock. Recover by " +
+          s"serving asOfGen = ${gen - 1} and re-applying both deltas " +
+          "serially, or compact from that pinned state.")
+  }
+
   /** RIGHT-TO-BE-FORGOTTEN DELETE from a stored PQ index (flat
     * [[writePqIndex]] or cell-partitioned [[writeIvfPqIndex]] — the
     * manifest layout is shared): a tombstone-only append at a fresh
@@ -1835,10 +1927,13 @@ object Similarity {
     val gen = 1L + readTombstones(spark, path)
       .map(_.agg(coalesce(max("gen"), lit(0L))).head().getLong(0))
       .getOrElse(0L)
+    val slice = java.util.UUID.randomUUID().toString
     keyed.select(col("neighbor_id"), lit(gen).as("gen"),
-        lit(java.util.UUID.randomUUID().toString).as("slice"),
+        lit(slice).as("slice"),
         lit(batchKey).cast("string").as("batch_key"))
+      .coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
+    verifySoleWriter(spark, path, gen, slice)
   }
 
   /** COMPACTION for a stored IVF-PQ index ([[writeIvfPqIndex]] after
@@ -1866,6 +1961,11 @@ object Similarity {
       spark.read.parquet(s"$srcPath/$s")
         .write.mode("overwrite").parquet(s"$dstPath/$s")
     }
+    // retention/lineage contract (VERDICT r19 item 3) — see
+    // IndexLineage: the OLD path stays servable for pinned asOfGen
+    // reads until the operator drops it
+    IndexLineage.write(spark, srcPath, dstPath,
+      spark.read.parquet(s"$dstPath/codes").count())
   }
 
   /** [[compactIvfPqIndex]] for the FLAT certified-PQ index
@@ -1883,6 +1983,8 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dstPath/codes")
     spark.read.parquet(s"$srcPath/books")
       .write.mode("overwrite").parquet(s"$dstPath/books")
+    IndexLineage.write(spark, srcPath, dstPath,
+      spark.read.parquet(s"$dstPath/codes").count())
   }
 
   /** Serve IVF-PQ from a STORED index ([[writeIvfPqIndex]]): probe

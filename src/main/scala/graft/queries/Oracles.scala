@@ -5809,6 +5809,69 @@ object Oracles {
            |  CAST(COUNT(*) AS BIGINT)
            |FROM embeddings WHERE vec_id >= 50 AND vec_id % 7 = 3
            |ORDER BY gen""".stripMargin,
+      // manifest health: counters recomputed from the q239 fixture
+      // predicates (append = %4==0 ∪ %8==1, delete = %16 ∈ {2,4});
+      // the compacted state folds every counter to zero
+      "q247_index_health" ->
+        s"""WITH touched AS (
+           |  SELECT doc_id FROM documents WHERE doc_id % 4 = 0 OR doc_id % 8 = 1
+           |  UNION ALL
+           |  SELECT doc_id FROM documents WHERE doc_id % 16 IN (2, 4)
+           |), ids AS (SELECT COUNT(DISTINCT doc_id) AS u FROM touched)
+           |SELECT CAST(0 AS BIGINT) AS n_generations,
+           |  CAST(0 AS BIGINT) AS max_gen,
+           |  CAST(0 AS BIGINT) AS n_committed_slices,
+           |  CAST(0 AS BIGINT) AS n_tombstone_rows,
+           |  CAST(0 AS BIGINT) AS n_tombstoned_ids,
+           |  CAST(0 AS BIGINT) AS est_broadcast_bytes,
+           |  'compacted' AS state
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM touched),
+           |  (SELECT CAST(u AS BIGINT) FROM ids),
+           |  (SELECT CAST(24 * u AS BIGINT) FROM ids),
+           |  'live'
+           |ORDER BY state""".stripMargin,
+      // positional DESCRIBE HISTORY (the last lifecycle ×
+      // index-family cell): counts from the q240 fixture predicates
+      "q248_positional_index_history" ->
+        s"""SELECT CAST(1 AS BIGINT) AS gen,
+           |  CAST(NULL AS VARCHAR) AS batch_key,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs
+           |FROM documents WHERE doc_id % 4 = 0 OR doc_id % 8 = 1
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), CAST(NULL AS VARCHAR),
+           |  CAST(COUNT(*) AS BIGINT)
+           |FROM documents WHERE doc_id % 16 = 1
+           |ORDER BY gen""".stripMargin,
+      // compaction lineage: history of the compacted index is ONE
+      // generation-0 row — source's final gen (2) and its live doc
+      // count (all docs minus the %16∈{2,4} takedowns)
+      "q249_compaction_lineage" ->
+        s"""SELECT CAST(0 AS BIGINT) AS gen,
+           |  'compact:gen=2' AS batch_key,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs
+           |FROM documents WHERE doc_id % 16 NOT IN (2, 4)""".stripMargin,
+      // retention: the pinned as-of-gen-1 read from the retained
+      // SOURCE path after compaction — q242's replay verbatim (the
+      // gen-1 state is the true corpus)
+      "q250_retention_time_travel" ->
+        bm25Sql(Seq("spark", "row", "merge"), 20),
+      // ANN manifest health: q241 fixture predicates (append =
+      // %3==0, delete = vec_id≥50 ∧ %7==3)
+      "q251_ann_index_health" ->
+        s"""WITH touched AS (
+           |  SELECT vec_id FROM embeddings WHERE vec_id % 3 = 0
+           |  UNION ALL
+           |  SELECT vec_id FROM embeddings
+           |  WHERE vec_id >= 50 AND vec_id % 7 = 3
+           |), ids AS (SELECT COUNT(DISTINCT vec_id) AS u FROM touched)
+           |SELECT CAST(2 AS BIGINT) AS n_generations,
+           |  CAST(2 AS BIGINT) AS max_gen,
+           |  CAST(2 AS BIGINT) AS n_committed_slices,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM touched) AS n_tombstone_rows,
+           |  (SELECT CAST(u AS BIGINT) FROM ids) AS n_tombstoned_ids,
+           |  (SELECT CAST(24 * u AS BIGINT) FROM ids) AS est_broadcast_bytes""".stripMargin,
       // DESCRIBE HISTORY: the manifest's generation clock read back
       // as (gen, batch_key, docs touched), counts recomputed from
       // the fixture predicates

@@ -6574,8 +6574,16 @@ object Queries {
     * their re-crawled instances). Phrase serving afterwards equals
     * q225's replay over the corpus minus the deleted set.
     */
-  val q240PositionalDelete: Q = (s, dir) => {
-    val idx = memoFixture("q240idx", dir) { p =>
+  /** q232's appended positional index with a takedown on top (base →
+    * gen-1 re-crawl append → gen-2 delete of the %16==1 docs — which
+    * are exactly RE-INGESTED docs, so the delete's generation must
+    * outrank BOTH their instances). ONE definition shared by q240
+    * (latest-state serve), q244 (time travel) and q248 (history) —
+    * the [[deletedInvertedIndex]] sharing rule (ADVICE r19: the
+    * inline twin copies could silently desynchronize).
+    */
+  private def deletedPositionalIndex(s: SparkSession, dir: String): String =
+    memoFixture("q240idx", dir) { p =>
       val corp = phraseCorpus(s, dir)
       val base = corp.filter(col("doc_id") % 4 =!= 0).select(col("doc_id"),
         when(col("doc_id") % 8 === 1,
@@ -6589,9 +6597,10 @@ object Queries {
         corp.filter(col("doc_id") % 16 === 1).select(col("doc_id")),
         "doc_id", p)
     }
-    Retrieval.phraseOccurrencesFromIndex(s, idx, "doc_id",
-      Seq("alpha", "beta", "gamma")).orderBy("doc_id")
-  }
+
+  val q240PositionalDelete: Q = (s, dir) =>
+    Retrieval.phraseOccurrencesFromIndex(s, deletedPositionalIndex(s, dir),
+      "doc_id", Seq("alpha", "beta", "gamma")).orderBy("doc_id")
 
   /** DELETE from the stored IVF-PQ index
     * ([[Similarity.deleteFromPqIndex]]): q207's appended index minus
@@ -6603,18 +6612,23 @@ object Queries {
     * (assignment, codes, estimates, exact top-5) replay over the
     * corpus MINUS the deleted set.
     */
-  val q241AnnDelete: Q = (s, dir) => {
+  /** The ANN delete-lifecycle predicate shared by q241/q245/q246/
+    * q251: takedown of (vec_id ≥ 50, %7==3) — ids ≥ 50 so the query
+    * set (vec_id < 50) is untouched; some deleted ids (%3==0 ∧ %7==3)
+    * were RE-INGESTED by the append, so the delete must outrank
+    * generation 1 codes too. */
+  private val annDeleted = col("vec_id") >= 50 && col("vec_id") % 7 === 3
+
+  /** q207's appended IVF-PQ index with the [[annDeleted]] takedown on
+    * top (base over sign-flipped %3==0 vectors → gen-1 re-crawl
+    * append of the true %3==0 vectors → gen-2 delete). ONE
+    * definition shared by q241 (latest-state serve), q245 (time
+    * travel), q246 (history) and q251 (health) — the
+    * [[deletedInvertedIndex]] sharing rule (ADVICE r19).
+    */
+  private def deletedAnnIndex(s: SparkSession, dir: String): String = {
     val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") < 50)
-    val deleted = col("vec_id") >= 50 && col("vec_id") % 7 === 3
-    val exact = s.read.parquet(memoFixture("q241exact", dir) { p =>
-      Similarity.bruteForceTopK(q, emb.filter(!deleted), "vec_id",
-          "embedding", k = 5, roundDp = -1, exact = true)
-        .select(col("query_id"), col("neighbor_id"))
-        .write.mode("overwrite").parquet(p)
-      graft.core.OpCache.release()
-    })
-    val idx = memoFixture("q241idx", dir) { p =>
+    memoFixture("q241idx", dir) { p =>
       val stale = emb.withColumn("embedding",
         when(col("vec_id") % 3 === 0, transform(col("embedding"), x => -x))
           .otherwise(col("embedding")))
@@ -6623,12 +6637,24 @@ object Queries {
         bookSeeds = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
       Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 3 === 0),
         p, "vec_id", "embedding")
-      Similarity.deleteFromPqIndex(emb.filter(deleted).select(col("vec_id")),
-        p, "vec_id")
+      Similarity.deleteFromPqIndex(
+        emb.filter(annDeleted).select(col("vec_id")), p, "vec_id")
       graft.core.OpCache.release()
     }
-    val approx = Similarity.pqIvfTopKFromIndex(q, idx, "vec_id",
-        "embedding", k = 5, nProbe = 4)
+  }
+
+  val q241AnnDelete: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 50)
+    val exact = s.read.parquet(memoFixture("q241exact", dir) { p =>
+      Similarity.bruteForceTopK(q, emb.filter(!annDeleted), "vec_id",
+          "embedding", k = 5, roundDp = -1, exact = true)
+        .select(col("query_id"), col("neighbor_id"))
+        .write.mode("overwrite").parquet(p)
+      graft.core.OpCache.release()
+    })
+    val approx = Similarity.pqIvfTopKFromIndex(q, deletedAnnIndex(s, dir),
+        "vec_id", "embedding", k = 5, nProbe = 4)
       .select(col("query_id"), col("neighbor_id"))
     pqRecallReport(exact, approx)
   }
@@ -6639,24 +6665,10 @@ object Queries {
     * so the oracle is the plain phrase replay (q225's, no delete
     * filter).
     */
-  val q244PositionalTimeTravel: Q = (s, dir) => {
-    val idx = memoFixture("q240idx", dir) { p =>
-      val corp = phraseCorpus(s, dir)
-      val base = corp.filter(col("doc_id") % 4 =!= 0).select(col("doc_id"),
-        when(col("doc_id") % 8 === 1,
-          lit("stale gamma alpha gamma alpha end"))
-          .otherwise(col("text")).as("text"))
-      Retrieval.writePositionalIndex(base, "doc_id", "text", p, nBuckets = 8)
-      Retrieval.appendToPositionalIndex(
-        corp.filter(col("doc_id") % 4 === 0 || col("doc_id") % 8 === 1),
-        "doc_id", "text", p)
-      Retrieval.deleteFromPositionalIndex(
-        corp.filter(col("doc_id") % 16 === 1).select(col("doc_id")),
-        "doc_id", p)
-    }
-    Retrieval.phraseOccurrencesFromIndex(s, idx, "doc_id",
-      Seq("alpha", "beta", "gamma"), asOfGen = 1L).orderBy("doc_id")
-  }
+  val q244PositionalTimeTravel: Q = (s, dir) =>
+    Retrieval.phraseOccurrencesFromIndex(s, deletedPositionalIndex(s, dir),
+      "doc_id", Seq("alpha", "beta", "gamma"), asOfGen = 1L)
+      .orderBy("doc_id")
 
   /** TIME TRAVEL on the IVF-PQ index: q241's lifecycle served AS OF
     * gen 1 — after the re-crawl append, before the takedown — so the
@@ -6667,7 +6679,6 @@ object Queries {
   val q245AnnTimeTravel: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") < 50)
-    val deleted = col("vec_id") >= 50 && col("vec_id") % 7 === 3
     val exact = s.read.parquet(memoFixture("q132exact", dir) { p =>
       Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
           k = 5, roundDp = -1, exact = true)
@@ -6675,21 +6686,8 @@ object Queries {
         .write.mode("overwrite").parquet(p)
       graft.core.OpCache.release()
     })
-    val idx = memoFixture("q241idx", dir) { p =>
-      val stale = emb.withColumn("embedding",
-        when(col("vec_id") % 3 === 0, transform(col("embedding"), x => -x))
-          .otherwise(col("embedding")))
-      Similarity.writeIvfPqIndex(stale, emb.filter(col("vec_id") < 16),
-        "vec_id", "embedding", m = 4, dim = 64, p,
-        bookSeeds = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
-      Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 3 === 0),
-        p, "vec_id", "embedding")
-      Similarity.deleteFromPqIndex(emb.filter(deleted).select(col("vec_id")),
-        p, "vec_id")
-      graft.core.OpCache.release()
-    }
-    val approx = Similarity.pqIvfTopKFromIndex(q, idx, "vec_id",
-        "embedding", k = 5, nProbe = 4, asOfGen = 1L)
+    val approx = Similarity.pqIvfTopKFromIndex(q, deletedAnnIndex(s, dir),
+        "vec_id", "embedding", k = 5, nProbe = 4, asOfGen = 1L)
       .select(col("query_id"), col("neighbor_id"))
     pqRecallReport(exact, approx)
   }
@@ -6699,24 +6697,75 @@ object Queries {
     * vector count) and gen 2 (the takedown's), counts recomputed by
     * the oracle from the fixture predicates over `embeddings`.
     */
-  val q246AnnIndexHistory: Q = (s, dir) => {
-    val emb = Tables.embeddings(s, dir)
-    val deleted = col("vec_id") >= 50 && col("vec_id") % 7 === 3
-    val idx = memoFixture("q241idx", dir) { p =>
-      val stale = emb.withColumn("embedding",
-        when(col("vec_id") % 3 === 0, transform(col("embedding"), x => -x))
-          .otherwise(col("embedding")))
-      Similarity.writeIvfPqIndex(stale, emb.filter(col("vec_id") < 16),
-        "vec_id", "embedding", m = 4, dim = 64, p,
-        bookSeeds = emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
-      Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 3 === 0),
-        p, "vec_id", "embedding")
-      Similarity.deleteFromPqIndex(emb.filter(deleted).select(col("vec_id")),
-        p, "vec_id")
-      graft.core.OpCache.release()
+  val q246AnnIndexHistory: Q = (s, dir) =>
+    Similarity.indexHistory(s, deletedAnnIndex(s, dir))
+
+  /** q239's three-generation lifecycle compacted to a fresh path —
+    * write-new-flip-pointer with the lineage sidecar. Shared by q247
+    * (health folds to zero), q249 (lineage history) and q250 (the
+    * retention read from the still-live SOURCE path).
+    */
+  private def compactedDeletedIndex(s: SparkSession, dir: String): String = {
+    val src = deletedInvertedIndex(s, dir)
+    memoFixture("q247cmp", dir) { p =>
+      Retrieval.compactInvertedIndex(s, src, p)
     }
-    Similarity.indexHistory(s, idx)
   }
+
+  /** MANIFEST HEALTH ([[IndexHealth.report]]) — the "should I
+    * compact?" signal: on q239's live lifecycle the report counts
+    * 2 generations / 2 committed slices / one tombstone row per
+    * touched id (re-crawl append + takedown), and the estimated
+    * serve-side broadcast bytes; compaction folds every counter to
+    * ZERO (the serve plan is back to base shape). Oracle recomputes
+    * both rows from the fixture predicates.
+    */
+  val q247IndexHealth: Q = (s, dir) =>
+    IndexHealth.report(s, compactedDeletedIndex(s, dir))
+      .withColumn("state", lit("compacted"))
+      .unionByName(IndexHealth.report(s, deletedInvertedIndex(s, dir))
+        .withColumn("state", lit("live")))
+      .orderBy("state")
+
+  /** INDEX HISTORY on the POSITIONAL manifest — the last lifecycle ×
+    * index-family matrix cell (VERDICT r19 item 5): q240's lifecycle
+    * reads back as gen 1 (the re-crawl append's doc count) and gen 2
+    * (the takedown's), counts recomputed by the oracle from the
+    * fixture predicates, exactly like q243 (lexical) and q246 (ANN).
+    */
+  val q248PositionalIndexHistory: Q = (s, dir) =>
+    Retrieval.indexHistory(s, deletedPositionalIndex(s, dir))
+
+  /** COMPACTION LINEAGE ([[IndexLineage]]): the compacted index's
+    * history is exactly ONE row — generation 0 with batch_key
+    * `compact:gen=2` (the source's final committed generation) and
+    * the live doc count that was folded in. The recorded answer to
+    * "this index's clock restarted; where did it come from?".
+    */
+  val q249CompactionLineage: Q = (s, dir) =>
+    Retrieval.indexHistory(s, compactedDeletedIndex(s, dir))
+
+  /** RETENTION TIME TRAVEL (the [[IndexLineage]] contract, gated):
+    * after the compacted twin goes live, a run pinned to
+    * `asOfGen = 1` of the SOURCE still reproduces its exact corpus
+    * state from the retained source path — compaction never touches
+    * the source, so the pre-takedown replay (q242's oracle verbatim)
+    * must keep gating this read until the operator drops the path.
+    */
+  val q250RetentionTimeTravel: Q = (s, dir) => {
+    val src = deletedInvertedIndex(s, dir)
+    compactedDeletedIndex(s, dir) // the flip has happened
+    Retrieval.bm25TopKFromIndex(s, src, "doc_id",
+      Seq("spark", "row", "merge"), k = 20, asOfGen = 1L)
+  }
+
+  /** [[IndexHealth.report]] over the ANN manifest (shared layout,
+    * neighbor_id auto-detected): q241's lifecycle counts — 2
+    * generations (re-crawl append, takedown), 2 committed slices,
+    * one row per touched vector id.
+    */
+  val q251AnnIndexHealth: Q = (s, dir) =>
+    IndexHealth.report(s, deletedAnnIndex(s, dir))
 
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
@@ -6965,5 +7014,10 @@ object Queries {
     "q244_positional_time_travel" -> q244PositionalTimeTravel,
     "q245_ann_time_travel" -> q245AnnTimeTravel,
     "q246_ann_index_history" -> q246AnnIndexHistory,
+    "q247_index_health" -> q247IndexHealth,
+    "q248_positional_index_history" -> q248PositionalIndexHistory,
+    "q249_compaction_lineage" -> q249CompactionLineage,
+    "q250_retention_time_travel" -> q250RetentionTimeTravel,
+    "q251_ann_index_health" -> q251AnnIndexHealth,
   )
 }

@@ -34,7 +34,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * The caller owns the base index (`writeInvertedIndex` — possibly
   * over an empty frame for a from-scratch crawl) and the checkpoint
   * location; concurrent writers outside this stream are not
-  * supported (single-writer, the usual lakehouse-lite caveat).
+  * supported (single-writer, the usual lakehouse-lite caveat — and
+  * since r20 enforced LOUDLY: every commit re-reads the manifest and
+  * raises if a foreign slice shares its generation).
   */
 object StreamingIndexIngest {
 
@@ -42,17 +44,32 @@ object StreamingIndexIngest {
     * `path`. `trigger` defaults to AvailableNow (drain-and-stop, the
     * batch-backfill shape); pass a processing-time trigger for a
     * long-running crawl.
+    *
+    * `streamId` NAMESPACES the idempotency keys (ADVICE r19): batch
+    * ids restart at 0 with every fresh checkpoint, so a SECOND
+    * backfill stream into the same index would otherwise find its
+    * early batches already "committed" by the first stream's keys
+    * and silently skip them. Default = a stable hash of the
+    * checkpoint path — re-deliveries of the SAME stream (same
+    * checkpoint) still dedup, distinct streams never collide; pass
+    * an explicit id when the checkpoint path itself is rotated but
+    * the stream is logically the same.
     */
   def start(docsStream: DataFrame, idCol: String, textCol: String,
       path: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      streamId: String = null): StreamingQuery = {
+    val sid = Option(streamId).getOrElse("stream-" +
+      java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8"))
+        .toString.take(8))
     docsStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Retrieval.appendToInvertedIndex(batch, idCol, textCol, path,
-          batchKey = s"stream-$batchId")
+          batchKey = s"$sid-$batchId")
         graft.core.OpCache.release()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
 }
