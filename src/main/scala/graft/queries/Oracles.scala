@@ -5872,6 +5872,10 @@ object Oracles {
            |  (SELECT CAST(COUNT(*) AS BIGINT) FROM touched) AS n_tombstone_rows,
            |  (SELECT CAST(u AS BIGINT) FROM ids) AS n_tombstoned_ids,
            |  (SELECT CAST(24 * u AS BIGINT) FROM ids) AS est_broadcast_bytes""".stripMargin,
+      // pointer flip: the alias resolves to the compacted index and
+      // serving equals the full-corpus replay (q226's oracle — the
+      // flip is invisible to every score)
+      "q252_pointer_flip" -> bm25Sql(Seq("join", "hash", "row"), 20),
       // DESCRIBE HISTORY: the manifest's generation clock read back
       // as (gen, batch_key, docs touched), counts recomputed from
       // the fixture predicates

@@ -6491,17 +6491,12 @@ object Queries {
         .write.mode("append").parquet(in)
       delta.filter(col("vec_id") % 2 =!= 0).repartition(1)
         .write.mode("append").parquet(in)
-      s.readStream.schema(delta.schema).option("maxFilesPerTrigger", 1)
-        .parquet(in)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          Similarity.appendToIvfPqIndex(batch, s"$p/idx", "vec_id",
-            "embedding", batchKey = s"stream-$batchId")
-          graft.core.OpCache.release()
-        }
-        .option("checkpointLocation", s"$p/chk")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+      // the library's ANN ingest helper (per-stream namespaced keys,
+      // slice-commit exactly-once — StreamingIndexIngest.startAnn)
+      graft.streaming.StreamingIndexIngest.startAnn(
+        s.readStream.schema(delta.schema).option("maxFilesPerTrigger", 1)
+          .parquet(in),
+        "vec_id", "embedding", s"$p/idx", s"$p/chk").awaitTermination()
       graft.core.OpCache.release()
     }
     val approx = Similarity.pqIvfTopKFromIndex(q, s"$idx/idx", "vec_id",
@@ -6767,6 +6762,30 @@ object Queries {
   val q251AnnIndexHealth: Q = (s, dir) =>
     IndexHealth.report(s, deletedAnnIndex(s, dir))
 
+  /** WRITE-NEW-FLIP-POINTER, the flip itself ([[IndexPointer]]): an
+    * alias serves q226's lifecycle — base build + append, pointer
+    * flipped to the source, then compaction and a SECOND flip to the
+    * compacted path. Serving resolves the alias (now the compacted
+    * index) and must equal the full-corpus replay — the flip and the
+    * compaction both invisible to every score. Version history and
+    * the flip-collision contract are spec-locked (paths are per-run
+    * temp dirs, so the gate pins the serve, not the paths).
+    */
+  val q252PointerFlip: Q = (s, dir) => {
+    val root = memoFixture("q252root", dir) { p =>
+      val d = docs(s, dir)
+      Retrieval.writeInvertedIndex(d.filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", s"$p/src", nBuckets = 16)
+      Retrieval.appendToInvertedIndex(d.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", s"$p/src")
+      IndexPointer.flip(s, s"$p/alias", s"$p/src")
+      Retrieval.compactInvertedIndex(s, s"$p/src", s"$p/dst")
+      IndexPointer.flip(s, s"$p/alias", s"$p/dst")
+    }
+    Retrieval.bm25TopKFromIndex(s, IndexPointer.resolve(s, s"$root/alias"),
+      "doc_id", Seq("join", "hash", "row"), k = 20)
+  }
+
   val all: Map[String, Q] = Map(
     "q01_catalog" -> q01Catalog,
     "q02_minmax" -> q02MinMax,
@@ -7019,5 +7038,6 @@ object Queries {
     "q249_compaction_lineage" -> q249CompactionLineage,
     "q250_retention_time_travel" -> q250RetentionTimeTravel,
     "q251_ann_index_health" -> q251AnnIndexHealth,
+    "q252_pointer_flip" -> q252PointerFlip,
   )
 }

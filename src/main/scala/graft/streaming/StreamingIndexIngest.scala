@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.operators.Retrieval
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -58,18 +57,58 @@ object StreamingIndexIngest {
   def start(docsStream: DataFrame, idCol: String, textCol: String,
       path: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      streamId: String = null): StreamingQuery = {
+      streamId: String = null,
+      maxCommittedSlices: Long = Long.MaxValue,
+      maxTombstonedIds: Long = Long.MaxValue): StreamingQuery =
+    ingest(checkpoint, streamId, trigger, docsStream) { (batch, key) =>
+      graft.operators.Retrieval.appendToInvertedIndex(
+        batch, idCol, textCol, path, batchKey = key)
+      guard(batch, path, maxCommittedSlices, maxTombstonedIds)
+    }
+
+  /** [[start]] for the stored IVF-PQ index — the ANN twin (q238
+    * gates it): each micro-batch of vectors is one
+    * `Similarity.appendToIvfPqIndex` generation, encoded against the
+    * index's frozen books/cells, with the same slice-commit
+    * exactly-once story and the same per-stream key namespace.
+    */
+  def startAnn(vecStream: DataFrame, idCol: String, vecCol: String,
+      path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      streamId: String = null,
+      maxCommittedSlices: Long = Long.MaxValue,
+      maxTombstonedIds: Long = Long.MaxValue): StreamingQuery =
+    ingest(checkpoint, streamId, trigger, vecStream) { (batch, key) =>
+      graft.operators.Similarity.appendToIvfPqIndex(
+        batch, path, idCol, vecCol, batchKey = key)
+      guard(batch, path, maxCommittedSlices, maxTombstonedIds)
+    }
+
+  private def ingest(checkpoint: String, streamId: String,
+      trigger: Trigger, stream: DataFrame)(
+      append: (DataFrame, String) => Unit): StreamingQuery = {
     val sid = Option(streamId).getOrElse("stream-" +
       java.util.UUID.nameUUIDFromBytes(checkpoint.getBytes("UTF-8"))
         .toString.take(8))
-    docsStream.writeStream
+    stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Retrieval.appendToInvertedIndex(batch, idCol, textCol, path,
-          batchKey = s"$sid-$batchId")
+        append(batch, s"$sid-$batchId")
         graft.core.OpCache.release()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
   }
+
+  /** The manifest growth guard, run AFTER each batch's commit (the
+    * failing batch is safely committed — a restart skips it via its
+    * batchKey and fails again until the operator compacts to a fresh
+    * path and re-points the stream; see `IndexHealth`). Defaults are
+    * ∞ = no guard, no extra manifest read.
+    */
+  private def guard(batch: DataFrame, path: String,
+      maxSlices: Long, maxIds: Long): Unit =
+    if (maxSlices != Long.MaxValue || maxIds != Long.MaxValue)
+      graft.operators.IndexHealth.requireHealthy(
+        batch.sparkSession, path, maxSlices, maxIds)
 }

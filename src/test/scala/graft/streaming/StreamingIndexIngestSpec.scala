@@ -59,6 +59,65 @@ class StreamingIndexIngestSpec extends SparkSpec {
     assert(keys.size === 2, s"expected 2 distinct stream keys, got $keys")
   }
 
+  test("ANN ingest helper: streamed appends ≡ batch appends, keys namespaced") {
+    val root = tmp("sii_ann")
+    val rnd = new scala.util.Random(41)
+    val emb = (0L until 48L).map(i =>
+        (i, Seq.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeIvfPqIndex(
+      emb.filter($"vec_id" < 32), emb.filter($"vec_id" < 8),
+      "vec_id", "embedding", m = 2, dim = 8, s"$root/idx")
+    emb.filter($"vec_id" >= 32).repartition(1)
+      .write.mode("overwrite").parquet(s"$root/in")
+    StreamingIndexIngest.startAnn(
+      spark.readStream.schema(emb.schema).parquet(s"$root/in"),
+      "vec_id", "embedding", s"$root/idx", s"$root/chk")
+      .awaitTermination()
+    graft.core.OpCache.release()
+    // served ≡ an index built over the full corpus with the same model
+    val q = emb.filter($"vec_id" < 4)
+    val served = graft.operators.Similarity.pqIvfTopKFromIndex(
+      q, s"$root/idx", "vec_id", "embedding", k = 3, nProbe = 8)
+      .collect().map(_.toSeq).toSeq
+    graft.operators.Similarity.writeIvfPqIndex(emb,
+      emb.filter($"vec_id" < 8), "vec_id", "embedding", m = 2, dim = 8,
+      s"$root/full")
+    val full = graft.operators.Similarity.pqIvfTopKFromIndex(
+      q, s"$root/full", "vec_id", "embedding", k = 3, nProbe = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(served === full)
+    assert(served.nonEmpty)
+    val keys = spark.read.parquet(s"$root/idx/tombstones")
+      .select("batch_key").distinct().as[String].collect()
+    assert(keys.forall(_.startsWith("stream-")), keys.mkString(","))
+  }
+
+  test("ingest growth guard kills the stream loudly once the manifest crosses the bound") {
+    val root = tmp("sii_guard")
+    val docs = corpus(1, 30, 43)
+    Retrieval.writeInvertedIndex(docs.filter($"doc_id" <= 10L),
+      "doc_id", "text", s"$root/idx", nBuckets = 4)
+    // 4 single-doc files → 4 micro-batches → 4 committed slices
+    (11L to 14L).foreach { i =>
+      docs.filter($"doc_id" === i).repartition(1)
+        .write.mode("append").parquet(s"$root/in")
+    }
+    val q = StreamingIndexIngest.start(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in"),
+      "doc_id", "text", s"$root/idx", s"$root/chk",
+      maxCommittedSlices = 2)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    graft.core.OpCache.release()
+    assert(e.getMessage.contains("needs compaction") ||
+      String.valueOf(e.getCause).contains("needs compaction"), e.getMessage)
+    // the failing batch COMMITTED before the guard fired — nothing lost
+    assert(spark.read.parquet(s"$root/idx/tombstones")
+      .select("slice").distinct().count() === 3L)
+  }
+
   test("re-delivery within ONE stream still dedups (same checkpoint, same key)") {
     val root = tmp("sii_redeliver")
     val docs = corpus(1, 30, 17)
