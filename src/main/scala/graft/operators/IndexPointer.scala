@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** The POINTER in "write-new-flip-pointer" — the missing operational
   * piece of the compaction story (q226/q233/q236 write the new index;

@@ -3165,6 +3165,12 @@ object Oracles {
     "q234_hybrid_live_indexes" ->
       hybridRrfSql(graft.queries.Queries.HybridQueries, kList = 30, kFused = 20, c = 60),
 
+    // hybrid TIME TRAVEL: both tiers pinned to their pre-takedown
+    // generation serve the TRUE corpora, so the q119 fused replay
+    // gates the pinned composition verbatim too
+    "q253_hybrid_time_travel" ->
+      hybridRrfSql(graft.queries.Queries.HybridQueries, kList = 30, kFused = 20, c = 60),
+
     // interpolated trigram perplexity: q114's replay one order up —
     // tri/bi/uni counts + context row-sums, five left joins, the
     // fixed 0.6/0.3/0.1 λ-mix tree, 9-dp ln, DECIMAL(38,9) sums

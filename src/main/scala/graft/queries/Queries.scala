@@ -6215,13 +6215,16 @@ object Queries {
     * the same TRUE corpus, so q119's oracle gates both verbatim.
     */
   private def hybridFromIndexes(s: SparkSession, dir: String,
-      lexIdx: String, annIdx: String): DataFrame = {
+      lexIdx: String, annIdx: String,
+      lexAsOf: Long = Long.MaxValue,
+      annAsOf: Long = Long.MaxValue): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val sparse = Retrieval.bm25TopKBatchFromIndex(s, lexIdx, "doc_id",
-        HybridQueries, k = 30)
+        HybridQueries, k = 30, asOfGen = lexAsOf)
       .select("query_id", "doc_id", "rank")
     val dense = Similarity.pqTopKFromIndex(emb.filter(col("vec_id") < 8),
-        emb, "vec_id", "embedding", k = 30, annIdx, roundDp = -1)
+        emb, "vec_id", "embedding", k = 30, annIdx, roundDp = -1,
+        asOfGen = annAsOf)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     Retrieval.rrfFuse(Seq(sparse, dense), "query_id", "doc_id", "rank",
         k = 20)
@@ -6762,6 +6765,44 @@ object Queries {
   val q251AnnIndexHealth: Q = (s, dir) =>
     IndexHealth.report(s, deletedAnnIndex(s, dir))
 
+  /** q234's flat-PQ lifecycle with a gen-2 takedown on top — its OWN
+    * index copy (the shared-fixture rule: a delete must never mutate
+    * a memoFixture another query reads). Deleted ids ≥ 8 keep the
+    * dense query set (vec_id < 8) intact; at asOfGen = 1 the delete
+    * is invisible and the index serves the TRUE embedding corpus.
+    */
+  private def deletedPqIndex(s: SparkSession, dir: String): String =
+    memoFixture("q253idx", dir) { p =>
+      val emb = Tables.embeddings(s, dir)
+      val staleBase = emb.filter(col("vec_id") % 4 =!= 0).select(
+        col("vec_id"),
+        when(col("vec_id") % 8 === 1, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      val books = Similarity.pqCodebooksExact(staleBase, "vec_id",
+        "embedding", dim = 64, m = 4, ks = 16, iters = 2)
+      Similarity.writePqIndex(staleBase, "vec_id", "embedding", books, p)
+      Similarity.appendToPqIndex(
+        emb.filter(col("vec_id") % 4 === 0 || col("vec_id") % 8 === 1),
+        p, "vec_id", "embedding")
+      Similarity.deleteFromPqIndex(
+        emb.filter(col("vec_id") >= 8 && col("vec_id") % 9 === 0)
+          .select(col("vec_id")), p, "vec_id")
+    }
+
+  /** HYBRID TIME TRAVEL — the pins COMPOSE: the full sparse ⊕ dense
+    * RRF stack served with BOTH tiers pinned to their pre-takedown
+    * generation (lexical = q239's delete lifecycle asOf 1, dense =
+    * q234's PQ lifecycle + takedown asOf 1). Each pinned state is
+    * the TRUE corpus, so q119's fused replay gates the whole
+    * composition verbatim — zero new oracle surface, and the
+    * reproducibility story a training run actually needs (pin BOTH
+    * index generations in run metadata, re-serve the exact hybrid
+    * retrieval forever, takedowns notwithstanding).
+    */
+  val q253HybridTimeTravel: Q = (s, dir) =>
+    hybridFromIndexes(s, dir, deletedInvertedIndex(s, dir),
+      deletedPqIndex(s, dir), lexAsOf = 1L, annAsOf = 1L)
+
   /** WRITE-NEW-FLIP-POINTER, the flip itself ([[IndexPointer]]): an
     * alias serves q226's lifecycle — base build + append, pointer
     * flipped to the source, then compaction and a SECOND flip to the
@@ -7039,5 +7080,6 @@ object Queries {
     "q250_retention_time_travel" -> q250RetentionTimeTravel,
     "q251_ann_index_health" -> q251AnnIndexHealth,
     "q252_pointer_flip" -> q252PointerFlip,
+    "q253_hybrid_time_travel" -> q253HybridTimeTravel,
   )
 }
