@@ -71,8 +71,11 @@ object IndexPointer {
   /** Point `aliasDir` at `targetPath`. Returns the new version. */
   def flip(spark: SparkSession, aliasDir: String,
       targetPath: String): Long = flipLock.synchronized {
-    require(!targetPath.contains("\n"),
-      "target path must be a single line")
+    // trim up front: readTarget trims (trailing-newline tolerance),
+    // so an untrimmed write would spuriously fail its own read-back
+    val target = targetPath.trim
+    require(target.nonEmpty && !target.contains("\n"),
+      "target path must be one non-empty line")
     val f = fs(spark, aliasDir)
     val d = new org.apache.hadoop.fs.Path(aliasDir)
     if (!f.exists(d)) f.mkdirs(d)
@@ -81,14 +84,14 @@ object IndexPointer {
     // CROSS-PROCESS belt-and-braces: create-exclusive (overwrite =
     // false) throws on HDFS if a foreign flipper claimed our version
     val out = f.create(p, false)
-    try out.write(targetPath.getBytes("UTF-8")) finally out.close()
+    try out.write(target.getBytes("UTF-8")) finally out.close()
     // …and on stores without create-exclusivity, the read-back
     // catches a foreign overwrite of our version
     val back = readTarget(spark, p)
-    if (back != targetPath)
+    if (back != target)
       throw new IllegalStateException(
         s"pointer flip collision at $aliasDir version $v: wrote " +
-          s"'$targetPath', read back '$back' — two concurrent flips " +
+          s"'$target', read back '$back' — two concurrent flips " +
           "raced the version number; retry the losing flip")
     v
   }

@@ -353,39 +353,22 @@ object Retrieval {
     */
   private case class TombState(committed: Seq[String], tmax: DataFrame)
 
-  /** Cheap filesystem fingerprint of a manifest-sized directory —
-    * file names + lengths + modification times, sorted. One LIST
-    * call (no Spark job); any append/delete/compact/rebuild changes
-    * it, which is what keys the serve-state caches below. "none"
-    * when the directory does not exist.
+  /** Small LRUs keyed on (session token, path, asOf, manifest
+    * fingerprint — `ManifestOps.dirSig`): [[TombState]] and the
+    * serve stats are per-INDEX-STATE, not per-query (VERDICT r19
+    * item 6) — a high-QPS serving loop was paying the manifest's
+    * distinct-slice collect, the stats head and the stale-stats
+    * probe on EVERY call. The fingerprint key self-invalidates on
+    * any manifest/stats change (the writers never mutate files in
+    * place — append/overwrite only), so a hit is always the current
+    * state; 64 entries bound the footprint (cached values are a
+    * slice-label list, a lazy tmax plan and five longs — no
+    * corpus-sized object). Cache fills run OUTSIDE the map mutex
+    * (`ManifestOps.cached`) so one cold index never stalls warm
+    * serves of others.
     */
-  private def dirSig(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) "none"
-    else fs.listStatus(p)
-      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString("|")
-  }
-
-  /** Small LRU keyed on (session, path, asOf, manifest fingerprint):
-    * [[TombState]] and the serve stats are per-INDEX-STATE, not
-    * per-query (VERDICT r19 item 6) — a high-QPS serving loop was
-    * paying the manifest's distinct-slice collect, the stats head
-    * and the stale-stats probe on EVERY call. The fingerprint key
-    * self-invalidates on any manifest/stats change (the writers
-    * never mutate files in place — append/overwrite only), so a hit
-    * is always the current state; 64 entries bound the footprint
-    * (cached values are a slice-label list, a lazy tmax plan and
-    * five longs — no corpus-sized object).
-    */
-  private def lruCache[V](cap: Int) = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, V]): Boolean = size > cap
-    })
-  private val tombCache = lruCache[TombState](64)
-  private val statsCache = lruCache[(Long, Long, Int, Long, Long)](64)
+  private val tombCache = ManifestOps.lruCache[TombState](64)
+  private val statsCache = ManifestOps.lruCache[(Long, Long, Int, Long, Long)](64)
 
   /** Drop all cached serve state (spec isolation). */
   private[graft] def clearServeCaches(): Unit = {
@@ -397,21 +380,27 @@ object Retrieval {
     * later — are invisible, reproducing the index state a past
     * reader saw (generation numbers are the index's commit clock).
     * Cached per (path, asOf, manifest fingerprint) — repeated serves
-    * of an unchanged index pay the manifest read once.
+    * of an unchanged index pay the manifest read once. `sig0` lets a
+    * caller that also caches DERIVED state (the serve stats) pin the
+    * SAME fingerprint for both reads: re-listing inside could see a
+    * newer manifest and file state-S1 values under a state-S2 key
+    * (the TOCTOU a concurrent appender opens).
     */
   private def tombState(spark: SparkSession, path: String,
-      asOf: Long = Long.MaxValue): Option[TombState] = {
-    val sig = dirSig(spark, s"$path/tombstones")
+      asOf: Long = Long.MaxValue,
+      sig0: String = null): Option[TombState] = {
+    val sig = Option(sig0).getOrElse(
+      ManifestOps.dirSig(spark, s"$path/tombstones"))
     if (sig == "none") None
-    else Some(tombCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$asOf|$path|$sig", _ => {
+    else Some(ManifestOps.cached(tombCache,
+      s"${ManifestOps.tokenOf(spark)}|$asOf|$path|$sig") {
         val raw = spark.read.parquet(s"$path/tombstones")
         val t = if (asOf == Long.MaxValue) raw
           else raw.filter(col("gen") <= asOf)
         val committed = t.select(col("slice")).distinct()
           .collect().map(_.getString(0)).toSeq :+ BaseSlice
         TombState(committed, t.groupBy("id").agg(max("gen").as("_tg")))
-      }))
+      })
   }
 
   /** Keep only rows of COMMITTED slices — the exactly-once half of
@@ -481,34 +470,14 @@ object Retrieval {
     readTombstones(spark, path).exists(
       _.filter(col("batch_key") === batchKey).take(1).nonEmpty)
 
-  /** POST-COMMIT single-writer verification (VERDICT r19 item 1):
-    * re-read the manifest and fail LOUDLY if a foreign slice shares
-    * this commit's generation — the signature of two concurrent
-    * writers that both read-max-plus-one'd the same [[nextGen]].
-    * Full CAS is out of scope for a parquet-directory manifest; this
-    * closes the SILENT half of the hole at O(manifest) cost: the
-    * corruption (ambiguous supersede order between the two slices at
-    * the shared generation) is still on disk, but both writers raise
-    * with both nonces named, so the operator knows to recover —
-    * serve `asOfGen = gen − 1` (still exact: the shared generation's
-    * rows are ALL later than it) and re-append the two deltas
-    * serially, or compact from that pinned state.
+  /** Post-commit single-writer verification — ONE shared definition
+    * for both manifest layouts (`ManifestOps.verifySoleWriter`,
+    * VERDICT r19 item 1): raise loudly, both nonces named, if a
+    * foreign slice shares this commit's generation.
     */
   private[graft] def verifySoleWriter(spark: SparkSession, path: String,
-      gen: Long, slice: String): Unit = {
-    val foreign = readTombstones(spark, path).toSeq
-      .flatMap(_.filter(col("gen") === gen && col("slice") =!= slice)
-        .select(col("slice")).distinct().take(3).map(_.getString(0)))
-    if (foreign.nonEmpty)
-      throw new IllegalStateException(
-        s"commit-manifest writer collision at $path: generation $gen " +
-          s"was committed by this writer (slice $slice) AND by foreign " +
-          s"slice(s) ${foreign.mkString(", ")} — two concurrent " +
-          "appenders/deleters raced nextGen. Supersede order within " +
-          s"generation $gen is undefined; recover by serving " +
-          s"asOfGen = ${gen - 1} and re-applying both deltas serially, " +
-          "or compact from that pinned state.")
-  }
+      gen: Long, slice: String): Unit =
+    ManifestOps.verifySoleWriter(spark, path, gen, slice)
 
   /** Create an EMPTY commit manifest (schema, zero rows) before the
     * FIRST append's data writes. Without it, a first append dying
@@ -956,20 +925,17 @@ object Retrieval {
     * which is exactly why this report exists for auditing. Manifest-
     * sized read; a never-appended base index reports zero rows.
     */
-  def indexHistory(spark: SparkSession, path: String): DataFrame = {
-    val hist = readTombstones(spark, path).map(
-      _.groupBy(col("gen"), col("batch_key"))
-        .agg(count(lit(1)).as("n_docs")))
-      .getOrElse(spark.range(0).select(lit(0L).as("gen"),
-        lit(null).cast("string").as("batch_key"),
-        lit(0L).as("n_docs")))
+  def indexHistory(spark: SparkSession, path: String): DataFrame =
     // a compacted index leads its history with the lineage row
     // (gen 0, batch_key compact:gen=<source's final gen>) — the
     // recorded answer to "where did this fresh clock come from?"
-    IndexLineage.historyRow(spark, path)
-      .map(_.unionByName(hist)).getOrElse(hist)
-      .orderBy(col("gen"))
-  }
+    IndexLineage.withHistory(spark, path,
+      readTombstones(spark, path).map(
+        _.groupBy(col("gen"), col("batch_key"))
+          .agg(count(lit(1)).as("n_docs")))
+        .getOrElse(spark.range(0).select(lit(0L).as("gen"),
+          lit(null).cast("string").as("batch_key"),
+          lit(0L).as("n_docs"))))
 
   /** VOCABULARY REPORT from a stored index — corpus term statistics
     * (document frequency, collection frequency) as ONE aggregate over
@@ -1121,16 +1087,20 @@ object Retrieval {
       terms: Seq[String],
       asOf: Long = Long.MaxValue): (DataFrame, Column, Column, Map[String, Long]) = {
     import spark.implicits._
-    val ts = tombState(spark, path, asOf)
+    // ONE manifest fingerprint feeds both the tombState key and the
+    // stats key: ts and the cached stats must describe the SAME
+    // index state, or a commit racing this serve could file
+    // old-state values under a new-state key
+    val tSig = ManifestOps.dirSig(spark, s"$path/tombstones")
+    val ts = tombState(spark, path, asOf, tSig)
     // the stats head + stale-stats probe are per-index-state, not
     // per-query — cached on the same fingerprint discipline as
     // [[tombState]] (plus the stats dir, which a REBUILD overwrites
     // without touching a manifest)
     val (nDocs, totLen, nBuckets, staleN, staleLen) =
-      statsCache.computeIfAbsent(
-        s"${System.identityHashCode(spark)}|$asOf|$path|" +
-          s"${dirSig(spark, s"$path/tombstones")}|" +
-          dirSig(spark, s"$path/stats"), _ => {
+      ManifestOps.cached(statsCache,
+        s"${ManifestOps.tokenOf(spark)}|$asOf|$path|$tSig|" +
+          ManifestOps.dirSig(spark, s"$path/stats")) {
           val st = committedRows(spark.read.parquet(s"$path/stats"), ts)
             .agg(sum(col("n_docs")).as("_n"),
               sum(col("total_len")).as("_len"),
@@ -1141,7 +1111,7 @@ object Retrieval {
           // (0, 0) when the index has never seen a re-ingest)
           val (sn, sl) = staleStats(spark, path, nb, ts)
           (st.getAs[Long]("_n"), st.getAs[Long]("_len"), nb, sn, sl)
-        })
+        }
     // T-row bounded job: bucket of each query term via the same
     // hash expression the build used
     val buckets = terms.toDF("term")

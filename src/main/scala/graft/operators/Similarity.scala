@@ -1787,38 +1787,25 @@ object Similarity {
   /** Per-index-state LRU for the manifest readback (the
     * `Retrieval.tombState` caching discipline, ANN edition — VERDICT
     * r19 item 6): the committed-slice collect is per index STATE,
-    * not per query, and the filesystem fingerprint key (file names +
-    * lengths + mtimes of the manifest dir) self-invalidates on any
+    * not per query, and the filesystem fingerprint key
+    * (`ManifestOps.dirSig`) self-invalidates on any
     * append/delete/compact/rebuild. 64 entries of a slice-label list
-    * plus a lazy tmax plan — no corpus-sized object.
+    * plus a lazy tmax plan — no corpus-sized object; fills run
+    * outside the map mutex (`ManifestOps.cached`).
     */
-  private val annTombCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, AnnTombState](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, AnnTombState]): Boolean = size > 64
-    })
+  private val annTombCache = ManifestOps.lruCache[AnnTombState](64)
 
   /** Drop all cached serve state (spec isolation). */
   private[graft] def clearServeCaches(): Unit = annTombCache.clear()
 
-  private def dirSig(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) "none"
-    else fs.listStatus(p)
-      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString("|")
-  }
-
   private def liveCodes(spark: org.apache.spark.sql.SparkSession,
       path: String, codes: DataFrame,
       asOf: Long = Long.MaxValue): DataFrame = {
-    val sig = dirSig(spark, s"$path/tombstones")
+    val sig = ManifestOps.dirSig(spark, s"$path/tombstones")
     if (sig == "none") codes
     else {
-      val ts = annTombCache.computeIfAbsent(
-        s"${System.identityHashCode(spark)}|$asOf|$path|$sig", _ => {
+      val ts = ManifestOps.cached(annTombCache,
+        s"${ManifestOps.tokenOf(spark)}|$asOf|$path|$sig") {
           // asOf = time travel (the Retrieval.tombState clock):
           // manifest rows with gen > asOf — later appends AND later
           // deletes — are invisible, re-serving the exact past state
@@ -1829,7 +1816,7 @@ object Similarity {
             t.select(col("slice")).distinct()
               .collect().map(_.getString(0)).toSeq :+ "base",
             t.groupBy("neighbor_id").agg(max("gen").as("_tg")))
-        })
+        }
       codes.filter(col("_slice").isin(ts.committed: _*))
         .join(broadcast(ts.tmax), Seq("neighbor_id"), "left")
         .filter(col("_tg").isNull || col("_gen") >= col("_tg"))
@@ -1842,18 +1829,15 @@ object Similarity {
     * layout: (gen, batch_key, n_docs), one row per committed
     * generation (q246 gates it). */
   def indexHistory(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
-    val hist = readTombstones(spark, path).map(
-      _.groupBy(col("gen"), col("batch_key"))
-        .agg(count(lit(1)).as("n_docs")))
-      .getOrElse(spark.range(0).select(lit(0L).as("gen"),
-        lit(null).cast("string").as("batch_key"),
-        lit(0L).as("n_docs")))
+      path: String): DataFrame =
     // compacted index: lead with the lineage row (see IndexLineage)
-    IndexLineage.historyRow(spark, path)
-      .map(_.unionByName(hist)).getOrElse(hist)
-      .orderBy(col("gen"))
-  }
+    IndexLineage.withHistory(spark, path,
+      readTombstones(spark, path).map(
+        _.groupBy(col("gen"), col("batch_key"))
+          .agg(count(lit(1)).as("n_docs")))
+        .getOrElse(spark.range(0).select(lit(0L).as("gen"),
+          lit(null).cast("string").as("batch_key"),
+          lit(0L).as("n_docs"))))
 
   /** Create an EMPTY commit manifest before the FIRST append's codes
     * write — without it, a first append dying mid-write would leave
@@ -1879,32 +1863,15 @@ object Similarity {
     readTombstones(spark, path).exists(
       _.filter(col("batch_key") === batchKey).take(1).nonEmpty)
 
-  /** POST-COMMIT single-writer verification — the ANN twin of
-    * `Retrieval.verifySoleWriter` (VERDICT r19 item 1): the
-    * generation stamp is read-max-plus-one, so two concurrent
-    * writers that both read the manifest before either committed
-    * share a generation and supersede order between their codes is
-    * undefined. Re-reading the manifest after our own commit turns
-    * that silent corruption into a loud failure with both nonces
-    * named; recovery = serve `asOfGen = gen − 1` (exact — the shared
-    * generation's rows are all later) and re-apply the deltas
-    * serially, or compact from that pinned state.
+  /** Post-commit single-writer verification — ONE shared definition
+    * for both manifest layouts (`ManifestOps.verifySoleWriter`,
+    * VERDICT r19 item 1): raise loudly, both nonces named, if a
+    * foreign slice shares this commit's generation.
     */
   private[graft] def verifySoleWriter(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      gen: Long, slice: String): Unit = {
-    val foreign = readTombstones(spark, path).toSeq
-      .flatMap(_.filter(col("gen") === gen && col("slice") =!= slice)
-        .select(col("slice")).distinct().take(3).map(_.getString(0)))
-    if (foreign.nonEmpty)
-      throw new IllegalStateException(
-        s"commit-manifest writer collision at $path: generation $gen " +
-          s"was committed by this writer (slice $slice) AND by foreign " +
-          s"slice(s) ${foreign.mkString(", ")} — two concurrent " +
-          "appenders/deleters raced the generation clock. Recover by " +
-          s"serving asOfGen = ${gen - 1} and re-applying both deltas " +
-          "serially, or compact from that pinned state.")
-  }
+      gen: Long, slice: String): Unit =
+    ManifestOps.verifySoleWriter(spark, path, gen, slice)
 
   /** RIGHT-TO-BE-FORGOTTEN DELETE from a stored PQ index (flat
     * [[writePqIndex]] or cell-partitioned [[writeIvfPqIndex]] — the

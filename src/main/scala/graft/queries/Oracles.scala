@@ -5769,6 +5769,11 @@ object Oracles {
       // batch replay gates the streamed union verbatim
       "q235_streaming_superseded_serve" ->
         bm25BatchSql(graft.queries.Queries.HybridQueries, 10),
+      // streaming serve PINNED to a past generation: the as-of-gen-1
+      // state is the true corpus, so the batch SQL gates the
+      // streamed pinned serve verbatim
+      "q254_streaming_time_travel_serve" ->
+        bm25BatchSql(graft.queries.Queries.HybridQueries, 10),
       // IVF-PQ compaction invisible to serving: the appended index's
       // replay (= the full-rebuild replay) verbatim
       "q236_ivfpq_index_compact" -> pqIvfResidualRecallSql,

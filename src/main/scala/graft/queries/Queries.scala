@@ -6803,6 +6803,45 @@ object Queries {
     hybridFromIndexes(s, dir, deletedInvertedIndex(s, dir),
       deletedPqIndex(s, dir), lexAsOf = 1L, annAsOf = 1L)
 
+  /** STREAMING serve × TIME TRAVEL — the last serving-shape ×
+    * lifecycle cell: q235's stream-static per-trigger batch serve,
+    * pointed at q239's delete lifecycle and PINNED to `asOfGen = 1`
+    * inside every micro-batch plan. The pinned state (post-re-crawl,
+    * pre-takedown) is the TRUE corpus, so q223/q224's batch SQL
+    * gates the streamed pinned serve verbatim — a standing
+    * query-stream can re-serve a training run's exact retrieval
+    * state forever, takedowns notwithstanding.
+    */
+  val q254StreamingTimeTravelServe: Q = (s, dir) => {
+    import s.implicits._
+    val idx = deletedInvertedIndex(s, dir)
+    val tmp = Scratch.fresh("q254")
+    val (out, chk) = (s"$tmp/out", s"$tmp/chk")
+    val qdf = HybridQueries.toDF("query_id", "terms")
+    val in = memoFixture("q224in", dir) { p =>
+      qdf.write.mode("overwrite").parquet(p)
+    }
+    val stream = s.readStream.schema(qdf.schema).parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qs = batch.select(col("query_id"), col("terms")).collect()
+          .map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toSeq
+        if (qs.nonEmpty) {
+          Retrieval.bm25TopKBatchFromIndex(s, idx, "doc_id", qs, k = 10,
+              asOfGen = 1L)
+            .write.mode("overwrite").parquet(s"$out/b$batchId")
+          graft.core.OpCache.release()
+        }
+      }
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    stream.awaitTermination()
+    Scratch.drop(chk)
+    s.read.option("recursiveFileLookup", "true").parquet(out)
+      .orderBy("query_id", "rank")
+  }
+
   /** WRITE-NEW-FLIP-POINTER, the flip itself ([[IndexPointer]]): an
     * alias serves q226's lifecycle — base build + append, pointer
     * flipped to the source, then compaction and a SECOND flip to the
@@ -7081,5 +7120,6 @@ object Queries {
     "q251_ann_index_health" -> q251AnnIndexHealth,
     "q252_pointer_flip" -> q252PointerFlip,
     "q253_hybrid_time_travel" -> q253HybridTimeTravel,
+    "q254_streaming_time_travel_serve" -> q254StreamingTimeTravelServe,
   )
 }

@@ -52,7 +52,13 @@ object StreamingIndexIngest {
     * checkpoint path — re-deliveries of the SAME stream (same
     * checkpoint) still dedup, distinct streams never collide; pass
     * an explicit id when the checkpoint path itself is rotated but
-    * the stream is logically the same.
+    * the stream is logically the same. MIGRATION (pre-r20
+    * checkpoints): the legacy layout keyed batches `stream-<id>`
+    * un-namespaced — resuming such a checkpoint under a default
+    * streamId would re-apply an interrupted-but-committed batch as a
+    * duplicate generation (serving stays correct via supersede, but
+    * the manifest inflates); pass `streamId = "stream"` to reproduce
+    * the legacy keys for that resume.
     */
   def start(docsStream: DataFrame, idCol: String, textCol: String,
       path: String, checkpoint: String,
