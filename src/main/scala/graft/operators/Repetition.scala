@@ -58,6 +58,33 @@ object Repetition {
   val MaxTop2GramCharFrac = 0.20
   val MaxDup5GramCharFrac = 0.15
 
+  import graft.functions.GopherExpressions
+
+  /** Kernel-backed projection shared by the public entry points: one
+    * [[graft.functions.GopherKernels]] evaluation per row (O(G) hash
+    * work — tokens interned once, each n-gram id built from the
+    * (n−1)-gram id plus one token id), zero exchanges, whole-stage
+    * codegen. This replaced BOTH prior physical forms as the default:
+    * the interpreted-HOF row-wise form was O(G²) per row per family
+    * (measured q222 15.9 s → 1.4 s at sf0.1, q217 11.7 s → 0.6 s),
+    * and the explode/shuffle batch form existed only to avoid that
+    * quadratic blowup — with a linear per-row kernel the trade
+    * disappears at every scale, 100 TB included (zero exchanges beats
+    * two doc-keyed exchanges, and a pathological 50k-token doc costs
+    * ~500k hash probes, not 2.5×10⁹ comparisons). Both old forms are
+    * kept below as executable specs; RepetitionSpec locks all three
+    * bit-identical (same counts, same UTF8-byte-order lex-min top
+    * gram, same interval-union coverage, same 6-dp HALF_UP rounds).
+    */
+  private def kernelProject(docs: DataFrame, idCol: String, m: Column,
+      fields: Seq[String]): DataFrame =
+    docs.select(col(idCol), m.as("_m"))
+      .select(col(idCol) +: fields.map(f => col(s"_m.$f").as(f)): _*)
+
+  private val basicFields = Seq("n_lines", "dup_line_frac",
+    "dup_line_char_frac", "top_2gram_char_frac", "dup_5gram_char_frac",
+    "pass")
+
   private def grams(tk: Column, n: Int): Column =
     when(size(tk) >= n,
       transform(sequence(lit(1), size(tk) - (n - 1)),
@@ -66,7 +93,16 @@ object Repetition {
 
   private def r6(c: Column): Column = round(c, 6)
 
-  def report(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** The four q198 metrics — kernel projection (see [[kernelProject]]). */
+  def report(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    kernelProject(docs, idCol, GopherExpressions.basic(col(textCol)), basicFields)
+
+  /** The PRIOR batch/shuffle form, kept as an executable spec of the
+    * explode → within-doc-group shapes (RepetitionSpec locks it
+    * bit-identical to [[report]]); superseded as the default by the
+    * O(G)-per-row kernel, which needs no exchange at all.
+    */
+  def reportShuffle(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol),
         col(textCol).as("_txt"),
         split(col(textCol), "\n").as("_ln"),
@@ -164,7 +200,14 @@ object Repetition {
     * lex-min top gram (array_min's UTF8 byte order = the shuffle
     * version's ORDER BY), same interval-union coverage.
     */
-  def reportRowwise(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def reportRowwise(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    kernelProject(docs, idCol, GopherExpressions.basic(col(textCol)), basicFields)
+
+  /** The PRIOR interpreted-HOF row-wise form (O(G²)/row), kept as an
+    * executable spec (RepetitionSpec locks it bit-identical to
+    * [[reportRowwise]]).
+    */
+  def reportRowwiseHof(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol),
       col(textCol).as("_txt"),
       split(col(textCol), "\n").as("_ln"),
@@ -188,6 +231,17 @@ object Repetition {
     * time-bounds a 50k-token doc).
     */
   def reportCapped(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int, maxLines: Int): DataFrame = {
+    require(maxTokens > 0 && maxLines > 0, "caps must be positive")
+    kernelProject(docs, idCol,
+      GopherExpressions.capped(col(textCol), maxTokens, maxLines),
+      basicFields.init ++ Seq("truncated", "pass"))
+  }
+
+  /** The PRIOR HOF capped form, kept as an executable spec
+    * (RepetitionSpec locks it bit-identical to [[reportCapped]]).
+    */
+  def reportCappedHof(docs: DataFrame, idCol: String, textCol: String,
       maxTokens: Int, maxLines: Int): DataFrame = {
     require(maxTokens > 0 && maxLines > 0, "caps must be positive")
     val base = docs.select(col(idCol),
@@ -319,7 +373,24 @@ object Repetition {
     * (empty text) scores 0.0 on the paragraph metrics via the left
     * join, mirroring [[report]]'s n-gram convention.
     */
-  def reportFull(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private val fullFields = Seq("n_lines", "dup_line_frac",
+    "dup_line_char_frac", "n_paras", "dup_para_frac", "dup_para_char_frac") ++
+    TopNGramThresholds.map { case (n, _) => s"top_${n}gram_char_frac" } ++
+    DupNGramThresholds.map { case (n, _) => s"dup_${n}gram_char_frac" } ++
+    Seq("pass")
+
+  /** All thirteen Table A1 metrics — kernel projection (see
+    * [[kernelProject]]).
+    */
+  def reportFull(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    kernelProject(docs, idCol, GopherExpressions.full(col(textCol)), fullFields)
+
+  /** The PRIOR batch/shuffle full form (one tagged exchange per metric
+    * family), kept as an executable spec (RepetitionSpec locks it
+    * bit-identical to [[reportFull]]); superseded as the default by
+    * the zero-exchange O(G)-per-row kernel.
+    */
+  def reportFullShuffle(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs.select(col(idCol),
         col(textCol).as("_txt"),
         split(col(textCol), "\n").as("_ln"),
@@ -467,6 +538,20 @@ object Repetition {
     * `pass` semantics untouched.
     */
   def reportFullRowwise(docs: DataFrame, idCol: String,
+      textCol: String, maxLines: Int = Int.MaxValue): DataFrame = {
+    require(maxLines > 0, "maxLines must be positive")
+    val m =
+      if (maxLines == Int.MaxValue) GopherExpressions.full(col(textCol))
+      else GopherExpressions.fullGuarded(col(idCol).cast("string"),
+        col(textCol), maxLines)
+    kernelProject(docs, idCol, m, fullFields)
+  }
+
+  /** The PRIOR interpreted-HOF full row-wise form (O(G²)/row per gram
+    * family, subsumption-pruned), kept as an executable spec
+    * (RepetitionSpec locks it bit-identical to [[reportFullRowwise]]).
+    */
+  def reportFullRowwiseHof(docs: DataFrame, idCol: String,
       textCol: String, maxLines: Int = Int.MaxValue): DataFrame = {
     require(maxLines > 0, "maxLines must be positive")
     val topNs = TopNGramThresholds.map(_._1)

@@ -42,7 +42,7 @@ class RepetitionSpec extends SparkSpec {
     assert(out(1).getDouble(2) === 0.0 && out(1).getDouble(3) === 0.0)
   }
 
-  test("rowwise form is bit-identical to the shuffle form; zero exchanges") {
+  test("kernel ≡ shuffle ≡ HOF rowwise (bit-identical); kernel has zero exchanges") {
     val rnd = new scala.util.Random(17)
     val vocab = Vector("aa", "bb", "cc", "dd", "buy", "now")
     val docs = ((1L to 60L).map { i =>
@@ -50,14 +50,59 @@ class RepetitionSpec extends SparkSpec {
         Seq.fill(3 + rnd.nextInt(9))(vocab(rnd.nextInt(6))).mkString(" "))
       (i, lines.mkString("\n"))
     } ++ Seq((100L, ""), (101L, "one"), (102L, "a b c d"))).toDF("doc_id", "text")
-    val a = Repetition.report(docs, "doc_id", "text")
+    val kernel = Repetition.report(docs, "doc_id", "text")
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
-    val b = Repetition.reportRowwise(docs, "doc_id", "text")
+    val shuffle = Repetition.reportShuffle(docs, "doc_id", "text")
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
-    assert(a === b)
+    val hof = Repetition.reportRowwiseHof(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(kernel === shuffle)
+    assert(kernel === hof)
     val plan = Repetition.reportRowwise(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  /** Adversarial texts for the kernel-vs-legacy bit-identity locks:
+    * multi-byte unicode (length = code points), runs of spaces/tabs,
+    * odd newline runs ("\n\n\n" paragraph split is leftmost
+    * non-overlapping), leading/trailing separators, planted dup
+    * phrases across n = 2..10, and ties for the top gram (lex-min in
+    * UTF8 byte order decides).
+    */
+  private val adversarialDocs = Seq(
+    (1L, ""), (2L, "one"), (3L, "\n"), (4L, "\n\n"), (5L, "\n\n\n"),
+    (6L, "a\n\n\nb"), (7L, "  two  spaces   here  "),
+    (8L, "tab\ttok tab\ttok x"), (9L, "é ü é ü é ü 汉字 汉字"),
+    (10L, "aa bb aa bb cc\naa bb aa bb cc\n\nzz"),
+    (11L, "a b c d e f g h i j a b c d e f g h i j"),
+    (12L, "x y x y\nx z x z\n\nx y x z"),
+    (13L, "solo para 13\n\nsolo para 13\n\nbuy now buy now buy now buy now"),
+    (14L, "trailing newline\n"), (15L, "\nleading newline"),
+    (16L, "ß ss ß ss ß\nß ss\n\nß ss"),
+    (17L, (1 to 40).map(i => s"w${i % 6}").mkString(" ")),
+    (18L, "p one\n\np one\n\np two"),
+    (19L, "aa bb\naa bb\ncc"), (20L, "a b c d e a b c d e a b c d e zz"))
+
+  test("kernel ≡ legacy forms on adversarial unicode/whitespace docs (all modes)") {
+    val docs = adversarialDocs.toDF("doc_id", "text")
+    def seqs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // basic: kernel vs shuffle vs HOF
+    assert(seqs(Repetition.report(docs, "doc_id", "text")) ===
+      seqs(Repetition.reportShuffle(docs, "doc_id", "text")))
+    assert(seqs(Repetition.report(docs, "doc_id", "text")) ===
+      seqs(Repetition.reportRowwiseHof(docs, "doc_id", "text")))
+    // full: kernel vs shuffle vs HOF
+    assert(seqs(Repetition.reportFull(docs, "doc_id", "text")) ===
+      seqs(Repetition.reportFullShuffle(docs, "doc_id", "text")))
+    assert(seqs(Repetition.reportFull(docs, "doc_id", "text")) ===
+      seqs(Repetition.reportFullRowwiseHof(docs, "doc_id", "text")))
+    // capped (caps that BITE on some docs): kernel vs HOF
+    assert(seqs(Repetition.reportCapped(docs, "doc_id", "text", 8, 2)) ===
+      seqs(Repetition.reportCappedHof(docs, "doc_id", "text", 8, 2)))
+    assert(seqs(Repetition.reportCapped(docs, "doc_id", "text", 100, 100)) ===
+      seqs(Repetition.reportCappedHof(docs, "doc_id", "text", 100, 100)))
   }
 
   test("deterministic at any partitioning") {
@@ -161,7 +206,7 @@ class RepetitionSpec extends SparkSpec {
           .mkString("\n"))
       (i, paras.mkString("\n\n"))
     } ++ Seq((100L, ""), (101L, "one"))).toDF("doc_id", "text")
-    val a = Repetition.report(docs, "doc_id", "text")
+    val a = Repetition.reportShuffle(docs, "doc_id", "text")
       .select("doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
         "top_2gram_char_frac", "dup_5gram_char_frac")
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
@@ -183,11 +228,14 @@ class RepetitionSpec extends SparkSpec {
       (i, paras.mkString("\n\n"))
     } ++ Seq((100L, ""), (101L, "one"),
       (102L, "a b c d e f g h i j a b c d e f g h i j"))).toDF("doc_id", "text")
-    val a = Repetition.reportFull(docs, "doc_id", "text")
+    val a = Repetition.reportFullShuffle(docs, "doc_id", "text")
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     val b = Repetition.reportFullRowwise(docs, "doc_id", "text")
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val c = Repetition.reportFullRowwiseHof(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a === b)
+    assert(b === c)
     val plan = Repetition.reportFullRowwise(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
