@@ -881,47 +881,37 @@ object Similarity {
     // cache the vector projection once — each Lloyd's iteration (and
     // the init) otherwise re-runs the source scan. Training is EAGER
     // (the model is a driver array), so the cache is released in the
-    // finally — no OpCache round-trip needed.
+    // finally — no OpCache round-trip needed. Repartition to the
+    // session parallelism first: the per-row work is CPU-bound
+    // (k·d distances per row) and a small single-file training sample
+    // otherwise runs every iteration in ONE task; every aggregate in
+    // the loop is order-independent by the exact-arithmetic contract,
+    // so the result is partitioning-invariant (spec-locked).
+    val kmPar = corpus.sparkSession.sparkContext.defaultParallelism
     val vecs = corpus.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+      .repartition(kmPar)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     var cents: Array[Array[Double]] = vecs.orderBy(col("_vid")).limit(k)
       .select(col("_v")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
-      // Epsilon-banded exact argmin (the ivfTopKSeeded assignment
-      // pattern): cheap DOUBLE distances to all k centroids prune to
-      // the cells within 1e-6 of the row's fast minimum (double vs
-      // exact squared distances differ by ≤ ~1e-11 at these
-      // magnitudes, so the true exact-argmin cell always survives —
-      // usually exactly one does), and the k× decimal work runs only
-      // on those survivors. The surviving cell's decimal distance is
-      // dispatched through a flat when() CHAIN — each decimal
-      // expression appears exactly ONCE (a nested when-reduce argmin
-      // would inline them up to 2^k times, CSE excludes lambdas), and
-      // only the matched branch evaluates. Argmin via min over
-      // struct(dist, cell) breaks ties to the LOWEST cell; the
-      // array_min/posexplode pair stays map-side — one exchange per
-      // iteration (the groupBy), same as the unbanded form.
-      val fasts = cents.map { c =>
-        aggregate(
-          zip_with(col("_v"), lit(c), (x, w) => { val t = x.cast("double") - w; t * t }),
-          lit(0.0), (s, v) => s + v)
-      }
-      val exactByCell = cents.zipWithIndex.tail.foldLeft(
-        when(col("_cellc") === 0, distExactDecimal(col("_v"), cents(0)))) {
-        case (acc, (c, i)) => acc.when(col("_cellc") === i, distExactDecimal(col("_v"), c))
-      }
-      val assigned = vecs
-        .select(col("_vid"), col("_v"), array(fasts.toIndexedSeq: _*).as("_fa"))
-        .select(col("_vid"), col("_v"), array_min(col("_fa")).as("_amin"),
-          posexplode(col("_fa")).as(Seq("_cellc", "_fd")))
-        .filter(col("_fd") <= col("_amin") + 1e-6)
-        .withColumn("_dist", exactByCell)
-        .groupBy("_vid")
-        .agg(min(struct(col("_dist").as("_d"), col("_cellc").as("_c"))).as("_m"),
-          first(col("_v")).as("_v"))
-        .select(col("_m._c").as("_cell"), posexplode(col("_v")).as(Seq("_p", "_x")))
+      // Exact argmin assignment as ONE native kernel
+      // (graft.functions.CentroidExpressions.nearestExact, centroids
+      // as a REFERENCE OBJECT): k·d scale-12 quantized flops per row,
+      // ties to the lowest cell — the value the previous
+      // epsilon-banded prune-then-refine pipeline converged to
+      // (CentroidKernelSpec locks the equality), without its
+      // posexplode/band-filter/argmin EXCHANGE: each Lloyd round is
+      // now a single map-side projection into the one means shuffle.
+      // Because the centroids ride in the `references` slot, every
+      // iteration's plan codegens to byte-identical source and Janino
+      // compiles the round ONCE (the literal-centroid HOF trees paid
+      // re-analysis + a fresh whole-stage compile per round).
+      val assigned = vecs.select(
+        graft.functions.CentroidExpressions.nearestExact(col("_v"), cents)
+          .as("_cell"),
+        posexplode(col("_v")).as(Seq("_p", "_x")))
       val scaled = col("_x").cast("double") * scale
       val means = assigned.groupBy("_cell", "_p")
         .agg(
@@ -971,7 +961,15 @@ object Similarity {
     * every distance at every level (2^k expression growth; at k = 16
     * codegen never finishes).
     */
-  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column = {
+  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
+    graft.functions.CentroidExpressions.nearest(vec, cents)
+
+  /** The HOF formulation [[nearestCell]] is kernel-locked against
+    * (CentroidKernelSpec) — kept as the executable spec of the
+    * argmin/tie semantics.
+    */
+  private[operators] def nearestCellHof(vec: Column,
+      cents: Array[Array[Double]]): Column = {
     val dists = array(cents.map { c =>
       aggregate(
         zip_with(vec, lit(c), (x, w) => { val t = x.cast("double") - w; t * t }),
@@ -1170,11 +1168,28 @@ object Similarity {
       dim: Int, m: Int, ks: Int, iters: Int): Array[Array[Array[Double]]] = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val ds = dim / m
-    Array.tabulate(m) { j =>
-      kmeansCentroidsExact(
-        corpus.select(col(idCol), slice(col(vecCol), j * ds + 1, ds).as("_sub")),
-        idCol, "_sub", ks, iters)
-    }
+    // the m subspace fits are INDEPENDENT job chains — submit them
+    // from a small driver pool so subspace j+1's tasks back-fill the
+    // scheduler while subspace j waits on its collect (guide-§2.6
+    // overlap; each fit is its own persist/unpersist lifecycle and
+    // every result is a pure function of its own sliced input, so
+    // concurrency cannot change a single trained value — wall-clock
+    // for m=4 drops ~3× on an idle 32-core driver).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 4))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val fits = (0 until m).map { j =>
+        scala.concurrent.Future {
+          kmeansCentroidsExact(
+            corpus.select(col(idCol), slice(col(vecCol), j * ds + 1, ds).as("_sub")),
+            idCol, "_sub", ks, iters)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fits),
+        scala.concurrent.duration.Duration.Inf).toArray
+    } finally { pool.shutdown(); () }
   }
 
   /** SEEDED codebooks — codeword c of subspace j is seed c's j-th
@@ -1218,27 +1233,20 @@ object Similarity {
     // or the epsilon-banded hybrid (kmeansCentroidsExact's loop).
     def dist(j: Int, c: Array[Double]): Column =
       if (exact) distExactDecimal(sub(j), c) else d2(sub(j), c)
-    // argmin via array_min + first-occurrence array_position: each of
-    // the ks distance expressions appears exactly ONCE (a pairwise
-    // when()-reduce would re-embed every distance at every level —
-    // 2^ks expression blowup, the kmeansCentroidsExact caveat);
-    // first occurrence = ties to the lowest codeword index
-    def assign(j: Int): Column = {
-      val dists = array(books(j).map(c => dist(j, c)): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    def resid2(j: Int): Column =
-      books(j).zipWithIndex.tail.foldLeft(
-        when(element_at(col("_codes"), j + 1) === 0, d2(sub(j), books(j)(0)))) {
-        case (acc, (c, i)) =>
-          acc.when(element_at(col("_codes"), j + 1) === i, d2(sub(j), c))
-      }
+    // assignment + residual as ONE native kernel each
+    // (graft.functions.CentroidExpressions, codebooks as reference
+    // objects): the m·ks per-row HOF distance folds become k·d
+    // primitive flops with identical fold order, argmin ties and
+    // scale-12 quantization (CentroidKernelSpec); `dist`/`d2` above
+    // remain the executable spec of the per-codeword semantics.
     corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .withColumn("_cn", sqrt(dotExact(col("_cv"), col("_cv"))))
-      .withColumn("_codes", array((0 until m).map(assign): _*))
+      .withColumn("_codes",
+        graft.functions.CentroidExpressions.pqAssign(col("_cv"), books, exact))
       .withColumn("_r",
-        sqrt((0 until m).map(resid2).reduce(_ + _)) + lit(1e-9))
+        sqrt(graft.functions.CentroidExpressions.pqResid2(
+          col("_cv"), col("_codes"), books)) + lit(1e-9))
   }
 
   /** EXACT cosine top-k through the PQ codes scan — [[quantizedTopK]]
@@ -1288,13 +1296,12 @@ object Similarity {
     val ds = books(0)(0).length
     // per-query ADC lookup table: lut(j·ks + c) = qⱼ·codeword(j,c) —
     // m·ks dots per QUERY row, computed once, joined to the codes scan
-    def qsub(j: Int) = slice(col(vecCol), j * ds + 1, ds)
-    val lutExprs = for (j <- 0 until m; cw <- books(j)) yield
-      aggregate(zip_with(qsub(j), lit(cw), (x, w) => x.cast("double") * w),
-        lit(0.0), (s, v) => s + v)
+    // LUT as one native kernel (codebooks as a reference object) — the
+    // per-query m·ks HOF dots in one O(m·ks·ds) loop, identical fold
+    // order (CentroidKernelSpec)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
         sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"),
-        array(lutExprs: _*).as("_lut"))
+        graft.functions.CentroidExpressions.pqLut(col(vecCol), books).as("_lut"))
       .persistTracked
     val den = col("_qn") * col("_cn")
     val estDot = (0 until m).map(j =>
@@ -1599,13 +1606,12 @@ object Similarity {
         .withColumn("_cv", zip_with(col("_v"), col("_sv"),
           (a, b) => a.cast("double") - b.cast("double")))
       else withCell.withColumn("_cv", col("_v"))
-    def sub(j: Int) = slice(col("_cv"), j * ds + 1, ds)
-    def assign(j: Int): Column = {
-      val dists = array(books(j).map(c => distExactDecimal(sub(j), c)): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
+    // exact assignment as one native kernel (codebooks as a reference
+    // object) — scale-12 quantized distances, first-occurrence argmin,
+    // the distExactDecimal argmin image (CentroidKernelSpec)
     enc.select(col("neighbor_id"), col("cell"), col("_cn"),
-      array((0 until m).map(assign): _*).as("_codes"))
+      graft.functions.CentroidExpressions.pqAssign(col("_cv"), books,
+        exact = true).as("_codes"))
   }
 
   /** The probe + ADC rank over a prepared codes table — shared by the
@@ -1620,12 +1626,13 @@ object Similarity {
     val m = books.length
     val ks = books(0).length
     val ds = books(0)(0).length
-    def qsub(j: Int) = slice(col(vecCol), j * ds + 1, ds)
-    val lutExprs = for (j <- 0 until m; cw <- books(j)) yield
-      dotExactHof(qsub(j), lit(cw))
+    // exact LUT as one native kernel (codebooks as a reference
+    // object): per (j,c) entry = quantize-at-12-and-sum-exactly of the
+    // sub-vector x codeword products, the dotExactHof image
+    // (CentroidKernelSpec locks the bit-identity)
     val q = queries.select(col(idCol).as("query_id"),
       sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"),
-      array(lutExprs: _*).as("_lut"))
+      graft.functions.CentroidExpressions.pqLutExact(col(vecCol), books).as("_lut"))
     val den = col("_qn") * col("_cn")
     // every term is an exact 12-dp value living in a double (dotExact /
     // dotExactHof contract): the decimal re-casts recover them exactly,
@@ -2029,15 +2036,13 @@ object Similarity {
     // order bit-for-bit
     val c = pqEncode(corpus, idCol, vecCol, books, exact = true)
       .select("neighbor_id", "_cn", "_codes")
-    def qsub(j: Int) = slice(col(vecCol), j * ds + 1, ds)
-    // dotExactHof: the codeword side is a DOUBLE literal array (the
-    // native float-only kernel rejects it); the HOF formulation is
-    // bit-identical by the dotExact contract
-    val lutExprs = for (j <- 0 until m; cw <- books(j)) yield
-      dotExactHof(qsub(j), lit(cw))
+    // exact LUT as one native kernel (codebooks as a reference
+    // object): per (j,c) entry = quantize-at-12-and-sum-exactly of the
+    // sub-vector x codeword products, the dotExactHof image
+    // (CentroidKernelSpec locks the bit-identity)
     val q = queries.select(col(idCol).as("query_id"),
       sqrt(dotExact(col(vecCol), col(vecCol))).as("_qn"),
-      array(lutExprs: _*).as("_lut"))
+      graft.functions.CentroidExpressions.pqLutExact(col(vecCol), books).as("_lut"))
     val den = col("_qn") * col("_cn")
     // each LUT entry is an exact 12-dp value in a double; the decimal
     // re-cast recovers it exactly, the m-term sum is exact, and ONE

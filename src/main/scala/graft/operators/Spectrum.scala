@@ -127,18 +127,33 @@ object Spectrum {
 
     // pass 1 — validate + count: null or wrong-length vectors would
     // silently skew the moments (posexplode drops nulls), so reject
-    // them with a counted error instead
+    // them with a counted error instead. The same pass derives the
+    // fast-path eligibility for the distributed moments (see below):
+    // max |xᵢ| and a null-element count, both free riders on the one
+    // required scan.
     val chk = x.agg(count(lit(1)).as("n"),
       sum(when(col("x").isNull || size(col("x")) =!= dim, 1L)
-        .otherwise(0L)).as("bad")).head()
+        .otherwise(0L)).as("bad"),
+      max(greatest(array_max(col("x")), -array_min(col("x")))).as("amax"),
+      sum(when(col("x").isNotNull && exists(col("x"), e => e.isNull), 1L)
+        .otherwise(0L)).as("badelem")).head()
     val n = chk.getLong(0)
     val bad = if (chk.isNullAt(1)) 0L else chk.getLong(1)
     require(n > 0, "empty embedding table")
     require(bad == 0,
       s"$bad of $n embeddings are null or not length-$dim — " +
         "filter or repair malformed vectors before the spectrum pass")
+    // long-sum headroom for the scale-12 quantized moments: every
+    // |quantized term| ≤ max(amax, amax²)·10¹² + 1, and the sum runs
+    // over n rows — stay ≥ 2× under 2⁶³ or take the legacy decimal
+    // path (same numbers by construction; SpectrumPowerSpec locks the
+    // parity). NaN/∞ amax fails the comparison and falls back too.
+    val amax = if (chk.isNullAt(2)) 0.0 else chk.getDouble(2)
+    val badElem = if (chk.isNullAt(3)) 0L else chk.getLong(3)
+    val fastQ12 = badElem == 0L &&
+      n.toDouble * (math.max(amax, amax * amax) * 1e12 + 1.0) < 4.6e18
 
-    if (distributeCov) distributedPower(x, dim, n, iters)
+    if (distributeCov) distributedPower(x, dim, n, iters, fastQ12)
     else {
       // pass 2 — fused moments: upper-triangle cross-moments Σxᵢxⱼ
       // (d(d+1)/2 slim rows) with the per-dim sums Σxᵢ riding the
@@ -229,14 +244,46 @@ object Spectrum {
     * unchanged (SpectrumPowerSpec locks bit-equality).
     */
   private def distributedPower(x: DataFrame, dim: Int, n: Long,
-      iters: Int): SpectrumModel = {
+      iters: Int, fastQ12: Boolean): SpectrumModel = {
     import org.apache.spark.sql.types.DecimalType
+    import graft.functions.SpectrumExpressions
     val spark = x.sparkSession
-    val mean9Rows = x
-      .select(posexplode(col("x")).as(Seq("i", "xi")))
-      .groupBy("i")
-      .agg(sum(col("xi").cast("decimal(38,12)")).as("sx"))
-      .select(col("i"), round(col("sx").cast("double") / n, 9).as("m9"))
+    // fast path (default whenever the caller-checked long-sum headroom
+    // holds): quantize each Σxᵢ / Σxᵢxⱼ TERM to its scale-12 unscaled
+    // long in a native kernel and sum PLAIN LONGS — the identical
+    // integers the DECIMAL(38,12) cast-and-sum produces, read back
+    // through the same BigDecimal→double conversion, so every
+    // downstream number is bit-equal (SpectrumPowerSpec). The win is
+    // structural: the legacy moments job double-posexploded every
+    // vector (n·d first-level rows each CARRYING the full d-array,
+    // then n·d² generated rows) and pushed non-compact decimals
+    // through the aggregate buffers; this shape generates one
+    // d(d+1)/2 long array per row, explodes it once, and the
+    // aggregate is codegen sum(LONG). Measured at sf0.1/d=64
+    // (q192, min of 2): 18.0 s → 3.8 s.
+    // the model passes are CPU-bound per row (d²/2 quantized products
+    // each) while the input is typically a handful of small files —
+    // spread them across the session's parallelism (scale-adaptive:
+    // a real deployment's scan arrives already split; locally the
+    // 2000-row single-file scan would otherwise run the whole moment
+    // pass in ONE task). Row-order independent by construction
+    // (integer sums), so the result is partitioning-invariant.
+    val xp =
+      if (!fastQ12) x
+      else x.repartition(math.max(1, math.min(
+        x.sparkSession.sparkContext.defaultParallelism,
+        ((n + 63L) / 64L).toInt)))
+    val mean9Rows = (if (fastQ12)
+      xp.select(posexplode(col("x")).as(Seq("i", "xi")))
+        .groupBy("i")
+        .agg(sum(SpectrumExpressions.q12(col("xi"))).as("sxl"))
+        .select(col("i"),
+          round(SpectrumExpressions.dec12ToDouble(col("sxl")) / n, 9).as("m9"))
+    else
+      x.select(posexplode(col("x")).as(Seq("i", "xi")))
+        .groupBy("i")
+        .agg(sum(col("xi").cast("decimal(38,12)")).as("sx"))
+        .select(col("i"), round(col("sx").cast("double") / n, 9).as("m9")))
       .collect() // d-sized
     val mean9 = {
       val a = new Array[Double](dim)
@@ -244,20 +291,41 @@ object Spectrum {
       a
     }
     val mLit = array(mean9.map(lit(_)).toIndexedSeq: _*)
-    val upper = x
-      .select(col("x"), posexplode(col("x")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("x")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
-      .groupBy("i", "j")
-      .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("s"))
+    // upper triangle as (i, j, sd = Σ-moment already cast to double)
+    val upper = if (fastQ12) {
+      val pairs = for (i <- 0 until dim; j <- i until dim) yield (i, j)
+      val iLit = typedLit(pairs.map(_._1))
+      val jLit = typedLit(pairs.map(_._2))
+      xp.select(posexplode(SpectrumExpressions.upperTriQ12(col("x")))
+          .as(Seq("_p", "_q")))
+        .groupBy("_p").agg(sum(col("_q")).as("sl"))
+        .select(element_at(iLit, col("_p") + 1).as("i"),
+          element_at(jLit, col("_p") + 1).as("j"),
+          SpectrumExpressions.dec12ToDouble(col("sl")).as("sd"))
+    } else
+      x.select(col("x"), posexplode(col("x")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi"), posexplode(col("x")).as(Seq("j", "xj")))
+        .filter(col("j") >= col("i"))
+        .groupBy("i", "j")
+        .agg(sum((col("xi") * col("xj")).cast("decimal(38,12)")).as("s"))
+        .select(col("i"), col("j"), col("s").cast("double").as("sd"))
     val full = upper.unionByName(
         upper.filter(col("i") =!= col("j"))
-          .select(col("j").as("i"), col("i").as("j"), col("s")))
+          .select(col("j").as("i"), col("i").as("j"), col("sd")))
       .select(col("i"), col("j"),
-        round(col("s").cast("double") / n -
+        round(col("sd") / n -
           element_at(mLit, col("i") + 1) * element_at(mLit, col("j") + 1),
           9).as("c9"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // EAGER localCheckpoint, not persist: every power iteration
+      // plans a fresh aggregate over this frame, and with persist the
+      // whole moments pipeline (explodes, union, 2080-element literal
+      // lookups) is re-analyzed/canonicalized for the cache probe on
+      // EVERY iteration — measured ~0.3 s planning vs ~0.06 s actual
+      // execution per matvec. The checkpoint truncates the lineage to
+      // a 3-node LogicalRDD scan, so per-iteration planning is flat.
+      // Same rows, materialized once — bit-identical results
+      // (SpectrumPowerSpec).
+      .localCheckpoint(true)
     try {
       val traceDec = full.filter(col("i") === col("j"))
         .agg(sum(col("c9").cast(DecimalType(18, 9))).as("t"))
@@ -272,15 +340,19 @@ object Spectrum {
       var fixed = false
       while (it < iters && !fixed) {
         it += 1
-        val vLit = array(v.map(lit(_)).toIndexedSeq: _*)
         // ONE mergeable aggregate: partial sums reduce each partition
         // to ≤ d rows before the d-key shuffle; exact decimal products
         // ((18,9)×(18,9) → (37,18), no rounding) match the driver
-        // path's BigDecimal multiply-add term for term
+        // path's BigDecimal multiply-add term for term. v rides as a
+        // REFERENCE OBJECT (C9DotTerm), not a literal array — the
+        // per-iteration plan codegens to byte-identical source, so
+        // Janino compiles the matvec ONCE for all iterations (the
+        // literal-array form paid a fresh ~0.3 s whole-stage compile
+        // every round — the actual q192 bottleneck, 25 × 0.4 s).
         val wRows = full
           .groupBy("i")
-          .agg(sum(col("c9").cast(DecimalType(18, 9)) *
-            element_at(vLit, col("j") + 1).cast(DecimalType(18, 9))).as("dot"))
+          .agg(sum(SpectrumExpressions.c9DotTerm(col("c9"), col("j"), v))
+            .as("dot"))
           .collect() // d-sized
         val w9 = new Array[Double](dim)
         wRows.foreach(r0 => w9(r0.getInt(0)) =
@@ -293,7 +365,9 @@ object Spectrum {
         v = v2
       }
       SpectrumModel(mean9, v, lambda, trace)
-    } finally { full.unpersist(false); () }
+    } finally {
+      graft.core.OpCache.freeRdd(graft.core.OpCache.checkpointRdd(full)); ()
+    }
   }
 
   /** Per-vector "all-but-the-top" decomposition (Mu & Viswanath,

@@ -58,6 +58,23 @@ class SpectrumPowerSpec extends SparkSpec {
       s"$jobs jobs for a 200-iteration ceiling — early exit did not trigger")
   }
 
+  test("legacy decimal moments fallback (huge magnitudes) ≡ driver path") {
+    // amax ≈ 1.4e4 → n·amax²·10¹² ≈ 10²² ≫ 2⁶² headroom, so the
+    // distributed path must take the legacy DECIMAL(38,12) moments —
+    // and still equal the driver model bit-for-bit
+    val dim = 4
+    val emb = (0 until 50).map(i =>
+        Seq.tabulate(dim)(d => ((i % 7) * 2000 + d * 1000).toFloat))
+      .toDF("embedding").repartition(3)
+    val a = Spectrum.topComponentModel(emb, "embedding", dim, iters = 10)
+    val b = Spectrum.topComponentModel(emb, "embedding", dim, iters = 10,
+      distributeCov = true)
+    assert(a.mean9.toSeq === b.mean9.toSeq)
+    assert(a.v.toSeq === b.v.toSeq)
+    assert(a.lambda === b.lambda)
+    assert(a.trace === b.trace)
+  }
+
   test("distributed path rejects malformed vectors like the driver path") {
     val bad = Seq(Seq(1f, 2f), Seq(1f, 2f, 3f)).toDF("embedding")
     val e = intercept[IllegalArgumentException] {
