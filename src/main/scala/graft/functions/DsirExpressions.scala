@@ -70,6 +70,25 @@ object DsirKernel {
     (h % buckets).toInt
   }
 
+  /** All unigram + bigram bucket ids of a token array, one entry per
+    * occurrence (see [[DsirNgramBuckets]]).
+    */
+  def ngramBuckets(tokens: ArrayData, buckets: Int): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long]( if (n == 0) 0 else 2 * n - 1)
+    var i = 0
+    var prev: String = null
+    var p = 0
+    while (i < n) {
+      val w = tokens.getUTF8String(i).toString
+      out(p) = bucket(w, buckets).toLong; p += 1
+      if (prev != null) { out(p) = bucket(prev + " " + w, buckets).toLong; p += 1 }
+      prev = w
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Per-doc log importance weight under a [[DsirLm]], numerically
     * IDENTICAL to [[graft.operators.Dsir.importanceWeights]]: every
     * unigram and bigram occurrence contributes its bucket's
@@ -133,8 +152,39 @@ case class DsirLogWeight(child: Expression, lm: DsirLm)
     copy(child = newChild)
 }
 
+/** tokens ARRAY<STRING> → ARRAY<BIGINT> of hashed n-gram buckets (one
+  * entry per unigram AND bigram OCCURRENCE, unigrams of position i
+  * before the bigram ending at i — multiplicity preserved, order
+  * irrelevant to every count consumer). One pass with the native md5
+  * bucket hash, replacing the two corpus scans (unigram explode ∪
+  * bigram zip_with explode) + per-occurrence md5/conv/substring
+  * expression chain of the HOF fit — [[DsirKernel.bucket]] ≡
+  * `Dsir.bucketOf` is already under the q118/q121 oracle gate.
+  */
+case class DsirNgramBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_dsir_buckets requires ARRAY<STRING>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_dsir_buckets"
+  override protected def nullSafeEval(input: Any): Any =
+    DsirKernel.ngramBuckets(input.asInstanceOf[ArrayData], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DsirKernel.ngramBuckets($c, $buckets)")
+  override protected def withNewChildInternal(newChild: Expression): DsirNgramBuckets =
+    copy(child = newChild)
+}
+
 object DsirExpressions {
   /** Column API: score a token-array column under a fitted model. */
   def dsirLogWeight(tokens: Column, lm: DsirLm): Column =
     ColumnBridge.column(DsirLogWeight(ColumnBridge.expression(tokens), lm))
+  /** Column API: hashed uni+bigram bucket ids of a token array. */
+  def ngramBuckets(tokens: Column, buckets: Int): Column =
+    ColumnBridge.column(DsirNgramBuckets(ColumnBridge.expression(tokens), buckets))
 }

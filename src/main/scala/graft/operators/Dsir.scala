@@ -65,6 +65,20 @@ object Dsir {
     * broadcast it at scoring time). One map-side-combinable shuffle.
     */
   def fitBucketCounts(corpus: DataFrame, textCol: String, buckets: Int): DataFrame =
+    // ONE corpus scan through the native n-gram bucket kernel — the
+    // HOF form below ([[fitBucketCountsHof]]) scanned the corpus
+    // twice (unigram ∪ bigram explodes) and hashed every occurrence
+    // through the md5/conv/substring expression chain; identical
+    // counts (DsirSpec locks kernel ≡ HOF; DsirKernel.bucket ≡
+    // bucketOf is additionally under the q118/q121 oracle gate)
+    corpus.select(explode(graft.functions.DsirExpressions.ngramBuckets(
+        Text.tokens(col(textCol)), buckets)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** The prior two-scan HOF formulation, kept as the executable spec
+    * of [[fitBucketCounts]]'s semantics.
+    */
+  def fitBucketCountsHof(corpus: DataFrame, textCol: String, buckets: Int): DataFrame =
     ngrams(corpus, textCol)
       .select(bucketOf(col("_ng"), buckets).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))

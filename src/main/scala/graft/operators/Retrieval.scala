@@ -806,17 +806,31 @@ object Retrieval {
         .agg(count_distinct(col("id"))).head().getLong(0))
   }
 
+
+  /** `pmod(hash(term), nBuckets)` evaluated driver-side: the same
+    * resolved Murmur3 expression (seed 42) the build plan uses, so the
+    * probed bucket is identical by construction — minus the per-serve
+    * T-row Spark job the `terms.toDF` formulation paid.
+    */
+  private def termBucket(t: String, nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = new Murmur3Hash(Seq(Literal.create(t)))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Int]
+    ((h % nBuckets) + nBuckets) % nBuckets
+  }
+
   /** The positional serve-side read shared by phrase and proximity:
     * probed-bucket postings for `terms`, tombstone supersede
     * applied. */
   private def positionalPostings(spark: SparkSession, path: String,
       terms: Seq[String], asOf: Long = Long.MaxValue): DataFrame = {
-    import spark.implicits._
     val nBuckets = spark.read.parquet(s"$path/meta")
       .select(max(col("n_buckets"))).head().getInt(0)
-    val buckets = terms.toDF("term")
-      .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
-      .distinct().as[Int].collect().toSeq
+    // same hash expression the build used, evaluated driver-side on
+    // the literal terms (saves a per-serve T-row Spark job — the
+    // pivotedFromIndex discipline)
+    val buckets = terms.map(termBucket(_, nBuckets)).distinct
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
@@ -1085,8 +1099,7 @@ object Retrieval {
     */
   private def pivotedFromIndex(spark: SparkSession, path: String,
       terms: Seq[String],
-      asOf: Long = Long.MaxValue): (DataFrame, Column, Column, Map[String, Long]) = {
-    import spark.implicits._
+      asOf: Long = Long.MaxValue): (DataFrame, Column, Column, () => Map[String, Long]) = {
     // ONE manifest fingerprint feeds both the tombState key and the
     // stats key: ts and the cached stats must describe the SAME
     // index state, or a commit racing this serve could file
@@ -1112,11 +1125,12 @@ object Retrieval {
           val (sn, sl) = staleStats(spark, path, nb, ts)
           (st.getAs[Long]("_n"), st.getAs[Long]("_len"), nb, sn, sl)
         }
-    // T-row bounded job: bucket of each query term via the same
-    // hash expression the build used
-    val buckets = terms.toDF("term")
-      .select(pmod(hash(col("term")), lit(nBuckets)).as("b"))
-      .distinct().as[Int].collect().toSeq
+    // bucket of each query term via the SAME hash expression the
+    // build used — the literal-only tree is evaluated driver-side
+    // (Catalyst eval of the identical Murmur3 expression), which
+    // replaces the per-serve T-row Spark job the old `terms.toDF`
+    // formulation paid
+    val buckets = terms.map(termBucket(_, nBuckets)).distinct
     val postings = liveRows(
       spark.read.parquet(s"$path/postings")
         .filter(col("bucket").isin(buckets: _*) &&
@@ -1136,8 +1150,11 @@ object Retrieval {
     // collect: cf is a CORPUS constant per term (unlike df, which
     // only ever appears under a tf > 0 guard, cf feeds the
     // background probability of docs that do NOT contain the term —
-    // a per-doc pivot would silently zero those contributions)
-    val cfByTerm = dfs.select(col("term"), col("_cf"))
+    // a per-doc pivot would silently zero those contributions).
+    // LAZY: only the language-model rankers read cf; the BM25 family
+    // discards it, and eager evaluation charged every BM25 serve a
+    // whole postings-scan job for a value it never used.
+    val cfByTerm = () => dfs.select(col("term"), col("_cf"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (perDoc, nD, lenD, cfByTerm)
   }
@@ -1163,8 +1180,9 @@ object Retrieval {
       asOfGen: Long = Long.MaxValue): DataFrame = {
     require(terms.nonEmpty, "QL needs at least one query term")
     require(mu > 0.0, "mu must be positive")
-    val (perDoc, _, lenD, cfByTerm) =
+    val (perDoc, _, lenD, cfThunk) =
       pivotedFromIndex(spark, path, terms, asOfGen)
+    val cfByTerm = cfThunk()
     val dlD = col("dl").cast("double")
     val score: Column = terms.indices.map { i =>
       val tf = coalesce(col(s"_tf$i"), lit(0L)).cast("double")

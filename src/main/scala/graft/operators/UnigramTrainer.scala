@@ -81,9 +81,15 @@ object UnigramTrainer {
     * on collect order).
     */
   private def modelFrom(counts: DataFrame): UnigramLmModel = {
-    val tot = counts.agg(sum(col("c")).as("_tot"))
-    val rows = counts.crossJoin(broadcast(tot))
-      .select(col("piece"), nlp9(col("c"), col("_tot")).as("_nlp"))
+    // the normalizer rides a GLOBAL window over the model-sized counts
+    // frame (one single-partition exchange inside the one collect job)
+    // instead of a separate aggregate + broadcast-exchange job per EM
+    // round — same exact long sum, same in-engine nlp9 arithmetic,
+    // half the jobs per round
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val rows = counts
+      .select(col("piece"), nlp9(col("c"), sum(col("c")).over(w)).as("_nlp"))
       .orderBy("piece")
       .collect()
     new UnigramLmModel(

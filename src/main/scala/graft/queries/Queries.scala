@@ -3105,8 +3105,22 @@ object Queries {
     val d = docs(s, dir).select("doc_id", "source", "text")
     val isTarget = col("source").isin("src0", "src1")
     val raw = d.filter(!isTarget)
-    val tc = Dsir.fitBucketCounts(d.filter(isTarget), "text", b)
-    val rc = Dsir.fitBucketCounts(raw, "text", b)
+    // fits run fresh per call (this query IS the end-to-end DSIR
+    // lifecycle); the fitted tables are MODEL-sized (≤ B rows each),
+    // so collecting them into a DsirLm plan constant is the
+    // seed/codebook precedent — λ_b is then computed ONCE PER BUCKET
+    // on the driver instead of once per n-gram occurrence, and
+    // scoring is the single-pass kernel projection q121 already
+    // gates against this query's own oracle (numerically identical
+    // to the importanceWeights aggregation by the DsirLm contract:
+    // same exact integer products, same 9-dp λ, same exact sum, same
+    // 6-dp round). The occurrence-explode + three broadcast joins +
+    // decimal aggregation disappear from the plan.
+    def modelRows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lm = graft.functions.DsirLm(
+      modelRows(Dsir.fitBucketCounts(d.filter(isTarget), "text", b)),
+      modelRows(Dsir.fitBucketCounts(raw, "text", b)), b)
     val u = (conv(substring(md5(col("text")), 1, 12), 16, 10).cast("double") + 0.5) /
       lit(281474976710656.0) // (h48 + 0.5) / 2^48 ∈ (0,1), exact in double
     // the scored frame feeds BOTH the resample and the output
@@ -3114,8 +3128,12 @@ object Queries {
     // rationale)
     val w = {
       import graft.core.OpCache.TrackedPersist
-      Dsir.importanceWeights(raw, "doc_id", "text", tc, rc, b)
-        .join(raw.select(col("doc_id"), col("source"), u.as("_u")), "doc_id")
+      raw.select(col("doc_id"), col("source"), u.as("_u"),
+          graft.functions.DsirExpressions.dsirLogWeight(
+            Text.tokens(col("text")), lm).as("_s"))
+        .filter(col("_s").isNotNull)
+        .select(col("doc_id"), col("source"), col("_u"),
+          col("_s.n_ngrams").as("n_ngrams"), col("_s.logw").as("logw"))
         .persistTracked
     }
     Dsir.resample(w, "doc_id", "logw", col("_u"), 100)

@@ -91,6 +91,21 @@ class DsirSpec extends SparkSpec {
     assert(kernel === batch)
   }
 
+  test("kernel fitBucketCounts ≡ two-scan HOF formulation (counts per bucket)") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, ""), (3L, "one"),
+      (4L, "a  b   a b"), (5L, "é ü 汉字 é ü"),
+      (6L, (1 to 40).map(i => s"w${i % 7}").mkString(" ")))
+      .toDF("doc_id", "text").repartition(3)
+    for (b <- Seq(7, 1024)) {
+      val k = Dsir.fitBucketCounts(docs, "text", b)
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      val h = Dsir.fitBucketCountsHof(docs, "text", b)
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      assert(k === h, s"buckets=$b")
+    }
+  }
+
   test("n_ngrams = 2*tokens - 1; token-less docs are absent") {
     val docs = Seq((1L, "a b c"), (2L, "solo"), (3L, "   ")).toDF("doc_id", "text")
     val m = Dsir.fitBucketCounts(docs, "text", B)
