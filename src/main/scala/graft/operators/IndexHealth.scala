@@ -148,6 +148,16 @@ private[operators] object ManifestOps {
     sessionToken.computeIfAbsent(spark,
       _ => java.util.UUID.randomUUID().toString)
 
+  /** Unambiguous cache key from components: each part is
+    * LENGTH-PREFIXED before joining, so no delimiter that may also
+    * appear INSIDE a part (dirSig itself joins file entries with '|')
+    * can make two distinct (…, tombstones-sig, stats-sig, …) states
+    * collide onto one key (ADVICE r20).
+    */
+  def cacheKey(parts: Any*): String =
+    parts.map { p => val s = String.valueOf(p); s"${s.length}:$s" }
+      .mkString("|")
+
   /** Small synchronized LRU; use with [[cached]]. */
   def lruCache[V](cap: Int): java.util.Map[String, V] =
     java.util.Collections.synchronizedMap(
@@ -174,7 +184,13 @@ private[operators] object ManifestOps {
     * this commit's generation — the signature of two concurrent
     * writers that both read-max-plus-one'd the generation clock.
     * Full CAS is out of scope for a parquet-directory manifest; this
-    * closes the SILENT half of the hole at O(manifest) cost: the
+    * closes the SILENT half of the hole at O(manifest) cost — with
+    * the caveat (ADVICE r20) that only AT LEAST ONE writer is
+    * guaranteed to raise: the first committer's post-commit read can
+    * land before the second commit exists, so a caller must NOT
+    * treat its own successful append as proof that no collision
+    * happened (the collision surfaces loudly, but possibly in the
+    * OTHER writer's process). The
     * corruption (ambiguous supersede order within the shared
     * generation) is still on disk, but both writers raise with both
     * nonces named. Recovery: serve `asOfGen = gen − 1` (still exact

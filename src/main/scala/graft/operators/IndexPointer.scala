@@ -86,7 +86,15 @@ object IndexPointer {
     val out = f.create(p, false)
     try out.write(target.getBytes("UTF-8")) finally out.close()
     // …and on stores without create-exclusivity, the read-back
-    // catches a foreign overwrite of our version
+    // catches a foreign overwrite of our version — BEST-EFFORT only
+    // (ADVICE r20): on an overwrite-capable store the read-back can
+    // return this writer's own bytes before the racing flip's
+    // overwrite lands, so BOTH flips may report success and one
+    // target is lost. Cross-PROCESS flips on such stores therefore
+    // need an external single-flipper contract (the single-writer
+    // discipline indexes already require); within one JVM flipLock
+    // makes the race impossible, and on HDFS-class stores the
+    // create-exclusive PUT above is the real guarantee.
     val back = readTarget(spark, p)
     if (back != target)
       throw new IllegalStateException(

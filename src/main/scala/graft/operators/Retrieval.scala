@@ -393,7 +393,7 @@ object Retrieval {
       ManifestOps.dirSig(spark, s"$path/tombstones"))
     if (sig == "none") None
     else Some(ManifestOps.cached(tombCache,
-      s"${ManifestOps.tokenOf(spark)}|$asOf|$path|$sig") {
+      ManifestOps.cacheKey(ManifestOps.tokenOf(spark), asOf, path, sig)) {
         val raw = spark.read.parquet(s"$path/tombstones")
         val t = if (asOf == Long.MaxValue) raw
           else raw.filter(col("gen") <= asOf)
@@ -1112,8 +1112,8 @@ object Retrieval {
     // without touching a manifest)
     val (nDocs, totLen, nBuckets, staleN, staleLen) =
       ManifestOps.cached(statsCache,
-        s"${ManifestOps.tokenOf(spark)}|$asOf|$path|$tSig|" +
-          ManifestOps.dirSig(spark, s"$path/stats")) {
+        ManifestOps.cacheKey(ManifestOps.tokenOf(spark), asOf, path, tSig,
+          ManifestOps.dirSig(spark, s"$path/stats"))) {
           val st = committedRows(spark.read.parquet(s"$path/stats"), ts)
             .agg(sum(col("n_docs")).as("_n"),
               sum(col("total_len")).as("_len"),

@@ -1812,7 +1812,7 @@ object Similarity {
     if (sig == "none") codes
     else {
       val ts = ManifestOps.cached(annTombCache,
-        s"${ManifestOps.tokenOf(spark)}|$asOf|$path|$sig") {
+        ManifestOps.cacheKey(ManifestOps.tokenOf(spark), asOf, path, sig)) {
           // asOf = time travel (the Retrieval.tombState clock):
           // manifest rows with gen > asOf — later appends AND later
           // deletes — are invisible, re-serving the exact past state
